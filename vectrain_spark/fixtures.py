@@ -1,0 +1,243 @@
+"""Deterministic synthetic fixtures: the `pages` table (BASELINE.json
+input_hint shape) and the `aliases` entity-linking dictionary.
+
+Everything is seeded (seed=42 convention, matching /root/testdata). The
+generator builds html FROM the ground-truth text, so
+``textops.extract_text(html) == text`` holds byte-for-byte by construction
+(FIXTURES.md §1), and body sentences come from a closed grammar over a known
+entity/relation vocabulary so ground-truth mentions/triples are computable
+exactly.
+
+Reference analog: these pages play the role of the reference's Kafka topic
+of (id, text, payload) JSON records
+(/root/reference/internal/app/sources/kafka/fetch_messages.go:33-35); the
+alias dictionary plays the role of the Qdrant collection the reference
+queries against (/root/reference/internal/app/storages/qdrant/store.go:99).
+"""
+
+from __future__ import annotations
+
+import html as _htmlmod
+from datetime import datetime, timedelta
+
+import numpy as np
+import pandas as pd
+
+from .textops import EMBED_DIM, PREDICATE_PHRASES, embed_string
+
+SEED = 42
+
+_ADJ = [
+    "Quantum", "Stellar", "Crimson", "Vertex", "Atlas", "Nimbus", "Aurora",
+    "Obsidian", "Cobalt", "Zenith", "Meridian", "Pinnacle", "Cascade",
+    "Horizon", "Ember", "Granite", "Velvet", "Solstice", "Borealis", "Onyx",
+]
+_NOUN = [
+    "Dynamics", "Systems", "Analytics", "Robotics", "Networks", "Industries",
+    "Logistics", "Biotech", "Energy", "Capital", "Materials", "Semiconductors",
+    "Software", "Aerospace", "Pharma", "Media", "Foods", "Mobility",
+    "Security", "Labs",
+]
+_SUFFIX = ["Corp", "Inc", "Group", "Holdings", "Partners", "Ltd", "AG", "LLC"]
+
+_FILLER = [
+    "The quarterly report shows steady growth across all regions.",
+    "Analysts expect further consolidation in the sector next year.",
+    "Shares rose two percent in early trading on Monday.",
+    "The announcement follows months of speculation in the press.",
+    "Regulators have not yet commented on the pending review.",
+    "A spokesperson declined to give further details.",
+    "Revenue guidance was reaffirmed for the fiscal year.",
+    "The board will meet again in the third quarter.",
+    "Supply chain pressures eased during the period.",
+    "Customer demand remained resilient despite headwinds.",
+]
+
+_LANGS = ["en", "es", "zh", "de", "fr"]
+
+PRED_LIST = [p for _, p in PREDICATE_PHRASES]
+_PHRASE_BY_PRED = {p: s for s, p in PREDICATE_PHRASES}
+
+# Share of subject mentions forced onto the hub entity (FIXTURES.md §2:
+# one hub entity owns >=30% of mentions — exercises salted-key CC / skew).
+HUB_SHARE = 0.32
+# Share of mentions emitted as a noisy surface form absent from the alias
+# dict — exercises the fuzzy (LSH + cosine) linking path.
+NOISE_SHARE = 0.04
+
+HUB_ENTITY = 1
+
+
+def n_entities_for(n_pages: int) -> int:
+    return max(40, n_pages // 50)
+
+
+def gen_aliases(n_entities: int, seed: int = SEED, dim: int = EMBED_DIM) -> pd.DataFrame:
+    """Alias dictionary: (entity_id, alias, embedding).
+
+    - Each entity gets its canonical name, a short form, and an
+      abbreviation.
+    - Every 10th entity pair (10k+2, 10k+3) SHARES the short form ->
+      canonicalization must merge them (connected components does real work).
+    """
+    rng = np.random.default_rng(seed)
+    rows: list[tuple[int, str]] = []
+    names: list[str] = []
+    seen: set[str] = set()
+    for eid in range(1, n_entities + 1):
+        while True:
+            name = (
+                f"{_ADJ[rng.integers(len(_ADJ))]} "
+                f"{_NOUN[rng.integers(len(_NOUN))]} "
+                f"{_SUFFIX[rng.integers(len(_SUFFIX))]}"
+            )
+            if name not in seen:
+                seen.add(name)
+                break
+        names.append(name)
+        parts = name.split(" ")
+        short = " ".join(parts[:2])
+        abbrev = "".join(w[0] for w in parts) + str(eid % 97)
+        rows.append((eid, name))
+        rows.append((eid, abbrev))
+        # duplicate-entity fixture: odd member of each pair borrows the
+        # even member's short form instead of its own
+        if eid % 10 == 3 and eid >= 3:
+            prev_short = " ".join(names[eid - 2].split(" ")[:2])
+            rows.append((eid, prev_short))
+        else:
+            rows.append((eid, short))
+    df = pd.DataFrame(rows, columns=["entity_id", "alias"])
+    df = df.drop_duplicates(["entity_id", "alias"]).reset_index(drop=True)
+    df["embedding"] = [embed_string(a, dim).tolist() for a in df["alias"]]
+    df["entity_id"] = df["entity_id"].astype("int64")
+    return df
+
+
+def _page_html(title: str, site: str, paragraphs: list[str], variant: int) -> bytes:
+    """Wrap ground-truth paragraphs in boilerplate html.
+
+    extract_text() inverts this exactly: head/nav/header/footer/aside and
+    comments vanish, <p> boundaries become newlines, entities round-trip
+    through escape/unescape.
+    """
+    esc = [_htmlmod.escape(p, quote=False) for p in paragraphs]
+    body_ps = "\n".join(f"<p>{e}</p>" for e in esc)
+    aside = "<aside>Related: sponsored links</aside>" if variant % 3 == 0 else ""
+    comment = "<!-- rendered by cms v2 -->" if variant % 2 == 0 else ""
+    html = (
+        f"<html><head><title>{_htmlmod.escape(title, quote=False)}</title>"
+        f"<style>body{{font-family:serif;margin:0}}</style>"
+        f"<script>var t={variant};</script></head>\n"
+        f"<body>{comment}\n"
+        f"<nav><ul><li>Home</li><li>News</li><li>About</li></ul></nav>\n"
+        f"<header><h1>{site}</h1></header>\n"
+        f"<article>\n{body_ps}\n</article>\n"
+        f"{aside}\n"
+        f"<footer>&copy; 2024 {site} &mdash; all rights reserved</footer>\n"
+        f"</body></html>"
+    )
+    return html.encode("utf-8")
+
+
+def gen_pages(
+    n_pages: int,
+    seed: int = SEED,
+    n_entities: int | None = None,
+    dim: int = EMBED_DIM,
+) -> tuple[pd.DataFrame, pd.DataFrame, pd.DataFrame]:
+    """Generate (pages, truth, aliases).
+
+    pages:   url, warc_ts, html(bytes), text, lang   — input_hint shape
+    truth:   url, sent_idx, subj, pred, obj, subj_entity, obj_entity
+             (generator-intended link targets, pre-canonicalization)
+    aliases: entity_id, alias, embedding
+    """
+    if n_entities is None:
+        n_entities = n_entities_for(n_pages)
+    rng = np.random.default_rng(seed)
+    aliases = gen_aliases(n_entities, seed=seed, dim=dim)
+    by_entity: dict[int, list[str]] = {}
+    for eid, alias in zip(aliases["entity_id"], aliases["alias"]):
+        by_entity.setdefault(int(eid), []).append(alias)
+    eids = np.array(sorted(by_entity), dtype=np.int64)
+
+    base_ts = datetime(2024, 1, 1)
+    page_rows = []
+    truth_rows = []
+    for k in range(n_pages):
+        site_id = int(rng.integers(200))
+        site = f"site{site_id}.example"
+        url = f"https://{site}/p/{k:08d}"
+        warc_ts = base_ts + timedelta(seconds=site_id * 100000 + k * 7)
+        lang = _LANGS[int(rng.integers(len(_LANGS)))]
+
+        # --- quarantine fixtures (FIXTURES.md §4) ---
+        if k % 211 == 5:  # empty body after strip
+            html = _page_html("empty", site, [], k)
+            page_rows.append((url, warc_ts, html, None, lang))
+            continue
+        if k % 211 == 6:  # undecodable bytes
+            html = b"\xff\xfe\x00broken" + b"<html><body><p>x</p></body></html>"
+            page_rows.append((url, warc_ts, html, None, lang))
+            continue
+
+        n_sent = int(rng.integers(3, 11))
+        paragraphs: list[str] = []
+        cur: list[str] = []
+        sent_idx = 0
+        for _ in range(n_sent):
+            roll = rng.random()
+            if roll < 0.30:
+                sent = _FILLER[int(rng.integers(len(_FILLER)))]
+                if k % 499 == 7 and len(cur) == 0:
+                    # NUL-byte edge case inside a filler sentence
+                    sent = "Edge\x00case token appears here."
+                cur.append(sent)
+            else:
+                # triple sentence from the closed grammar
+                if rng.random() < HUB_SHARE:
+                    subj_e = HUB_ENTITY
+                else:
+                    subj_e = int(eids[rng.integers(len(eids))])
+                obj_e = int(eids[rng.integers(len(eids))])
+                pred = PRED_LIST[int(rng.integers(len(PRED_LIST)))]
+                subj_alias = by_entity[subj_e][int(rng.integers(len(by_entity[subj_e])))]
+                obj_alias = by_entity[obj_e][int(rng.integers(len(by_entity[obj_e])))]
+                subj_s, obj_s = subj_alias, obj_alias
+                if rng.random() < NOISE_SHARE:
+                    subj_s = subj_alias.lower()
+                if rng.random() < NOISE_SHARE:
+                    obj_s = obj_alias.upper()
+                sent = f"{subj_s} {_PHRASE_BY_PRED[pred]} {obj_s}."
+                cur.append(sent)
+                truth_rows.append((url, sent_idx, subj_s, pred, obj_s, subj_e, obj_e))
+            sent_idx += 1
+            if len(cur) >= 3 or rng.random() < 0.4:
+                paragraphs.append(" ".join(cur))
+                cur = []
+        if cur:
+            paragraphs.append(" ".join(cur))
+        text = "\n".join(paragraphs)
+        html = _page_html(f"{site} article {k}", site, paragraphs, k)
+        page_rows.append((url, warc_ts, html, text, lang))
+
+    pages = pd.DataFrame(
+        page_rows, columns=["url", "warc_ts", "html", "text", "lang"]
+    )
+    truth = pd.DataFrame(
+        truth_rows,
+        columns=["url", "sent_idx", "subj", "pred", "obj", "subj_entity", "obj_entity"],
+    )
+    return pages, truth, aliases
+
+
+def write_fixture(out_dir: str, n_pages: int, seed: int = SEED) -> None:
+    """Materialize pages/truth/aliases parquet under out_dir."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    pages, truth, aliases = gen_pages(n_pages, seed=seed)
+    pages.to_parquet(os.path.join(out_dir, "pages.parquet"), index=False)
+    truth.to_parquet(os.path.join(out_dir, "truth.parquet"), index=False)
+    aliases.to_parquet(os.path.join(out_dir, "aliases.parquet"), index=False)
