@@ -1,0 +1,177 @@
+"""Iceberg-contract table catalog on partitioned Parquet + JSON manifests.
+
+SURVEY.md §7: no Iceberg runtime jar is installed in this sandbox, so the
+storage layer is a thin abstraction that emulates the parts of the Iceberg
+contract the pipeline relies on:
+
+* **snapshots**: every write creates ``data/snap-NNNNNN/`` plus an
+  immutable manifest ``_manifest/snap-NNNNNN.json`` recording op
+  (append/replace), parent, the cumulative data-dir list, and user metadata;
+* **atomic commit**: manifest written to a temp file then ``os.rename``-ed,
+  then the HEAD pointer (``_manifest/VERSION``) swapped the same way —
+  readers only ever see a fully-committed snapshot;
+* **append / replace**: append unions parents' data dirs; replace starts a
+  new chain (used for derived tables rebuilt per run);
+* **time travel**: ``read(..., snapshot_id=...)``.
+
+On a real cluster this class is swapped for
+``df.writeTo("db.tbl").append()`` with
+``org.apache.iceberg:iceberg-spark-runtime`` — the pipeline only touches
+the four methods below, so the swap is local to this file.
+
+Reference analog: the Qdrant sink connect/ensure-collection/upsert cycle
+(/root/reference/internal/app/storages/qdrant/client.go:55-68,
+store.go:91-114) — with real commit atomicity instead of fire-and-forget
+upserts.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class Catalog:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- paths ---------------------------------------------------------
+    def _tdir(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def _mdir(self, table: str) -> str:
+        return os.path.join(self._tdir(table), "_manifest")
+
+    def _version_file(self, table: str) -> str:
+        return os.path.join(self._mdir(table), "VERSION")
+
+    # -- manifest primitives --------------------------------------------
+    def _head(self, table: str) -> int | None:
+        vf = self._version_file(table)
+        if not os.path.exists(vf):
+            return None
+        with open(vf) as f:
+            return int(f.read().strip())
+
+    def _manifest(self, table: str, snap: int) -> dict:
+        with open(os.path.join(self._mdir(table), f"snap-{snap:06d}.json")) as f:
+            return json.load(f)
+
+    def _atomic_write(self, path: str, payload: str) -> None:
+        tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(payload)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, path)
+
+    # -- public API ------------------------------------------------------
+    def exists(self, table: str) -> bool:
+        return self._head(table) is not None
+
+    def snapshots(self, table: str) -> list[dict]:
+        head = self._head(table)
+        out: list[dict] = []
+        while head is not None:
+            m = self._manifest(table, head)
+            out.append(m)
+            head = m["parent"]
+        return list(reversed(out))
+
+    def write(
+        self,
+        table: str,
+        df: DataFrame,
+        mode: str = "append",
+        meta: dict | None = None,
+    ) -> int:
+        """Commit df as a new snapshot. mode: 'append' | 'replace'."""
+        assert mode in ("append", "replace")
+        mdir = self._mdir(table)
+        os.makedirs(mdir, exist_ok=True)
+        parent = self._head(table)
+        snap = (parent + 1) if parent is not None else 1
+        data_dir = os.path.join(self._tdir(table), "data", f"snap-{snap:06d}")
+        df.write.mode("overwrite").parquet(data_dir)
+        if mode == "append" and parent is not None:
+            dirs = self._manifest(table, parent)["data_dirs"] + [data_dir]
+        else:
+            dirs = [data_dir]
+        manifest = {
+            "snapshot_id": snap,
+            "parent": parent,
+            "op": mode,
+            "data_dirs": dirs,
+            "meta": meta or {},
+            "committed_at": time.time(),
+        }
+        self._atomic_write(
+            os.path.join(mdir, f"snap-{snap:06d}.json"), json.dumps(manifest, indent=1)
+        )
+        self._atomic_write(self._version_file(table), str(snap))
+        return snap
+
+    def read(
+        self, spark: SparkSession, table: str, snapshot_id: int | None = None
+    ) -> DataFrame:
+        head = snapshot_id if snapshot_id is not None else self._head(table)
+        if head is None:
+            raise FileNotFoundError(f"table {table} has no committed snapshot")
+        dirs = self._manifest(table, head)["data_dirs"]
+        return spark.read.parquet(*dirs)
+
+    def drop(self, table: str) -> None:
+        shutil.rmtree(self._tdir(table), ignore_errors=True)
+
+
+class GroupManifest:
+    """Resumable-checkpoint manifest (Z3): which input bucket-groups are done.
+
+    Fixes the reference's vestigial offset bookkeeping — it records
+    {partition, offset} per message but never commits or reads it back
+    (/root/reference/internal/app/sources/kafka/fetch_messages.go:38,75-78;
+    the natural commit site, AfterProcessHook, is a no-op at
+    /root/reference/internal/app/sources/kafka/process_hooks.go:8-14).
+    Here group completion is committed atomically AFTER the group's data
+    snapshot, so resume is effectively exactly-once per group.
+    """
+
+    def __init__(self, root: str, run_fingerprint: str):
+        self.path = os.path.join(root, "_checkpoint", "groups.json")
+        os.makedirs(os.path.dirname(self.path), exist_ok=True)
+        self.fingerprint = run_fingerprint
+
+    def _load(self) -> dict:
+        if not os.path.exists(self.path):
+            return {"fingerprint": self.fingerprint, "done": []}
+        with open(self.path) as f:
+            state = json.load(f)
+        if state.get("fingerprint") != self.fingerprint:
+            # config changed -> previous partial run is not resumable
+            return {"fingerprint": self.fingerprint, "done": []}
+        return state
+
+    def completed(self) -> set[int]:
+        return set(self._load()["done"])
+
+    def mark_done(self, group: int, meta: dict | None = None) -> None:
+        state = self._load()
+        if group not in state["done"]:
+            state["done"].append(group)
+        state.setdefault("meta", {})[str(group)] = meta or {}
+        tmp = f"{self.path}.tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(state, f, indent=1)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, self.path)
+
+    def reset(self) -> None:
+        if os.path.exists(self.path):
+            os.remove(self.path)

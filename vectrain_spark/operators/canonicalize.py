@@ -1,0 +1,141 @@
+"""C2/C3 — canonicalization: connected components + triple dedup.
+
+No analog exists in the reference (it has no joins or aggregations at all —
+verified absent, SURVEY.md §2.2); this stage is mandated by BASELINE.json
+north_rule ("GraphFrames-style iterative DataFrame joins with salted keys
+for hub-entity skew").
+
+Connected components = alternating large-star / small-star (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14), expressed as
+DataFrame programs:
+
+* every per-node min is a two-phase ``groupBy().min()`` — Spark's partial
+  (map-side) aggregation collapses a hub node's neighbor list inside each
+  map task before any exchange, which IS the salting strategy for
+  aggregation skew (no explicit salt column needed for an algebraic min);
+* the min-label join back onto the (skewed) edge list is covered by AQE
+  skew-join splitting (enabled in session.py);
+* each iteration is ``localCheckpoint``-ed to truncate lineage, otherwise
+  the plan grows exponentially with iterations;
+* convergence is O(log n) rounds; checked by an edge-set checksum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def edges_from_aliases(aliases: DataFrame) -> DataFrame:
+    """Entity-merge edges: entities sharing an alias surface.
+
+    Star-shaped (everyone -> per-alias min), not a clique — O(group size)
+    edges per shared alias, so a hub alias shared by k entities emits k-1
+    edges, not k^2.
+    """
+    amin = aliases.groupBy("alias").agg(F.min("entity_id").alias("root"))
+    return (
+        aliases.join(amin, "alias")
+        .filter(F.col("entity_id") != F.col("root"))
+        .select(F.col("entity_id").alias("src"), F.col("root").alias("dst"))
+        .distinct()
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    sym = e.unionAll(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).filter(F.col("src") != F.col("dst"))
+    mins = sym.groupBy("src").agg(F.min("dst").alias("mn"))
+    mins = mins.select("src", F.least("mn", "src").alias("m"))
+    return (
+        sym.join(mins, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    o = (
+        e.select(
+            F.greatest("src", "dst").alias("a"), F.least("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    mins = o.groupBy("a").agg(F.min("b").alias("m"))
+    part1 = (
+        o.join(mins, "a")
+        .filter(F.col("b") != F.col("m"))
+        .select(F.col("b").alias("src"), F.col("m").alias("dst"))
+    )
+    part2 = mins.select(F.col("a").alias("src"), F.col("m").alias("dst"))
+    return part1.unionAll(part2).filter(F.col("src") != F.col("dst")).distinct()
+
+
+def _checksum(e: DataFrame) -> tuple[int, int]:
+    # bit_xor: order-insensitive, overflow-free under ANSI mode
+    row = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.expr("bit_xor(xxhash64(src, dst))"), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(edges: DataFrame, max_iter: int = 30) -> DataFrame:
+    """(src, dst) undirected edges -> (id, canon) for every node, where
+    canon = min node id in the component (roots map to themselves)."""
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .unionAll(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    e = edges.filter(F.col("src") != F.col("dst")).distinct().localCheckpoint()
+    prev = None
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint()
+        cur = _checksum(e)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+    # converged: every non-root has exactly one edge to its component min
+    labels = e.select(F.col("src").alias("id"), F.col("dst").alias("canon"))
+    mapping = nodes.join(labels, "id", "left").select(
+        "id", F.coalesce("canon", "id").alias("canon")
+    )
+    return mapping
+
+
+def apply_canonical(linked_triples: DataFrame, mapping: DataFrame) -> DataFrame:
+    """Map subj_id/obj_id -> canonical ids.
+
+    ``mapping`` is entity-dictionary-sized (small side) -> broadcast both
+    joins; fallback ids (mentions linked to no dictionary entity) are their
+    own canonical form via coalesce.
+    """
+    ms = F.broadcast(mapping.withColumnRenamed("id", "subj_id").withColumnRenamed("canon", "subj_canon"))
+    mo = F.broadcast(mapping.withColumnRenamed("id", "obj_id").withColumnRenamed("canon", "obj_canon"))
+    return (
+        linked_triples.join(ms, "subj_id", "left")
+        .join(mo, "obj_id", "left")
+        .withColumn("subj_canon", F.coalesce("subj_canon", "subj_id"))
+        .withColumn("obj_canon", F.coalesce("obj_canon", "obj_id"))
+    )
+
+
+def dedup_triples(canon_triples: DataFrame) -> DataFrame:
+    """C3: canonical-triple dedup with provenance counts.
+
+    Fixes the reference's duplicate-on-rerun sink semantics (random UUID per
+    upsert, /root/reference/internal/app/storages/qdrant/store.go:32, TODO
+    at :45): the triple key is content-deterministic, so re-runs converge
+    to the same table.
+    """
+    return canon_triples.groupBy("subj_canon", "pred", "obj_canon").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min("url").alias("sample_url"),
+    )

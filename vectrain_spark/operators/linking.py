@@ -1,0 +1,303 @@
+"""L1/L2/L3 — entity linking: hash embeddings, LSH blocking, cosine top-k.
+
+Re-expresses the reference's vector-similarity core — it *configures* a
+cosine ANN index in Qdrant and delegates kNN to it
+(/root/reference/internal/app/storages/qdrant/client.go:32-39,
+store.go:99-105) — as an in-engine operator, per BASELINE.json north_star:
+"blocked LSH candidate generation + cosine top-k scoring against an alias
+dictionary broadcast per executor".
+
+Two physical strategies, chosen by dictionary size:
+
+* ``link_mentions`` (default): the alias dictionary (strings, embeddings,
+  LSH buckets) is broadcast once per executor; a vectorized Arrow UDF
+  probes it — exact string hit first, else LSH-bucket candidates + exact
+  cosine. Zero shuffle: this is the map-side-join shape, correct whenever
+  the dictionary fits in executor memory (alias dicts are ~10^6-10^8 rows;
+  at 768-d float32 that's the broadcast budget of a beefy executor — for
+  bigger dicts use the join variant).
+* ``link_mentions_join``: dictionary too big to broadcast — explode both
+  sides into (band, signature) keys and shuffle-join. AQE skew-join splits
+  hot buckets.
+
+Both link DISTINCT mention surfaces (the mention->surface projection
+collapses duplicates before any expensive work — at web scale the distinct
+surface set is orders of magnitude smaller than the mention stream).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..textops import EMBED_DIM, embed_many, hyperplanes, lsh_bands, stable_id
+
+LINK_THRESHOLD = 0.60
+N_BITS = 64
+N_BANDS = 8
+
+LINK_SCHEMA = "surface string, entity_id long, score double, method string"
+
+
+@dataclass
+class AliasIndex:
+    """Driver-built, pickled into a Spark broadcast (one copy per executor).
+
+    Plays the role of the Qdrant collection in the reference — but content
+    is deterministic and the probe runs in-process.
+    """
+
+    aliases: list[str]
+    eids: np.ndarray  # int64 (n,)
+    emb: np.ndarray  # float32 (n, dim), rows L2-normalized
+    exact: dict[str, int]  # alias -> min entity_id
+    buckets: dict[tuple[int, int], np.ndarray]  # (band, sig) -> row idx
+    dim: int
+    n_bits: int
+    n_bands: int
+    threshold: float
+
+
+def build_alias_index(
+    aliases_pdf: pd.DataFrame,
+    dim: int = EMBED_DIM,
+    n_bits: int = N_BITS,
+    n_bands: int = N_BANDS,
+    threshold: float = LINK_THRESHOLD,
+) -> AliasIndex:
+    """aliases(entity_id, alias[, embedding]) -> probe-ready index."""
+    alias_list = [str(a) for a in aliases_pdf["alias"]]
+    eids = aliases_pdf["entity_id"].to_numpy(dtype=np.int64)
+    if "embedding" in aliases_pdf.columns:
+        emb = np.stack(
+            [np.asarray(v, dtype=np.float32) for v in aliases_pdf["embedding"]]
+        )
+    else:
+        emb = embed_many(alias_list, dim)
+    exact: dict[str, int] = {}
+    for a, e in zip(alias_list, eids):
+        e = int(e)
+        if a not in exact or e < exact[a]:
+            exact[a] = e
+    planes = hyperplanes(emb.shape[1], n_bits)
+    bands = lsh_bands(emb, planes, n_bands)  # (n, n_bands)
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for i in range(bands.shape[0]):
+        for b in range(n_bands):
+            buckets.setdefault((b, int(bands[i, b])), []).append(i)
+    packed = {k: np.asarray(v, dtype=np.int64) for k, v in buckets.items()}
+    return AliasIndex(
+        aliases=alias_list,
+        eids=eids,
+        emb=emb,
+        exact=exact,
+        buckets=packed,
+        dim=emb.shape[1],
+        n_bits=n_bits,
+        n_bands=n_bands,
+        threshold=threshold,
+    )
+
+
+def mention_surfaces(triples: DataFrame) -> DataFrame:
+    """Distinct mention surfaces from raw triples (subj ∪ obj).
+
+    The distinct is a shuffle on surface — map-side combine makes the hub
+    surface (>=30% of mentions, FIXTURES.md §2) collapse locally before the
+    exchange, so skew never reaches the wire.
+    """
+    return (
+        triples.select(F.col("subj").alias("surface"))
+        .unionAll(triples.select(F.col("obj").alias("surface")))
+        .distinct()
+    )
+
+
+def _link_batches_factory(bc):
+    def _link(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx: AliasIndex = bc.value
+        planes = hyperplanes(idx.dim, idx.n_bits)
+        for pdf in batches:
+            surfaces = pdf["surface"].tolist()
+            out_eid = np.empty(len(surfaces), dtype=np.int64)
+            out_score = np.empty(len(surfaces), dtype=np.float64)
+            out_method: list[str] = [""] * len(surfaces)
+            fuzzy_pos: list[int] = []
+            for i, s in enumerate(surfaces):
+                hit = idx.exact.get(s)
+                if hit is not None:
+                    out_eid[i] = hit
+                    out_score[i] = 1.0
+                    out_method[i] = "exact"
+                else:
+                    fuzzy_pos.append(i)
+            if fuzzy_pos:
+                q = embed_many([surfaces[i] for i in fuzzy_pos], idx.dim)
+                qbands = lsh_bands(q, planes, idx.n_bands)
+                for j, i in enumerate(fuzzy_pos):
+                    cand: list[np.ndarray] = []
+                    for b in range(idx.n_bands):
+                        rows = idx.buckets.get((b, int(qbands[j, b])))
+                        if rows is not None:
+                            cand.append(rows)
+                    if cand:
+                        rows = np.unique(np.concatenate(cand))
+                        sims = idx.emb[rows] @ q[j]
+                        best = float(sims.max())
+                        if best >= idx.threshold:
+                            hits = rows[sims >= best - 1e-12]
+                            out_eid[i] = int(idx.eids[hits].min())
+                            out_score[i] = best
+                            out_method[i] = "lsh"
+                            continue
+                    out_eid[i] = stable_id("ent", surfaces[i])
+                    out_score[i] = 0.0
+                    out_method[i] = "new"
+            yield pd.DataFrame(
+                {
+                    "surface": pdf["surface"],
+                    "entity_id": out_eid,
+                    "score": out_score,
+                    "method": out_method,
+                }
+            )
+
+    return _link
+
+
+def link_mentions(
+    spark: SparkSession, surfaces: DataFrame, index: AliasIndex
+) -> DataFrame:
+    """Distinct surfaces -> (surface, entity_id, score, method).
+
+    Broadcast-index probe: one Arrow pass, no shuffle (beyond the distinct
+    already paid in ``mention_surfaces``).
+    """
+    bc = spark.sparkContext.broadcast(index)
+    return surfaces.mapInPandas(_link_batches_factory(bc), schema=LINK_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Join-based variant for dictionaries too large to broadcast
+# ---------------------------------------------------------------------------
+
+_EMBED_BANDS_SCHEMA = "surface string, band int, sig long, embedding array<float>"
+
+
+def _embed_bands_factory(dim: int, n_bits: int, n_bands: int):
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        planes = hyperplanes(dim, n_bits)
+        for pdf in batches:
+            surfaces = pdf["surface"].tolist()
+            q = embed_many(surfaces, dim)
+            bands = lsh_bands(q, planes, n_bands)
+            n = len(surfaces)
+            yield pd.DataFrame(
+                {
+                    "surface": np.repeat(np.asarray(surfaces, dtype=object), n_bands),
+                    "band": np.tile(np.arange(n_bands, dtype=np.int32), n),
+                    "sig": bands.reshape(-1),
+                    "embedding": [q[i].tolist() for i in range(n) for _ in range(n_bands)],
+                }
+            )
+
+    return _run
+
+
+def embed_with_bands(
+    df: DataFrame,
+    text_col: str = "surface",
+    dim: int = EMBED_DIM,
+    n_bits: int = N_BITS,
+    n_bands: int = N_BANDS,
+) -> DataFrame:
+    """Explode each string into n_bands (band, sig) keys + its embedding."""
+    src = df.select(F.col(text_col).alias("surface"))
+    return src.mapInPandas(_embed_bands_factory(dim, n_bits, n_bands), schema=_EMBED_BANDS_SCHEMA)
+
+
+def cosine_col(a: str, b: str):
+    """JVM-side cosine of two float-array columns (whole-stage codegen —
+    no Python in the hot loop). Inputs are pre-normalized, so dot == cos."""
+    return F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def link_mentions_join(
+    surfaces: DataFrame,
+    alias_bands: DataFrame,
+    threshold: float = LINK_THRESHOLD,
+    dim: int = EMBED_DIM,
+    n_bits: int = N_BITS,
+    n_bands: int = N_BANDS,
+) -> DataFrame:
+    """Shuffle-join linking for huge dictionaries.
+
+    alias_bands: (entity_id, band, sig, embedding) — produced once by
+    ``embed_with_bands`` over the alias table and persisted/bucketed by
+    (band, sig) so repeated runs never re-shuffle the dictionary.
+
+    Plan shape: mention bands ⋈ alias bands on (band, sig) -> exact cosine
+    (codegen) -> max-score per surface via two-phase agg (no window, no
+    skewed sort). AQE skew-join handles hot buckets.
+    """
+    m = embed_with_bands(surfaces, "surface", dim, n_bits, n_bands).alias("m")
+    a = alias_bands.alias("a")
+    cand = m.join(a, on=["band", "sig"], how="inner").select(
+        F.col("m.surface").alias("surface"),
+        F.col("a.entity_id").alias("entity_id"),
+        cosine_col("m.embedding", "a.embedding").alias("score"),
+    )
+    # top-1 per surface without a window: two-phase max then min-id tiebreak
+    best = cand.groupBy("surface").agg(F.max("score").alias("best"))
+    linked = (
+        cand.join(best, "surface")
+        .filter(F.col("score") >= F.col("best") - F.lit(1e-12))
+        .filter(F.col("best") >= threshold)
+        .groupBy("surface")
+        .agg(F.min("entity_id").alias("entity_id"), F.max("score").alias("score"))
+        .withColumn("method", F.lit("lsh"))
+    )
+    return linked
+
+
+def cosine_topk_join(
+    queries: DataFrame,
+    alias_bands: DataFrame,
+    k: int = 10,
+    dim: int = EMBED_DIM,
+    n_bits: int = N_BITS,
+    n_bands: int = N_BANDS,
+) -> DataFrame:
+    """General LSH-blocked cosine top-k (surface, entity_id, score, rank).
+
+    The reference delegates exactly this query shape to Qdrant
+    (/root/reference/internal/app/storages/qdrant/store.go:99-105); here it
+    is a first-class distributed operator.
+    """
+    from pyspark.sql import Window as W
+
+    m = embed_with_bands(queries, "surface", dim, n_bits, n_bands).alias("m")
+    cand = (
+        m.join(alias_bands.alias("a"), on=["band", "sig"], how="inner")
+        .groupBy("m.surface", "a.entity_id")
+        .agg(
+            F.first(F.col("m.embedding")).alias("qe"),
+            F.first(F.col("a.embedding")).alias("ae"),
+        )
+        .select(
+            F.col("surface"),
+            F.col("entity_id"),
+            cosine_col("qe", "ae").alias("score"),
+        )
+    )
+    w = W.partitionBy("surface").orderBy(F.desc("score"), F.asc("entity_id"))
+    return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

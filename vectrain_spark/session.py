@@ -1,0 +1,50 @@
+"""SparkSession factory tuned for the KG pipeline.
+
+Local-mode knobs mirror what we'd set on a real cluster: AQE on (runtime
+re-plan + skew-join splitting), shuffle partitions sized to cores, Arrow
+enabled with large batches so pandas-UDF overhead amortizes (the reference
+amortized per-row RPC cost with only 5 workers and 300/400-item batches,
+/root/reference/config/kafka_config.yaml:5-11 — Spark's equivalent levers
+are partition count and Arrow batch size).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+ARROW_BATCH = 10_000
+
+
+def get_spark(
+    app_name: str = "vectrain_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra: dict[str, str] | None = None,
+) -> SparkSession:
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        # >= 2x cores so AQE has room to coalesce, never fewer than cores
+        shuffle_partitions = max(2 * cores, 8)
+    b = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(cores))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    for k, v in (extra or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
