@@ -1,0 +1,43 @@
+"""Catalog snapshot semantics: append/replace, atomicity contract, time travel."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from vectrain_spark.catalog import Catalog, GroupManifest
+
+
+def test_append_and_replace(spark, tmp_path):
+    cat = Catalog(str(tmp_path))
+    df1 = spark.createDataFrame(pd.DataFrame({"x": [1, 2]}))
+    df2 = spark.createDataFrame(pd.DataFrame({"x": [3]}))
+    s1 = cat.write("t", df1, mode="append", meta={"group": 0})
+    s2 = cat.write("t", df2, mode="append", meta={"group": 1})
+    assert (s1, s2) == (1, 2)
+    assert sorted(r["x"] for r in cat.read(spark, "t").collect()) == [1, 2, 3]
+    # time travel to snapshot 1
+    assert sorted(r["x"] for r in cat.read(spark, "t", snapshot_id=1).collect()) == [1, 2]
+    # replace starts a fresh chain
+    cat.write("t", df2, mode="replace")
+    assert sorted(r["x"] for r in cat.read(spark, "t").collect()) == [3]
+    ops = [m["op"] for m in cat.snapshots("t")]
+    assert ops == ["append", "append", "replace"]
+
+
+def test_read_missing_table_raises(spark, tmp_path):
+    cat = Catalog(str(tmp_path))
+    with pytest.raises(FileNotFoundError):
+        cat.read(spark, "nope")
+
+
+def test_group_manifest_resume_and_fingerprint(tmp_path):
+    m = GroupManifest(str(tmp_path), "cfgA")
+    assert m.completed() == set()
+    m.mark_done(0, {"triples": 10})
+    m.mark_done(2)
+    assert m.completed() == {0, 2}
+    # same fingerprint resumes
+    assert GroupManifest(str(tmp_path), "cfgA").completed() == {0, 2}
+    # changed config invalidates the checkpoint (not resumable)
+    assert GroupManifest(str(tmp_path), "cfgB").completed() == set()
