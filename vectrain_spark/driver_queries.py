@@ -1,0 +1,456 @@
+"""Driver-contract queries and their ANSI-SQL (DuckDB) oracles.
+
+Each entry pairs a Spark implementation (the real operators from
+vectrain_spark.operators) with an independent SQL reconstruction of the
+expected result over the same parquet tables. Column names and types are
+aligned on both sides (the driver hashes values after sorting columns by
+name), and every double is rounded identically before comparison.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.dedup import (
+    JACCARD_THRESHOLD,
+    SIMHASH_BITS,
+    dedup_corpus,
+    exact_dedup,
+    minhash_pairs,
+    simhash_pairs,
+)
+from .operators.extract import extract_pages, extract_triples_df, split_quarantine
+from .operators.linking import build_alias_index, link_mentions, mention_surfaces
+from .operators.canonicalize import (
+    apply_canonical,
+    connected_components,
+    dedup_triples,
+    edges_from_aliases,
+)
+from .operators.similarity import ann_ivf, knn_bruteforce
+from .operators.textstats import (
+    LANG_ORDER,
+    STOPWORDS,
+    fingerprints,
+    lang_id,
+    quality_score,
+    token_counts,
+)
+from .operators.webcorpus import (
+    PHRASES,
+    PREDS,
+    corpus_aliases,
+    corpus_aliases_sql,
+    pages_from_documents,
+)
+
+# ---------------------------------------------------------------------------
+# Shared SQL fragments
+# ---------------------------------------------------------------------------
+
+NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+DEDUP_CORPUS_SQL = """
+  corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL SELECT doc_id + 1000000, text FROM documents
+    UNION ALL SELECT doc_id + 2000000, text || ' extra trailing tokens appended'
+      FROM documents WHERE doc_id % 5 = 0
+  )
+"""
+
+_PHRASE_VALUES = ", ".join(f"({i}, '{p}')" for i, p in enumerate(PHRASES))
+_PRED_VALUES = ", ".join(f"({i}, '{p}')" for i, p in enumerate(PREDS))
+
+SHINGLES_SQL = f"""
+  w AS (SELECT doc_id, string_split({NORM_SQL}, ' ') AS words FROM corpus),
+  sh AS (
+    SELECT doc_id,
+           list_distinct(list_transform(generate_series(1, len(words) - 2),
+                         i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingles
+    FROM w WHERE len(words) >= 3
+  ),
+  e AS (SELECT doc_id, unnest(shingles) AS s FROM sh)
+"""
+
+
+def _simhash_sql() -> str:
+    sums = ", ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END)::BIGINT AS s{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    combine = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(SIMHASH_BITS)
+    )
+    return f"""
+  wo AS (SELECT doc_id, unnest(string_split({NORM_SQL}, ' ')) AS word FROM corpus),
+  hx AS (SELECT doc_id, ('0x' || substr(md5(word), 1, 15))::BIGINT AS h FROM wo),
+  bits AS (SELECT doc_id, {sums} FROM hx GROUP BY doc_id),
+  sim AS (SELECT doc_id, ({combine})::BIGINT AS simhash FROM bits)
+"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# KG pipeline queries (the core engine, driven end-to-end)
+# ---------------------------------------------------------------------------
+
+
+def q_kg_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = pages_from_documents(_docs(spark, sf_dir))
+    good, _ = split_quarantine(extract_pages(pages))
+    return good.select("url", "text")
+
+
+def q_kg_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = pages_from_documents(_docs(spark, sf_dir))
+    _, quarantine = split_quarantine(extract_pages(pages))
+    return quarantine.select("url", "error")
+
+
+def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = pages_from_documents(_docs(spark, sf_dir))
+    good, _ = split_quarantine(extract_pages(pages))
+    return extract_triples_df(good).select("url", "subj", "pred", "obj")
+
+
+def q_kg_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = pages_from_documents(_docs(spark, sf_dir))
+    good, _ = split_quarantine(extract_pages(pages))
+    tri = extract_triples_df(good)
+    idx = build_alias_index(corpus_aliases(spark).toPandas())
+    return link_mentions(spark, mention_surfaces(tri), idx).select(
+        "surface", "entity_id", "method"
+    )
+
+
+def q_kg_canonical_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = pages_from_documents(_docs(spark, sf_dir))
+    good, _ = split_quarantine(extract_pages(pages))
+    tri = extract_triples_df(good)
+    aliases = corpus_aliases(spark)
+    idx = build_alias_index(aliases.toPandas())
+    linked_m = link_mentions(spark, mention_surfaces(tri), idx)
+    subj_map = linked_m.select(
+        F.col("surface").alias("subj"), F.col("entity_id").alias("subj_id")
+    )
+    obj_map = linked_m.select(
+        F.col("surface").alias("obj"), F.col("entity_id").alias("obj_id")
+    )
+    linked = tri.join(F.broadcast(subj_map), "subj").join(F.broadcast(obj_map), "obj")
+    mapping = connected_components(edges_from_aliases(aliases))
+    return dedup_triples(apply_canonical(linked, mapping)).select(
+        "subj_canon", "pred", "obj_canon", "cnt", "sample_url"
+    )
+
+
+def q_kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ct = q_kg_canonical_triples(spark, sf_dir)
+    return ct.select(
+        F.col("subj_canon").alias("src"),
+        F.col("obj_canon").alias("dst"),
+        "pred",
+        "cnt",
+    )
+
+
+_KG_PAGE_FILTER = "doc_id % 97 <> 3"
+
+SQL_KG_EXTRACT_TEXT = f"""
+WITH ph(m, phrase) AS (VALUES {_PHRASE_VALUES})
+SELECT 'https://docs.example/' || d.doc_id AS url,
+       'Vendor' || (d.doc_id % 7) || ' ' || ph.phrase || ' Client' || (d.doc_id % 13)
+         || '.' || chr(10) || d.text AS text
+FROM documents d JOIN ph ON ph.m = d.doc_id % 8
+WHERE {_KG_PAGE_FILTER}
+"""
+
+SQL_KG_QUARANTINE = """
+SELECT 'https://docs.example/' || doc_id AS url, 'decode_error' AS error
+FROM documents WHERE doc_id % 97 = 3
+"""
+
+SQL_KG_TRIPLES = f"""
+WITH pr(m, pred) AS (VALUES {_PRED_VALUES})
+SELECT 'https://docs.example/' || d.doc_id AS url,
+       'Vendor' || (d.doc_id % 7) AS subj,
+       pr.pred AS pred,
+       'Client' || (d.doc_id % 13) AS obj
+FROM documents d JOIN pr ON pr.m = d.doc_id % 8
+WHERE {_KG_PAGE_FILTER}
+"""
+
+SQL_KG_LINK = f"""
+WITH aliases AS ({corpus_aliases_sql()}),
+mentions AS (
+  SELECT DISTINCT 'Vendor' || (doc_id % 7) AS surface FROM documents WHERE {_KG_PAGE_FILTER}
+  UNION
+  SELECT DISTINCT 'Client' || (doc_id % 13) FROM documents WHERE {_KG_PAGE_FILTER}
+)
+SELECT m.surface AS surface, min(a.entity_id) AS entity_id, 'exact' AS method
+FROM mentions m JOIN aliases a ON a.alias = m.surface
+GROUP BY m.surface
+"""
+
+_CANON_SQL = f"""
+aliases AS ({corpus_aliases_sql()}),
+eg AS (
+  SELECT a1.entity_id AS src, a2.entity_id AS dst
+  FROM aliases a1 JOIN aliases a2 USING (alias)
+  WHERE a1.entity_id <> a2.entity_id
+),
+reach(id, r) AS (
+  SELECT entity_id, entity_id FROM aliases
+  UNION
+  SELECT reach.id, eg.dst FROM reach JOIN eg ON eg.src = reach.r
+),
+canon AS (SELECT id, min(r) AS canon FROM reach GROUP BY id)
+"""
+
+SQL_KG_CANONICAL_TRIPLES = f"""
+WITH RECURSIVE {_CANON_SQL},
+pr(m, pred) AS (VALUES {_PRED_VALUES}),
+linkmap AS (SELECT alias, min(entity_id) AS eid FROM aliases GROUP BY alias),
+tri AS (
+  SELECT 'https://docs.example/' || d.doc_id AS url,
+         lv.eid AS subj_id, pr.pred AS pred, lc.eid AS obj_id
+  FROM documents d
+  JOIN pr ON pr.m = d.doc_id % 8
+  JOIN linkmap lv ON lv.alias = 'Vendor' || (d.doc_id % 7)
+  JOIN linkmap lc ON lc.alias = 'Client' || (d.doc_id % 13)
+  WHERE {_KG_PAGE_FILTER}
+)
+SELECT c1.canon AS subj_canon, tri.pred AS pred, c2.canon AS obj_canon,
+       count(*) AS cnt, min(tri.url) AS sample_url
+FROM tri JOIN canon c1 ON c1.id = tri.subj_id JOIN canon c2 ON c2.id = tri.obj_id
+GROUP BY 1, 2, 3
+"""
+
+SQL_KG_EDGES = f"""
+WITH RECURSIVE {_CANON_SQL},
+pr(m, pred) AS (VALUES {_PRED_VALUES}),
+linkmap AS (SELECT alias, min(entity_id) AS eid FROM aliases GROUP BY alias),
+tri AS (
+  SELECT lv.eid AS subj_id, pr.pred AS pred, lc.eid AS obj_id
+  FROM documents d
+  JOIN pr ON pr.m = d.doc_id % 8
+  JOIN linkmap lv ON lv.alias = 'Vendor' || (d.doc_id % 7)
+  JOIN linkmap lc ON lc.alias = 'Client' || (d.doc_id % 13)
+  WHERE {_KG_PAGE_FILTER}
+)
+SELECT c1.canon AS src, c2.canon AS dst, tri.pred AS pred, count(*) AS cnt
+FROM tri JOIN canon c1 ON c1.id = tri.subj_id JOIN canon c2 ON c2.id = tri.obj_id
+GROUP BY 1, 2, 3
+"""
+
+# ---------------------------------------------------------------------------
+# Dedup queries
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(dedup_corpus(_docs(spark, sf_dir)))
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_pairs(dedup_corpus(_docs(spark, sf_dir)))
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_pairs(dedup_corpus(_docs(spark, sf_dir)))
+
+
+SQL_DEDUP_EXACT = f"""
+WITH {DEDUP_CORPUS_SQL}
+SELECT md5({NORM_SQL}) AS text_hash, min(doc_id) AS keep_id, count(*) AS dup_cnt
+FROM corpus GROUP BY 1
+"""
+
+SQL_DEDUP_MINHASH = f"""
+WITH {DEDUP_CORPUS_SQL},
+{SHINGLES_SQL},
+pairs AS (
+  SELECT e1.doc_id AS a, e2.doc_id AS b, count(*) AS inter
+  FROM e e1 JOIN e e2 USING (s) WHERE e1.doc_id < e2.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, len(shingles) AS n FROM sh)
+SELECT a, b,
+       round((pairs.inter * 1.0) / (sa.n + sb.n - pairs.inter), 6) AS jaccard
+FROM pairs JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+WHERE round((pairs.inter * 1.0) / (sa.n + sb.n - pairs.inter), 6) >= {JACCARD_THRESHOLD}
+"""
+
+SQL_DEDUP_SIMHASH = f"""
+WITH {DEDUP_CORPUS_SQL},
+{_simhash_sql()}
+SELECT l.doc_id AS a, r.doc_id AS b,
+       bit_count(xor(l.simhash, r.simhash))::INTEGER AS hamming
+FROM sim l JOIN sim r ON l.doc_id < r.doc_id
+WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
+"""
+
+# ---------------------------------------------------------------------------
+# Text-analysis queries
+# ---------------------------------------------------------------------------
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_id(_docs(spark, sf_dir))
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_score(_docs(spark, sf_dir))
+
+
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_counts(_docs(spark, sf_dir))
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprints(_docs(spark, sf_dir))
+
+
+def _stoplist_sql(lang: str) -> str:
+    items = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_filter(words, x -> list_contains([{items}], x)))::BIGINT"
+
+
+_LANG_SCORES = ", ".join(f"{_stoplist_sql(lang)} AS s_{lang}" for lang in LANG_ORDER)
+
+SQL_TEXT_LANGID = f"""
+WITH w AS (SELECT doc_id, string_split({NORM_SQL}, ' ') AS words FROM documents),
+s AS (SELECT doc_id, {_LANG_SCORES} FROM w)
+SELECT doc_id,
+  CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+       WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+       WHEN s_de >= s_fr THEN 'de'
+       ELSE 'fr' END AS pred_lang,
+  s_en, s_es, s_de, s_fr
+FROM s
+"""
+
+SQL_TEXT_QUALITY = f"""
+WITH base AS (SELECT doc_id, {NORM_SQL} AS norm FROM documents),
+w AS (SELECT doc_id, norm, string_split(norm, ' ') AS words FROM base),
+m AS (
+  SELECT doc_id,
+         len(words)::DOUBLE AS n_words,
+         length(norm)::DOUBLE AS n_chars,
+         {_stoplist_sql('en')}::DOUBLE AS stop
+  FROM w
+)
+SELECT doc_id,
+       n_words::BIGINT AS n_words,
+       n_chars::BIGINT AS n_chars,
+       round((n_chars - (n_words - 1)) / n_words, 6) AS avg_word_len,
+       round(stop / n_words, 6) AS stop_ratio,
+       round(least(n_words / 50.0, 1.0) * 0.5
+             + least(stop / 5.0, 1.0) * 0.3
+             + (CASE WHEN round((n_chars - (n_words - 1)) / n_words, 6) >= 3.0
+                      AND round((n_chars - (n_words - 1)) / n_words, 6) <= 10.0
+                     THEN 0.2 ELSE 0.0 END), 6) AS quality
+FROM m
+"""
+
+SQL_TEXT_TOKENS = f"""
+WITH base AS (SELECT doc_id, {NORM_SQL} AS norm FROM documents),
+w AS (SELECT doc_id, norm, string_split(norm, ' ') AS words FROM base)
+SELECT doc_id,
+       len(words)::BIGINT AS ws_tokens,
+       len(regexp_extract_all(norm, '[a-z]+'))::BIGINT AS alpha_tokens,
+       len(regexp_extract_all(norm, '[0-9]+'))::BIGINT AS num_tokens,
+       list_sum(list_transform(words, x -> ceil(length(x) / 4.0)::BIGINT))::BIGINT AS bpe_pieces
+FROM w
+"""
+
+SQL_TEXT_FINGERPRINT = f"""
+WITH corpus AS (SELECT doc_id, text FROM documents),
+{SHINGLES_SQL}
+SELECT doc_id, min(md5(s)) AS fp_min, max(md5(s)) AS fp_max
+FROM e GROUP BY doc_id
+"""
+
+# ---------------------------------------------------------------------------
+# Similarity queries
+# ---------------------------------------------------------------------------
+
+
+def q_sim_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return knn_bruteforce(_emb(spark, sf_dir)).withColumn(
+        "rank", F.col("rank").cast("long")
+    )
+
+
+def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ann_ivf(spark, _emb(spark, sf_dir)).withColumn(
+        "rank", F.col("rank").cast("long")
+    )
+
+
+SQL_SIM_KNN = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+),
+q AS (SELECT vec_id AS q_id, emb AS q_emb FROM v WHERE vec_id < 10),
+cand AS (
+  SELECT q.q_id, v.vec_id AS n_id,
+         round(list_dot_product(q.q_emb, v.emb)
+               / (sqrt(list_dot_product(q.q_emb, q.q_emb))
+                  * sqrt(list_dot_product(v.emb, v.emb))), 6) AS score
+  FROM q, v WHERE v.vec_id <> q.q_id
+),
+r AS (
+  SELECT q_id, n_id, score,
+         row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id ASC) AS rank
+  FROM cand
+)
+SELECT q_id, n_id, score, rank FROM r WHERE rank <= 5
+"""
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "kg_extract_text": q_kg_extract_text,
+    "kg_quarantine": q_kg_quarantine,
+    "kg_triples": q_kg_triples,
+    "kg_link": q_kg_link,
+    "kg_canonical_triples": q_kg_canonical_triples,
+    "kg_edges": q_kg_edges,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "text_langid": q_text_langid,
+    "text_quality": q_text_quality,
+    "text_tokens": q_text_tokens,
+    "text_fingerprint": q_text_fingerprint,
+    "sim_knn": q_sim_knn,
+    "sim_ann_ivf": q_sim_ann_ivf,  # no SQL oracle: approximate by design
+}
+
+ORACLES: dict[str, str] = {
+    "kg_extract_text": SQL_KG_EXTRACT_TEXT,
+    "kg_quarantine": SQL_KG_QUARANTINE,
+    "kg_triples": SQL_KG_TRIPLES,
+    "kg_link": SQL_KG_LINK,
+    "kg_canonical_triples": SQL_KG_CANONICAL_TRIPLES,
+    "kg_edges": SQL_KG_EDGES,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_minhash": SQL_DEDUP_MINHASH,
+    "dedup_simhash": SQL_DEDUP_SIMHASH,
+    "text_langid": SQL_TEXT_LANGID,
+    "text_quality": SQL_TEXT_QUALITY,
+    "text_tokens": SQL_TEXT_TOKENS,
+    "text_fingerprint": SQL_TEXT_FINGERPRINT,
+    "sim_knn": SQL_SIM_KNN,
+}

@@ -1,0 +1,232 @@
+"""Document deduplication operators: exact, MinHash+LSH, SimHash.
+
+First-class training-data-pipeline components (driver mandate): each has a
+`queries()` entry over the driver `documents` table and an ANSI-SQL oracle.
+All similarity math that must match the DuckDB oracle bit-for-bit is
+JVM-side integer/double arithmetic (md5 -> hex -> bigint, exact Jaccard on
+distinct shingle counts); Python appears only in the MinHash signature UDF,
+whose output never needs SQL parity (candidates are re-verified by exact
+Jaccard before emission).
+
+Scale notes (100 TB design):
+* shingling/signatures are narrow per-doc work — fused into the scan stage;
+* the only shuffles are (band, sig) self-join bucket formation and the
+  candidate-pair verification join, both on keys whose cardinality grows
+  with corpus size (no global collect anywhere);
+* banded LSH bounds candidate pairs ~linearly in corpus size vs the O(n^2)
+  brute force the oracle runs at test scale;
+* SimHash banding is pigeonhole-EXACT for hamming<=3 over 4x15-bit chunks —
+  recall 1.0 by construction, so Spark and oracle agree deterministically.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+N_MINHASH = 128
+N_MINHASH_BANDS = 32  # r = 4 rows/band: P(miss | J=0.8) = (1-0.8^4)^32 ~ 5e-8
+JACCARD_THRESHOLD = 0.8
+SIMHASH_BITS = 60  # 15 hex chars of md5 -> fits signed 64-bit in Spark & DuckDB
+SIMHASH_CHUNKS = 4  # pigeonhole: hamming<=3 guarantees >=1 equal 15-bit chunk
+MAX_HAMMING = 3
+
+_MERSENNE = (1 << 61) - 1
+
+
+def dedup_corpus(docs: DataFrame) -> DataFrame:
+    """Deterministic dup-bearing corpus derived from `documents` (which is
+    dup-free): every doc gets an exact copy (+1e6 id), every 5th doc a
+    near-dup with four appended words (+2e6 id). The SQL oracle constructs
+    the identical corpus (see driver_queries.DEDUP_CORPUS_SQL)."""
+    base = docs.select("doc_id", "text")
+    exact = base.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    near = base.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra trailing tokens appended")).alias("text"),
+    )
+    return base.unionAll(exact).unionAll(near)
+
+
+def normalized_text(col: str = "text"):
+    """Shared normalization: lower + whitespace collapse + trim."""
+    return F.trim(F.regexp_replace(F.lower(F.col(col)), r"\s+", " "))
+
+
+def exact_dedup(corpus: DataFrame) -> DataFrame:
+    """(doc_id, text) -> (text_hash, keep_id, dup_cnt).
+
+    Content-hash groupBy with min-id survivor — the dedup analog of the
+    deterministic-id fix over the reference's random-UUID sink
+    (/root/reference/internal/app/storages/qdrant/store.go:32).
+    """
+    return (
+        corpus.select(
+            F.md5(normalized_text().cast("binary")).alias("text_hash"),
+            F.col("doc_id"),
+        )
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("dup_cnt"))
+    )
+
+
+def shingles_col(col: str = "text", n: int = 3):
+    """Distinct word n-gram shingles, computed with JVM higher-order
+    functions (whole-stage codegen; no Python)."""
+    words = F.split(normalized_text(col), " ")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        )
+    )
+
+
+def _minhash_udf_factory(n_hashes: int, n_bands: int, seed: int = 42):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=n_hashes, dtype=np.int64)
+    b = rng.integers(0, _MERSENNE, size=n_hashes, dtype=np.int64)
+    r = n_hashes // n_bands
+
+    def _sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import zlib
+
+        for pdf in batches:
+            out_doc: list[int] = []
+            out_band: list[int] = []
+            out_sig: list[int] = []
+            for doc_id, sh in zip(pdf["doc_id"], pdf["shingles"]):
+                hs = np.fromiter(
+                    (zlib.crc32(s.encode("utf-8")) for s in sh),
+                    dtype=np.int64,
+                    count=len(sh),
+                )
+                # universal hashing family over the Mersenne prime
+                m = ((a[:, None] * hs[None, :] + b[:, None]) % _MERSENNE).min(axis=1)
+                # fold r consecutive minhashes into one band signature
+                folded = m.reshape(n_bands, r)
+                band_sig = folded[:, 0]
+                for j in range(1, r):
+                    band_sig = (band_sig * 1000003 + folded[:, j]) % _MERSENNE
+                out_doc.extend([doc_id] * n_bands)
+                out_band.extend(range(n_bands))
+                out_sig.extend(band_sig.tolist())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_doc, dtype="int64"),
+                    "band": pd.Series(out_band, dtype="int32"),
+                    "sig": pd.Series(out_sig, dtype="int64"),
+                }
+            )
+
+    return _sig
+
+
+def minhash_pairs(
+    corpus: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    n_hashes: int = N_MINHASH,
+    n_bands: int = N_MINHASH_BANDS,
+) -> DataFrame:
+    """Near-duplicate pairs (a, b, jaccard) with exact-Jaccard verification.
+
+    shingle (JVM) -> minhash signature (Arrow UDF) -> band self-join ->
+    exact Jaccard filter. Emitted jaccard is exact (integer set sizes), so
+    the result equals the brute-force O(n^2) oracle up to MinHash recall
+    (~1 - 5e-8 at J >= threshold).
+    """
+    sh = corpus.select("doc_id", shingles_col().alias("shingles")).filter(
+        F.size("shingles") > 0
+    )
+    sh = sh.persist()
+    sigs = sh.select("doc_id", "shingles").mapInPandas(
+        _minhash_udf_factory(n_hashes, n_bands), schema="doc_id long, band int, sig long"
+    ).select("doc_id", "band", "sig")
+    left = sigs.alias("l")
+    right = sigs.alias("r")
+    cand = (
+        left.join(right, on=["band", "sig"])
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("a"), F.col("shingles").alias("sha"))
+    sb = sh.select(F.col("doc_id").alias("b"), F.col("shingles").alias("shb"))
+    inter = F.size(F.array_intersect("sha", "shb")).cast("double")
+    na = F.size("sha").cast("double")
+    nb = F.size("shb").cast("double")
+    jac = inter / (na + nb - inter)
+    return (
+        cand.join(sa, "a")
+        .join(sb, "b")
+        .select("a", "b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_col(col: str = "text"):
+    """60-bit SimHash over word occurrences, md5-keyed — pure JVM exprs.
+
+    Word hash = first 15 hex chars of md5(word) as a bigint (matches
+    DuckDB's ('0x'||substr(md5(w),1,15))::BIGINT, verified bit-equal).
+    Bit j of the simhash is 1 iff sum over words of (+1 if word-bit j else
+    -1) is strictly positive.
+    """
+    words = F.split(normalized_text(col), " ")
+    hashes = F.transform(
+        words, lambda w: F.conv(F.substring(F.md5(w.cast("binary")), 1, 15), 16, 10).cast("long")
+    )
+    bit_terms = []
+    for j in range(SIMHASH_BITS):
+        s_j = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        bit_terms.append(F.when(s_j > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long")))
+    out = bit_terms[0]
+    for t in bit_terms[1:]:
+        out = out + t
+    return out
+
+
+def simhash_docs(corpus: DataFrame) -> DataFrame:
+    return corpus.select("doc_id", simhash_col().alias("simhash"))
+
+
+def simhash_pairs(corpus: DataFrame, max_hamming: int = MAX_HAMMING) -> DataFrame:
+    """(a, b, hamming) for all pairs with hamming distance <= max_hamming.
+
+    Banded join over 4x15-bit chunks; hamming<=3 pigeonholes into at least
+    one equal chunk, so recall is exactly 1.0 — the Spark result is
+    set-equal to the O(n^2) oracle by construction, at O(n) shuffle cost.
+    """
+    sim = simhash_docs(corpus)
+    chunks = F.array(
+        *[
+            F.shiftright(F.col("simhash"), 15 * i).bitwiseAND(F.lit(0x7FFF))
+            for i in range(SIMHASH_CHUNKS)
+        ]
+    )
+    banded = sim.select(
+        "doc_id", "simhash", F.posexplode(chunks).alias("band", "key")
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(right, on=["band", "key"])
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(
+            F.col("l.doc_id").alias("a"),
+            F.col("r.doc_id").alias("b"),
+            F.expr("bit_count(l.simhash ^ r.simhash)").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs

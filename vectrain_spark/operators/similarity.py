@@ -1,0 +1,163 @@
+"""Vector similarity search over an embedding column.
+
+Re-expression of the reference's delegated vector-query surface (it
+configures cosine kNN in Qdrant and never computes similarity itself,
+/root/reference/internal/app/storages/qdrant/client.go:32-39) as
+first-class distributed operators:
+
+* ``knn_bruteforce`` — exact cosine top-k; the correctness baseline. All
+  arithmetic is float64 over the float32 inputs with a left-fold sum, so
+  the DuckDB oracle (same expression shape) matches bit-for-bit.
+* ``ann_ivf`` — IVF-style scale path: vectors are bucketed by nearest
+  centroid; queries probe only n_probe cells. Recall measured in tests
+  against the brute-force baseline.
+
+Scale: brute force is a broadcast nested loop (queries broadcast, corpus
+streamed — O(Q x N) but embarrassingly parallel and shuffle-free); IVF
+turns that into O(Q x N x n_probe / n_cells) with one extra shuffle on
+cell id.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: str | object, b: str | object):
+    """Left-fold float64 dot product of two array<double> columns."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(ca, cb, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def cosine_expr(a: str, b: str):
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def knn_bruteforce(
+    embeddings: DataFrame, n_queries: int = 10, k: int = 5
+) -> DataFrame:
+    """Exact cosine top-k: (q_id, n_id, score, rank).
+
+    Queries = vec_id < n_queries (deterministic subset). Ranking uses the
+    ROUNDED score with vec_id tie-break so ordering is reproducible across
+    engines and float summation orders.
+    """
+    vecs = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    q = vecs.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+    )
+    cand = (
+        vecs.join(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("n_id"),
+            F.round(cosine_expr("q_emb", "emb"), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("n_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "score", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) approximate search
+# ---------------------------------------------------------------------------
+
+_ASSIGN_SCHEMA = "vec_id long, cell int"
+
+
+def _assign_factory(centroids: np.ndarray):
+    cn = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+
+    def _assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            cells = (m @ cn.T).argmax(axis=1).astype(np.int32)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "cell": cells})
+
+    return _assign
+
+
+def train_centroids(embeddings: DataFrame, n_cells: int = 16) -> np.ndarray:
+    """Deterministic centroid 'training': the n_cells lowest vec_ids.
+
+    (A k-means refinement would also be deterministic given seeded init;
+    the fixed pick keeps the oracle story simple and the recall measurable.)
+    """
+    rows = (
+        embeddings.select("vec_id", "embedding")
+        .filter(F.col("vec_id") < n_cells)
+        .orderBy("vec_id")
+        .collect()
+    )
+    return np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+
+
+def ann_ivf(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF approximate top-k, same output shape as ``knn_bruteforce``.
+
+    assignment: one Arrow pass with the centroid matrix broadcast
+    (executor-local matmul — the 'alias dictionary broadcast per executor'
+    pattern applied to vectors); probing: each query searches its n_probe
+    nearest cells only.
+    """
+    cents = train_centroids(embeddings, n_cells)
+    assigned = embeddings.select("vec_id", "embedding").mapInPandas(
+        _assign_factory(cents), schema=_ASSIGN_SCHEMA
+    )
+    vecs = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    ).join(assigned, "vec_id")
+
+    # driver-side probe list for the (tiny) query set: cells per query
+    qrows = vecs.filter(F.col("vec_id") < n_queries).collect()
+    cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    probe_rows = []
+    for r in qrows:
+        qv = np.asarray(r["emb"], dtype=np.float64)
+        qv = qv / max(float(np.linalg.norm(qv)), 1e-12)
+        order = np.argsort(-(cn @ qv), kind="stable")[:n_probe]
+        for c in order:
+            probe_rows.append((int(r["vec_id"]), r["emb"], int(c)))
+    probes = spark.createDataFrame(
+        pd.DataFrame(probe_rows, columns=["q_id", "q_emb", "cell"])
+    ).withColumn("q_emb", F.col("q_emb").cast("array<double>"))
+
+    cand = (
+        vecs.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("n_id"),
+            F.round(cosine_expr("q_emb", "emb"), 6).alias("score"),
+        )
+        .dropDuplicates(["q_id", "n_id"])
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("n_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "score", "rank")
+    )

@@ -1,0 +1,123 @@
+"""Text-analysis operators: language-ID, quality scoring, token counting,
+document fingerprinting.
+
+All pure JVM expressions (whole-stage codegen; zero Python) with exact
+ANSI-SQL oracle equivalents: every metric is integer counting or a fixed
+double formula over integers, so Spark and DuckDB agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import normalized_text, shingles_col
+
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "of", "and", "to", "in", "is", "it", "that", "for", "on"],
+    "es": ["el", "la", "de", "que", "los", "y", "en", "un", "por", "con"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "ein", "zu", "den"],
+    "fr": ["le", "les", "des", "et", "une", "est", "dans", "pour", "qui", "sur"],
+}
+LANG_ORDER = ["en", "es", "de", "fr"]
+
+
+def _stop_count(words, lang: str):
+    arr = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(words, lambda w: F.array_contains(arr, w)))
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """n-gram-free stopword-vote language ID -> (doc_id, pred_lang, s_*).
+
+    Deterministic argmax with fixed tie-break order en > es > de > fr —
+    the oracle SQL encodes the identical CASE chain.
+    """
+    words = F.split(normalized_text(), " ")
+    scored = docs.select(
+        "doc_id",
+        *[
+            _stop_count(words, lang).cast("long").alias(f"s_{lang}")
+            for lang in LANG_ORDER
+        ],
+    )
+    pred = (
+        F.when(
+            (F.col("s_en") >= F.col("s_es"))
+            & (F.col("s_en") >= F.col("s_de"))
+            & (F.col("s_en") >= F.col("s_fr")),
+            F.lit("en"),
+        )
+        .when(
+            (F.col("s_es") >= F.col("s_de")) & (F.col("s_es") >= F.col("s_fr")),
+            F.lit("es"),
+        )
+        .when(F.col("s_de") >= F.col("s_fr"), F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+    return scored.select("doc_id", pred.alias("pred_lang"), "s_en", "s_es", "s_de", "s_fr")
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Length / stopword / word-shape heuristics -> one quality double.
+
+    (doc_id, n_words, n_chars, avg_word_len, stop_ratio, quality)
+    """
+    norm = normalized_text()
+    words = F.split(norm, " ")
+    n_words = F.size(words).cast("double")
+    n_chars = F.length(norm).cast("double")
+    stop = _stop_count(words, "en").cast("double")
+    avg_word_len = F.round((n_chars - (n_words - 1)) / n_words, 6)
+    stop_ratio = F.round(stop / n_words, 6)
+    quality = F.round(
+        F.least(n_words / F.lit(50.0), F.lit(1.0)) * 0.5
+        + F.least(stop / F.lit(5.0), F.lit(1.0)) * 0.3
+        + F.when((avg_word_len >= 3.0) & (avg_word_len <= 10.0), 0.2).otherwise(0.0),
+        6,
+    )
+    return docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        n_chars.cast("long").alias("n_chars"),
+        avg_word_len.alias("avg_word_len"),
+        stop_ratio.alias("stop_ratio"),
+        quality.alias("quality"),
+    )
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Whitespace tokens + regex token classes + a BPE-ish piece count
+    (ceil(len/4) per word — a deterministic stand-in for subword tokenizers).
+    """
+    norm = normalized_text()
+    words = F.split(norm, " ")
+    ws_tokens = F.size(words).cast("long")
+    alpha_tokens = F.size(F.regexp_extract_all(norm, F.lit("[a-z]+"), 0)).cast("long")
+    num_tokens = F.size(F.regexp_extract_all(norm, F.lit("[0-9]+"), 0)).cast("long")
+    bpe_pieces = F.aggregate(
+        words,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + F.ceil(F.length(w) / F.lit(4.0)).cast("long"),
+    )
+    return docs.select(
+        "doc_id",
+        ws_tokens.alias("ws_tokens"),
+        alpha_tokens.alias("alpha_tokens"),
+        num_tokens.alias("num_tokens"),
+        bpe_pieces.alias("bpe_pieces"),
+    )
+
+
+def fingerprints(docs: DataFrame) -> DataFrame:
+    """Winnowing-style document fingerprint: lexicographic min/max of
+    md5(shingle) over distinct word-3-gram shingles -> (doc_id, fp_min, fp_max).
+    Stable under any partitioning; joinable for copy detection.
+    """
+    sh = shingles_col()
+    hashed = F.transform(sh, lambda s: F.md5(s.cast("binary")))
+    return docs.select(
+        "doc_id",
+        F.array_min(hashed).alias("fp_min"),
+        F.array_max(hashed).alias("fp_max"),
+    ).filter(F.col("fp_min").isNotNull())

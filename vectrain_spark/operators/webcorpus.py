@@ -1,0 +1,137 @@
+"""Derive a deterministic Common-Crawl-style `pages` corpus and an alias
+dictionary from the driver-provided `documents` table.
+
+Purpose: the driver's correctness gate compares each Spark query against
+ANSI SQL run by DuckDB over the SAME parquet tables — so the KG pipeline's
+inputs must be derivable from those tables by pure SQL-expressible
+transforms. This module builds them with DataFrame ops (html assembly is a
+tiny pandas UDF whose output is fixed-template string concat, so the SQL
+oracle can reconstruct the expected EXTRACTED text without parsing html).
+
+Construction (all arithmetic on doc_id, reproducible in SQL):
+  url        = 'https://docs.example/' || doc_id
+  relation   = 'Vendor'||(doc_id%7)  <phrase[doc_id%8]>  'Client'||(doc_id%13)
+  page text  = relation sentence \n document text (the word salad)
+  html       = boilerplate wrapper around the two paragraphs
+  corrupt    = doc_id%97==3 pages get undecodable bytes (quarantine path)
+
+Alias dictionary (entity ids, again SQL-derivable):
+  v          in 0..6    -> 'Vendor'||v
+  100+c      for c 0..12 -> 'Client'||c
+  300+k      for k 0..2  -> 'Vendor'||k   (shared surface: CC must merge)
+  400..402   chain via 'BridgeX'/'BridgeY' hanging off Vendor1 (depth-3 CC)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..fixtures import _page_html
+from ..textops import PREDICATE_PHRASES
+
+# phrase order is the PREDICATE_PHRASES declaration order (8 entries)
+PHRASES = [s for s, _ in PREDICATE_PHRASES]
+PREDS = [p for _, p in PREDICATE_PHRASES]
+
+_PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, lang string"
+
+
+def _assemble_html(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        htmls: list[bytes] = []
+        for doc_id, para1, para2 in zip(pdf["doc_id"], pdf["para1"], pdf["para2"]):
+            if int(doc_id) % 97 == 3:
+                htmls.append(b"\xff\xfe corrupt page bytes")
+            else:
+                htmls.append(
+                    _page_html(
+                        f"doc {doc_id}", "docs.example", [para1, para2], int(doc_id)
+                    )
+                )
+        yield pd.DataFrame(
+            {
+                "url": pdf["url"],
+                "warc_ts": pdf["warc_ts"],
+                "html": htmls,
+                "lang": pdf["lang"],
+            }
+        )
+
+
+def pages_from_documents(docs: DataFrame) -> DataFrame:
+    """documents -> pages(url, warc_ts, html, lang), input_hint shape."""
+    phrase_arr = F.array(*[F.lit(s) for s in PHRASES])
+    base = docs.select(
+        "doc_id",
+        F.concat(F.lit("https://docs.example/"), F.col("doc_id")).alias("url"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        F.concat(
+            F.lit("Vendor"),
+            F.col("doc_id") % 7,
+            F.lit(" "),
+            F.element_at(phrase_arr, (F.col("doc_id") % 8 + 1).cast("int")),
+            F.lit(" Client"),
+            F.col("doc_id") % 13,
+            F.lit("."),
+        ).alias("para1"),
+        F.col("text").alias("para2"),
+        "lang",
+    )
+    return base.mapInPandas(_assemble_html, schema=_PAGES_SCHEMA)
+
+
+def expected_page_text(docs: DataFrame) -> DataFrame:
+    """SQL-reconstructible expected extraction output (good pages only)."""
+    phrase_arr = F.array(*[F.lit(s) for s in PHRASES])
+    return docs.filter(F.col("doc_id") % 97 != 3).select(
+        F.concat(F.lit("https://docs.example/"), F.col("doc_id")).alias("url"),
+        F.concat(
+            F.lit("Vendor"),
+            F.col("doc_id") % 7,
+            F.lit(" "),
+            F.element_at(phrase_arr, (F.col("doc_id") % 8 + 1).cast("int")),
+            F.lit(" Client"),
+            F.col("doc_id") % 13,
+            F.lit(".\n"),
+            F.col("text"),
+        ).alias("text"),
+    )
+
+
+def corpus_aliases(spark: SparkSession) -> DataFrame:
+    """Deterministic alias dictionary (entity_id, alias) for the derived
+    corpus — same content as the SQL-oracle construction."""
+    rows = [(v, f"Vendor{v}") for v in range(7)]
+    rows += [(100 + c, f"Client{c}") for c in range(13)]
+    rows += [(300 + k, f"Vendor{k}") for k in range(3)]
+    rows += [
+        (400, "Vendor1"),
+        (400, "BridgeX"),
+        (401, "BridgeX"),
+        (401, "BridgeY"),
+        (402, "BridgeY"),
+    ]
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["entity_id", "alias"]).astype(
+            {"entity_id": "int64"}
+        )
+    )
+
+
+def corpus_aliases_sql() -> str:
+    """The same dictionary as an ANSI-SQL CTE body (DuckDB oracle side)."""
+    return """
+      SELECT v::BIGINT AS entity_id, 'Vendor' || v AS alias FROM generate_series(0, 6) t(v)
+      UNION ALL
+      SELECT (100 + c)::BIGINT, 'Client' || c FROM generate_series(0, 12) t(c)
+      UNION ALL
+      SELECT (300 + k)::BIGINT, 'Vendor' || k FROM generate_series(0, 2) t(k)
+      UNION ALL
+      SELECT entity_id::BIGINT, alias
+      FROM (VALUES (400, 'Vendor1'), (400, 'BridgeX'), (401, 'BridgeX'),
+                   (401, 'BridgeY'), (402, 'BridgeY')) v(entity_id, alias)
+    """
