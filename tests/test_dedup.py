@@ -1,0 +1,90 @@
+"""Dedup operators: exact, MinHash+LSH, SimHash — vs brute-force baselines."""
+
+from __future__ import annotations
+
+import itertools
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from vectrain_spark.operators.dedup import (
+    dedup_corpus,
+    exact_dedup,
+    minhash_pairs,
+    simhash_docs,
+    simhash_pairs,
+)
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return dedup_corpus(spark.read.parquet(DOCS)).cache()
+
+
+def _shingles(text: str, n: int = 3) -> set[str]:
+    w = " ".join(text.lower().split()).split(" ")
+    return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+
+def test_exact_dedup(spark, corpus):
+    out = exact_dedup(corpus).toPandas()
+    pdf = corpus.toPandas()
+    # every base doc has exactly one planted exact copy (+1e6)
+    n_docs = (pdf["doc_id"] < 1000000).sum()
+    assert (out["dup_cnt"] >= 2).sum() == n_docs
+    # for every duplicate group the survivor is the min id = the original
+    assert (out.loc[out["dup_cnt"] >= 2, "keep_id"] < 1000000).all()
+    assert out["dup_cnt"].sum() == len(pdf)
+
+
+def test_minhash_equals_bruteforce(spark, corpus):
+    got = {
+        (r["a"], r["b"]): r["jaccard"] for r in minhash_pairs(corpus).collect()
+    }
+    pdf = corpus.toPandas()
+    sh = {int(d): _shingles(t) for d, t in zip(pdf["doc_id"], pdf["text"])}
+    want = {}
+    for a, b in itertools.combinations(sorted(sh), 2):
+        inter = len(sh[a] & sh[b])
+        if inter == 0:
+            continue
+        j = round(inter / (len(sh[a]) + len(sh[b]) - inter), 6)
+        if j >= 0.8:
+            want[(a, b)] = j
+    assert got == want
+    assert want  # fixture actually plants near-dups
+
+
+def test_simhash_pairs_equal_bruteforce(spark, corpus):
+    got = {(r["a"], r["b"]): r["hamming"] for r in simhash_pairs(corpus).collect()}
+    sims = {r["doc_id"]: r["simhash"] for r in simhash_docs(corpus).collect()}
+    want = {}
+    for a, b in itertools.combinations(sorted(sims), 2):
+        h = bin(sims[a] ^ sims[b]).count("1")
+        if h <= 3:
+            want[(a, b)] = h
+    # pigeonhole banding is exact: set equality, not approximate
+    assert got == want
+    # exact duplicates have hamming 0
+    assert all(want[(d, d + 1000000)] == 0 for d in sims if d + 1000000 in sims and d < 1000000)
+
+
+def test_simhash_matches_python_md5(spark):
+    """Spark conv(md5)/bit math == independent Python reimplementation."""
+    import hashlib
+
+    pdf = pd.DataFrame({"doc_id": [1], "text": ["alpha beta gamma alpha"]})
+    corpus = spark.createDataFrame(pdf)
+    got = simhash_docs(corpus).collect()[0]["simhash"]
+
+    words = "alpha beta gamma alpha".split(" ")
+    sums = [0] * 60
+    for w in words:
+        h = int(hashlib.md5(w.encode()).hexdigest()[:15], 16)
+        for j in range(60):
+            sums[j] += 1 if (h >> j) & 1 else -1
+    want = sum(1 << j for j in range(60) if sums[j] > 0)
+    assert got == want

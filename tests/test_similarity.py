@@ -1,0 +1,66 @@
+"""Similarity search: exact kNN baseline + IVF recall."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from vectrain_spark.operators.similarity import ann_ivf, knn_bruteforce
+
+EMB = "/root/testdata/sf0.001/embeddings.parquet"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(EMB).cache()
+
+
+def _numpy_topk(pdf, n_queries=10, k=5):
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    ids = pdf["vec_id"].to_numpy()
+    norms = np.linalg.norm(mat, axis=1)
+    out = {}
+    for qi in range(len(ids)):
+        if ids[qi] >= n_queries:
+            continue
+        sims = (mat @ mat[qi]) / (norms * norms[qi])
+        order = [
+            (round(-s, 6), i)
+            for s, i in zip(sims, ids)
+            if i != ids[qi]
+        ]
+        order.sort(key=lambda t: (t[0], t[1]))
+        out[int(ids[qi])] = [int(i) for _, i in order[:k]]
+    return out
+
+
+def test_knn_matches_numpy(spark, emb):
+    got = knn_bruteforce(emb).toPandas()
+    want = _numpy_topk(emb.toPandas())
+    for q_id, grp in got.groupby("q_id"):
+        ordered = grp.sort_values("rank")["n_id"].tolist()
+        assert ordered == want[int(q_id)], q_id
+    assert set(got["q_id"].unique()) == set(want)
+    # scores are valid cosines
+    assert got["score"].between(-1.000001, 1.000001).all()
+
+
+def test_ann_ivf_recall(spark, emb):
+    exact = knn_bruteforce(emb, n_queries=10, k=5).toPandas()
+    approx = ann_ivf(spark, emb, n_queries=10, k=5, n_cells=16, n_probe=8).toPandas()
+    hits = tot = 0
+    for q in exact["q_id"].unique():
+        e = set(exact.loc[exact.q_id == q, "n_id"])
+        a = set(approx.loc[approx.q_id == q, "n_id"])
+        hits += len(e & a)
+        tot += len(e)
+    recall = hits / tot
+    # probing half the cells on clustered data: well above chance; bound is
+    # intentionally loose (approximate operator), exactness is the baseline's job
+    assert recall >= 0.5, recall
+
+
+def test_ann_ivf_deterministic(spark, emb):
+    a = ann_ivf(spark, emb).toPandas().sort_values(["q_id", "rank"]).reset_index(drop=True)
+    b = ann_ivf(spark, emb.repartition(7)).toPandas().sort_values(["q_id", "rank"]).reset_index(drop=True)
+    assert a.equals(b)
