@@ -30,6 +30,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 import time
 import uuid
 
@@ -37,9 +38,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 class Catalog:
+    """Thread-safe: concurrent writers stage data files without a lock and
+    serialize only the manifest commit (pipeline groups run concurrently)."""
+
     def __init__(self, root: str):
         self.root = root
         os.makedirs(root, exist_ok=True)
+        self._commit_lock = threading.Lock()
 
     # -- paths ---------------------------------------------------------
     def _tdir(self, table: str) -> str:
@@ -95,26 +100,31 @@ class Catalog:
         assert mode in ("append", "replace")
         mdir = self._mdir(table)
         os.makedirs(mdir, exist_ok=True)
-        parent = self._head(table)
-        snap = (parent + 1) if parent is not None else 1
-        data_dir = os.path.join(self._tdir(table), "data", f"snap-{snap:06d}")
+        # stage data under a content-unique dir (no lock held): concurrent
+        # writers never collide; the dir only becomes visible via a manifest
+        data_dir = os.path.join(self._tdir(table), "data", f"w-{uuid.uuid4().hex}")
         df.write.mode("overwrite").parquet(data_dir)
-        if mode == "append" and parent is not None:
-            dirs = self._manifest(table, parent)["data_dirs"] + [data_dir]
-        else:
-            dirs = [data_dir]
-        manifest = {
-            "snapshot_id": snap,
-            "parent": parent,
-            "op": mode,
-            "data_dirs": dirs,
-            "meta": meta or {},
-            "committed_at": time.time(),
-        }
-        self._atomic_write(
-            os.path.join(mdir, f"snap-{snap:06d}.json"), json.dumps(manifest, indent=1)
-        )
-        self._atomic_write(self._version_file(table), str(snap))
+        # commit: serialize the head read-modify-write
+        with self._commit_lock:
+            parent = self._head(table)
+            snap = (parent + 1) if parent is not None else 1
+            if mode == "append" and parent is not None:
+                dirs = self._manifest(table, parent)["data_dirs"] + [data_dir]
+            else:
+                dirs = [data_dir]
+            manifest = {
+                "snapshot_id": snap,
+                "parent": parent,
+                "op": mode,
+                "data_dirs": dirs,
+                "meta": meta or {},
+                "committed_at": time.time(),
+            }
+            self._atomic_write(
+                os.path.join(mdir, f"snap-{snap:06d}.json"),
+                json.dumps(manifest, indent=1),
+            )
+            self._atomic_write(self._version_file(table), str(snap))
         return snap
 
     def read(
@@ -146,6 +156,7 @@ class GroupManifest:
         self.path = os.path.join(root, "_checkpoint", "groups.json")
         os.makedirs(os.path.dirname(self.path), exist_ok=True)
         self.fingerprint = run_fingerprint
+        self._lock = threading.Lock()
 
     def _load(self) -> dict:
         if not os.path.exists(self.path):
@@ -161,16 +172,17 @@ class GroupManifest:
         return set(self._load()["done"])
 
     def mark_done(self, group: int, meta: dict | None = None) -> None:
-        state = self._load()
-        if group not in state["done"]:
-            state["done"].append(group)
-        state.setdefault("meta", {})[str(group)] = meta or {}
-        tmp = f"{self.path}.tmp.{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump(state, f, indent=1)
-            f.flush()
-            os.fsync(f.fileno())
-        os.rename(tmp, self.path)
+        with self._lock:
+            state = self._load()
+            if group not in state["done"]:
+                state["done"].append(group)
+            state.setdefault("meta", {})[str(group)] = meta or {}
+            tmp = f"{self.path}.tmp.{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                json.dump(state, f, indent=1)
+                f.flush()
+                os.fsync(f.fileno())
+            os.rename(tmp, self.path)
 
     def reset(self) -> None:
         if os.path.exists(self.path):

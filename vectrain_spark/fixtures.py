@@ -140,13 +140,87 @@ def _page_html(title: str, site: str, paragraphs: list[str], variant: int) -> by
     return html.encode("utf-8")
 
 
+def gen_page_row(
+    k: int,
+    by_entity: dict[int, list[str]],
+    eids: np.ndarray,
+    seed: int = SEED,
+    min_sent: int = 3,
+    max_sent: int = 11,
+) -> tuple[tuple, list[tuple]]:
+    """Generate page k. Per-page rng seeded by (seed, k), so generation is
+    embarrassingly parallel and identical whether run in a pandas loop (the
+    oracle/tests) or distributed via ``pages_spark`` (the bench corpus)."""
+    rng = np.random.default_rng([seed, k])
+    site_id = int(rng.integers(200))
+    site = f"site{site_id}.example"
+    url = f"https://{site}/p/{k:08d}"
+    warc_ts = datetime(2024, 1, 1) + timedelta(seconds=site_id * 100000 + k * 7)
+    lang = _LANGS[int(rng.integers(len(_LANGS)))]
+
+    # --- quarantine fixtures (FIXTURES.md §4) ---
+    if k % 211 == 5:  # empty body after strip
+        return (url, warc_ts, _page_html("empty", site, [], k), None, lang), []
+    if k % 211 == 6:  # undecodable bytes
+        html = b"\xff\xfe\x00broken" + b"<html><body><p>x</p></body></html>"
+        return (url, warc_ts, html, None, lang), []
+
+    truth_rows: list[tuple] = []
+    n_sent = int(rng.integers(min_sent, max_sent))
+    paragraphs: list[str] = []
+    cur: list[str] = []
+    sent_idx = 0
+    for _ in range(n_sent):
+        roll = rng.random()
+        if roll < 0.30:
+            sent = _FILLER[int(rng.integers(len(_FILLER)))]
+            if k % 499 == 7 and len(cur) == 0:
+                # NUL-byte edge case inside a filler sentence
+                sent = "Edge\x00case token appears here."
+            cur.append(sent)
+        else:
+            # triple sentence from the closed grammar
+            if rng.random() < HUB_SHARE:
+                subj_e = HUB_ENTITY
+            else:
+                subj_e = int(eids[rng.integers(len(eids))])
+            obj_e = int(eids[rng.integers(len(eids))])
+            pred = PRED_LIST[int(rng.integers(len(PRED_LIST)))]
+            subj_alias = by_entity[subj_e][int(rng.integers(len(by_entity[subj_e])))]
+            obj_alias = by_entity[obj_e][int(rng.integers(len(by_entity[obj_e])))]
+            subj_s, obj_s = subj_alias, obj_alias
+            if rng.random() < NOISE_SHARE:
+                subj_s = subj_alias.lower()
+            if rng.random() < NOISE_SHARE:
+                obj_s = obj_alias.upper()
+            sent = f"{subj_s} {_PHRASE_BY_PRED[pred]} {obj_s}."
+            cur.append(sent)
+            truth_rows.append((url, sent_idx, subj_s, pred, obj_s, subj_e, obj_e))
+        sent_idx += 1
+        if len(cur) >= 3 or rng.random() < 0.4:
+            paragraphs.append(" ".join(cur))
+            cur = []
+    if cur:
+        paragraphs.append(" ".join(cur))
+    text = "\n".join(paragraphs)
+    html = _page_html(f"{site} article {k}", site, paragraphs, k)
+    return (url, warc_ts, html, text, lang), truth_rows
+
+
+def _entity_lookup(aliases: pd.DataFrame) -> tuple[dict[int, list[str]], np.ndarray]:
+    by_entity: dict[int, list[str]] = {}
+    for eid, alias in zip(aliases["entity_id"], aliases["alias"]):
+        by_entity.setdefault(int(eid), []).append(alias)
+    return by_entity, np.array(sorted(by_entity), dtype=np.int64)
+
+
 def gen_pages(
     n_pages: int,
     seed: int = SEED,
     n_entities: int | None = None,
     dim: int = EMBED_DIM,
 ) -> tuple[pd.DataFrame, pd.DataFrame, pd.DataFrame]:
-    """Generate (pages, truth, aliases).
+    """Generate (pages, truth, aliases) in-process (test scale).
 
     pages:   url, warc_ts, html(bytes), text, lang   — input_hint shape
     truth:   url, sent_idx, subj, pred, obj, subj_entity, obj_entity
@@ -155,73 +229,14 @@ def gen_pages(
     """
     if n_entities is None:
         n_entities = n_entities_for(n_pages)
-    rng = np.random.default_rng(seed)
     aliases = gen_aliases(n_entities, seed=seed, dim=dim)
-    by_entity: dict[int, list[str]] = {}
-    for eid, alias in zip(aliases["entity_id"], aliases["alias"]):
-        by_entity.setdefault(int(eid), []).append(alias)
-    eids = np.array(sorted(by_entity), dtype=np.int64)
-
-    base_ts = datetime(2024, 1, 1)
+    by_entity, eids = _entity_lookup(aliases)
     page_rows = []
-    truth_rows = []
+    truth_rows: list[tuple] = []
     for k in range(n_pages):
-        site_id = int(rng.integers(200))
-        site = f"site{site_id}.example"
-        url = f"https://{site}/p/{k:08d}"
-        warc_ts = base_ts + timedelta(seconds=site_id * 100000 + k * 7)
-        lang = _LANGS[int(rng.integers(len(_LANGS)))]
-
-        # --- quarantine fixtures (FIXTURES.md §4) ---
-        if k % 211 == 5:  # empty body after strip
-            html = _page_html("empty", site, [], k)
-            page_rows.append((url, warc_ts, html, None, lang))
-            continue
-        if k % 211 == 6:  # undecodable bytes
-            html = b"\xff\xfe\x00broken" + b"<html><body><p>x</p></body></html>"
-            page_rows.append((url, warc_ts, html, None, lang))
-            continue
-
-        n_sent = int(rng.integers(3, 11))
-        paragraphs: list[str] = []
-        cur: list[str] = []
-        sent_idx = 0
-        for _ in range(n_sent):
-            roll = rng.random()
-            if roll < 0.30:
-                sent = _FILLER[int(rng.integers(len(_FILLER)))]
-                if k % 499 == 7 and len(cur) == 0:
-                    # NUL-byte edge case inside a filler sentence
-                    sent = "Edge\x00case token appears here."
-                cur.append(sent)
-            else:
-                # triple sentence from the closed grammar
-                if rng.random() < HUB_SHARE:
-                    subj_e = HUB_ENTITY
-                else:
-                    subj_e = int(eids[rng.integers(len(eids))])
-                obj_e = int(eids[rng.integers(len(eids))])
-                pred = PRED_LIST[int(rng.integers(len(PRED_LIST)))]
-                subj_alias = by_entity[subj_e][int(rng.integers(len(by_entity[subj_e])))]
-                obj_alias = by_entity[obj_e][int(rng.integers(len(by_entity[obj_e])))]
-                subj_s, obj_s = subj_alias, obj_alias
-                if rng.random() < NOISE_SHARE:
-                    subj_s = subj_alias.lower()
-                if rng.random() < NOISE_SHARE:
-                    obj_s = obj_alias.upper()
-                sent = f"{subj_s} {_PHRASE_BY_PRED[pred]} {obj_s}."
-                cur.append(sent)
-                truth_rows.append((url, sent_idx, subj_s, pred, obj_s, subj_e, obj_e))
-            sent_idx += 1
-            if len(cur) >= 3 or rng.random() < 0.4:
-                paragraphs.append(" ".join(cur))
-                cur = []
-        if cur:
-            paragraphs.append(" ".join(cur))
-        text = "\n".join(paragraphs)
-        html = _page_html(f"{site} article {k}", site, paragraphs, k)
-        page_rows.append((url, warc_ts, html, text, lang))
-
+        row, truths = gen_page_row(k, by_entity, eids, seed=seed)
+        page_rows.append(row)
+        truth_rows.extend(truths)
     pages = pd.DataFrame(
         page_rows, columns=["url", "warc_ts", "html", "text", "lang"]
     )
@@ -230,6 +245,53 @@ def gen_pages(
         columns=["url", "sent_idx", "subj", "pred", "obj", "subj_entity", "obj_entity"],
     )
     return pages, truth, aliases
+
+
+def pages_spark(
+    spark,
+    n_pages: int,
+    seed: int = SEED,
+    n_entities: int | None = None,
+    min_sent: int = 3,
+    max_sent: int = 11,
+):
+    """Distributed page generation: spark.range -> Arrow batches of pages.
+
+    Same per-page rng as ``gen_pages`` (bit-identical corpus), but generated
+    executor-side in parallel — this is how the bench corpus scales without
+    a driver-side bottleneck. Returns (pages_df, aliases_pdf); ground-truth
+    columns are dropped (the distributed corpus is input-only).
+    """
+    from pyspark.sql import functions as F  # local import: module stays pandas-importable
+
+    if n_entities is None:
+        n_entities = n_entities_for(n_pages)
+    aliases = gen_aliases(n_entities, seed=seed, dim=8)  # dim irrelevant here
+    by_entity, eids = _entity_lookup(aliases)
+    bc = spark.sparkContext.broadcast((by_entity, eids))
+
+    def _gen(batches):
+        be, ei = bc.value
+        for pdf in batches:
+            rows = [
+                gen_page_row(int(k), be, ei, seed=seed, min_sent=min_sent, max_sent=max_sent)[0]
+                for k in pdf["id"]
+            ]
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_ts", "html", "text", "lang"]
+            )
+
+    df = (
+        spark.range(0, n_pages)
+        .repartition(max(spark.sparkContext.defaultParallelism * 2, 8))
+        .mapInPandas(
+            _gen,
+            schema="url string, warc_ts timestamp, html binary, text string, lang string",
+        )
+        .select("url", "warc_ts", "html", "lang")
+    )
+    alias_full = gen_aliases(n_entities, seed=seed)
+    return df, alias_full
 
 
 def write_fixture(out_dir: str, n_pages: int, seed: int = SEED) -> None:

@@ -168,35 +168,41 @@ def minhash_pairs(
     )
 
 
-def simhash_col(col: str = "text"):
-    """60-bit SimHash over word occurrences, md5-keyed — pure JVM exprs.
+def simhash_docs(corpus: DataFrame) -> DataFrame:
+    """(doc_id, simhash): 60-bit SimHash over word occurrences, md5-keyed.
 
     Word hash = first 15 hex chars of md5(word) as a bigint (matches
     DuckDB's ('0x'||substr(md5(w),1,15))::BIGINT, verified bit-equal).
-    Bit j of the simhash is 1 iff sum over words of (+1 if word-bit j else
-    -1) is strictly positive.
+    Bit j is 1 iff sum over words of (+1 if word-bit j else -1) is
+    strictly positive.
+
+    Physical shape: explode words -> md5 once per word -> ONE hash
+    aggregate with 60 codegen'd conditional sums (map-side partial agg, a
+    single shuffle on doc_id). This is ~10x faster than evaluating 60
+    array-lambda aggregates per row, which Catalyst interprets.
     """
-    words = F.split(normalized_text(col), " ")
-    hashes = F.transform(
-        words, lambda w: F.conv(F.substring(F.md5(w.cast("binary")), 1, 15), 16, 10).cast("long")
+    wo = corpus.select(
+        "doc_id", F.explode(F.split(normalized_text(), " ")).alias("word")
     )
-    bit_terms = []
+    hx = wo.select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("word").cast("binary")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    sums = [
+        F.sum(
+            F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    bits = hx.groupBy("doc_id").agg(*sums)
+    combine = F.lit(0).cast("long")
     for j in range(SIMHASH_BITS):
-        s_j = F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-        bit_terms.append(F.when(s_j > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long")))
-    out = bit_terms[0]
-    for t in bit_terms[1:]:
-        out = out + t
-    return out
-
-
-def simhash_docs(corpus: DataFrame) -> DataFrame:
-    return corpus.select("doc_id", simhash_col().alias("simhash"))
+        combine = combine + F.when(
+            F.col(f"s{j}") > 0, F.lit(1 << j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return bits.select("doc_id", combine.alias("simhash"))
 
 
 def simhash_pairs(corpus: DataFrame, max_hamming: int = MAX_HAMMING) -> DataFrame:
@@ -206,7 +212,8 @@ def simhash_pairs(corpus: DataFrame, max_hamming: int = MAX_HAMMING) -> DataFram
     one equal chunk, so recall is exactly 1.0 — the Spark result is
     set-equal to the O(n^2) oracle by construction, at O(n) shuffle cost.
     """
-    sim = simhash_docs(corpus)
+    # persist: the banded self-join references the signature table twice
+    sim = simhash_docs(corpus).persist()
     chunks = F.array(
         *[
             F.shiftright(F.col("simhash"), 15 * i).bitwiseAND(F.lit(0x7FFF))

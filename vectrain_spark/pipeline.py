@@ -59,13 +59,38 @@ class PipelineConfig:
     n_bits: int = N_BITS
     n_bands: int = N_BANDS
     threshold: float = LINK_THRESHOLD
+    # Concurrent group submission (>1): bucket-groups are independent, so
+    # the driver MAY overlap their jobs (commits serialize inside Catalog/
+    # GroupManifest locks). Default 1: in local mode concurrent groups
+    # multiply python-UDF worker pools and cached partitions, thrashing a
+    # single host; on a real cluster with executor-side worker reuse this
+    # is the lever for hiding per-group commit latency.
+    max_concurrent_groups: int = 1
 
     def fingerprint(self) -> str:
-        return json.dumps(asdict(self), sort_keys=True)
+        d = asdict(self)
+        d.pop("max_concurrent_groups", None)  # concurrency never changes results
+        return json.dumps(d, sort_keys=True)
 
 
 class InjectedFailure(RuntimeError):
     """Raised by the fail_after test hook to simulate a mid-run crash."""
+
+
+# Per-group sink file count. At local/bench scale this keeps the triples
+# table at a handful of right-sized files per snapshot instead of
+# shuffle-partition-many tiny ones (small-file reads dominate finalize
+# otherwise). On a real cluster you'd target Iceberg's write.target-file-
+# size-bytes instead and let the table format split.
+SINK_PARTITIONS = 16
+
+
+# Below this edge count the entity graph is collected and solved with
+# driver-side union-find (exactly the oracle algorithm) instead of paying
+# ~2 shuffles x O(log n) rounds of distributed star contraction. Both paths
+# produce the identical mapping (tested); the distributed path is the scale
+# path for dictionary graphs that don't fit one machine.
+SMALL_GRAPH_EDGES = 1_000_000
 
 
 def _canonical_mapping(spark: SparkSession, aliases_df: DataFrame, cat: Catalog) -> DataFrame:
@@ -76,7 +101,33 @@ def _canonical_mapping(spark: SparkSession, aliases_df: DataFrame, cat: Catalog)
     """
     if cat.exists("entity_canon"):
         return cat.read(spark, "entity_canon")
-    mapping = connected_components(edges_from_aliases(aliases_df))
+    edges = edges_from_aliases(aliases_df).persist()
+    if edges.count() <= SMALL_GRAPH_EDGES:
+        import pandas as pd
+
+        pdf = edges.toPandas()
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for s, d in zip(pdf["src"], pdf["dst"]):
+            rs, rd = find(int(s)), find(int(d))
+            if rs != rd:
+                if rs < rd:
+                    parent[rd] = rs
+                else:
+                    parent[rs] = rd
+        rows = [(n, find(n)) for n in sorted(parent)]
+        mapping = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["id", "canon"]).astype("int64")
+        )
+    else:
+        mapping = connected_components(edges)
+    edges.unpersist()
     cat.write("entity_canon", mapping, mode="replace")
     return cat.read(spark, "entity_canon")
 
@@ -98,7 +149,9 @@ def _run_group(
     tri = extract_triples_df(good)
 
     surfaces = mention_surfaces(tri)
-    linked_m = link_mentions(spark, surfaces, index)
+    # persist: the subject and object maps both read this (without it the
+    # distinct + link UDF would run twice per group)
+    linked_m = link_mentions(spark, surfaces, index).persist()
     subj_map = linked_m.select(
         F.col("surface").alias("subj"),
         F.col("entity_id").alias("subj_id"),
@@ -125,35 +178,62 @@ def _run_group(
     )
 
     # one pass: cache the group's extract output so triples/lineage/quarantine
-    # don't re-extract (html decode is the expensive stage)
+    # don't re-extract (html decode is the expensive stage); cache triples —
+    # both the sink write and the lineage aggregation consume them
     ext = ext.persist()
+    tri = tri.persist()
     try:
-        lineage_pages = ext.groupBy("part_id").agg(
-            F.count(F.lit(1)).alias("pages"),
-            F.count("error").alias("errors"),
-            F.sum("html_bytes").alias("bytes"),
-            F.sum("wall_share").alias("extract_wall_sec"),
+        # Z2 lineage in ONE shuffle: union page-level and triple-level
+        # counters, then a single per-partition aggregate
+        page_part = ext.select(
+            "part_id",
+            F.lit(1).alias("pages"),
+            F.when(F.col("error").isNotNull(), 1).otherwise(0).alias("errors"),
+            F.col("html_bytes").alias("bytes"),
+            F.col("wall_share").alias("extract_wall_sec"),
+            F.lit(0).alias("triples"),
         )
-        lineage_tri = tri.groupBy("part_id").agg(F.count(F.lit(1)).alias("triples"))
+        tri_part = tri.select(
+            "part_id",
+            F.lit(0).alias("pages"),
+            F.lit(0).alias("errors"),
+            F.lit(0).cast("long").alias("bytes"),
+            F.lit(0.0).alias("extract_wall_sec"),
+            F.lit(1).alias("triples"),
+        )
         lineage = (
-            lineage_pages.join(lineage_tri, "part_id", "left")
-            .withColumn("triples", F.coalesce("triples", F.lit(0)))
+            page_part.unionAll(tri_part)
+            .groupBy("part_id")
+            .agg(
+                F.sum("pages").alias("pages"),
+                F.sum("errors").alias("errors"),
+                F.sum("bytes").alias("bytes"),
+                F.sum("extract_wall_sec").alias("extract_wall_sec"),
+                F.sum("triples").alias("triples"),
+            )
             .withColumn("group_id", F.lit(group))
             .withColumn("committed_at", F.lit(time.time()))
         )
 
-        n_triples = canon.count()
-        cat.write("triples", canon, mode="append", meta={"group": group})
+        # materialize the ext/tri caches at full parallelism BEFORE the
+        # coalesced sink write (otherwise extraction itself would run in
+        # only SINK_PARTITIONS tasks); lineage commits last so a crash
+        # between commits can never leave lineage for an uncommitted group
+        tri.count()
+        cat.write("triples", canon.coalesce(SINK_PARTITIONS), mode="append", meta={"group": group})
+        # quarantine + lineage are metadata-sized: single-file snapshots
         cat.write(
             "quarantine",
-            quarantine.withColumn("group_id", F.lit(group)),
+            quarantine.withColumn("group_id", F.lit(group)).coalesce(1),
             mode="append",
             meta={"group": group},
         )
-        cat.write("lineage", lineage, mode="append", meta={"group": group})
+        cat.write("lineage", lineage.coalesce(1), mode="append", meta={"group": group})
     finally:
         ext.unpersist()
-    return {"group": group, "triples": int(n_triples), "wall_sec": time.time() - t0}
+        tri.unpersist()
+        linked_m.unpersist()
+    return {"group": group, "wall_sec": time.time() - t0}
 
 
 def finalize(spark: SparkSession, cat: Catalog) -> dict:
@@ -163,31 +243,33 @@ def finalize(spark: SparkSession, cat: Catalog) -> dict:
     at any time, so a crash between group commits and finalize is harmless.
     """
     triples = cat.read(spark, "triples")
-    canonical = dedup_triples(triples)
+    # one shuffle produces the canonical table; edges and adjacency derive
+    # from the persisted result without re-reading parquet
+    canonical = dedup_triples(triples).persist()
+    n_canonical = canonical.count()
     cat.write("canonical_triples", canonical, mode="replace")
-    canonical = cat.read(spark, "canonical_triples")
-
     edges = canonical.select(
         F.col("subj_canon").alias("src"),
         F.col("obj_canon").alias("dst"),
         "pred",
         "cnt",
-    )
+    ).persist()
     cat.write("edges", edges, mode="replace")
-    adjacency = (
-        cat.read(spark, "edges")
-        .groupBy("src")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct("dst", "pred", "cnt"))
-            ).alias("out_edges"),
-            F.sum("cnt").alias("degree"),
-        )
+    adjacency = edges.groupBy("src").agg(
+        F.sort_array(F.collect_list(F.struct("dst", "pred", "cnt"))).alias("out_edges"),
+        F.sum("cnt").alias("degree"),
     )
     cat.write("adjacency", adjacency, mode="replace")
+    # counted from the fact table (not lineage): lineage is observability
+    # metadata and may legitimately lag by one group after a crash between
+    # the triples commit and the lineage commit
+    n_triples = int(triples.count())
+    canonical.unpersist()
+    edges.unpersist()
     return {
-        "canonical_triples": cat.read(spark, "canonical_triples").count(),
-        "edges": cat.read(spark, "edges").count(),
+        "total_triples": n_triples,
+        "canonical_triples": n_canonical,
+        "edges": n_canonical,
     }
 
 
@@ -229,16 +311,33 @@ def run_pipeline(
     mapping = _canonical_mapping(spark, aliases, cat)
 
     stats: dict = {"groups": [], "resumed_from": sorted(done)}
-    ran = 0
-    for g in range(cfg.n_groups):
-        if g in done:
-            continue
-        gstats = _run_group(spark, pages, index, mapping, g, cfg.n_groups, cat)
-        manifest.mark_done(g, gstats)
-        stats["groups"].append(gstats)
-        ran += 1
-        if fail_after_groups is not None and ran >= fail_after_groups:
-            raise InjectedFailure(f"injected failure after {ran} groups")
+    pending = [g for g in range(cfg.n_groups) if g not in done]
+
+    if fail_after_groups is not None:
+        # deterministic crash point for the resume tests: sequential
+        ran = 0
+        for g in pending:
+            gstats = _run_group(spark, pages, index, mapping, g, cfg.n_groups, cat)
+            manifest.mark_done(g, gstats)
+            stats["groups"].append(gstats)
+            ran += 1
+            if ran >= fail_after_groups:
+                raise InjectedFailure(f"injected failure after {ran} groups")
+    elif pending:
+        from concurrent.futures import ThreadPoolExecutor, as_completed
+
+        workers = max(1, min(cfg.max_concurrent_groups, len(pending)))
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            futs = {
+                ex.submit(
+                    _run_group, spark, pages, index, mapping, g, cfg.n_groups, cat
+                ): g
+                for g in pending
+            }
+            for fut in as_completed(futs):
+                gstats = fut.result()  # re-raises group failures
+                manifest.mark_done(gstats["group"], gstats)
+                stats["groups"].append(gstats)
 
     stats.update(finalize(spark, cat))
     return stats

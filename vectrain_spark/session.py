@@ -41,6 +41,7 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.scheduler.mode", "FAIR")  # concurrent group jobs share cores
         .config("spark.sql.files.maxPartitionBytes", "134217728")
     )
     for k, v in (extra or {}).items():
