@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the KG construction pipeline.
+
+Launch (north_rule contract):
+
+    python tools/package.py                      # builds dist/job.zip
+    spark-submit --master local[32] \
+        --py-files dist/job.zip main.py \
+        --pages /path/pages_parquet --aliases /path/aliases.parquet \
+        --out /path/warehouse --n-groups 8
+
+or, for a self-contained demo on a generated corpus:
+
+    spark-submit --py-files dist/job.zip main.py --generate 5000 --out /tmp/kg
+
+Replaces the reference's long-running service boot
+(/root/reference/cmd/vectrain/main.go:22-122 — config, REST control plane,
+start/stop loop) with batch-job orchestration: the control plane is
+spark-submit / kill / re-submit, and restart resumes from the group
+checkpoint manifest instead of replaying from offset zero.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def parse_args(argv: list[str]) -> argparse.Namespace:
+    p = argparse.ArgumentParser(description="vectrain_spark KG pipeline")
+    p.add_argument("--pages", help="parquet dir/file with (url, warc_ts, html, lang)")
+    p.add_argument("--aliases", help="parquet with (entity_id, alias)")
+    p.add_argument("--generate", type=int, default=0,
+                   help="generate a deterministic synthetic corpus of N pages instead of --pages/--aliases")
+    p.add_argument("--out", required=True, help="output warehouse root")
+    p.add_argument("--n-groups", type=int, default=8)
+    p.add_argument("--max-concurrent-groups", type=int, default=1)
+    return p.parse_args(argv)
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = parse_args(argv if argv is not None else sys.argv[1:])
+    from pyspark.sql import SparkSession
+
+    from vectrain_spark.pipeline import PipelineConfig, run_pipeline
+
+    spark = SparkSession.builder.appName("vectrain_spark_kg").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if args.generate:
+        from vectrain_spark.fixtures import pages_spark
+
+        pages, alias_pdf = pages_spark(spark, args.generate)
+        aliases = spark.createDataFrame(alias_pdf[["entity_id", "alias"]])
+    else:
+        if not args.pages or not args.aliases:
+            print("either --generate N or both --pages and --aliases are required",
+                  file=sys.stderr)
+            return 2
+        pages = spark.read.parquet(args.pages)
+        aliases = spark.read.parquet(args.aliases)
+
+    cfg = PipelineConfig(
+        n_groups=args.n_groups, max_concurrent_groups=args.max_concurrent_groups
+    )
+    stats = run_pipeline(spark, pages, aliases, args.out, cfg)
+    print(json.dumps({
+        "resumed_from": stats["resumed_from"],
+        "groups_run": len(stats["groups"]),
+        "total_triples": stats["total_triples"],
+        "canonical_triples": stats["canonical_triples"],
+    }))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

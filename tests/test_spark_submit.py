@@ -1,0 +1,57 @@
+"""Launch-mode contract (north_rule): the job runs via
+``spark-submit --py-files dist/job.zip main.py`` in a clean process, and a
+re-submit resumes as a no-op."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _spark_submit():
+    from pyspark import find_spark_home
+
+    return os.path.join(find_spark_home._find_spark_home(), "bin", "spark-submit")
+
+
+@pytest.mark.slow
+def test_spark_submit_roundtrip(tmp_path):
+    sys.path.insert(0, os.path.join(ROOT, "tools"))
+    import package
+
+    zip_path = package.build(str(tmp_path / "job.zip"))
+    out_dir = str(tmp_path / "warehouse")
+    cmd = [
+        _spark_submit(),
+        "--master", "local[4]",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.sql.shuffle.partitions=8",
+        "--py-files", zip_path,
+        os.path.join(ROOT, "main.py"),
+        "--generate", "300",
+        "--out", out_dir,
+        "--n-groups", "2",
+    ]
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)  # the zip must be self-sufficient
+    r = subprocess.run(cmd, capture_output=True, text=True, timeout=420, env=env)
+    assert r.returncode == 0, r.stderr[-4000:]
+    stats = json.loads([l for l in r.stdout.splitlines() if l.startswith("{")][-1])
+    assert stats["groups_run"] == 2
+    assert stats["total_triples"] > 0
+    assert stats["canonical_triples"] > 0
+
+    # re-submit: resumes and re-processes nothing
+    r2 = subprocess.run(cmd, capture_output=True, text=True, timeout=420, env=env)
+    assert r2.returncode == 0, r2.stderr[-4000:]
+    stats2 = json.loads([l for l in r2.stdout.splitlines() if l.startswith("{")][-1])
+    assert stats2["groups_run"] == 0
+    assert stats2["resumed_from"] == [0, 1]
+    assert stats2["canonical_triples"] == stats["canonical_triples"]
