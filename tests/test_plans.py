@@ -1,0 +1,102 @@
+"""Physical-plan assertions: the plans we'd want at 100 TB, not just plans
+that pass. Checks column pruning into the parquet scan, broadcast joins on
+dictionary-sized sides, whole-stage codegen on JVM operators, and shuffle
+counts."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from vectrain_spark.operators.dedup import dedup_corpus, exact_dedup, simhash_docs
+from vectrain_spark.operators.extract import extract_pages, extract_triples_df, split_quarantine
+from vectrain_spark.operators.canonicalize import apply_canonical
+from vectrain_spark.operators.textstats import lang_id
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_extract_prunes_columns(spark, pages_df):
+    """The pages scan must read only (url, warc_ts, html, lang) — never a
+    full-row materialization (ReadSchema check ~ column pruning)."""
+    ext = extract_pages(pages_df)
+    plan = _plan(ext)
+    assert "html" in plan
+    # downstream triple extraction needs only url/text/part_id: the
+    # extract->triples chain is a single pipelined stage with no Exchange
+    good, _ = split_quarantine(ext)
+    tri_plan = _plan(extract_triples_df(good))
+    assert "Exchange" not in tri_plan, tri_plan
+
+
+def test_scan_pushdown_on_parquet(spark):
+    docs = spark.read.parquet(DOCS)
+    q = docs.filter(F.col("doc_id") % 97 != 3).select("doc_id", "text")
+    plan = _plan(q)
+    assert "ReadSchema" in plan
+    # only the two needed columns reach the scan
+    schema_part = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "doc_id" in schema_part and "text" in schema_part
+    assert "lang" not in schema_part and "source" not in schema_part
+
+
+def test_filter_pushed_to_scan(spark):
+    docs = spark.read.parquet(DOCS)
+    q = docs.filter(F.col("doc_id") < 100).select("doc_id")
+    plan = _plan(q)
+    assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,100)]" in plan or (
+        "PushedFilters" in plan and "LessThan(doc_id,100)" in plan
+    ), plan
+
+
+def test_canonical_mapping_join_is_broadcast(spark):
+    linked = spark.createDataFrame(
+        pd.DataFrame({"subj_id": [1, 2], "obj_id": [3, 4], "pred": ["a", "b"]})
+    )
+    mapping = spark.createDataFrame(pd.DataFrame({"id": [1, 2, 3, 4], "canon": [1, 1, 3, 3]}))
+    plan = _plan(apply_canonical(linked, mapping))
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_textstats_whole_stage_codegen_no_python(spark):
+    """Text analysis must stay JVM-side: no Python/Arrow eval nodes, and the
+    work runs inside WholeStageCodegen spans."""
+    docs = spark.read.parquet(DOCS)
+    for op in (lang_id, exact_dedup, simhash_docs):
+        df = op(docs if op is lang_id else dedup_corpus(docs))
+        df.collect()  # finalize AQE so codegen spans are visible
+        plan = _plan(df)
+        # "*(n)" is the WholeStageCodegen marker in the plan string
+        assert "*(" in plan, f"{op.__name__}: no codegen span\n{plan[:500]}"
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, op.__name__
+
+
+def test_exact_dedup_single_shuffle(spark):
+    docs = spark.read.parquet(DOCS)
+    plan = _plan(exact_dedup(dedup_corpus(docs)))
+    # one hash-aggregate pair around exactly one exchange (partial -> final)
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("HashAggregate") >= 2  # map-side partial + final
+
+
+def test_simhash_partial_aggregation(spark):
+    """The 60 conditional sums must use map-side partial aggregation (the
+    skew answer for hub keys: combine before exchange)."""
+    docs = spark.read.parquet(DOCS)
+    plan = _plan(simhash_docs(dedup_corpus(docs)))
+    assert plan.count("Exchange") == 1, plan
+    first_agg = plan.index("HashAggregate")
+    first_exchange = plan.index("Exchange")
+    # partial aggregate appears below (after, in print order) the exchange —
+    # i.e. there is a HashAggregate on the map side
+    assert plan.count("HashAggregate") >= 2
+    assert first_agg < first_exchange

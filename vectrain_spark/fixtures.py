@@ -85,15 +85,20 @@ def gen_aliases(n_entities: int, seed: int = SEED, dim: int = EMBED_DIM) -> pd.D
     names: list[str] = []
     seen: set[str] = set()
     for eid in range(1, n_entities + 1):
-        while True:
+        # the raw combo space is |ADJ|x|NOUN|x|SUFFIX| = 3200; for larger
+        # dictionaries disambiguate deterministically with the entity id
+        # (never loop forever hunting a free combo)
+        for _attempt in range(5):
             name = (
                 f"{_ADJ[rng.integers(len(_ADJ))]} "
                 f"{_NOUN[rng.integers(len(_NOUN))]} "
                 f"{_SUFFIX[rng.integers(len(_SUFFIX))]}"
             )
             if name not in seen:
-                seen.add(name)
                 break
+        else:
+            name = f"{name} {eid}"
+        seen.add(name)
         names.append(name)
         parts = name.split(" ")
         short = " ".join(parts[:2])
@@ -266,8 +271,8 @@ def pages_spark(
 
     if n_entities is None:
         n_entities = n_entities_for(n_pages)
-    aliases = gen_aliases(n_entities, seed=seed, dim=8)  # dim irrelevant here
-    by_entity, eids = _entity_lookup(aliases)
+    alias_full = gen_aliases(n_entities, seed=seed)
+    by_entity, eids = _entity_lookup(alias_full)
     bc = spark.sparkContext.broadcast((by_entity, eids))
 
     def _gen(batches):
@@ -290,7 +295,6 @@ def pages_spark(
         )
         .select("url", "warc_ts", "html", "lang")
     )
-    alias_full = gen_aliases(n_entities, seed=seed)
     return df, alias_full
 
 
