@@ -68,9 +68,12 @@ def run_kg_pipeline(spark, n_pages: int, out_root: str) -> dict:
     from vectrain_spark.pipeline import PipelineConfig, run_pipeline
 
     shutil.rmtree(out_root, ignore_errors=True)
-    # bench pages are Common-Crawl-weight (20-60 sentences) so measured
-    # throughput reflects per-byte compute, not per-page job overhead
-    pages, aliases = pages_spark(spark, n_pages, min_sent=20, max_sent=60)
+    # bench pages are Common-Crawl-weight (~40 KB html, mostly boilerplate,
+    # 40-120 sentences) so measured throughput reflects per-byte compute,
+    # not per-page job overhead
+    pages, aliases = pages_spark(
+        spark, n_pages, min_sent=40, max_sent=120, junk_blocks=30
+    )
     # materialize the corpus first so generation cost is excluded from the
     # measured pipeline throughput (the corpus is the "Iceberg pages table")
     corpus_dir = os.path.join(out_root, "_pages")

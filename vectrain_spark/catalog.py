@@ -136,6 +136,65 @@ class Catalog:
         dirs = self._manifest(table, head)["data_dirs"]
         return spark.read.parquet(*dirs)
 
+    def prune_groups(self, table: str, groups: set[int]) -> bool:
+        """Commit a snapshot that excludes every delta written by the given
+        groups. Resume hygiene: a crash mid-group can leave staged snapshots
+        for a group whose authoritative commit never landed — before
+        reprocessing, those orphan deltas are pruned so the re-run cannot
+        double-append. Returns True if anything was pruned."""
+        with self._commit_lock:
+            head = self._head(table)
+            if head is None:
+                return False
+            keep: list[str] = []
+            prev: list[str] = []
+            pruned = False
+            for m in self.snapshots(table):
+                if m["op"] == "replace":
+                    keep = []
+                    delta = m["data_dirs"]
+                else:
+                    prev_set = set(prev)
+                    delta = [d for d in m["data_dirs"] if d not in prev_set]
+                g = m["meta"].get("group")
+                if g is not None and int(g) in groups:
+                    pruned = True
+                else:
+                    keep.extend(delta)
+                prev = m["data_dirs"]
+            if not pruned:
+                return False
+            snap = head + 1
+            manifest = {
+                "snapshot_id": snap,
+                "parent": head,
+                "op": "replace",
+                "data_dirs": keep,
+                "meta": {"pruned_groups": sorted(groups)},
+                "committed_at": time.time(),
+            }
+            self._atomic_write(
+                os.path.join(self._mdir(table), f"snap-{snap:06d}.json"),
+                json.dumps(manifest, indent=1),
+            )
+            self._atomic_write(self._version_file(table), str(snap))
+            return True
+
+    def read_snapshot_delta(
+        self, spark: SparkSession, table: str, snapshot_id: int
+    ) -> DataFrame:
+        """Read ONLY the files added by the given snapshot (its delta vs the
+        parent) — the incremental-read primitive a staged pipeline uses to
+        consume exactly what it just committed."""
+        m = self._manifest(table, snapshot_id)
+        parent_dirs = (
+            set(self._manifest(table, m["parent"])["data_dirs"])
+            if m["parent"] is not None and m["op"] == "append"
+            else set()
+        )
+        own = [d for d in m["data_dirs"] if d not in parent_dirs]
+        return spark.read.parquet(*own)
+
     def drop(self, table: str) -> None:
         shutil.rmtree(self._tdir(table), ignore_errors=True)
 

@@ -119,25 +119,62 @@ def gen_aliases(n_entities: int, seed: int = SEED, dim: int = EMBED_DIM) -> pd.D
     return df
 
 
-def _page_html(title: str, site: str, paragraphs: list[str], variant: int) -> bytes:
+def _junk_block(i: int, variant: int) -> str:
+    """Deterministic boilerplate filler: the markup a real crawl page drags
+    along (analytics scripts, css, nav trees, promo asides) that the
+    extractor must strip. ~1 KB per block."""
+    kind = (variant + i) % 4
+    if kind == 0:
+        body = ";".join(f"var v{j}={(variant * 31 + i * 7 + j) % 9973}" for j in range(40))
+        return f'<script type="text/javascript">{body};trackPage("{variant}-{i}")</script>'
+    if kind == 1:
+        rules = " ".join(
+            f".c{j}-{i}{{margin:{j % 13}px;padding:{(j * 3) % 17}px;color:#{(variant + j) % 10}{(i + j) % 10}{j % 10}}}"
+            for j in range(30)
+        )
+        return f"<style>{rules}</style>"
+    if kind == 2:
+        items = "".join(
+            f'<li><a href="/cat/{(variant + j) % 50}/{i}">Category {(variant + j) % 50} item {j}</a></li>'
+            for j in range(25)
+        )
+        return f"<nav><ul>{items}</ul></nav>"
+    items = "".join(
+        f'<div class="promo"><span>Sponsored {j}</span><a href="/ad/{i}/{j}">Offer {(variant * j + i) % 997}</a></div>'
+        for j in range(20)
+    )
+    return f"<aside>{items}</aside>"
+
+
+def _page_html(
+    title: str, site: str, paragraphs: list[str], variant: int, junk_blocks: int = 0
+) -> bytes:
     """Wrap ground-truth paragraphs in boilerplate html.
 
     extract_text() inverts this exactly: head/nav/header/footer/aside and
     comments vanish, <p> boundaries become newlines, entities round-trip
-    through escape/unescape.
+    through escape/unescape. ``junk_blocks`` controls how much realistic
+    boilerplate surrounds the article (Common-Crawl pages are mostly
+    boilerplate by bytes — extraction cost must reflect that).
     """
     esc = [_htmlmod.escape(p, quote=False) for p in paragraphs]
     body_ps = "\n".join(f"<p>{e}</p>" for e in esc)
     aside = "<aside>Related: sponsored links</aside>" if variant % 3 == 0 else ""
     comment = "<!-- rendered by cms v2 -->" if variant % 2 == 0 else ""
+    pre_junk = "\n".join(_junk_block(i, variant) for i in range(junk_blocks // 2))
+    post_junk = "\n".join(
+        _junk_block(i, variant) for i in range(junk_blocks // 2, junk_blocks)
+    )
     html = (
         f"<html><head><title>{_htmlmod.escape(title, quote=False)}</title>"
         f"<style>body{{font-family:serif;margin:0}}</style>"
         f"<script>var t={variant};</script></head>\n"
         f"<body>{comment}\n"
         f"<nav><ul><li>Home</li><li>News</li><li>About</li></ul></nav>\n"
+        f"{pre_junk}\n"
         f"<header><h1>{site}</h1></header>\n"
         f"<article>\n{body_ps}\n</article>\n"
+        f"{post_junk}\n"
         f"{aside}\n"
         f"<footer>&copy; 2024 {site} &mdash; all rights reserved</footer>\n"
         f"</body></html>"
@@ -152,6 +189,7 @@ def gen_page_row(
     seed: int = SEED,
     min_sent: int = 3,
     max_sent: int = 11,
+    junk_blocks: int = 0,
 ) -> tuple[tuple, list[tuple]]:
     """Generate page k. Per-page rng seeded by (seed, k), so generation is
     embarrassingly parallel and identical whether run in a pandas loop (the
@@ -165,7 +203,7 @@ def gen_page_row(
 
     # --- quarantine fixtures (FIXTURES.md §4) ---
     if k % 211 == 5:  # empty body after strip
-        return (url, warc_ts, _page_html("empty", site, [], k), None, lang), []
+        return (url, warc_ts, _page_html("empty", site, [], k, junk_blocks), None, lang), []
     if k % 211 == 6:  # undecodable bytes
         html = b"\xff\xfe\x00broken" + b"<html><body><p>x</p></body></html>"
         return (url, warc_ts, html, None, lang), []
@@ -208,7 +246,7 @@ def gen_page_row(
     if cur:
         paragraphs.append(" ".join(cur))
     text = "\n".join(paragraphs)
-    html = _page_html(f"{site} article {k}", site, paragraphs, k)
+    html = _page_html(f"{site} article {k}", site, paragraphs, k, junk_blocks)
     return (url, warc_ts, html, text, lang), truth_rows
 
 
@@ -259,6 +297,7 @@ def pages_spark(
     n_entities: int | None = None,
     min_sent: int = 3,
     max_sent: int = 11,
+    junk_blocks: int = 0,
 ):
     """Distributed page generation: spark.range -> Arrow batches of pages.
 
@@ -279,7 +318,10 @@ def pages_spark(
         be, ei = bc.value
         for pdf in batches:
             rows = [
-                gen_page_row(int(k), be, ei, seed=seed, min_sent=min_sent, max_sent=max_sent)[0]
+                gen_page_row(
+                    int(k), be, ei, seed=seed, min_sent=min_sent,
+                    max_sent=max_sent, junk_blocks=junk_blocks,
+                )[0]
                 for k in pdf["id"]
             ]
             yield pd.DataFrame(

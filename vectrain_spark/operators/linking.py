@@ -46,21 +46,59 @@ LINK_SCHEMA = "surface string, entity_id long, score double, method string"
 
 @dataclass
 class AliasIndex:
-    """Driver-built, pickled into a Spark broadcast (one copy per executor).
+    """Broadcast payload: compact numpy arrays only (cheap to pickle/load).
 
     Plays the role of the Qdrant collection in the reference — but content
-    is deterministic and the probe runs in-process.
+    is deterministic and the probe runs in-process. The per-band bucket
+    lookup structure is NOT shipped: it is rebuilt vectorized (argsort +
+    searchsorted) on first use inside each worker process and memoized by
+    ``token`` — PySpark re-reads broadcast values per TASK, so shipping a
+    96k-entry dict would be re-unpickled by every task that runs the UDF
+    (measured: this dominated the whole linking stage).
     """
 
+    token: str
     aliases: list[str]
     eids: np.ndarray  # int64 (n,)
     emb: np.ndarray  # float32 (n, dim), rows L2-normalized
     exact: dict[str, int]  # alias -> min entity_id
-    buckets: dict[tuple[int, int], np.ndarray]  # (band, sig) -> row idx
+    bands: np.ndarray  # int64 (n, n_bands) LSH band signatures
     dim: int
     n_bits: int
     n_bands: int
     threshold: float
+
+
+class _BandLookup:
+    """Per-worker probe structure: sorted signatures + searchsorted."""
+
+    def __init__(self, idx: AliasIndex):
+        self.order = []
+        self.sorted_sigs = []
+        for b in range(idx.n_bands):
+            o = np.argsort(idx.bands[:, b], kind="stable")
+            self.order.append(o)
+            self.sorted_sigs.append(idx.bands[o, b])
+
+    def candidates(self, band: int, sig: int) -> np.ndarray:
+        s = self.sorted_sigs[band]
+        lo = np.searchsorted(s, sig, side="left")
+        hi = np.searchsorted(s, sig, side="right")
+        return self.order[band][lo:hi]
+
+
+# worker-process-level memo: survives across tasks (python workers are
+# reused), so the index is parsed once per worker, not once per task
+_WORKER_CACHE: dict[str, tuple[AliasIndex, _BandLookup, np.ndarray]] = {}
+
+
+def _worker_index(bc) -> tuple[AliasIndex, _BandLookup, np.ndarray]:
+    idx: AliasIndex = bc.value
+    entry = _WORKER_CACHE.get(idx.token)
+    if entry is None:
+        entry = (idx, _BandLookup(idx), hyperplanes(idx.dim, idx.n_bits))
+        _WORKER_CACHE[idx.token] = entry
+    return entry
 
 
 def build_alias_index(
@@ -71,6 +109,8 @@ def build_alias_index(
     threshold: float = LINK_THRESHOLD,
 ) -> AliasIndex:
     """aliases(entity_id, alias[, embedding]) -> probe-ready index."""
+    import hashlib
+
     alias_list = [str(a) for a in aliases_pdf["alias"]]
     eids = aliases_pdf["entity_id"].to_numpy(dtype=np.int64)
     if "embedding" in aliases_pdf.columns:
@@ -86,17 +126,16 @@ def build_alias_index(
             exact[a] = e
     planes = hyperplanes(emb.shape[1], n_bits)
     bands = lsh_bands(emb, planes, n_bands)  # (n, n_bands)
-    buckets: dict[tuple[int, int], list[int]] = {}
-    for i in range(bands.shape[0]):
-        for b in range(n_bands):
-            buckets.setdefault((b, int(bands[i, b])), []).append(i)
-    packed = {k: np.asarray(v, dtype=np.int64) for k, v in buckets.items()}
+    h = hashlib.md5()
+    h.update(np.ascontiguousarray(bands).tobytes())
+    h.update(str((len(alias_list), emb.shape, n_bits, n_bands, threshold)).encode())
     return AliasIndex(
+        token=h.hexdigest(),
         aliases=alias_list,
         eids=eids,
         emb=emb,
         exact=exact,
-        buckets=packed,
+        bands=bands,
         dim=emb.shape[1],
         n_bits=n_bits,
         n_bands=n_bands,
@@ -120,8 +159,7 @@ def mention_surfaces(triples: DataFrame) -> DataFrame:
 
 def _link_batches_factory(bc):
     def _link(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        idx: AliasIndex = bc.value
-        planes = hyperplanes(idx.dim, idx.n_bits)
+        idx, lookup, planes = _worker_index(bc)
         for pdf in batches:
             surfaces = pdf["surface"].tolist()
             out_eid = np.empty(len(surfaces), dtype=np.int64)
@@ -142,8 +180,8 @@ def _link_batches_factory(bc):
                 for j, i in enumerate(fuzzy_pos):
                     cand: list[np.ndarray] = []
                     for b in range(idx.n_bands):
-                        rows = idx.buckets.get((b, int(qbands[j, b])))
-                        if rows is not None:
+                        rows = lookup.candidates(b, int(qbands[j, b]))
+                        if rows.size:
                             cand.append(rows)
                     if cand:
                         rows = np.unique(np.concatenate(cand))

@@ -6,17 +6,19 @@ Dataflow (mirrors the reference's consume->embed->store skeleton,
 Catalyst plan):
 
     pages (bucketed by xxhash64(url) into n_groups resume units)
-      └─ per pending group (one Spark job; at cluster scale each group is
-         a full partition-batch, the unit of checkpoint commit):
-           extract (Arrow UDF) ── quarantine split
-           triples (Arrow UDF, fused in the same stage — no shuffle yet)
-           distinct mention surfaces (the ONLY shuffle before the sink)
-           link (broadcast alias index probe, zero shuffle)
-           canonical ids (broadcast mapping join)
-           append snapshot: triples + quarantine + lineage
-           commit group to checkpoint manifest
-      └─ finalize: global dedup / edge aggregation over the triples table
-         (replace snapshots for canonical_triples, edges, adjacency)
+      └─ per pending group (at cluster scale each group is a full
+         partition-batch, the unit of checkpoint commit; two commits):
+           1. stage `extracted` (Arrow UDF pass: html -> text/error),
+              columnar on disk — bounds executor memory at any group size
+           2. triples (Arrow UDF over staged text, fused with the scan)
+              -> distinct mention surfaces (the ONLY shuffle pre-sink)
+              -> link (broadcast alias-index probe, zero shuffle)
+              -> canonical ids (broadcast mapping join)
+              -> append `triples` snapshot  = the group's authoritative
+                 commit; then mark the group done in the manifest
+      └─ finalize (derived replace-snapshots, rebuildable any time):
+           quarantine (X3) + per-partition lineage (Z2) from `extracted`,
+           canonical dedup / edges / adjacency from `triples`
 
 Group membership is ``pmod(xxhash64(url), n_groups)`` — stable across
 cluster sizes and re-runs, so the resume manifest means the same thing at
@@ -26,8 +28,16 @@ any parallelism (SURVEY.md §4.2 partitioning note).
 from __future__ import annotations
 
 import json
+import os
 import time
 from dataclasses import asdict, dataclass
+
+_PROF = os.environ.get("VECTRAIN_PROFILE", "") == "1"
+
+
+def _prof(msg: str, t0: float) -> None:
+    if _PROF:
+        print(f"[prof] {msg}: {time.time() - t0:.1f}s", flush=True)
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -141,16 +151,36 @@ def _run_group(
     n_groups: int,
     cat: Catalog,
 ) -> dict:
-    """Process one bucket-group end-to-end and commit its snapshots."""
+    """Process one bucket-group end-to-end and commit its snapshots.
+
+    Intermediates (`extracted`, `triples_raw`) are STAGED as catalog tables
+    rather than held in executor memory: each Python (Arrow) stage makes
+    exactly one pass and lands on disk; every downstream consumer is a pure
+    JVM scan of columnar parquet. This bounds memory independently of group
+    size (no cache eviction/recompute races) and gives the pipeline real
+    intermediate tables — the same shape a production run would stage.
+    """
     t0 = time.time()
     sub = pages.filter(F.pmod(F.xxhash64("url"), F.lit(n_groups)) == group)
-    ext = extract_pages(sub)
-    good, quarantine = split_quarantine(ext)
+
+    # Python pass 1: html -> text (+ error tags); one scan of the pages.
+    # Staged on disk so every downstream consumer is a columnar JVM scan.
+    tp = time.time()
+    ext_snap = cat.write(
+        "extracted",
+        extract_pages(sub).withColumn("group_id", F.lit(group)),
+        mode="append",
+        meta={"group": group},
+    )
+    ext = cat.read_snapshot_delta(spark, "extracted", ext_snap)
+    _prof(f"group {group} stage extracted", tp)
+
+    good, _quarantine = split_quarantine(ext)
     tri = extract_triples_df(good)
 
+    # Linking: distinct surfaces (small) -> broadcast probe UDF -> tiny maps
+    tp = time.time()
     surfaces = mention_surfaces(tri)
-    # persist: the subject and object maps both read this (without it the
-    # distinct + link UDF would run twice per group)
     linked_m = link_mentions(spark, surfaces, index).persist()
     subj_map = linked_m.select(
         F.col("surface").alias("subj"),
@@ -176,62 +206,19 @@ def _run_group(
         "part_id",
         F.lit(group).alias("group_id"),
     )
-
-    # one pass: cache the group's extract output so triples/lineage/quarantine
-    # don't re-extract (html decode is the expensive stage); cache triples —
-    # both the sink write and the lineage aggregation consume them
-    ext = ext.persist()
-    tri = tri.persist()
     try:
-        # Z2 lineage in ONE shuffle: union page-level and triple-level
-        # counters, then a single per-partition aggregate
-        page_part = ext.select(
-            "part_id",
-            F.lit(1).alias("pages"),
-            F.when(F.col("error").isNotNull(), 1).otherwise(0).alias("errors"),
-            F.col("html_bytes").alias("bytes"),
-            F.col("wall_share").alias("extract_wall_sec"),
-            F.lit(0).alias("triples"),
-        )
-        tri_part = tri.select(
-            "part_id",
-            F.lit(0).alias("pages"),
-            F.lit(0).alias("errors"),
-            F.lit(0).cast("long").alias("bytes"),
-            F.lit(0.0).alias("extract_wall_sec"),
-            F.lit(1).alias("triples"),
-        )
-        lineage = (
-            page_part.unionAll(tri_part)
-            .groupBy("part_id")
-            .agg(
-                F.sum("pages").alias("pages"),
-                F.sum("errors").alias("errors"),
-                F.sum("bytes").alias("bytes"),
-                F.sum("extract_wall_sec").alias("extract_wall_sec"),
-                F.sum("triples").alias("triples"),
-            )
-            .withColumn("group_id", F.lit(group))
-            .withColumn("committed_at", F.lit(time.time()))
-        )
-
-        # materialize the ext/tri caches at full parallelism BEFORE the
-        # coalesced sink write (otherwise extraction itself would run in
-        # only SINK_PARTITIONS tasks); lineage commits last so a crash
-        # between commits can never leave lineage for an uncommitted group
-        tri.count()
-        cat.write("triples", canon.coalesce(SINK_PARTITIONS), mode="append", meta={"group": group})
-        # quarantine + lineage are metadata-sized: single-file snapshots
+        # the group's authoritative commit (quarantine/lineage are derived
+        # tables rebuilt in finalize from `extracted` + `triples` — fewer
+        # commit round-trips per group, and a crash can never leave them
+        # inconsistent with the fact tables)
         cat.write(
-            "quarantine",
-            quarantine.withColumn("group_id", F.lit(group)).coalesce(1),
+            "triples",
+            canon.coalesce(SINK_PARTITIONS),
             mode="append",
             meta={"group": group},
         )
-        cat.write("lineage", lineage.coalesce(1), mode="append", meta={"group": group})
+        _prof(f"group {group} write triples", tp)
     finally:
-        ext.unpersist()
-        tri.unpersist()
         linked_m.unpersist()
     return {"group": group, "wall_sec": time.time() - t0}
 
@@ -243,6 +230,33 @@ def finalize(spark: SparkSession, cat: Catalog) -> dict:
     at any time, so a crash between group commits and finalize is harmless.
     """
     triples = cat.read(spark, "triples")
+    extracted = cat.read(spark, "extracted")
+
+    # quarantine (X3): bad pages with their error codes, rebuilt from the
+    # staged extraction output
+    quarantine = extracted.filter(F.col("error").isNotNull()).select(
+        "url", "warc_ts", "lang", "error", "group_id"
+    )
+    cat.write("quarantine", quarantine.coalesce(1), mode="replace")
+
+    # per-partition lineage (Z2): pages/errors/bytes/extract wall time per
+    # (group, input partition), joined with sink triple counts
+    lineage_pages = extracted.groupBy("group_id", "part_id").agg(
+        F.count(F.lit(1)).alias("pages"),
+        F.count("error").alias("errors"),
+        F.sum("html_bytes").alias("bytes"),
+        F.sum("wall_share").alias("extract_wall_sec"),
+    )
+    lineage_tri = triples.groupBy("group_id", "part_id").agg(
+        F.count(F.lit(1)).alias("triples")
+    )
+    lineage = (
+        lineage_pages.join(lineage_tri, ["group_id", "part_id"], "left")
+        .withColumn("triples", F.coalesce("triples", F.lit(0)))
+        .withColumn("committed_at", F.lit(time.time()))
+    )
+    cat.write("lineage", lineage.coalesce(1), mode="replace")
+
     # one shuffle produces the canonical table; edges and adjacency derive
     # from the persisted result without re-reading parquet
     canonical = dedup_triples(triples).persist()
@@ -312,6 +326,12 @@ def run_pipeline(
 
     stats: dict = {"groups": [], "resumed_from": sorted(done)}
     pending = [g for g in range(cfg.n_groups) if g not in done]
+
+    # resume hygiene: drop staged deltas of groups that crashed mid-flight
+    # (their authoritative triples commit never landed), so re-running them
+    # cannot double-append into the staging/metadata tables
+    if pending:
+        cat.prune_groups("extracted", set(pending))
 
     if fail_after_groups is not None:
         # deterministic crash point for the resume tests: sequential
