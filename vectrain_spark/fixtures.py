@@ -328,9 +328,12 @@ def pages_spark(
                 rows, columns=["url", "warc_ts", "html", "text", "lang"]
             )
 
+    # ~2k pages per generation partition: output frames stay ~80 MB even
+    # for boilerplate-heavy pages, and stragglers stay short
+    n_parts = max(spark.sparkContext.defaultParallelism * 2, n_pages // 2000, 8)
     df = (
         spark.range(0, n_pages)
-        .repartition(max(spark.sparkContext.defaultParallelism * 2, 8))
+        .repartition(n_parts)
         .mapInPandas(
             _gen,
             schema="url string, warc_ts timestamp, html binary, text string, lang string",

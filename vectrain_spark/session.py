@@ -14,7 +14,10 @@ import os
 
 from pyspark.sql import SparkSession
 
-ARROW_BATCH = 10_000
+# Arrow batch row count: pages carry ~40 KB of html each, so 10k-row
+# batches would be ~400 MB pandas frames per task — 2k keeps the UDF
+# working set ~80 MB while still amortizing per-batch overhead.
+ARROW_BATCH = 2_048
 
 
 def get_spark(
