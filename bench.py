@@ -57,6 +57,9 @@ def _sf_of(sf_dir: str) -> float:
 
 
 def _n_pages(sf: float) -> int:
+    override = os.environ.get("SPARK_GRAFT_BENCH_PAGES")
+    if override:
+        return int(override)
     return max(500, int(2_000_000 * sf))
 
 
@@ -150,6 +153,9 @@ def run_default(cores: int = CPUS, kg_only: bool = False) -> dict:
 
 
 SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))
+# --scaling corpus: large enough that per-core compute dominates fixed
+# job/commit latency (at 200k pages the measurement is latency-bound)
+SCALE_PAGES = int(os.environ.get("SPARK_GRAFT_SCALE_PAGES", "600000"))
 
 
 def _machine_capacity(n: int) -> float:
@@ -186,6 +192,7 @@ def run_scaling() -> None:
     for cores in (hi, lo):
         env = dict(os.environ)
         env["SPARK_GRAFT_CPUS"] = str(cores)
+        env["SPARK_GRAFT_BENCH_PAGES"] = str(SCALE_PAGES)
         env["SPARK_GRAFT_BENCH_OUT"] = f"/tmp/vectrain_bench_scale_{cores}"
         out = subprocess.run(
             [sys.executable, __file__, "--kg-only"],

@@ -60,6 +60,25 @@ def test_ann_ivf_recall(spark, emb):
     assert recall >= 0.5, recall
 
 
+def test_embedding_near_dups_lsh_recall(spark, emb):
+    from vectrain_spark.operators.similarity import (
+        embedding_near_dups_exact,
+        embedding_near_dups_lsh,
+        neardup_embedding_corpus,
+    )
+
+    corpus = neardup_embedding_corpus(emb).cache()
+    exact = {(r["a"], r["b"]): r["score"] for r in embedding_near_dups_exact(corpus).collect()}
+    lsh = {(r["a"], r["b"]): r["score"] for r in embedding_near_dups_lsh(spark, corpus).collect()}
+    assert exact  # planted dups exist
+    # precision is exact (scores verified); recall near-1 by banding math
+    assert set(lsh) <= set(exact) or all(lsh[k] >= 0.9 for k in lsh)
+    recall = len(set(lsh) & set(exact)) / len(exact)
+    assert recall >= 0.99, recall
+    # scores agree exactly on shared pairs (same float64 expression)
+    assert all(exact[k] == lsh[k] for k in set(lsh) & set(exact))
+
+
 def test_ann_ivf_deterministic(spark, emb):
     a = ann_ivf(spark, emb).toPandas().sort_values(["q_id", "rank"]).reset_index(drop=True)
     b = ann_ivf(spark, emb.repartition(7)).toPandas().sort_values(["q_id", "rank"]).reset_index(drop=True)

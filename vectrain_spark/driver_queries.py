@@ -30,7 +30,14 @@ from .operators.canonicalize import (
     dedup_triples,
     edges_from_aliases,
 )
-from .operators.similarity import ann_ivf, knn_bruteforce
+from .operators.similarity import (
+    NEARDUP_CORPUS_SQL,
+    ann_ivf,
+    embedding_near_dups_exact,
+    embedding_near_dups_lsh,
+    knn_bruteforce,
+    neardup_embedding_corpus,
+)
 from .operators.textstats import (
     LANG_ORDER,
     STOPWORDS,
@@ -398,6 +405,18 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_embedding_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_near_dups_exact(
+        neardup_embedding_corpus(_emb(spark, sf_dir)), threshold=0.9
+    )
+
+
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_near_dups_lsh(
+        spark, neardup_embedding_corpus(_emb(spark, sf_dir)), threshold=0.9
+    )
+
+
 SQL_SIM_KNN = """
 WITH v AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
@@ -420,6 +439,19 @@ SELECT q_id, n_id, score, rank FROM r WHERE rank <= 5
 """
 
 
+SQL_DEDUP_EMBEDDING_EXACT = f"""
+WITH {NEARDUP_CORPUS_SQL}
+SELECT a.vec_id AS a, b.vec_id AS b,
+       round(list_dot_product(a.emb, b.emb)
+             / (sqrt(list_dot_product(a.emb, a.emb))
+                * sqrt(list_dot_product(b.emb, b.emb))), 6) AS score
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.emb, b.emb)
+            / (sqrt(list_dot_product(a.emb, a.emb))
+               * sqrt(list_dot_product(b.emb, b.emb))), 6) >= 0.9
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_extract_text": q_kg_extract_text,
     "kg_quarantine": q_kg_quarantine,
@@ -436,6 +468,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_fingerprint": q_text_fingerprint,
     "sim_knn": q_sim_knn,
     "sim_ann_ivf": q_sim_ann_ivf,  # no SQL oracle: approximate by design
+    "dedup_embedding_exact": q_dedup_embedding_exact,
+    "dedup_embedding_lsh": q_dedup_embedding_lsh,  # no SQL oracle: LSH recall ~99.3%
 }
 
 ORACLES: dict[str, str] = {
@@ -453,4 +487,5 @@ ORACLES: dict[str, str] = {
     "text_tokens": SQL_TEXT_TOKENS,
     "text_fingerprint": SQL_TEXT_FINGERPRINT,
     "sim_knn": SQL_SIM_KNN,
+    "dedup_embedding_exact": SQL_DEDUP_EMBEDDING_EXACT,
 }

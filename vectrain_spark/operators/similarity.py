@@ -73,6 +73,127 @@ def knn_bruteforce(
     )
 
 
+def neardup_embedding_corpus(embeddings: DataFrame) -> DataFrame:
+    """Deterministic dup-bearing vector corpus (the driver embeddings table
+    has no near-dups: max pairwise cosine 0.51). Every vector gets an exact
+    copy (+1e5 id); every 4th gets a perturbed copy (+2e5 id, first
+    component +0.2 -> cosine ~0.97-0.99). All arithmetic in float64, so the
+    SQL oracle reconstructs the corpus bit-identically."""
+    base = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    exact = base.select((F.col("vec_id") + 100000).alias("vec_id"), "emb")
+    near = base.filter(F.col("vec_id") % 4 == 0).select(
+        (F.col("vec_id") + 200000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("emb", 1) + F.lit(0.2)),
+            F.slice("emb", 2, 10_000),
+        ).alias("emb"),
+    )
+    return base.unionAll(exact).unionAll(near)
+
+
+NEARDUP_CORPUS_SQL = """
+  v0 AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+    FROM embeddings
+  ),
+  v AS (
+    SELECT vec_id, emb FROM v0
+    UNION ALL SELECT vec_id + 100000, emb FROM v0
+    UNION ALL SELECT vec_id + 200000,
+      list_prepend(emb[1] + 0.2, emb[2:]) FROM v0 WHERE vec_id % 4 = 0
+  )
+"""
+
+
+def embedding_near_dups_exact(
+    embeddings: DataFrame, threshold: float = 0.9
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs (a, b, score), a < b.
+
+    Brute-force all-pairs baseline (matches the SQL oracle bit-for-bit via
+    the same float64 expression shape + rounding). O(n^2) — correctness
+    anchor for the LSH variant below. Accepts either a raw embeddings table
+    or a prebuilt (vec_id, emb: array<double>) corpus.
+    """
+    if "emb" in embeddings.columns:
+        vecs = embeddings.select("vec_id", "emb")
+    else:
+        vecs = embeddings.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        )
+    a = vecs.select(F.col("vec_id").alias("a"), F.col("emb").alias("ea"))
+    b = vecs.select(F.col("vec_id").alias("b"), F.col("emb").alias("eb"))
+    pairs = a.join(b, F.col("a") < F.col("b")).select(
+        "a", "b", F.round(cosine_expr("ea", "eb"), 6).alias("score")
+    )
+    return pairs.filter(F.col("score") >= threshold)
+
+
+def embedding_near_dups_lsh(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_bits: int = 60,
+    n_bands: int = 10,
+    seed: int = 7,
+) -> DataFrame:
+    """LSH-blocked near-dup pairs: the O(n) scale path.
+
+    Random-hyperplane band join generates candidates; exact cosine verifies
+    (emitted scores are exact, only recall is probabilistic: miss prob per
+    true pair at cos>=0.9 is ~(1-0.394)^10 ~ 0.7%). Tested against the
+    exact baseline with a recall assertion rather than a SQL oracle.
+    """
+    from collections.abc import Iterator
+
+    from ..textops import hyperplanes, lsh_bands
+
+    col = "emb" if "emb" in embeddings.columns else "embedding"
+
+    def _bands(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        planes = None
+        for pdf in batches:
+            m = np.stack([np.asarray(v, dtype=np.float32) for v in pdf[col]])
+            if planes is None:
+                planes = hyperplanes(m.shape[1], n_bits, seed=seed)
+            bands = lsh_bands(m, planes, n_bands)
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), n_bands),
+                    "band": np.tile(np.arange(n_bands, dtype=np.int32), n),
+                    "sig": bands.reshape(-1),
+                }
+            )
+
+    banded = embeddings.select("vec_id", col).mapInPandas(
+        _bands, schema="vec_id long, band int, sig long"
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(r, ["band", "sig"])
+        .filter(F.col("l.vec_id") < F.col("r.vec_id"))
+        .select(F.col("l.vec_id").alias("a"), F.col("r.vec_id").alias("b"))
+        .distinct()
+    )
+    if col == "emb":
+        vecs = embeddings.select("vec_id", "emb")
+    else:
+        vecs = embeddings.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        )
+    va = vecs.select(F.col("vec_id").alias("a"), F.col("emb").alias("ea"))
+    vb = vecs.select(F.col("vec_id").alias("b"), F.col("emb").alias("eb"))
+    return (
+        cand.join(va, "a")
+        .join(vb, "b")
+        .select("a", "b", F.round(cosine_expr("ea", "eb"), 6).alias("score"))
+        .filter(F.col("score") >= threshold)
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) approximate search
 # ---------------------------------------------------------------------------
