@@ -405,6 +405,19 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing op (decode stubbed, Spark machinery real):
+    deterministic fake media sized by the documents table; rows-only check
+    (features are Python-side arrays — exactness is covered by pytest
+    determinism tests, not a SQL oracle)."""
+    from .operators.multimodal import gen_media, image_features
+
+    n = _docs(spark, sf_dir).count()
+    return image_features(gen_media(spark, int(n))).select(
+        "media_id", "width", "height", "n_bytes", "error"
+    )
+
+
 def q_dedup_embedding_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dups_exact(
         neardup_embedding_corpus(_emb(spark, sf_dir)), threshold=0.9
@@ -470,6 +483,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_ann_ivf": q_sim_ann_ivf,  # no SQL oracle: approximate by design
     "dedup_embedding_exact": q_dedup_embedding_exact,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,  # no SQL oracle: LSH recall ~99.3%
+    "multimodal_image_features": q_multimodal_image_features,  # rows-only: stubbed codec
 }
 
 ORACLES: dict[str, str] = {

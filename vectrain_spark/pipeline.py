@@ -161,7 +161,16 @@ def _run_group(
     intermediate tables — the same shape a production run would stage.
     """
     t0 = time.time()
-    sub = pages.filter(F.pmod(F.xxhash64("url"), F.lit(n_groups)) == group)
+    # group membership = pmod(xxhash64(url), n_groups). If the pages table
+    # is bucketed (a `page_bucket = pmod(xxhash64(url), B)` partition
+    # column with B % n_groups == 0 — the Iceberg bucket-transform layout),
+    # filter on the partition column instead: partition PRUNING skips the
+    # other groups' files entirely, instead of scanning the full corpus
+    # once per group.
+    if "page_bucket" in pages.columns:
+        sub = pages.filter(F.pmod(F.col("page_bucket"), F.lit(n_groups)) == group)
+    else:
+        sub = pages.filter(F.pmod(F.xxhash64("url"), F.lit(n_groups)) == group)
 
     # Python pass 1: html -> text (+ error tags); one scan of the pages.
     # Staged on disk so every downstream consumer is a columnar JVM scan.
