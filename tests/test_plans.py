@@ -71,6 +71,7 @@ def test_textstats_whole_stage_codegen_no_python(spark):
     """Text analysis must stay JVM-side: no Python/Arrow eval nodes, and the
     work runs inside WholeStageCodegen spans."""
     docs = spark.read.parquet(DOCS)
+    spark.catalog.clearCache()
     for op in (lang_id, exact_dedup, simhash_docs):
         df = op(docs if op is lang_id else dedup_corpus(docs))
         df.collect()  # finalize AQE so codegen spans are visible
@@ -81,6 +82,7 @@ def test_textstats_whole_stage_codegen_no_python(spark):
 
 
 def test_exact_dedup_single_shuffle(spark):
+    spark.catalog.clearCache()  # cached frames from other modules change plan shape
     docs = spark.read.parquet(DOCS)
     plan = _plan(exact_dedup(dedup_corpus(docs)))
     # one hash-aggregate pair around exactly one exchange (partial -> final)
@@ -91,6 +93,7 @@ def test_exact_dedup_single_shuffle(spark):
 def test_simhash_partial_aggregation(spark):
     """The 60 conditional sums must use map-side partial aggregation (the
     skew answer for hub keys: combine before exchange)."""
+    spark.catalog.clearCache()
     docs = spark.read.parquet(DOCS)
     plan = _plan(simhash_docs(dedup_corpus(docs)))
     assert plan.count("Exchange") == 1, plan
