@@ -88,3 +88,28 @@ def test_simhash_matches_python_md5(spark):
             sums[j] += 1 if (h >> j) & 1 else -1
     want = sum(1 << j for j in range(60) if sums[j] > 0)
     assert got == want
+
+
+def test_short_docs_never_crash_shingling(spark):
+    """Docs with <3 words must yield empty shingle sets (and be excluded
+    from minhash/fingerprints), not crash the job with a descending
+    F.sequence (regression: INVALID_PARAMETER_VALUE.START)."""
+    import pandas as pd
+
+    from vectrain_spark.operators.dedup import shingles_col
+    from vectrain_spark.operators.textstats import fingerprints
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": ["", "one", "two words", "three words here", "a b c d"],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = df.select("doc_id", shingles_col().alias("sh")).toPandas()
+    sizes = {int(r.doc_id): len(r.sh) for r in out.itertuples()}
+    assert sizes == {1: 0, 2: 0, 3: 0, 4: 1, 5: 2}
+    # minhash pairs: short docs silently excluded, job completes
+    assert minhash_pairs(df).collect() == []
+    fp = fingerprints(df).toPandas()
+    assert set(fp["doc_id"]) == {4, 5}

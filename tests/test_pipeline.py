@@ -121,3 +121,26 @@ def test_quarantine_never_reaches_triples(spark, full_run):
     assert quarantined_urls  # fixture plants bad pages
     triple_urls = {r["url"] for r in cat.read(spark, "triples").select("url").distinct().collect()}
     assert not (quarantined_urls & triple_urls)
+
+
+def test_config_change_resume_never_mixes_groupings(
+    spark, pages_df, aliases_df, full_run, tmp_path_factory
+):
+    """A partial run with n_groups=4 followed by a re-run with n_groups=2
+    into the SAME out_root must prune the stale-fingerprint snapshots and
+    produce exactly the uninterrupted result (regression: snapshot-based
+    recovery used to trust group numbers across config changes)."""
+    root, _ = full_run
+    want = _canon_set(spark, root)
+    want_n = Catalog(root).read(spark, "triples").count()
+    root2 = str(tmp_path_factory.mktemp("kg_cfgchange"))
+    with pytest.raises(InjectedFailure):
+        run_pipeline(
+            spark, pages_df, aliases_df, root2,
+            PipelineConfig(n_groups=4), fail_after_groups=2,
+        )
+    stats = run_pipeline(spark, pages_df, aliases_df, root2, PipelineConfig(n_groups=2))
+    assert stats["resumed_from"] == []  # nothing carried across the config change
+    assert len(stats["groups"]) == 2
+    assert _canon_set(spark, root2) == want
+    assert Catalog(root2).read(spark, "triples").count() == want_n  # no stale rows mixed in

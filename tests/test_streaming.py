@@ -76,3 +76,53 @@ def test_stream_ingest_matches_batch_oracle(
     )
     q2.awaitTermination(120)
     assert len(cat.snapshots("triples")) == before
+
+
+@pytest.mark.slow
+def test_replay_after_crash_between_commits_loses_nothing(
+    spark, small_fixture, aliases_df, tmp_path
+):
+    """Worst-case crash point: after a batch's triples commit, before its
+    quarantine commit. Replay must restore the missing quarantine rows
+    WITHOUT double-appending the triples (per-table replay guards)."""
+    pages, _, aliases = small_fixture
+    pages_dir = str(tmp_path / "pages_in")
+    os.makedirs(pages_dir)
+    src = spark.createDataFrame(pages[["url", "warc_ts", "html", "lang"]])
+    src.repartition(4).write.mode("overwrite").parquet(pages_dir)
+    index = build_alias_index(aliases)
+    mapping = connected_components(edges_from_aliases(aliases_df))
+
+    # uninterrupted reference run
+    ref_out = str(tmp_path / "ref")
+    q = start_ingest(
+        spark, pages_dir, ref_out, index, mapping,
+        checkpoint_dir=str(tmp_path / "ref_ckpt"), max_files_per_trigger=2,
+    )
+    q.awaitTermination(300)
+    ref = Catalog(ref_out)
+    want_tri = ref.read(spark, "triples").count()
+    want_q = set(map(tuple, ref.read(spark, "quarantine").select("url", "error").toPandas().values))
+    assert want_q  # fixture plants bad pages
+
+    # crash-injected run: batch 0 commits triples then dies
+    out = str(tmp_path / "crash")
+    q2 = start_ingest(
+        spark, pages_dir, out, index, mapping,
+        checkpoint_dir=str(tmp_path / "crash_ckpt"), max_files_per_trigger=2,
+        _test_fail_between_commits=0,
+    )
+    with pytest.raises(Exception):
+        q2.awaitTermination(300)
+    cat = Catalog(out)
+    assert cat.exists("triples") and not cat.exists("quarantine")
+
+    # replay: same checkpoint, no injection
+    q3 = start_ingest(
+        spark, pages_dir, out, index, mapping,
+        checkpoint_dir=str(tmp_path / "crash_ckpt"), max_files_per_trigger=2,
+    )
+    q3.awaitTermination(300)
+    assert cat.read(spark, "triples").count() == want_tri  # no double-append
+    got_q = set(map(tuple, cat.read(spark, "quarantine").select("url", "error").toPandas().values))
+    assert got_q == want_q  # no lost quarantine rows

@@ -76,14 +76,22 @@ def exact_dedup(corpus: DataFrame) -> DataFrame:
 
 def shingles_col(col: str = "text", n: int = 3):
     """Distinct word n-gram shingles, computed with JVM higher-order
-    functions (whole-stage codegen; no Python)."""
+    functions (whole-stage codegen; no Python).
+
+    Documents shorter than n words yield an EMPTY array (matching the SQL
+    oracle's ``WHERE len(words) >= n`` guard) — an unguarded
+    ``F.sequence(0, size-n)`` would produce a descending sequence and crash
+    the whole job with INVALID_PARAMETER_VALUE.START on any short doc."""
     words = F.split(normalized_text(col), " ")
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(words) - n),
-            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
-        )
-    )
+    return F.when(
+        F.size(words) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(words) - n),
+                lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def _minhash_udf_factory(n_hashes: int, n_bands: int, seed: int = 42):
@@ -154,8 +162,17 @@ def minhash_pairs(
         .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
         .distinct()
     )
-    sa = sh.select(F.col("doc_id").alias("a"), F.col("shingles").alias("sha"))
-    sb = sh.select(F.col("doc_id").alias("b"), F.col("shingles").alias("shb"))
+    # Verify on xxhash64'd shingle sets, not the strings: the candidate
+    # verification join is the largest shuffle in the job and shingle
+    # strings are the largest per-doc payload — hashing them to int64
+    # JVM-side preserves distinct-set semantics (collision odds ~n^2/2^64)
+    # while shrinking the shuffled arrays ~20x.
+    hashed = sh.select(
+        "doc_id",
+        F.array_distinct(F.transform("shingles", lambda s: F.xxhash64(s))).alias("hsh"),
+    )
+    sa = hashed.select(F.col("doc_id").alias("a"), F.col("hsh").alias("sha"))
+    sb = hashed.select(F.col("doc_id").alias("b"), F.col("hsh").alias("shb"))
     inter = F.size(F.array_intersect("sha", "shb")).cast("double")
     na = F.size("sha").cast("double")
     nb = F.size("shb").cast("double")

@@ -150,6 +150,7 @@ def _run_group(
     group: int,
     n_groups: int,
     cat: Catalog,
+    fingerprint: str = "",
 ) -> dict:
     """Process one bucket-group end-to-end and commit its snapshots.
 
@@ -224,7 +225,7 @@ def _run_group(
             "triples",
             canon.coalesce(SINK_PARTITIONS),
             mode="append",
-            meta={"group": group},
+            meta={"group": group, "fingerprint": fingerprint},
         )
         _prof(f"group {group} write triples", tp)
     finally:
@@ -315,13 +316,26 @@ def run_pipeline(
 
     # effectively-exactly-once: a group counts as done if EITHER the
     # checkpoint manifest says so OR its data snapshot already committed
-    # (covers a crash between data commit and manifest commit)
+    # (covers a crash between data commit and manifest commit). Snapshot
+    # recovery is fingerprint-checked like the manifest: a snapshot written
+    # under a different config (e.g. n_groups changed) must NOT mark a
+    # same-numbered group done — its grouping means something else. Stale-
+    # fingerprint snapshots are pruned so re-runs never mix groupings.
     done = manifest.completed()
+    stale: set[int] = set()
     if cat.exists("triples"):
         for snap in cat.snapshots("triples"):
             g = snap["meta"].get("group")
-            if g is not None:
+            if g is None:
+                continue
+            if snap["meta"].get("fingerprint") == cfg.fingerprint():
                 done.add(int(g))
+            else:
+                stale.add(int(g))
+    stale -= done  # never prune a group that also has a current-config commit
+    if stale:
+        cat.prune_groups("triples", stale)
+        cat.prune_groups("extracted", stale)
 
     alias_pdf = aliases.toPandas()
     index = build_alias_index(
@@ -346,7 +360,9 @@ def run_pipeline(
         # deterministic crash point for the resume tests: sequential
         ran = 0
         for g in pending:
-            gstats = _run_group(spark, pages, index, mapping, g, cfg.n_groups, cat)
+            gstats = _run_group(
+                spark, pages, index, mapping, g, cfg.n_groups, cat, cfg.fingerprint()
+            )
             manifest.mark_done(g, gstats)
             stats["groups"].append(gstats)
             ran += 1
@@ -359,7 +375,15 @@ def run_pipeline(
         with ThreadPoolExecutor(max_workers=workers) as ex:
             futs = {
                 ex.submit(
-                    _run_group, spark, pages, index, mapping, g, cfg.n_groups, cat
+                    _run_group,
+                    spark,
+                    pages,
+                    index,
+                    mapping,
+                    g,
+                    cfg.n_groups,
+                    cat,
+                    cfg.fingerprint(),
                 ): g
                 for g in pending
             }

@@ -71,6 +71,17 @@ def kafka_pages_stream(spark: SparkSession, bootstrap: str, topic: str) -> DataF
     return parsed.select("p.url", "p.warc_ts", "p.html", "p.lang")
 
 
+def _committed_batches(cat: Catalog, table: str) -> set:
+    """stream_batch ids already committed to ``table``."""
+    if not cat.exists(table):
+        return set()
+    return {
+        s["meta"].get("stream_batch")
+        for s in cat.snapshots(table)
+        if s["meta"].get("stream_batch") is not None
+    }
+
+
 def start_ingest(
     spark: SparkSession,
     pages_dir: str,
@@ -80,21 +91,28 @@ def start_ingest(
     checkpoint_dir: str,
     max_files_per_trigger: int = 4,
     trigger_available_now: bool = True,
+    _test_fail_between_commits: int | None = None,
 ):
     """Run the extract->link->canonicalize graph per micro-batch and commit
     each batch as a catalog snapshot (exactly-once per micro-batch: Spark's
-    streaming checkpoint tracks the file offsets; the snapshot commit is
-    idempotent on replay because batch_id is recorded in the manifest)."""
+    streaming checkpoint tracks the file offsets; the snapshot commits are
+    idempotent on replay because batch_id is recorded PER TABLE in the
+    manifest — a crash between the triples commit and the quarantine commit
+    replays only the missing quarantine write, never losing rows and never
+    double-appending triples).
+
+    ``_test_fail_between_commits``: test-only hook — raise after the triples
+    commit of that batch id, before the quarantine commit (simulates the
+    worst-case crash point for the replay tests)."""
     cat = Catalog(out_root)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        # idempotent replay guard: skip batches already committed
-        if cat.exists("triples"):
-            done = {
-                s["meta"].get("stream_batch") for s in cat.snapshots("triples")
-            }
-            if batch_id in done:
-                return
+        # per-table idempotent replay guards: each table skips only its OWN
+        # already-committed batches
+        tri_done = batch_id in _committed_batches(cat, "triples")
+        q_done = batch_id in _committed_batches(cat, "quarantine")
+        if tri_done and q_done:
+            return
         ext = extract_pages(batch_df)
         good, quarantine = split_quarantine(ext)
         tri = extract_triples_df(good)
@@ -112,15 +130,23 @@ def start_ingest(
             "group_id", F.lit(int(batch_id))
         )
         try:
-            cat.write("triples", canon, mode="append", meta={"stream_batch": batch_id})
-            cat.write(
-                "quarantine",
-                quarantine.select("url", "warc_ts", "lang", "error").withColumn(
-                    "group_id", F.lit(int(batch_id))
-                ),
-                mode="append",
-                meta={"stream_batch": batch_id},
-            )
+            if not tri_done:
+                cat.write(
+                    "triples", canon, mode="append", meta={"stream_batch": batch_id}
+                )
+            if _test_fail_between_commits == batch_id:
+                raise RuntimeError(
+                    f"injected crash between commits of batch {batch_id}"
+                )
+            if not q_done:
+                cat.write(
+                    "quarantine",
+                    quarantine.select("url", "warc_ts", "lang", "error").withColumn(
+                        "group_id", F.lit(int(batch_id))
+                    ),
+                    mode="append",
+                    meta={"stream_batch": batch_id},
+                )
         finally:
             linked_m.unpersist()
 
