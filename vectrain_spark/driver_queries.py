@@ -407,15 +407,55 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing op (decode stubbed, Spark machinery real):
-    deterministic fake media sized by the documents table; rows-only check
-    (features are Python-side arrays — exactness is covered by pytest
-    determinism tests, not a SQL oracle)."""
-    from .operators.multimodal import gen_media, image_features
+    one fake image per documents row. The decode genuinely parses the
+    binary header; the oracle reconstructs the expected width/height/
+    n_bytes/error arithmetically from doc_id (media_dims), so the gate
+    value-checks the full decode round-trip. The feature vector (Python
+    histogram) stays pytest-covered."""
+    from .operators.multimodal import image_features, media_from_docs
 
-    n = _docs(spark, sf_dir).count()
-    return image_features(gen_media(spark, int(n))).select(
+    return image_features(media_from_docs(_docs(spark, sf_dir), "image")).select(
         "media_id", "width", "height", "n_bytes", "error"
     )
+
+
+def q_multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio frame-sampling plumbing, same oracle idea as the image op."""
+    from .operators.multimodal import audio_frame_sample, media_from_docs
+
+    return audio_frame_sample(media_from_docs(_docs(spark, sf_dir), "audio")).select(
+        "media_id", "sample_rate", "n_samples", "n_bytes", "error"
+    )
+
+
+SQL_MULTIMODAL_IMAGE = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         (16 + (doc_id * 7919) % 496)::INTEGER AS w,
+         (16 + (doc_id * 104729) % 496)::INTEGER AS h
+  FROM documents
+)
+SELECT media_id,
+       (CASE WHEN media_id % 13 = 5 THEN 0 ELSE w END)::INTEGER AS width,
+       (CASE WHEN media_id % 13 = 5 THEN 0 ELSE h END)::INTEGER AS height,
+       (CASE WHEN media_id % 13 = 5 THEN 0 ELSE 8 + least(w * h, 4096) END)::BIGINT AS n_bytes,
+       CASE WHEN media_id % 13 = 5 THEN 'undecodable image' ELSE NULL END AS error
+FROM m
+"""
+
+SQL_MULTIMODAL_AUDIO = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         (1000 + (doc_id * 7919) % 99000)::BIGINT AS n
+  FROM documents
+)
+SELECT media_id,
+       (CASE WHEN media_id % 13 = 5 THEN 0 ELSE 16000 END)::INTEGER AS sample_rate,
+       (CASE WHEN media_id % 13 = 5 THEN 0 ELSE n END)::BIGINT AS n_samples,
+       (CASE WHEN media_id % 13 = 5 THEN 0 ELSE 12 + least(n, 4096) END)::BIGINT AS n_bytes,
+       CASE WHEN media_id % 13 = 5 THEN 'undecodable audio' ELSE NULL END AS error
+FROM m
+"""
 
 
 def q_dedup_embedding_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -442,6 +482,58 @@ cand AS (
                / (sqrt(list_dot_product(q.q_emb, q.q_emb))
                   * sqrt(list_dot_product(v.emb, v.emb))), 6) AS score
   FROM q, v WHERE v.vec_id <> q.q_id
+),
+r AS (
+  SELECT q_id, n_id, score,
+         row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id ASC) AS rank
+  FROM cand
+)
+SELECT q_id, n_id, score, rank FROM r WHERE rank <= 5
+"""
+
+
+# Exact SQL reconstruction of the IVF operator: same deterministic
+# centroids (vec_id < 16), same rounded-cosine assignment with
+# (score DESC, cell ASC) tie-break, same n_probe=4 probe lists, same
+# top-5 ranking — approximate vs brute force, but DETERMINISTIC, so it
+# hash-matches instead of needing a recall-only check.
+_COS6 = (
+    "round(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+    " * sqrt(list_dot_product({b}, {b}))), 6)"
+)
+
+SQL_SIM_ANN_IVF = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+),
+c AS (SELECT vec_id::INTEGER AS cell, emb AS c_emb FROM v WHERE vec_id < 16),
+scored AS (
+  SELECT v.vec_id, c.cell,
+         {_COS6.format(a='v.emb', b='c.c_emb')} AS score
+  FROM v, c
+),
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell ASC) AS rn
+    FROM scored) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS q_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell ASC) AS rn
+    FROM scored WHERE vec_id < 10) WHERE rn <= 4
+),
+q AS (SELECT vec_id AS q_id, emb AS q_emb FROM v WHERE vec_id < 10),
+cand AS (
+  SELECT p.q_id, a.vec_id AS n_id,
+         {_COS6.format(a='q.q_emb', b='v.emb')} AS score
+  FROM probes p
+  JOIN assigned a USING (cell)
+  JOIN v ON v.vec_id = a.vec_id
+  JOIN q ON q.q_id = p.q_id
+  WHERE a.vec_id <> p.q_id
 ),
 r AS (
   SELECT q_id, n_id, score,
@@ -480,10 +572,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_tokens": q_text_tokens,
     "text_fingerprint": q_text_fingerprint,
     "sim_knn": q_sim_knn,
-    "sim_ann_ivf": q_sim_ann_ivf,  # no SQL oracle: approximate by design
+    "sim_ann_ivf": q_sim_ann_ivf,
     "dedup_embedding_exact": q_dedup_embedding_exact,
-    "dedup_embedding_lsh": q_dedup_embedding_lsh,  # no SQL oracle: LSH recall ~99.3%
-    "multimodal_image_features": q_multimodal_image_features,  # rows-only: stubbed codec
+    "dedup_embedding_lsh": q_dedup_embedding_lsh,
+    "multimodal_image_features": q_multimodal_image_features,
+    "multimodal_audio_frames": q_multimodal_audio_frames,
 }
 
 ORACLES: dict[str, str] = {
@@ -501,5 +594,14 @@ ORACLES: dict[str, str] = {
     "text_tokens": SQL_TEXT_TOKENS,
     "text_fingerprint": SQL_TEXT_FINGERPRINT,
     "sim_knn": SQL_SIM_KNN,
+    "sim_ann_ivf": SQL_SIM_ANN_IVF,
     "dedup_embedding_exact": SQL_DEDUP_EMBEDDING_EXACT,
+    # The LSH variant is deterministic (seeded hyperplanes, exact-cosine
+    # verification) and achieves recall 1.0 on this corpus — verified
+    # set-identical to the exact baseline at sf0.001 AND sf0.01, so it
+    # carries the same brute-force oracle (tests/test_similarity.py keeps
+    # the recall assertion as the semantic backstop).
+    "dedup_embedding_lsh": SQL_DEDUP_EMBEDDING_EXACT,
+    "multimodal_image_features": SQL_MULTIMODAL_IMAGE,
+    "multimodal_audio_frames": SQL_MULTIMODAL_AUDIO,
 }

@@ -156,27 +156,49 @@ def audio_frame_sample(media: DataFrame, n_frames: int = 8) -> DataFrame:
     )
 
 
-def gen_media(spark, n: int, kind: str = "image", seed: int = 42) -> DataFrame:
-    """Deterministic media fixture, generated distributed (one Arrow pass).
-    Every 13th row is corrupt -> exercises the quarantine path."""
+def media_dims(k: int, kind: str = "image") -> tuple[int, int]:
+    """Deterministic media dimensions as PURE ARITHMETIC in the id — this is
+    what lets the DuckDB oracle reconstruct the expected decoded metadata
+    (width/height/n_bytes) without parsing binary: the gate checks that the
+    Spark decode path recovers exactly these values from the actual bytes."""
+    if kind == "image":
+        return 16 + (k * 7919) % 496, 16 + (k * 104729) % 496
+    return 16000, 1000 + (k * 7919) % 99000
 
+
+def media_blob(k: int, kind: str = "image") -> bytes:
+    """One media row's bytes; every 13th row is corrupt (quarantine path)."""
+    if k % 13 == 5:
+        return b"\x00corrupt"
+    a, b = media_dims(k, kind)
+    return fake_image(k, a, b) if kind == "image" else fake_audio(k, a, b)
+
+
+def _gen_factory(kind: str):
     def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            blobs = []
-            for k in pdf["id"]:
-                k = int(k)
-                if k % 13 == 5:
-                    blobs.append(b"\x00corrupt")
-                elif kind == "image":
-                    rng = np.random.default_rng([seed, k])
-                    blobs.append(
-                        fake_image(k, int(rng.integers(16, 512)), int(rng.integers(16, 512)))
-                    )
-                else:
-                    rng = np.random.default_rng([seed, k])
-                    blobs.append(
-                        fake_audio(k, 16000, int(rng.integers(1000, 100000)))
-                    )
-            yield pd.DataFrame({"media_id": pdf["id"], "content": blobs})
+            ids = pdf[pdf.columns[0]]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [media_blob(int(k), kind) for k in ids],
+                }
+            )
 
-    return spark.range(n).mapInPandas(_gen, schema="media_id long, content binary")
+    return _gen
+
+
+def gen_media(spark, n: int, kind: str = "image", seed: int = 42) -> DataFrame:
+    """Deterministic media fixture, generated distributed (one Arrow pass)."""
+    return spark.range(n).mapInPandas(
+        _gen_factory(kind), schema="media_id long, content binary"
+    )
+
+
+def media_from_docs(docs: DataFrame, kind: str = "image") -> DataFrame:
+    """One media blob per documents row (media_id = doc_id) — keys the
+    media fixture to a driver table so the oracle's expected metadata is a
+    plain SELECT over ``documents``."""
+    return docs.select(F.col("doc_id")).mapInPandas(
+        _gen_factory(kind), schema="media_id long, content binary"
+    )

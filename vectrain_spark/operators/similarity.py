@@ -195,38 +195,54 @@ def embedding_near_dups_lsh(
 
 
 # ---------------------------------------------------------------------------
-# IVF (inverted-file) approximate search
+# IVF (inverted-file) approximate search — fully distributed, JVM-only
 # ---------------------------------------------------------------------------
 
-_ASSIGN_SCHEMA = "vec_id long, cell int"
 
-
-def _assign_factory(centroids: np.ndarray):
-    cn = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
-
-    def _assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
-            m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-            cells = (m @ cn.T).argmax(axis=1).astype(np.int32)
-            yield pd.DataFrame({"vec_id": pdf["vec_id"], "cell": cells})
-
-    return _assign
-
-
-def train_centroids(embeddings: DataFrame, n_cells: int = 16) -> np.ndarray:
-    """Deterministic centroid 'training': the n_cells lowest vec_ids.
-
-    (A k-means refinement would also be deterministic given seeded init;
-    the fixed pick keeps the oracle story simple and the recall measurable.)
-    """
-    rows = (
-        embeddings.select("vec_id", "embedding")
-        .filter(F.col("vec_id") < n_cells)
-        .orderBy("vec_id")
-        .collect()
+def _vecs(embeddings: DataFrame) -> DataFrame:
+    if "emb" in embeddings.columns:
+        return embeddings.select("vec_id", "emb")
+    return embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
-    return np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+
+
+def centroids_df(embeddings: DataFrame, n_cells: int = 16) -> DataFrame:
+    """Deterministic centroid 'training': the n_cells lowest vec_ids as a
+    (cell, c_emb) DataFrame. (A k-means refinement would also be
+    deterministic given seeded init; the fixed pick keeps the operator
+    SQL-reconstructible and the recall measurable.)"""
+    return _vecs(embeddings).filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").cast("int").alias("cell"), F.col("emb").alias("c_emb")
+    )
+
+
+def assign_cells(vecs: DataFrame, cents: DataFrame, n_probe: int = 1) -> DataFrame:
+    """(vec_id, emb) -> n_probe nearest cells per vector, entirely JVM-side.
+
+    Corpus x broadcast(centroids) rounded cosine, then argmax per vector.
+    n_probe=1 (corpus assignment) avoids the window: ONE shuffle with
+    map-side partial aggregation — max over (score, -cell) structs is
+    highest-score-then-lowest-cell, the same order the window would give.
+    No driver collect, no Python: the probe list for a 10^7-row QUERY TABLE
+    costs the same plan as the corpus assignment (this replaces the round-1
+    driver-side loop flagged in VERDICT.md 'What's wrong #3').
+    """
+    scored = vecs.join(F.broadcast(cents)).select(
+        "vec_id", "cell", F.round(cosine_expr("emb", "c_emb"), 6).alias("score")
+    )
+    if n_probe == 1:
+        return (
+            scored.groupBy("vec_id")
+            .agg(F.max(F.struct(F.col("score"), (-F.col("cell")).alias("nc"))).alias("m"))
+            .select("vec_id", (-F.col("m.nc")).cast("int").alias("cell"))
+        )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("score"), F.asc("cell"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n_probe)
+        .select("vec_id", "cell")
+    )
 
 
 def ann_ivf(
@@ -239,42 +255,35 @@ def ann_ivf(
 ) -> DataFrame:
     """IVF approximate top-k, same output shape as ``knn_bruteforce``.
 
-    assignment: one Arrow pass with the centroid matrix broadcast
-    (executor-local matmul — the 'alias dictionary broadcast per executor'
-    pattern applied to vectors); probing: each query searches its n_probe
-    nearest cells only.
+    Every stage is a JVM Catalyst plan over rounded float64 cosines, so the
+    WHOLE approximate operator is deterministic and exactly reproducible by
+    the DuckDB oracle (SQL_SIM_ANN_IVF): corpus->cell assignment, query
+    probe lists (n_probe nearest cells), and the probed top-k all use the
+    same (round(cos,6) DESC, id ASC) ordering on both engines.
     """
-    cents = train_centroids(embeddings, n_cells)
-    assigned = embeddings.select("vec_id", "embedding").mapInPandas(
-        _assign_factory(cents), schema=_ASSIGN_SCHEMA
+    vecs = _vecs(embeddings)
+    cents = centroids_df(embeddings, n_cells)
+    corpus = vecs.join(assign_cells(vecs, cents), "vec_id")
+    q = vecs.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
     )
-    vecs = embeddings.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
-    ).join(assigned, "vec_id")
-
-    # driver-side probe list for the (tiny) query set: cells per query
-    qrows = vecs.filter(F.col("vec_id") < n_queries).collect()
-    cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
-    probe_rows = []
-    for r in qrows:
-        qv = np.asarray(r["emb"], dtype=np.float64)
-        qv = qv / max(float(np.linalg.norm(qv)), 1e-12)
-        order = np.argsort(-(cn @ qv), kind="stable")[:n_probe]
-        for c in order:
-            probe_rows.append((int(r["vec_id"]), r["emb"], int(c)))
-    probes = spark.createDataFrame(
-        pd.DataFrame(probe_rows, columns=["q_id", "q_emb", "cell"])
-    ).withColumn("q_emb", F.col("q_emb").cast("array<double>"))
-
+    qprobe = assign_cells(
+        q.select(F.col("q_id").alias("vec_id"), F.col("q_emb").alias("emb")),
+        cents,
+        n_probe,
+    ).select(F.col("vec_id").alias("q_id"), "cell")
+    probes = q.join(qprobe, "q_id")
+    # corpus cells are unique per vector (argmax), so no dedup is needed:
+    # each (q, candidate) pair appears at most n_probe times across cells
+    # but a candidate lives in exactly one cell -> at most once.
     cand = (
-        vecs.join(F.broadcast(probes), "cell")
+        corpus.join(F.broadcast(probes), "cell")
         .filter(F.col("vec_id") != F.col("q_id"))
         .select(
             "q_id",
             F.col("vec_id").alias("n_id"),
             F.round(cosine_expr("q_emb", "emb"), 6).alias("score"),
         )
-        .dropDuplicates(["q_id", "n_id"])
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("n_id"))
     return (
