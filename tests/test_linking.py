@@ -105,3 +105,65 @@ def test_cosine_topk_join(spark, small_fixture):
     assert ranks == list(range(1, len(res) + 1))
     scores = [r["score"] for r in sorted(res, key=lambda r: r["rank"])]
     assert all(scores[i] >= scores[i + 1] - 1e-12 for i in range(len(scores) - 1))
+
+
+def test_broadcast_and_join_paths_give_identical_links(
+    spark, pages_df, aliases_df, small_fixture
+):
+    """The size dispatch must be invisible: broadcast probe and full join
+    path produce the same (surface, entity_id, method) on real mention
+    surfaces (exact hits, lsh hits, and new-entity fallbacks all present)."""
+    from vectrain_spark.operators.linking import link_mentions_join_full, make_linker
+
+    _, _, aliases = small_fixture
+    good, _ = split_quarantine(extract_pages(pages_df))
+    surfaces = mention_surfaces(extract_triples_df(good)).unionByName(
+        spark.createDataFrame(
+            pd.DataFrame({"surface": ["zzqx unlinkable 99", "wwvv nodict 42"]})
+        )
+    )
+    bc_linker, bc_name = make_linker(
+        spark, aliases_df, n_alias_rows=len(aliases), broadcast_dict_max=10**9
+    )
+    join_linker, join_name = make_linker(
+        spark, aliases_df, n_alias_rows=len(aliases), broadcast_dict_max=0
+    )
+    assert (bc_name, join_name) == ("broadcast", "join")
+    bc = {r["surface"]: (r["entity_id"], r["method"]) for r in bc_linker(surfaces).collect()}
+    jn = {r["surface"]: (r["entity_id"], r["method"]) for r in join_linker(surfaces).collect()}
+    assert bc == jn
+    assert {m for _, m in bc.values()} == {"exact", "lsh", "new"}  # all strategies hit
+
+
+def test_pipeline_dispatch_straddles_threshold(
+    spark, pages_df, aliases_df, tmp_path_factory
+):
+    """run_pipeline with the dictionary just under vs just over the
+    broadcast threshold produces identical canonical triples."""
+    from vectrain_spark.catalog import Catalog
+    from vectrain_spark.pipeline import PipelineConfig, run_pipeline
+
+    def canon(root):
+        return set(
+            map(
+                tuple,
+                Catalog(root)
+                .read(spark, "canonical_triples")
+                .select("subj_canon", "pred", "obj_canon")
+                .toPandas()
+                .values,
+            )
+        )
+
+    r1 = str(tmp_path_factory.mktemp("link_bc"))
+    r2 = str(tmp_path_factory.mktemp("link_join"))
+    s1 = run_pipeline(
+        spark, pages_df, aliases_df, r1,
+        PipelineConfig(n_groups=2, broadcast_dict_max=10**9),
+    )
+    s2 = run_pipeline(
+        spark, pages_df, aliases_df, r2,
+        PipelineConfig(n_groups=2, broadcast_dict_max=0),
+    )
+    assert (s1["link_strategy"], s2["link_strategy"]) == ("broadcast", "join")
+    assert canon(r1) == canon(r2)

@@ -141,6 +141,25 @@ def q_kg_link(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_link_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path linking (shuffle join, no broadcast dictionary): surfaces
+    are LOWERCASED so the exact string stage misses and every link is
+    forced through the LSH band join. The embedding is case-insensitive
+    (char trigrams over lower(s), textops.embed_string), so cosine against
+    the true alias is exactly 1.0 — the outcome is deterministic and the
+    oracle is a plain lower()-join with min-id tie-break."""
+    from .operators.linking import link_mentions_join_full
+
+    pages = pages_from_documents(_docs(spark, sf_dir))
+    good, _ = split_quarantine(extract_pages(pages))
+    tri = extract_triples_df(good)
+    surfaces = (
+        mention_surfaces(tri).select(F.lower(F.col("surface")).alias("surface")).distinct()
+    )
+    linked = link_mentions_join_full(spark, surfaces, corpus_aliases(spark))
+    return linked.select("surface", "entity_id", "method")
+
+
 def q_kg_canonical_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = pages_from_documents(_docs(spark, sf_dir))
     good, _ = split_quarantine(extract_pages(pages))
@@ -206,6 +225,18 @@ mentions AS (
 )
 SELECT m.surface AS surface, min(a.entity_id) AS entity_id, 'exact' AS method
 FROM mentions m JOIN aliases a ON a.alias = m.surface
+GROUP BY m.surface
+"""
+
+SQL_KG_LINK_JOIN = f"""
+WITH aliases AS ({corpus_aliases_sql()}),
+mentions AS (
+  SELECT DISTINCT lower('Vendor' || (doc_id % 7)) AS surface FROM documents WHERE {_KG_PAGE_FILTER}
+  UNION
+  SELECT DISTINCT lower('Client' || (doc_id % 13)) FROM documents WHERE {_KG_PAGE_FILTER}
+)
+SELECT m.surface AS surface, min(a.entity_id) AS entity_id, 'lsh' AS method
+FROM mentions m JOIN aliases a ON lower(a.alias) = m.surface
 GROUP BY m.surface
 """
 
@@ -562,6 +593,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_quarantine": q_kg_quarantine,
     "kg_triples": q_kg_triples,
     "kg_link": q_kg_link,
+    "kg_link_join": q_kg_link_join,
     "kg_canonical_triples": q_kg_canonical_triples,
     "kg_edges": q_kg_edges,
     "dedup_exact": q_dedup_exact,
@@ -584,6 +616,7 @@ ORACLES: dict[str, str] = {
     "kg_quarantine": SQL_KG_QUARANTINE,
     "kg_triples": SQL_KG_TRIPLES,
     "kg_link": SQL_KG_LINK,
+    "kg_link_join": SQL_KG_LINK_JOIN,
     "kg_canonical_triples": SQL_KG_CANONICAL_TRIPLES,
     "kg_edges": SQL_KG_EDGES,
     "dedup_exact": SQL_DEDUP_EXACT,

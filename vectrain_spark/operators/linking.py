@@ -307,6 +307,139 @@ def link_mentions_join(
     return linked
 
 
+def build_alias_bands(
+    aliases: DataFrame,
+    dim: int = EMBED_DIM,
+    n_bits: int = N_BITS,
+    n_bands: int = N_BANDS,
+) -> DataFrame:
+    """(entity_id, alias) -> (entity_id, band, sig, embedding).
+
+    Embeddings/signatures are computed once per DISTINCT alias string (the
+    expensive Arrow pass), then joined back to the id rows. At scale this
+    table is computed once per dictionary version and persisted bucketed by
+    (band, sig) so repeated link runs never re-embed or re-shuffle it.
+    """
+    distinct = aliases.select(F.col("alias").alias("surface")).distinct()
+    bands = embed_with_bands(distinct, "surface", dim, n_bits, n_bands)
+    return bands.join(
+        aliases.select(F.col("alias").alias("surface"), "entity_id"), "surface"
+    ).select("entity_id", "band", "sig", "embedding")
+
+
+_NEW_IDS_SCHEMA = "surface string, entity_id long, score double, method string"
+
+
+def _new_ids(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "surface": pdf["surface"],
+                "entity_id": pd.Series(
+                    [stable_id("ent", s) for s in pdf["surface"]], dtype="int64"
+                ),
+                "score": pd.Series([0.0] * len(pdf), dtype="float64"),
+                "method": pd.Series(["new"] * len(pdf), dtype="object"),
+            }
+        )
+
+
+def link_mentions_join_full(
+    spark: SparkSession,
+    surfaces: DataFrame,
+    aliases: DataFrame,
+    threshold: float = LINK_THRESHOLD,
+    dim: int = EMBED_DIM,
+    n_bits: int = N_BITS,
+    n_bands: int = N_BANDS,
+    alias_bands: DataFrame | None = None,
+    exact_map: DataFrame | None = None,
+) -> DataFrame:
+    """Full-fidelity join-path linking: the SAME output contract as the
+    broadcast probe (exact hit -> LSH cosine -> deterministic new id), for
+    dictionaries too large to broadcast.
+
+    Stages (each a shuffle join on keys whose cardinality grows with the
+    dictionary — no driver collect, no monolithic broadcast):
+      1. exact: surfaces ⋈ min-id-per-alias on the string;
+      2. LSH: misses ⋈ alias bands on (band, sig), exact cosine verify,
+         max-score/min-id selection (identical tie semantics to the
+         broadcast probe: same seeded planes -> identical candidate sets);
+      3. new: anti-joined leftovers get the same stable_id fallback.
+    Scores may differ from the broadcast path in the last float ulps (JVM
+    double fold vs numpy float32 matmul); entity_id/method are identical
+    except for pathological exactly-at-threshold scores.
+
+    ``alias_bands`` / ``exact_map`` accept precomputed (persisted) tables so
+    a multi-group pipeline pays the dictionary embedding pass once.
+    """
+    s = surfaces.select("surface")
+    if exact_map is None:
+        exact_map = aliases.groupBy("alias").agg(F.min("entity_id").alias("entity_id"))
+    em = exact_map.withColumnRenamed("alias", "surface")
+    exact = s.join(em, "surface").select(
+        "surface",
+        "entity_id",
+        F.lit(1.0).alias("score"),
+        F.lit("exact").alias("method"),
+    )
+    misses = s.join(em.select("surface"), "surface", "left_anti")
+    if alias_bands is None:
+        alias_bands = build_alias_bands(aliases, dim, n_bits, n_bands)
+    lsh = link_mentions_join(misses, alias_bands, threshold, dim, n_bits, n_bands)
+    lsh = lsh.select("surface", "entity_id", "score", "method")
+    new = misses.join(lsh.select("surface"), "surface", "left_anti").mapInPandas(
+        _new_ids, schema=_NEW_IDS_SCHEMA
+    )
+    return exact.unionByName(lsh).unionByName(new)
+
+
+# Above this dictionary row count the pipeline switches from the broadcast
+# probe to the join path: at 768-d float32 + 8 band sigs, 1M rows is ~3 GB
+# of broadcast payload — about the comfortable per-executor budget; beyond
+# it the shuffle join wins (and is the only option at 10^7-10^8 rows).
+BROADCAST_DICT_MAX = 1_000_000
+
+
+def make_linker(
+    spark: SparkSession,
+    aliases: DataFrame,
+    n_alias_rows: int,
+    dim: int = EMBED_DIM,
+    n_bits: int = N_BITS,
+    n_bands: int = N_BANDS,
+    threshold: float = LINK_THRESHOLD,
+    broadcast_dict_max: int = BROADCAST_DICT_MAX,
+):
+    """Size-dispatched linking strategy: returns (linker, strategy_name).
+
+    linker(surfaces) -> (surface, entity_id, score, method). Broadcast
+    probe below ``broadcast_dict_max`` dictionary rows, shuffle-join path
+    above it. Both paths produce identical links (pytest-verified on a
+    dictionary straddling the threshold).
+    """
+    if n_alias_rows <= broadcast_dict_max:
+        index = build_alias_index(
+            aliases.toPandas(), dim=dim, n_bits=n_bits, n_bands=n_bands, threshold=threshold
+        )
+        return (lambda s: link_mentions(spark, s, index)), "broadcast"
+    exact_map = aliases.groupBy("alias").agg(F.min("entity_id").alias("entity_id")).persist()
+    alias_bands = build_alias_bands(aliases, dim, n_bits, n_bands).persist()
+    return (
+        lambda s: link_mentions_join_full(
+            spark,
+            s,
+            aliases,
+            threshold,
+            dim,
+            n_bits,
+            n_bands,
+            alias_bands=alias_bands,
+            exact_map=exact_map,
+        )
+    ), "join"
+
+
 def cosine_topk_join(
     queries: DataFrame,
     alias_bands: DataFrame,
