@@ -180,6 +180,47 @@ def q_kg_canonical_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_stream_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingestion end-to-end, gate-checked against the BATCH
+    oracle: the derived pages corpus is staged as parquet files, ingested
+    through Structured Streaming (file source, availableNow, micro-batches
+    of 2 files) via the same extract->link->canonicalize operators, and the
+    catalog's committed triples table must equal SQL_KG_TRIPLES exactly.
+    This exercises the replay-guarded per-batch snapshot commits (S1/S2)."""
+    import os
+    import shutil
+
+    from .catalog import Catalog
+    from .operators.canonicalize import connected_components, edges_from_aliases
+    from .operators.linking import build_alias_index
+    from .streaming import start_ingest
+
+    base = "/tmp/vectrain_stream_gate"
+    shutil.rmtree(base, ignore_errors=True)
+    pages_dir = os.path.join(base, "pages")
+    pages_from_documents(_docs(spark, sf_dir)).repartition(6).write.mode(
+        "overwrite"
+    ).parquet(pages_dir)
+    aliases = corpus_aliases(spark)
+    index = build_alias_index(aliases.toPandas())
+    mapping = connected_components(edges_from_aliases(aliases))
+    q = start_ingest(
+        spark,
+        pages_dir,
+        os.path.join(base, "warehouse"),
+        index,
+        mapping,
+        checkpoint_dir=os.path.join(base, "ckpt"),
+        max_files_per_trigger=2,
+    )
+    q.awaitTermination(600)
+    return (
+        Catalog(os.path.join(base, "warehouse"))
+        .read(spark, "triples")
+        .select("url", "subj", "pred", "obj")
+    )
+
+
 def q_kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ct = q_kg_canonical_triples(spark, sf_dir)
     return ct.select(
@@ -420,6 +461,50 @@ FROM e GROUP BY doc_id
 """
 
 # ---------------------------------------------------------------------------
+# Payload coercion (K2)
+# ---------------------------------------------------------------------------
+
+
+def q_payload_coerce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open map<string,string> payload -> declared typed columns with zero
+    defaults + strict parse-error tagging. The payload fixture is built
+    from doc_id arithmetic (absent keys, a planted unparsable boolean every
+    11th row), so the oracle reconstructs the expected typed output in
+    plain SQL."""
+    from .operators.payload import coerce_payload
+
+    d = F.col("doc_id")
+    payload = F.map_filter(
+        F.create_map(
+            F.lit("views"), (d * 3).cast("string"),
+            F.lit("score"), F.when(d % 3 != 0, F.concat(d.cast("string"), F.lit(".25"))),
+            F.lit("flag"),
+            F.when(d % 11 == 7, F.lit("notabool")).otherwise(
+                F.when(d % 2 == 0, F.lit("true")).otherwise(F.lit("false"))
+            ),
+            F.lit("note"), F.when(d % 4 == 0, F.concat(F.lit("n"), d.cast("string"))),
+        ),
+        lambda _k, v: v.isNotNull(),
+    )
+    fixture = _docs(spark, sf_dir).select("doc_id", payload.alias("payload"))
+    return coerce_payload(
+        fixture,
+        {"views": "bigint", "score": "double", "flag": "boolean", "note": "string"},
+    )
+
+
+SQL_PAYLOAD_COERCE = """
+SELECT doc_id,
+       (doc_id * 3)::BIGINT AS views,
+       CASE WHEN doc_id % 3 <> 0 THEN (doc_id || '.25')::DOUBLE ELSE 0.0 END AS score,
+       CASE WHEN doc_id % 11 <> 7 AND doc_id % 2 = 0 THEN true ELSE false END AS flag,
+       CASE WHEN doc_id % 4 = 0 THEN 'n' || doc_id ELSE '' END AS note,
+       CASE WHEN doc_id % 11 = 7 THEN 'parse_error:flag' ELSE NULL END AS error
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
 # Similarity queries
 # ---------------------------------------------------------------------------
 
@@ -596,6 +681,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_link_join": q_kg_link_join,
     "kg_canonical_triples": q_kg_canonical_triples,
     "kg_edges": q_kg_edges,
+    "kg_stream_triples": q_kg_stream_triples,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
@@ -609,6 +695,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "multimodal_image_features": q_multimodal_image_features,
     "multimodal_audio_frames": q_multimodal_audio_frames,
+    "payload_coerce": q_payload_coerce,
 }
 
 ORACLES: dict[str, str] = {
@@ -619,6 +706,8 @@ ORACLES: dict[str, str] = {
     "kg_link_join": SQL_KG_LINK_JOIN,
     "kg_canonical_triples": SQL_KG_CANONICAL_TRIPLES,
     "kg_edges": SQL_KG_EDGES,
+    # streamed output must equal the batch extraction exactly
+    "kg_stream_triples": SQL_KG_TRIPLES,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_minhash": SQL_DEDUP_MINHASH,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
@@ -637,4 +726,5 @@ ORACLES: dict[str, str] = {
     "dedup_embedding_lsh": SQL_DEDUP_EMBEDDING_EXACT,
     "multimodal_image_features": SQL_MULTIMODAL_IMAGE,
     "multimodal_audio_frames": SQL_MULTIMODAL_AUDIO,
+    "payload_coerce": SQL_PAYLOAD_COERCE,
 }
