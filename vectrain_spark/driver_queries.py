@@ -231,6 +231,40 @@ def q_kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z2 (lineage) + Z3 (checkpointed run) gate: the WHOLE pipeline —
+    extract -> link -> canonicalize -> materialize, bucket-grouped and
+    manifest-committed — runs into a fresh warehouse; the lineage table is
+    then aggregated into conservation totals the oracle derives from
+    `documents` alone: every page accounted once, every corrupt page an
+    error row, exactly one triple per good page, all 4 groups present."""
+    import shutil
+
+    from .catalog import Catalog
+    from .pipeline import PipelineConfig, run_pipeline
+
+    root = "/tmp/vectrain_lineage_gate"
+    shutil.rmtree(root, ignore_errors=True)
+    pages = pages_from_documents(_docs(spark, sf_dir))
+    run_pipeline(spark, pages, corpus_aliases(spark), root, PipelineConfig(n_groups=4))
+    lin = Catalog(root).read(spark, "lineage")
+    return lin.agg(
+        F.sum("pages").alias("pages"),
+        F.sum("errors").alias("errors"),
+        F.sum("triples").alias("triples"),
+        F.countDistinct("group_id").alias("n_groups"),
+    )
+
+
+SQL_KG_LINEAGE = """
+SELECT count(*)::BIGINT AS pages,
+       (SELECT count(*) FROM documents WHERE doc_id % 97 = 3)::BIGINT AS errors,
+       (SELECT count(*) FROM documents WHERE doc_id % 97 <> 3)::BIGINT AS triples,
+       4::BIGINT AS n_groups
+FROM documents
+"""
+
+
 _KG_PAGE_FILTER = "doc_id % 97 <> 3"
 
 SQL_KG_EXTRACT_TEXT = f"""
@@ -515,6 +549,24 @@ def q_sim_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sim_knn_euclid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return knn_bruteforce(_emb(spark, sf_dir), metric="euclid").withColumn(
+        "rank", F.col("rank").cast("long")
+    )
+
+
+def q_sim_knn_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return knn_bruteforce(_emb(spark, sf_dir), metric="dot").withColumn(
+        "rank", F.col("rank").cast("long")
+    )
+
+
+def q_dedup_embedding_euclid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_near_dups_exact(
+        neardup_embedding_corpus(_emb(spark, sf_dir)), threshold=0.5, metric="euclid"
+    )
+
+
 def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivf(spark, _emb(spark, sf_dir)).withColumn(
         "rank", F.col("rank").cast("long")
@@ -608,6 +660,38 @@ SELECT q_id, n_id, score, rank FROM r WHERE rank <= 5
 """
 
 
+_KNN_METRIC_SQL = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+),
+q AS (SELECT vec_id AS q_id, emb AS q_emb FROM v WHERE vec_id < 10),
+cand AS (
+  SELECT q.q_id, v.vec_id AS n_id, {expr} AS score
+  FROM q, v WHERE v.vec_id <> q.q_id
+),
+r AS (
+  SELECT q_id, n_id, score,
+         row_number() OVER (PARTITION BY q_id ORDER BY score {order}, n_id ASC) AS rank
+  FROM cand
+)
+SELECT q_id, n_id, score, rank FROM r WHERE rank <= 5
+"""
+
+_EUC6 = (
+    "round(sqrt(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+    " + list_dot_product({b}, {b})), 6)"
+)
+_DOT6 = "round(list_dot_product({a}, {b}), 6)"
+
+SQL_SIM_KNN_EUCLID = _KNN_METRIC_SQL.format(
+    expr=_EUC6.format(a="q.q_emb", b="v.emb"), order="ASC"
+)
+SQL_SIM_KNN_DOT = _KNN_METRIC_SQL.format(
+    expr=_DOT6.format(a="q.q_emb", b="v.emb"), order="DESC"
+)
+
+
 # Exact SQL reconstruction of the IVF operator: same deterministic
 # centroids (vec_id < 16), same rounded-cosine assignment with
 # (score DESC, cell ASC) tie-break, same n_probe=4 probe lists, same
@@ -672,6 +756,14 @@ WHERE round(list_dot_product(a.emb, b.emb)
                * sqrt(list_dot_product(b.emb, b.emb))), 6) >= 0.9
 """
 
+SQL_DEDUP_EMBEDDING_EUCLID = f"""
+WITH {NEARDUP_CORPUS_SQL}
+SELECT a.vec_id AS a, b.vec_id AS b,
+       {_EUC6.format(a='a.emb', b='b.emb')} AS score
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE {_EUC6.format(a='a.emb', b='b.emb')} <= 0.5
+"""
+
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_extract_text": q_kg_extract_text,
@@ -681,6 +773,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_link_join": q_kg_link_join,
     "kg_canonical_triples": q_kg_canonical_triples,
     "kg_edges": q_kg_edges,
+    "kg_lineage": q_kg_lineage,
     "kg_stream_triples": q_kg_stream_triples,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
@@ -690,8 +783,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_tokens": q_text_tokens,
     "text_fingerprint": q_text_fingerprint,
     "sim_knn": q_sim_knn,
+    "sim_knn_euclid": q_sim_knn_euclid,
+    "sim_knn_dot": q_sim_knn_dot,
     "sim_ann_ivf": q_sim_ann_ivf,
     "dedup_embedding_exact": q_dedup_embedding_exact,
+    "dedup_embedding_euclid": q_dedup_embedding_euclid,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "multimodal_image_features": q_multimodal_image_features,
     "multimodal_audio_frames": q_multimodal_audio_frames,
@@ -706,6 +802,7 @@ ORACLES: dict[str, str] = {
     "kg_link_join": SQL_KG_LINK_JOIN,
     "kg_canonical_triples": SQL_KG_CANONICAL_TRIPLES,
     "kg_edges": SQL_KG_EDGES,
+    "kg_lineage": SQL_KG_LINEAGE,
     # streamed output must equal the batch extraction exactly
     "kg_stream_triples": SQL_KG_TRIPLES,
     "dedup_exact": SQL_DEDUP_EXACT,
@@ -716,8 +813,11 @@ ORACLES: dict[str, str] = {
     "text_tokens": SQL_TEXT_TOKENS,
     "text_fingerprint": SQL_TEXT_FINGERPRINT,
     "sim_knn": SQL_SIM_KNN,
+    "sim_knn_euclid": SQL_SIM_KNN_EUCLID,
+    "sim_knn_dot": SQL_SIM_KNN_DOT,
     "sim_ann_ivf": SQL_SIM_ANN_IVF,
     "dedup_embedding_exact": SQL_DEDUP_EMBEDDING_EXACT,
+    "dedup_embedding_euclid": SQL_DEDUP_EMBEDDING_EUCLID,
     # The LSH variant is deterministic (seeded hyperplanes, exact-cosine
     # verification) and achieves recall 1.0 on this corpus — verified
     # set-identical to the exact baseline at sf0.001 AND sf0.01, so it

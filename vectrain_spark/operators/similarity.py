@@ -41,14 +41,39 @@ def cosine_expr(a: str, b: str):
     return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 
 
+# Similarity metric config — the reference validates exactly this set for
+# its Qdrant collections (/root/reference/internal/app/storages/qdrant/
+# client.go:37 `oneof=cosine euclid dot`). euclid is a DISTANCE (rank
+# ascending, near-dup = below threshold); cosine/dot are similarities.
+METRICS = ("cosine", "euclid", "dot")
+
+
+def metric_expr(metric: str, a: str, b: str):
+    """Rounded float64 score column for the given metric — the identical
+    expression shape the DuckDB oracles use, so both engines agree
+    bit-for-bit. euclid = sqrt(<a,a> - 2<a,b> + <b,b>) keeps everything in
+    the same left-fold dot products as the other metrics."""
+    if metric == "cosine":
+        return cosine_expr(a, b)
+    if metric == "dot":
+        return _dot(a, b)
+    if metric == "euclid":
+        return F.sqrt(_dot(a, a) - F.lit(2.0) * _dot(a, b) + _dot(b, b))
+    raise ValueError(f"unknown metric {metric!r}; expected one of {METRICS}")
+
+
+def _is_distance(metric: str) -> bool:
+    return metric == "euclid"
+
+
 def knn_bruteforce(
-    embeddings: DataFrame, n_queries: int = 10, k: int = 5
+    embeddings: DataFrame, n_queries: int = 10, k: int = 5, metric: str = "cosine"
 ) -> DataFrame:
-    """Exact cosine top-k: (q_id, n_id, score, rank).
+    """Exact top-k under the configured metric: (q_id, n_id, score, rank).
 
     Queries = vec_id < n_queries (deterministic subset). Ranking uses the
     ROUNDED score with vec_id tie-break so ordering is reproducible across
-    engines and float summation orders.
+    engines and float summation orders; euclid ranks ascending (distance).
     """
     vecs = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
@@ -62,10 +87,11 @@ def knn_bruteforce(
         .select(
             "q_id",
             F.col("vec_id").alias("n_id"),
-            F.round(cosine_expr("q_emb", "emb"), 6).alias("score"),
+            F.round(metric_expr(metric, "q_emb", "emb"), 6).alias("score"),
         )
     )
-    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("n_id"))
+    order = F.asc("score") if _is_distance(metric) else F.desc("score")
+    w = Window.partitionBy("q_id").orderBy(order, F.asc("n_id"))
     return (
         cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -108,9 +134,11 @@ NEARDUP_CORPUS_SQL = """
 
 
 def embedding_near_dups_exact(
-    embeddings: DataFrame, threshold: float = 0.9
+    embeddings: DataFrame, threshold: float = 0.9, metric: str = "cosine"
 ) -> DataFrame:
-    """Exact embedding-cosine near-duplicate pairs (a, b, score), a < b.
+    """Exact embedding near-duplicate pairs (a, b, score), a < b, under the
+    configured metric (cosine/dot: score >= threshold; euclid: distance <=
+    threshold).
 
     Brute-force all-pairs baseline (matches the SQL oracle bit-for-bit via
     the same float64 expression shape + rounding). O(n^2) — correctness
@@ -126,8 +154,10 @@ def embedding_near_dups_exact(
     a = vecs.select(F.col("vec_id").alias("a"), F.col("emb").alias("ea"))
     b = vecs.select(F.col("vec_id").alias("b"), F.col("emb").alias("eb"))
     pairs = a.join(b, F.col("a") < F.col("b")).select(
-        "a", "b", F.round(cosine_expr("ea", "eb"), 6).alias("score")
+        "a", "b", F.round(metric_expr(metric, "ea", "eb"), 6).alias("score")
     )
+    if _is_distance(metric):
+        return pairs.filter(F.col("score") <= threshold)
     return pairs.filter(F.col("score") >= threshold)
 
 
