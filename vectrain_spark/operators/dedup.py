@@ -57,6 +57,18 @@ def normalized_text(col: str = "text"):
     return F.trim(F.regexp_replace(F.lower(F.col(col)), r"\s+", " "))
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Fan a narrow input out to the session's parallelism when it arrives
+    in fewer partitions (small driver tables land in 1-3 parquet files —
+    without this, per-doc shingling/hashing runs on 3 of 32 cores). A
+    no-op at scale: real corpora already have >= parallelism partitions,
+    so no shuffle is added on the 100 TB path."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def exact_dedup(corpus: DataFrame) -> DataFrame:
     """(doc_id, text) -> (text_hash, keep_id, dup_cnt).
 
@@ -78,20 +90,31 @@ def shingles_col(col: str = "text", n: int = 3):
     """Distinct word n-gram shingles, computed with JVM higher-order
     functions (whole-stage codegen; no Python).
 
+    Construction is O(total words): n-1 zips of shifted copies of the word
+    array (shingle i = words[i] + ' ' + ... + words[i+n-1]), then the tail
+    of partial shingles is sliced off. The naive per-position
+    ``F.slice(words, i+1, n)`` is O(words) per position — O(words^2) per
+    document, which dominated the whole minhash/fingerprint pipeline on
+    long docs.
+
     Documents shorter than n words yield an EMPTY array (matching the SQL
     oracle's ``WHERE len(words) >= n`` guard) — an unguarded
     ``F.sequence(0, size-n)`` would produce a descending sequence and crash
     the whole job with INVALID_PARAMETER_VALUE.START on any short doc."""
     words = F.split(normalized_text(col), " ")
-    return F.when(
-        F.size(words) >= n,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.size(words) - n),
-                lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    acc = words
+    for k in range(1, n):
+        # zip_with pads the shorter side with null; concat_ws skips nulls,
+        # so tail entries become partial shingles — removed by the slice
+        acc = F.zip_with(
+            acc,
+            F.slice(words, k + 1, F.size(words)),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    full = F.slice(acc, 1, F.size(words) - n + 1)
+    return F.when(F.size(words) >= n, F.array_distinct(full)).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def _minhash_udf_factory(n_hashes: int, n_bands: int, seed: int = 42):
@@ -101,19 +124,18 @@ def _minhash_udf_factory(n_hashes: int, n_bands: int, seed: int = 42):
     r = n_hashes // n_bands
 
     def _sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import zlib
-
         for pdf in batches:
             out_doc: list[int] = []
             out_band: list[int] = []
             out_sig: list[int] = []
-            for doc_id, sh in zip(pdf["doc_id"], pdf["shingles"]):
-                hs = np.fromiter(
-                    (zlib.crc32(s.encode("utf-8")) for s in sh),
-                    dtype=np.int64,
-                    count=len(sh),
-                )
+            for doc_id, sh in zip(pdf["doc_id"], pdf["hsh"]):
+                # shingles arrive already hashed to int64 JVM-side
+                # (xxhash64): the UDF is pure numpy matrix work, no
+                # per-shingle Python hashing/encoding
+                hs = np.asarray(sh, dtype=np.int64)
                 # universal hashing family over the Mersenne prime
+                # (int64 wrap-around is deterministic; banding only needs
+                # determinism + spread, candidates are exactly verified)
                 m = ((a[:, None] * hs[None, :] + b[:, None]) % _MERSENNE).min(axis=1)
                 # fold r consecutive minhashes into one band signature
                 folded = m.reshape(n_bands, r)
@@ -147,11 +169,23 @@ def minhash_pairs(
     the result equals the brute-force O(n^2) oracle up to MinHash recall
     (~1 - 5e-8 at J >= threshold).
     """
-    sh = corpus.select("doc_id", shingles_col().alias("shingles")).filter(
-        F.size("shingles") > 0
+    # Shingle strings are hashed to int64 ONCE, JVM-side (xxhash64, inside
+    # the scan stage): the persisted working set, the signature UDF input,
+    # and the verification join all carry compact int64 sets instead of
+    # string arrays (~20x smaller shuffle/cache; distinct-set semantics
+    # preserved, collision odds ~n^2/2^64). Exact Jaccard on the hash sets
+    # equals Jaccard on the strings, so the SQL oracle still matches.
+    hashed = (
+        spread(corpus).select(
+            "doc_id",
+            F.array_distinct(
+                F.transform(shingles_col(), lambda s: F.xxhash64(s))
+            ).alias("hsh"),
+        )
+        .filter(F.size("hsh") > 0)
+        .persist()
     )
-    sh = sh.persist()
-    sigs = sh.select("doc_id", "shingles").mapInPandas(
+    sigs = hashed.mapInPandas(
         _minhash_udf_factory(n_hashes, n_bands), schema="doc_id long, band int, sig long"
     ).select("doc_id", "band", "sig")
     left = sigs.alias("l")
@@ -161,15 +195,6 @@ def minhash_pairs(
         .filter(F.col("l.doc_id") < F.col("r.doc_id"))
         .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
         .distinct()
-    )
-    # Verify on xxhash64'd shingle sets, not the strings: the candidate
-    # verification join is the largest shuffle in the job and shingle
-    # strings are the largest per-doc payload — hashing them to int64
-    # JVM-side preserves distinct-set semantics (collision odds ~n^2/2^64)
-    # while shrinking the shuffled arrays ~20x.
-    hashed = sh.select(
-        "doc_id",
-        F.array_distinct(F.transform("shingles", lambda s: F.xxhash64(s))).alias("hsh"),
     )
     sa = hashed.select(F.col("doc_id").alias("a"), F.col("hsh").alias("sha"))
     sb = hashed.select(F.col("doc_id").alias("b"), F.col("hsh").alias("shb"))
@@ -198,7 +223,7 @@ def simhash_docs(corpus: DataFrame) -> DataFrame:
     single shuffle on doc_id). This is ~10x faster than evaluating 60
     array-lambda aggregates per row, which Catalyst interprets.
     """
-    wo = corpus.select(
+    wo = spread(corpus).select(
         "doc_id", F.explode(F.split(normalized_text(), " ")).alias("word")
     )
     hx = wo.select(

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import normalized_text, shingles_col
+from .dedup import normalized_text, shingles_col, spread
 
 STOPWORDS: dict[str, list[str]] = {
     "en": ["the", "of", "and", "to", "in", "is", "it", "that", "for", "on"],
@@ -116,7 +116,7 @@ def fingerprints(docs: DataFrame) -> DataFrame:
     """
     sh = shingles_col()
     hashed = F.transform(sh, lambda s: F.md5(s.cast("binary")))
-    return docs.select(
+    return spread(docs).select(
         "doc_id",
         F.array_min(hashed).alias("fp_min"),
         F.array_max(hashed).alias("fp_max"),
