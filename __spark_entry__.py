@@ -6,9 +6,11 @@ queries()     — one entry per implemented operator (SURVEY.md §2.3 +
                 training-data ops); each callable takes (spark, sf_dir).
 oracle_sql()  — DuckDB-runnable ANSI SQL producing the same result set,
                 column names/types aligned (values rounded identically on
-                both sides). sim_ann_ivf is approximate by design and has
-                no SQL oracle (rows-only check; recall is asserted against
-                the exact baseline in tests/test_similarity.py).
+                both sides). EVERY queries() entry has an oracle: the
+                approximate operators (sim_ann_ivf, dedup_embedding_lsh)
+                are deterministic by construction (seeded planes / rounded
+                JVM cosines), so their oracles reconstruct the exact
+                expected output rather than settling for rows-only checks.
 """
 
 from __future__ import annotations

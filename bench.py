@@ -74,7 +74,7 @@ def ensure_corpus(spark, n_pages: int) -> tuple[str, str]:
     levels and repeated bench rounds reuse the same files — generation cost
     never pollutes the measured pipeline throughput.
     """
-    tag = f"{n_pages}_{CORPUS_PARAMS['min_sent']}_{CORPUS_PARAMS['max_sent']}_{CORPUS_PARAMS['junk_blocks']}"
+    tag = f"{n_pages}_{CORPUS_PARAMS['min_sent']}_{CORPUS_PARAMS['max_sent']}_{CORPUS_PARAMS['junk_blocks']}_f16"
     corpus_dir = f"/tmp/vectrain_corpus_{tag}"
     alias_path = f"{corpus_dir}_aliases.parquet"
     marker = os.path.join(corpus_dir, "_SUCCESS")
@@ -88,12 +88,14 @@ def ensure_corpus(spark, n_pages: int) -> tuple[str, str]:
         # Iceberg-style bucket layout: partition by pmod(xxhash64(url), 16)
         # so the pipeline's per-group filters become partition pruning
         # (each resume group reads only its own quarter of the files)
-        # 16 buckets x 8 files each (~50 MB): coarse enough for pruning,
-        # fine enough that a single group still fans out to 32 splits
+        # 16 buckets x 16 files each (~25 MB): coarse enough for pruning,
+        # fine enough that a single group fans out to 64 splits — ~4
+        # scheduling waves at 16 cores, so stragglers amortize at the
+        # higher parallelism leg instead of bounding it
         (
             pages.withColumn("page_bucket", F.pmod(F.xxhash64("url"), F.lit(16)))
-            .withColumn("_w", F.pmod(F.xxhash64("url", "warc_ts"), F.lit(8)))
-            .repartition(128, "page_bucket", "_w")
+            .withColumn("_w", F.pmod(F.xxhash64("url", "warc_ts"), F.lit(16)))
+            .repartition(256, "page_bucket", "_w")
             .drop("_w")
             .write.mode("overwrite")
             .partitionBy("page_bucket")
@@ -240,9 +242,13 @@ def run_scaling() -> None:
     legs = sorted({c for p in pairs for c in p})
     trials = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "2"))
     caps = {n: _machine_capacity(n) for n in legs}
-    runs: dict[int, list[dict]] = {}
-    for cores in legs:
-        runs[cores] = [_run_leg(cores) for _ in range(trials)]
+    # INTERLEAVED trial rounds (ABCD ABCD, not AA BB CC DD): the host's
+    # capacity drifts over tens of minutes, so grouping a leg's trials
+    # together would correlate one leg with one host window
+    runs: dict[int, list[dict]] = {c: [] for c in legs}
+    for _t in range(trials):
+        for cores in legs:
+            runs[cores].append(_run_leg(cores))
     thr = {c: _median([r["triples_per_sec"] for r in runs[c]]) for c in legs}
     effs = {p: (thr[p[1]] / thr[p[0]]) / 4 if thr[p[0]] else 0.0 for p in pairs}
     cap_effs = {p: (caps[p[1]] / caps[p[0]]) / 4 for p in pairs}

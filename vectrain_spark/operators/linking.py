@@ -410,17 +410,23 @@ def make_linker(
     n_bands: int = N_BANDS,
     threshold: float = LINK_THRESHOLD,
     broadcast_dict_max: int = BROADCAST_DICT_MAX,
+    alias_pdf=None,
 ):
     """Size-dispatched linking strategy: returns (linker, strategy_name).
 
     linker(surfaces) -> (surface, entity_id, score, method). Broadcast
     probe below ``broadcast_dict_max`` dictionary rows, shuffle-join path
     above it. Both paths produce identical links (pytest-verified on a
-    dictionary straddling the threshold).
+    dictionary straddling the threshold). ``alias_pdf`` lets a caller that
+    already collected the dictionary skip the second toPandas job.
     """
     if n_alias_rows <= broadcast_dict_max:
         index = build_alias_index(
-            aliases.toPandas(), dim=dim, n_bits=n_bits, n_bands=n_bands, threshold=threshold
+            alias_pdf if alias_pdf is not None else aliases.toPandas(),
+            dim=dim,
+            n_bits=n_bits,
+            n_bands=n_bands,
+            threshold=threshold,
         )
         return (lambda s: link_mentions(spark, s, index)), "broadcast"
     exact_map = aliases.groupBy("alias").agg(F.min("entity_id").alias("entity_id")).persist()
