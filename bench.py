@@ -40,6 +40,7 @@ HEADLINE_QUERIES = [
     "dedup_exact",
     "dedup_minhash",
     "dedup_simhash",
+    "dedup_ngram_jaccard",
     "text_langid",
     "text_quality",
     "text_tokens",

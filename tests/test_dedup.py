@@ -12,6 +12,7 @@ from vectrain_spark.operators.dedup import (
     dedup_corpus,
     exact_dedup,
     minhash_pairs,
+    ngram_jaccard_pairs,
     simhash_docs,
     simhash_pairs,
 )
@@ -56,6 +57,44 @@ def test_minhash_equals_bruteforce(spark, corpus):
             want[(a, b)] = j
     assert got == want
     assert want  # fixture actually plants near-dups
+
+
+def _bruteforce_jaccard(pdf: pd.DataFrame, threshold: float) -> dict:
+    sh = {int(d): _shingles(t) for d, t in zip(pdf["doc_id"], pdf["text"])}
+    want = {}
+    for a, b in itertools.combinations(sorted(sh), 2):
+        if not sh[a] or not sh[b]:
+            continue
+        inter = len(sh[a] & sh[b])
+        if inter == 0:
+            continue
+        j = round(inter / (len(sh[a]) + len(sh[b]) - inter), 6)
+        if j >= threshold:
+            want[(a, b)] = j
+    return want
+
+
+def test_ngram_jaccard_exact_vs_bruteforce(spark, corpus):
+    """Prefix-filtered join must be EXACT — set-equal to brute force, not
+    just high recall."""
+    got = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(corpus).collect()
+    }
+    want = _bruteforce_jaccard(corpus.toPandas(), 0.8)
+    assert got == want
+    assert want  # fixture actually plants near-dups
+
+
+def test_ngram_jaccard_exact_at_low_threshold(spark, corpus):
+    """t=0.5 exercises longer prefixes and the length filter across very
+    different set sizes — exactness must hold at any threshold."""
+    got = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(corpus, threshold=0.5).collect()
+    }
+    want = _bruteforce_jaccard(corpus.toPandas(), 0.5)
+    assert got == want
 
 
 def test_simhash_pairs_equal_bruteforce(spark, corpus):

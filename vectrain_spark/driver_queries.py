@@ -20,6 +20,7 @@ from .operators.dedup import (
     dedup_corpus,
     exact_dedup,
     minhash_pairs,
+    ngram_jaccard_pairs,
     simhash_pairs,
 )
 from .operators.extract import extract_pages, extract_triples_df, split_quarantine
@@ -381,6 +382,10 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(dedup_corpus(_docs(spark, sf_dir)))
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(dedup_corpus(_docs(spark, sf_dir)))
 
 
 SQL_DEDUP_EXACT = f"""
@@ -778,6 +783,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "text_langid": q_text_langid,
     "text_quality": q_text_quality,
     "text_tokens": q_text_tokens,
@@ -808,6 +814,11 @@ ORACLES: dict[str, str] = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_minhash": SQL_DEDUP_MINHASH,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
+    # ngram-Jaccard is EXACT (prefix filter, no sketching) and emits the
+    # same (a, b, exact-jaccard >= t) contract as the minhash query, so it
+    # shares the brute-force all-pairs oracle — unlike minhash it matches
+    # by construction, not up to sketch recall.
+    "dedup_ngram_jaccard": SQL_DEDUP_MINHASH,
     "text_langid": SQL_TEXT_LANGID,
     "text_quality": SQL_TEXT_QUALITY,
     "text_tokens": SQL_TEXT_TOKENS,

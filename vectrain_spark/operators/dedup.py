@@ -1,4 +1,5 @@
-"""Document deduplication operators: exact, MinHash+LSH, SimHash.
+"""Document deduplication operators: exact, MinHash+LSH, n-gram Jaccard
+(prefix-filtered exact set-similarity join), SimHash.
 
 First-class training-data-pipeline components (driver mandate): each has a
 `queries()` entry over the driver `documents` table and an ANSI-SQL oracle.
@@ -193,6 +194,85 @@ def minhash_pairs(
     cand = (
         left.join(right, on=["band", "sig"])
         .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .distinct()
+    )
+    sa = hashed.select(F.col("doc_id").alias("a"), F.col("hsh").alias("sha"))
+    sb = hashed.select(F.col("doc_id").alias("b"), F.col("hsh").alias("shb"))
+    inter = F.size(F.array_intersect("sha", "shb")).cast("double")
+    na = F.size("sha").cast("double")
+    nb = F.size("shb").cast("double")
+    jac = inter / (na + nb - inter)
+    return (
+        cand.join(sa, "a")
+        .join(sb, "b")
+        .select("a", "b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs(
+    corpus: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    n: int = 3,
+) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup pairs (a, b, jaccard) via prefix
+    filtering (the All-Pairs / PPJoin family of exact set-similarity
+    joins) — no sketching, result identical to the O(n^2) oracle.
+
+    Each doc's distinct shingle set is hashed to int64 JVM-side (xxhash64)
+    and sorted ascending, fixing a global total order. Prefix-filter
+    theorem: two sets with Jaccard >= t must have overlap
+    alpha >= ceil(t * max(|A|,|B|)), and any two sets with overlap >= alpha
+    share an element among their first |x| - alpha + 1 elements. We index
+    the (longer, hence safe) universal prefix |x| - ceil(t*|x|) + 1, join
+    on exploded prefix tokens, apply the length filter
+    min >= ceil(t * max), then verify exact Jaccard on the full hash sets.
+
+    Scale shape: shuffle volume is O(sum of prefix lengths) — at t=0.8 a
+    prefix is ~20% of each doc's shingles — plus the candidate verify
+    join; no all-pairs, no collect. Skewed (very common) prefix tokens
+    bound candidate fan-out exactly like a band key in MinHash; AQE skew
+    join handles residual hot tokens.
+
+    ceil() runs on float t*|S|: a binary-rounding overshoot (0.8*15 ->
+    12.000...002) would SHORTEN the prefix and break exactness, so an
+    epsilon is subtracted — errs only toward longer prefixes / looser
+    candidate filters, never toward misses.
+    """
+    t = float(threshold)
+    hashed = (
+        spread(corpus)
+        .select(
+            "doc_id",
+            F.array_sort(
+                F.array_distinct(
+                    F.transform(shingles_col(n=n), lambda s: F.xxhash64(s))
+                )
+            ).alias("hsh"),
+        )
+        .filter(F.size("hsh") > 0)
+        .persist()
+    )
+    eps = 1e-9
+    plen = (
+        F.size("hsh") - F.ceil(F.size("hsh") * F.lit(t) - F.lit(eps)) + 1
+    ).cast("int")
+    pref = hashed.select(
+        "doc_id",
+        F.size("hsh").alias("sz"),
+        F.explode(F.slice("hsh", 1, plen)).alias("tok"),
+    )
+    left, right = pref.alias("l"), pref.alias("r")
+    cand = (
+        left.join(right, "tok")
+        .filter(
+            (F.col("l.doc_id") < F.col("r.doc_id"))
+            & (
+                F.least("l.sz", "r.sz")
+                >= F.ceil(F.greatest("l.sz", "r.sz") * F.lit(t) - F.lit(eps))
+            )
+        )
         .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
         .distinct()
     )
