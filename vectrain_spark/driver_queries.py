@@ -232,6 +232,31 @@ def q_kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z1 adjacency materialization as a gate query: build the per-source
+    sorted out-edge list + degree exactly as pipeline.py's finalize does
+    (sort_array over collect_list of (dst, pred, cnt) structs), then
+    re-flatten with posexplode so every list element AND its position is
+    value-checked against the oracle's row_number ordering."""
+    edges = q_kg_edges(spark, sf_dir)
+    adj = edges.groupBy("src").agg(
+        F.sort_array(F.collect_list(F.struct("dst", "pred", "cnt"))).alias(
+            "out_edges"
+        ),
+        F.sum("cnt").alias("degree"),
+    )
+    return adj.select(
+        "src", "degree", F.posexplode("out_edges").alias("pos", "e")
+    ).select(
+        "src",
+        "degree",
+        "pos",
+        F.col("e.dst").alias("dst"),
+        F.col("e.pred").alias("pred"),
+        F.col("e.cnt").alias("cnt"),
+    )
+
+
 def q_kg_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z2 (lineage) + Z3 (checkpointed run) gate: the WHOLE pipeline —
     extract -> link -> canonicalize -> materialize, bucket-grouped and
@@ -365,6 +390,30 @@ tri AS (
 SELECT c1.canon AS src, c2.canon AS dst, tri.pred AS pred, count(*) AS cnt
 FROM tri JOIN canon c1 ON c1.id = tri.subj_id JOIN canon c2 ON c2.id = tri.obj_id
 GROUP BY 1, 2, 3
+"""
+
+SQL_KG_ADJACENCY = f"""
+WITH RECURSIVE {_CANON_SQL},
+pr(m, pred) AS (VALUES {_PRED_VALUES}),
+linkmap AS (SELECT alias, min(entity_id) AS eid FROM aliases GROUP BY alias),
+tri AS (
+  SELECT lv.eid AS subj_id, pr.pred AS pred, lc.eid AS obj_id
+  FROM documents d
+  JOIN pr ON pr.m = d.doc_id % 8
+  JOIN linkmap lv ON lv.alias = 'Vendor' || (d.doc_id % 7)
+  JOIN linkmap lc ON lc.alias = 'Client' || (d.doc_id % 13)
+  WHERE {_KG_PAGE_FILTER}
+),
+edges AS (
+  SELECT c1.canon AS src, c2.canon AS dst, tri.pred AS pred, count(*) AS cnt
+  FROM tri JOIN canon c1 ON c1.id = tri.subj_id JOIN canon c2 ON c2.id = tri.obj_id
+  GROUP BY 1, 2, 3
+),
+deg AS (SELECT src, sum(cnt)::BIGINT AS degree FROM edges GROUP BY src)
+SELECT e.src AS src, deg.degree AS degree,
+       (row_number() OVER (PARTITION BY e.src ORDER BY e.dst, e.pred, e.cnt) - 1)::INTEGER AS pos,
+       e.dst AS dst, e.pred AS pred, e.cnt AS cnt
+FROM edges e JOIN deg ON deg.src = e.src
 """
 
 # ---------------------------------------------------------------------------
@@ -778,6 +827,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_link_join": q_kg_link_join,
     "kg_canonical_triples": q_kg_canonical_triples,
     "kg_edges": q_kg_edges,
+    "kg_adjacency": q_kg_adjacency,
     "kg_lineage": q_kg_lineage,
     "kg_stream_triples": q_kg_stream_triples,
     "dedup_exact": q_dedup_exact,
@@ -808,6 +858,7 @@ ORACLES: dict[str, str] = {
     "kg_link_join": SQL_KG_LINK_JOIN,
     "kg_canonical_triples": SQL_KG_CANONICAL_TRIPLES,
     "kg_edges": SQL_KG_EDGES,
+    "kg_adjacency": SQL_KG_ADJACENCY,
     "kg_lineage": SQL_KG_LINEAGE,
     # streamed output must equal the batch extraction exactly
     "kg_stream_triples": SQL_KG_TRIPLES,
