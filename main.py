@@ -36,6 +36,10 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     p.add_argument("--out", required=True, help="output warehouse root")
     p.add_argument("--n-groups", type=int, default=8)
     p.add_argument("--max-concurrent-groups", type=int, default=1)
+    p.add_argument("--broadcast-dict-max", type=int, default=None,
+                   help="dictionaries up to this many rows broadcast (linker probe, "
+                        "mention maps, canonical mapping); bigger ones take the "
+                        "shuffle-join path. Default: PipelineConfig.broadcast_dict_max")
     return p.parse_args(argv)
 
 
@@ -61,13 +65,19 @@ def main(argv: list[str] | None = None) -> int:
         pages = spark.read.parquet(args.pages)
         aliases = spark.read.parquet(args.aliases)
 
+    kw = {}
+    if args.broadcast_dict_max is not None:
+        kw["broadcast_dict_max"] = args.broadcast_dict_max
     cfg = PipelineConfig(
-        n_groups=args.n_groups, max_concurrent_groups=args.max_concurrent_groups
+        n_groups=args.n_groups,
+        max_concurrent_groups=args.max_concurrent_groups,
+        **kw,
     )
     stats = run_pipeline(spark, pages, aliases, args.out, cfg)
     print(json.dumps({
         "resumed_from": stats["resumed_from"],
         "groups_run": len(stats["groups"]),
+        "link_strategy": stats["link_strategy"],
         "total_triples": stats["total_triples"],
         "canonical_triples": stats["canonical_triples"],
     }))

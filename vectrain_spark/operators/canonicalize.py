@@ -110,15 +110,24 @@ def connected_components(edges: DataFrame, max_iter: int = 30) -> DataFrame:
     return mapping
 
 
-def apply_canonical(linked_triples: DataFrame, mapping: DataFrame) -> DataFrame:
+def apply_canonical(
+    linked_triples: DataFrame, mapping: DataFrame, broadcast_map: bool = True
+) -> DataFrame:
     """Map subj_id/obj_id -> canonical ids.
 
-    ``mapping`` is entity-dictionary-sized (small side) -> broadcast both
-    joins; fallback ids (mentions linked to no dictionary entity) are their
-    own canonical form via coalesce.
+    ``mapping`` is entity-dictionary-sized: when the dictionary fits an
+    executor (``broadcast_map=True``, the common case) both joins carry an
+    explicit broadcast hint — zero shuffle on the triple stream. Beyond
+    broadcast size the hint is dropped and the join plans as a shuffle
+    join, with AQE free to downgrade back to broadcast from the RUNTIME
+    size — the same dispatch rule as linking (pipeline.broadcast_dict_max).
+    Fallback ids (mentions linked to no dictionary entity) are their own
+    canonical form via coalesce.
     """
-    ms = F.broadcast(mapping.withColumnRenamed("id", "subj_id").withColumnRenamed("canon", "subj_canon"))
-    mo = F.broadcast(mapping.withColumnRenamed("id", "obj_id").withColumnRenamed("canon", "obj_canon"))
+    ms = mapping.withColumnRenamed("id", "subj_id").withColumnRenamed("canon", "subj_canon")
+    mo = mapping.withColumnRenamed("id", "obj_id").withColumnRenamed("canon", "obj_canon")
+    if broadcast_map:
+        ms, mo = F.broadcast(ms), F.broadcast(mo)
     return (
         linked_triples.join(ms, "subj_id", "left")
         .join(mo, "obj_id", "left")

@@ -181,6 +181,7 @@ def _run_group(
     n_groups: int,
     cat: Catalog,
     fingerprint: str = "",
+    broadcast_maps: bool = True,
 ) -> dict:
     """Process one bucket-group end-to-end and commit its snapshots.
 
@@ -231,9 +232,13 @@ def _run_group(
         F.col("surface").alias("obj"), F.col("entity_id").alias("obj_id")
     )
     # linked-mention maps are distinct-surface-sized (bounded by dictionary
-    # + tail) -> broadcast; triples never shuffle on their way to the sink
-    linked = tri.join(F.broadcast(subj_map), "subj").join(F.broadcast(obj_map), "obj")
-    canon = apply_canonical(linked, mapping).select(
+    # + tail): broadcast-hinted while the dictionary itself is broadcast-
+    # sized, otherwise planned as shuffle joins (AQE re-broadcasts from the
+    # runtime size if the group's surface set turns out small)
+    if broadcast_maps:
+        subj_map, obj_map = F.broadcast(subj_map), F.broadcast(obj_map)
+    linked = tri.join(subj_map, "subj").join(obj_map, "obj")
+    canon = apply_canonical(linked, mapping, broadcast_map=broadcast_maps).select(
         "url",
         "sent_idx",
         "subj",
@@ -389,7 +394,11 @@ def run_pipeline(
     # the dictionary is no longer unconditionally collected to the driver)
     t_setup = time.time()
     n_alias_rows = aliases.count()
-    alias_pdf = aliases.toPandas() if n_alias_rows <= cfg.broadcast_dict_max else None
+    # one dispatch rule for every dictionary-sized side: the linker probe,
+    # the linked-mention maps, and the canonical mapping all broadcast iff
+    # the dictionary fits an executor
+    use_broadcast_maps = n_alias_rows <= cfg.broadcast_dict_max
+    alias_pdf = aliases.toPandas() if use_broadcast_maps else None
     linker, link_strategy = make_linker(
         spark,
         aliases,
@@ -418,7 +427,8 @@ def run_pipeline(
         ran = 0
         for g in pending:
             gstats = _run_group(
-                spark, pages, linker, mapping, g, cfg.n_groups, cat, cfg.fingerprint()
+                spark, pages, linker, mapping, g, cfg.n_groups, cat,
+                cfg.fingerprint(), broadcast_maps=use_broadcast_maps,
             )
             manifest.mark_done(g, gstats)
             stats["groups"].append(gstats)
@@ -441,6 +451,7 @@ def run_pipeline(
                     cfg.n_groups,
                     cat,
                     cfg.fingerprint(),
+                    use_broadcast_maps,
                 ): g
                 for g in pending
             }
