@@ -207,10 +207,7 @@ def _burn(_):
     return s
 
 
-def _median(xs: list[float]) -> float:
-    s = sorted(xs)
-    n = len(s)
-    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+from statistics import median as _median  # noqa: E402
 
 
 def _run_leg(cores: int) -> dict:
@@ -257,6 +254,13 @@ def run_scaling() -> None:
     sf = runs[legs[0]][0]["sf"]
     pages = runs[legs[0]][0]["kg_pages"]
     tri_counts = {c: {r["kg_triples"] for r in runs[c]} for c in legs}
+    all_counts = sorted(set().union(*tri_counts.values()))
+    deterministic = len(all_counts) == 1
+    if not deterministic:
+        # E computed from differing numerators is meaningless — say so
+        # loudly in the report instead of publishing a false claim
+        print(f"WARNING: triple counts DIVERGE across trials/legs: {tri_counts}",
+              file=sys.stderr)
     os.makedirs("BENCH", exist_ok=True)
     leg_rows = "\n".join(
         f"| local[{c}] | "
@@ -306,8 +310,10 @@ reported alongside: past ~16 active threads this VM itself stops scaling
 (see its host-control column), so engine efficiency there is bounded by
 the machine, not the plan.
 
-Determinism: every trial at every level emitted the same triple count
-({sorted(set().union(*tri_counts.values()))}).
+Determinism: {"every trial at every level emitted the same triple count"
+ if deterministic else
+ "TRIPLE COUNTS DIVERGED ACROSS TRIALS — E above is NOT valid"}
+({all_counts}).
 """
         )
     print(
@@ -318,6 +324,8 @@ Determinism: every trial at every level emitted the same triple count
                 "thr": thr,
                 "host_effs": {f"{a}->{b}": e for (a, b), e in cap_effs.items()},
                 "trials": trials,
+                "deterministic": deterministic,
+                "triple_counts": all_counts,
             }
         )
     )

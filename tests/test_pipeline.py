@@ -144,3 +144,28 @@ def test_config_change_resume_never_mixes_groupings(
     assert len(stats["groups"]) == 2
     assert _canon_set(spark, root2) == want
     assert Catalog(root2).read(spark, "triples").count() == want_n  # no stale rows mixed in
+
+
+def test_config_switch_back_does_not_resurrect_pruned_groups(
+    spark, pages_df, aliases_df, full_run, tmp_path_factory
+):
+    """A -> B -> A into the same out_root: config A's group commits are
+    pruned during the B run, so the second A run must NOT treat those dead
+    snapshots as done (regression: the done-scan matched on fingerprint
+    alone, skipping groups whose data had been pruned and leaving B's
+    grouping in the final A output)."""
+    root, _ = full_run  # reference result for config A (n_groups=2)
+    want = _canon_set(spark, root)
+    want_n = Catalog(root).read(spark, "triples").count()
+    root3 = str(tmp_path_factory.mktemp("kg_switchback"))
+    cfg_a = PipelineConfig(n_groups=2)
+    cfg_b = PipelineConfig(n_groups=4)
+    run_pipeline(spark, pages_df, aliases_df, root3, cfg_a)   # full A run
+    run_pipeline(spark, pages_df, aliases_df, root3, cfg_b)   # full B run (prunes A)
+    stats = run_pipeline(spark, pages_df, aliases_df, root3, cfg_a)  # back to A
+    # A's original commits are dead (pruned by the B run) — every A group
+    # must actually re-run, and the result must equal a clean A run
+    assert stats["resumed_from"] == []
+    assert len(stats["groups"]) == 2
+    assert _canon_set(spark, root3) == want
+    assert Catalog(root3).read(spark, "triples").count() == want_n

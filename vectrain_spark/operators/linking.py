@@ -431,8 +431,9 @@ def make_linker(
         return (lambda s: link_mentions(spark, s, index)), "broadcast"
     exact_map = aliases.groupBy("alias").agg(F.min("entity_id").alias("entity_id")).persist()
     alias_bands = build_alias_bands(aliases, dim, n_bits, n_bands).persist()
-    return (
-        lambda s: link_mentions_join_full(
+
+    def _linker(s):
+        return link_mentions_join_full(
             spark,
             s,
             aliases,
@@ -443,7 +444,12 @@ def make_linker(
             alias_bands=alias_bands,
             exact_map=exact_map,
         )
-    ), "join"
+
+    # the persisted dictionary-side frames live for the whole run; the
+    # caller releases them when the run ends (run_pipeline's finally) so
+    # repeated runs in one session don't pile up dead cached tables
+    _linker.cleanup = lambda: (exact_map.unpersist(), alias_bands.unpersist())
+    return _linker, "join"
 
 
 def cosine_topk_join(

@@ -188,7 +188,7 @@ def _gen_factory(kind: str):
     return _gen
 
 
-def gen_media(spark, n: int, kind: str = "image", seed: int = 42) -> DataFrame:
+def gen_media(spark, n: int, kind: str = "image") -> DataFrame:
     """Deterministic media fixture, generated distributed (one Arrow pass)."""
     return spark.range(n).mapInPandas(
         _gen_factory(kind), schema="media_id long, content binary"

@@ -165,9 +165,17 @@ def _canonical_mapping(
             mapping = spark.createDataFrame(
                 pd.DataFrame(rows, columns=["id", "canon"]).astype("int64")
             )
-        else:
-            mapping = connected_components(edges)
+            cat.write("entity_canon", mapping, mode="replace")
+            edges.unpersist()
+            return mapping  # tiny local frame; serves this run directly
+        # distributed CC path: commit FIRST, then hand every consumer the
+        # committed parquet — returning the lazy CC plan would re-derive
+        # nodes from the alias table on each of the 2-per-group mapping
+        # joins instead of scanning the already-materialized snapshot
+        mapping = connected_components(edges)
+        cat.write("entity_canon", mapping, mode="replace")
         edges.unpersist()
+        return cat.read(spark, "entity_canon")
     cat.write("entity_canon", mapping, mode="replace")
     return mapping  # written for resume; the in-memory frame serves this run
 
@@ -376,9 +384,21 @@ def run_pipeline(
     done = manifest.completed()
     stale: set[int] = set()
     if cat.exists("triples"):
-        for snap in cat.snapshots("triples"):
+        snaps = cat.snapshots("triples")
+        live = set(snaps[-1]["data_dirs"]) if snaps else set()
+        prev: set[str] = set()
+        for snap in snaps:
+            delta = [d for d in snap["data_dirs"] if d not in prev]
+            prev = set(snap["data_dirs"])
             g = snap["meta"].get("group")
             if g is None:
+                continue
+            # a commit only proves (or taints) its group if its data is
+            # still LIVE at the head: a pruned commit — e.g. config A's
+            # rows removed during a config-B run — must not resurrect
+            # 'done' status on an A -> B -> A switch-back (it would skip
+            # the group and mix B's grouping into an A run)
+            if not delta or not all(d in live for d in delta):
                 continue
             if snap["meta"].get("fingerprint") == cfg.fingerprint():
                 done.add(int(g))
@@ -414,6 +434,21 @@ def run_pipeline(
     _prof("setup linker+mapping", t_setup)
 
     stats: dict = {"groups": [], "resumed_from": sorted(done), "link_strategy": link_strategy}
+    try:
+        return _run_groups_and_finalize(
+            spark, pages, linker, mapping, cat, manifest, cfg, done, stats,
+            use_broadcast_maps, fail_after_groups,
+        )
+    finally:
+        # release the join-path linker's persisted dictionary frames so
+        # repeated runs in one session don't accumulate dead cached tables
+        getattr(linker, "cleanup", lambda: None)()
+
+
+def _run_groups_and_finalize(
+    spark, pages, linker, mapping, cat, manifest, cfg, done, stats,
+    use_broadcast_maps, fail_after_groups,
+) -> dict:
     pending = [g for g in range(cfg.n_groups) if g not in done]
 
     # resume hygiene: drop staged deltas of groups that crashed mid-flight

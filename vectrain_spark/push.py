@@ -77,13 +77,24 @@ class PushGateway:
         """Accept one page dict (url, html[, warc_ts, lang])."""
         url = page.get("url")
         if not url:
-            self.rejected += 1
+            with self._lock:
+                self.rejected += 1
             return 400, "missing_url"
         html = page.get("html")
-        if html is None or len(html) == 0:
+        # validate-at-edge contract: any malformed payload is a 400 status,
+        # never an exception out of push(). JSON senders naturally produce
+        # str html — encode it; anything else non-bytes is rejected.
+        if isinstance(html, str):
+            html = html.encode("utf-8")
+        if not isinstance(html, (bytes, bytearray, memoryview)):
+            with self._lock:
+                self.rejected += 1
+            return 400, "invalid_html_type"
+        if len(html) == 0:
             # the reference rejects empty text at the edge
             # (http/client.go:89-97) rather than shipping a junk row
-            self.rejected += 1
+            with self._lock:
+                self.rejected += 1
             return 400, "empty_text"
         with self._lock:
             if len(self._q) >= self.max_queue:
@@ -97,7 +108,7 @@ class PushGateway:
                     "lang": page.get("lang") or "und",
                 }
             )
-        self.accepted += 1
+            self.accepted += 1
         return 202, "accepted"
 
     def pending(self) -> int:
