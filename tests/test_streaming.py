@@ -126,3 +126,163 @@ def test_replay_after_crash_between_commits_loses_nothing(
     assert cat.read(spark, "triples").count() == want_tri  # no double-append
     got_q = set(map(tuple, cat.read(spark, "quarantine").select("url", "error").toPandas().values))
     assert got_q == want_q  # no lost quarantine rows
+
+
+def _mem_query(df, name, mode):
+    return (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def test_windowed_page_rates_match_batch_groupby(spark, tmp_path):
+    """Streamed event-time windows (complete mode) must equal the plain
+    batch GROUP BY date_trunc over the same pages."""
+    from datetime import datetime, timedelta
+
+    import pandas as pd
+
+    from vectrain_spark.streaming import windowed_page_rates
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        {
+            "url": f"https://x/{i}",
+            "warc_ts": base + timedelta(seconds=(i * 13) % 170),
+            "html": b"<p>page</p>" * (i % 3 + 1),
+            "lang": "en" if i % 4 else "de",
+        }
+        for i in range(60)
+    ]
+    pdir = str(tmp_path / "wp")
+    spark.createDataFrame(pd.DataFrame(rows)).repartition(4).write.parquet(pdir)
+
+    from vectrain_spark.streaming import pages_stream
+
+    q = _mem_query(
+        windowed_page_rates(pages_stream(spark, pdir, 2)), "winrates", "complete"
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["lang"]): (r["pages"], r["html_bytes"])
+        for r in spark.sql("SELECT * FROM winrates").collect()
+    }
+    from pyspark.sql import functions as F
+
+    batch = (
+        spark.read.parquet(pdir)
+        .groupBy(F.date_trunc("minute", "warc_ts").alias("ws"), "lang")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.length("html")).alias("b"))
+        .collect()
+    )
+    want = {(r["ws"], r["lang"]): (r["n"], r["b"]) for r in batch}
+    assert got == want
+    assert len(want) >= 4  # several (window, lang) cells actually exist
+
+
+def test_windowed_rates_drop_late_data_beyond_watermark(spark, tmp_path):
+    """Append mode + watermark: a row arriving after the watermark passed
+    its window must be dropped (bounded state at stream scale)."""
+    from datetime import datetime
+
+    import pandas as pd
+
+    from vectrain_spark.streaming import pages_stream, windowed_page_rates
+
+    pdir = str(tmp_path / "late")
+    os.makedirs(pdir)
+    ckpt = str(tmp_path / "late_ckpt")
+
+    def _write(ts_list, fname):
+        pd.DataFrame(
+            [
+                {
+                    "url": f"https://x/{fname}/{i}",
+                    "warc_ts": ts,
+                    "html": b"<p>x</p>",
+                    "lang": "en",
+                }
+                for i, ts in enumerate(ts_list)
+            ]
+        ).pipe(spark.createDataFrame).coalesce(1).write.mode("append").parquet(pdir)
+
+    # batch 1: events at 00:00 and 00:10 -> watermark advances to 00:08
+    _write([datetime(2024, 1, 1, 0, 0), datetime(2024, 1, 1, 0, 10)], "b1")
+    stream = windowed_page_rates(
+        pages_stream(spark, pdir, 1), window="1 minute", watermark="2 minutes"
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("laterates")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: a LATE row for the (closed) 00:00 window + a fresh row
+        _write([datetime(2024, 1, 1, 0, 0, 30), datetime(2024, 1, 1, 0, 20)], "b2")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    emitted = spark.sql(
+        "SELECT window_start, pages FROM laterates ORDER BY window_start"
+    ).collect()
+    closed = {r["window_start"].minute: r["pages"] for r in emitted}
+    # the 00:00 window emitted with ONLY the on-time row; the late 00:00:30
+    # arrival was dropped, not merged and not re-emitted
+    assert closed.get(0) == 1, emitted
+
+
+def test_stream_dedup_first_seen_across_batches(spark, tmp_path):
+    """The stateful url-dedup must suppress re-crawls arriving in LATER
+    micro-batches (state persists across batches), keeping first-seen."""
+    from datetime import datetime
+
+    import pandas as pd
+
+    from vectrain_spark.streaming import pages_stream, stream_dedup_first_seen
+
+    pdir = str(tmp_path / "dd")
+    os.makedirs(pdir)
+    ckpt = str(tmp_path / "dd_ckpt")
+
+    def _write(rows):
+        pd.DataFrame(rows).pipe(spark.createDataFrame).coalesce(1).write.mode(
+            "append"
+        ).parquet(pdir)
+
+    _write(
+        [
+            {"url": "https://a", "warc_ts": datetime(2024, 1, 1), "html": b"v1", "lang": "en"},
+            {"url": "https://b", "warc_ts": datetime(2024, 1, 1), "html": b"b1", "lang": "en"},
+        ]
+    )
+    out = stream_dedup_first_seen(pages_stream(spark, pdir, 1))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("firstseen")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # re-crawl of https://a (newer content) + a brand-new url
+        _write(
+            [
+                {"url": "https://a", "warc_ts": datetime(2024, 1, 2), "html": b"v2", "lang": "en"},
+                {"url": "https://c", "warc_ts": datetime(2024, 1, 2), "html": b"c1", "lang": "en"},
+            ]
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {
+        r["url"]: bytes(r["html"])
+        for r in spark.sql("SELECT url, html FROM firstseen").collect()
+    }
+    assert rows == {"https://a": b"v1", "https://b": b"b1", "https://c": b"c1"}

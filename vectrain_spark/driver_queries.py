@@ -222,6 +222,56 @@ def q_kg_stream_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_window_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time windowed aggregation through a REAL stream: pages (with
+    warc_ts spread deterministically over 3 one-minute windows by doc_id)
+    land as files, flow through a Structured Streaming windowed count with
+    watermark, and the closed windows are value-checked against the batch
+    GROUP BY date_trunc oracle."""
+    import os
+    import shutil
+
+    from .streaming import pages_stream, windowed_page_rates
+
+    base = "/tmp/vectrain_winrates_gate"
+    shutil.rmtree(base, ignore_errors=True)
+    pages = pages_from_documents(_docs(spark, sf_dir)).withColumn(
+        "warc_ts",
+        F.expr(
+            "warc_ts + make_interval(0, 0, 0, 0, 0, 0,"
+            " cast(regexp_extract(url, '([0-9]+)$', 1) AS int) % 180)"
+        ),
+    )
+    pdir = os.path.join(base, "pages")
+    pages.repartition(4).write.parquet(pdir)
+    q = (
+        windowed_page_rates(pages_stream(spark, pdir, 2))
+        .select("window_start", "lang", "pages")
+        .writeStream.format("memory")
+        .queryName("gate_winrates")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # window_start as a formatted string: Spark hands pandas datetime64[ns],
+    # DuckDB datetime64[us] — value-identical but hash-unfriendly
+    return spark.sql(
+        "SELECT date_format(window_start, 'yyyy-MM-dd HH:mm:ss') AS window_start,"
+        " lang, pages FROM gate_winrates"
+    )
+
+
+SQL_STREAM_WINDOW_RATES = """
+SELECT strftime(date_trunc('minute',
+         TIMESTAMP '2024-01-01 00:00:00' + (doc_id % 180) * INTERVAL 1 SECOND
+       ), '%Y-%m-%d %H:%M:%S') AS window_start,
+       lang, count(*)::BIGINT AS pages
+FROM documents
+GROUP BY 1, 2
+"""
+
+
 def q_kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ct = q_kg_canonical_triples(spark, sf_dir)
     return ct.select(
@@ -830,6 +880,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_adjacency": q_kg_adjacency,
     "kg_lineage": q_kg_lineage,
     "kg_stream_triples": q_kg_stream_triples,
+    "stream_window_rates": q_stream_window_rates,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
@@ -862,6 +913,7 @@ ORACLES: dict[str, str] = {
     "kg_lineage": SQL_KG_LINEAGE,
     # streamed output must equal the batch extraction exactly
     "kg_stream_triples": SQL_KG_TRIPLES,
+    "stream_window_rates": SQL_STREAM_WINDOW_RATES,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_minhash": SQL_DEDUP_MINHASH,
     "dedup_simhash": SQL_DEDUP_SIMHASH,

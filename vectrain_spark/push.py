@@ -86,11 +86,11 @@ class PushGateway:
         # str html — encode it; anything else non-bytes is rejected.
         if isinstance(html, str):
             html = html.encode("utf-8")
-        if not isinstance(html, (bytes, bytearray, memoryview)):
+        if html is not None and not isinstance(html, (bytes, bytearray, memoryview)):
             with self._lock:
                 self.rejected += 1
             return 400, "invalid_html_type"
-        if len(html) == 0:
+        if html is None or len(html) == 0:
             # the reference rejects empty text at the edge
             # (http/client.go:89-97) rather than shipping a junk row
             with self._lock:
