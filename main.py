@@ -78,6 +78,7 @@ def main(argv: list[str] | None = None) -> int:
         "resumed_from": stats["resumed_from"],
         "groups_run": len(stats["groups"]),
         "link_strategy": stats["link_strategy"],
+        "stopped_early": stats.get("stopped_early", False),
         "total_triples": stats["total_triples"],
         "canonical_triples": stats["canonical_triples"],
     }))

@@ -75,3 +75,47 @@ def test_monitor_reports_committed_state(spark, pages_df, aliases_df, tmp_path):
             assert b"vectrain_groups_done 2" in r.read()
     finally:
         server.shutdown()
+
+
+def test_graceful_stop_and_resume(spark, pages_df, aliases_df, tmp_path):
+    """POST /stop analog: the STOP sentinel halts the run between groups
+    (committed groups stay durable, finalize deferred); POST /start clears
+    it and the re-submit resumes to the exact uninterrupted result."""
+    import urllib.request
+
+    from vectrain_spark.monitor import clear_stop, request_stop, serve_monitor, stop_requested
+    from vectrain_spark.pipeline import PipelineConfig, run_pipeline
+
+    root = str(tmp_path / "wh")
+    ref_root = str(tmp_path / "wh_ref")
+    cfg = PipelineConfig(n_groups=2)
+
+    request_stop(root)
+    stats = run_pipeline(spark, pages_df, aliases_df, root, cfg)
+    assert stats["stopped_early"] is True
+    assert stats["groups"] == [] and stats["total_triples"] is None
+
+    # clear via the HTTP control surface (the reference's POST /api/start)
+    server, port = serve_monitor(root)
+    try:
+        req = urllib.request.Request(f"http://127.0.0.1:{port}/start", method="POST")
+        assert urllib.request.urlopen(req).status == 202
+    finally:
+        server.shutdown()
+    assert not stop_requested(root)
+
+    stats2 = run_pipeline(spark, pages_df, aliases_df, root, cfg)
+    want = run_pipeline(spark, pages_df, aliases_df, ref_root, cfg)
+    assert stats2.get("stopped_early", False) is False
+    assert stats2["total_triples"] == want["total_triples"]
+    assert stats2["canonical_triples"] == want["canonical_triples"]
+
+    # POST /stop writes the sentinel too
+    server, port = serve_monitor(root)
+    try:
+        req = urllib.request.Request(f"http://127.0.0.1:{port}/stop", method="POST")
+        assert urllib.request.urlopen(req).status == 202
+    finally:
+        server.shutdown()
+    assert stop_requested(root)
+    clear_stop(root)

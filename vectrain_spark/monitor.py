@@ -26,6 +26,33 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from .catalog import Catalog
 
 
+def _stop_path(out_root: str) -> str:
+    return os.path.join(out_root, "_checkpoint", "STOP")
+
+
+def request_stop(out_root: str) -> None:
+    """Ask a running pipeline to stop gracefully: it finishes the groups
+    already in flight, commits them, and returns with stopped_early=True —
+    the run resumes from exactly that point on the next spark-submit
+    (the reference's POST /api/stop analog, /root/reference/internal/http/
+    routes.go:17-23, made crash-equivalent-safe by the group manifest)."""
+    os.makedirs(os.path.dirname(_stop_path(out_root)), exist_ok=True)
+    with open(_stop_path(out_root), "w") as f:
+        f.write("stop")
+
+
+def clear_stop(out_root: str) -> None:
+    """POST /api/start analog: allow the next run to proceed."""
+    try:
+        os.remove(_stop_path(out_root))
+    except FileNotFoundError:
+        pass
+
+
+def stop_requested(out_root: str) -> bool:
+    return os.path.exists(_stop_path(out_root))
+
+
 def job_status(out_root: str) -> dict:
     """Durable-state snapshot of a (possibly running, possibly crashed)
     pipeline run rooted at ``out_root``."""
@@ -85,6 +112,22 @@ def serve_monitor(out_root: str, port: int = 0) -> tuple[ThreadingHTTPServer, in
                 return
             self.send_response(200)
             self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_POST(self):  # noqa: N802 (stdlib API)
+            if self.path == "/stop":
+                request_stop(out_root)
+            elif self.path == "/start":
+                clear_stop(out_root)
+            else:
+                self.send_response(404)
+                self.end_headers()
+                return
+            body = b'{"status":"accepted"}'
+            self.send_response(202)
+            self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)

@@ -450,6 +450,7 @@ def _run_groups_and_finalize(
     use_broadcast_maps, fail_after_groups,
 ) -> dict:
     pending = [g for g in range(cfg.n_groups) if g not in done]
+    stopped = False
 
     # resume hygiene: drop staged deltas of groups that crashed mid-flight
     # (their authoritative triples commit never landed), so re-running them
@@ -471,29 +472,49 @@ def _run_groups_and_finalize(
             if ran >= fail_after_groups:
                 raise InjectedFailure(f"injected failure after {ran} groups")
     elif pending:
-        from concurrent.futures import ThreadPoolExecutor, as_completed
+        from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor, wait
 
+        from .monitor import stop_requested
+
+        # groups are submitted INCREMENTALLY (not all upfront) so a
+        # graceful-stop request (monitor POST /stop -> STOP sentinel) takes
+        # effect between groups: in-flight groups finish and commit, queued
+        # ones stay pending, and the next run resumes from the manifest —
+        # the reference's start/stop control plane re-expressed over
+        # spark-submit + durable checkpoints
         workers = max(1, min(cfg.max_concurrent_groups, len(pending)))
+        queue = list(pending)
+        inflight: dict = {}
         with ThreadPoolExecutor(max_workers=workers) as ex:
-            futs = {
-                ex.submit(
-                    _run_group,
-                    spark,
-                    pages,
-                    linker,
-                    mapping,
-                    g,
-                    cfg.n_groups,
-                    cat,
-                    cfg.fingerprint(),
-                    use_broadcast_maps,
-                ): g
-                for g in pending
-            }
-            for fut in as_completed(futs):
-                gstats = fut.result()  # re-raises group failures
-                manifest.mark_done(gstats["group"], gstats)
-                stats["groups"].append(gstats)
+            while queue or inflight:
+                while queue and len(inflight) < workers and not stopped:
+                    if stop_requested(cat.root):
+                        stopped = True
+                        break
+                    g = queue.pop(0)
+                    fut = ex.submit(
+                        _run_group, spark, pages, linker, mapping, g,
+                        cfg.n_groups, cat, cfg.fingerprint(),
+                        use_broadcast_maps,
+                    )
+                    inflight[fut] = g
+                if not inflight:
+                    if stopped:
+                        break
+                    continue
+                done_futs, _ = wait(set(inflight), return_when=FIRST_COMPLETED)
+                for fut in done_futs:
+                    inflight.pop(fut)
+                    gstats = fut.result()  # re-raises group failures
+                    manifest.mark_done(gstats["group"], gstats)
+                    stats["groups"].append(gstats)
 
+    if stopped:
+        # committed groups are durable; finalize is deferred to the
+        # resuming run so the derived tables never reflect a partial input
+        stats["stopped_early"] = True
+        stats["total_triples"] = None
+        stats["canonical_triples"] = None
+        return stats
     stats.update(finalize(spark, cat))
     return stats
