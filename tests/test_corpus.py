@@ -1,0 +1,107 @@
+"""Corpus-hygiene operators: PII scan/mask, stratified sampling,
+per-stratum stats — value-checked against plain-Python references."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectrain_spark.operators.corpus import (
+    SAMPLE_BUCKETS,
+    corpus_stats,
+    pii_scan,
+    stratified_sample,
+)
+
+PII_ROWS = [
+    (0, "plain text nothing here"),
+    (1, "mail me at jane.doe+spam@mail.example.org today"),
+    (2, "server 192.168.0.1 and card 4111 1111 1111 1234"),
+    (3, "call +1-555-0199 or +44-020-7946 twice a@b.io"),
+    (4, "two mails x@y.co z@w.net and ip 10.0.0.255"),
+]
+
+
+def _mask_py(t: str) -> str:
+    t = re.sub(r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "<EMAIL>", t)
+    t = re.sub(r"[0-9]{4} [0-9]{4} [0-9]{4} [0-9]{4}", "<CARD>", t)
+    t = re.sub(r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}", "<PHONE>", t)
+    t = re.sub(r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>", t)
+    return t
+
+
+def test_pii_scan_counts_and_mask(spark):
+    df = spark.createDataFrame(PII_ROWS, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in pii_scan(df).collect()}
+    want_counts = {
+        0: (0, 0, 0, 0),
+        1: (1, 0, 0, 0),
+        2: (0, 0, 1, 1),
+        3: (1, 2, 0, 0),  # '+44-020-7946' matches the phone shape; a@b.io is a mail
+        4: (2, 0, 1, 0),
+    }
+    for doc_id, text in PII_ROWS:
+        g = got[doc_id]
+        assert (
+            g["n_emails"], g["n_phones"], g["n_ips"], g["n_cards"]
+        ) == want_counts[doc_id], doc_id
+        assert g["masked_hash"] == hashlib.md5(_mask_py(text).encode()).hexdigest()
+
+
+def test_stratified_sample_deterministic_and_nested(spark):
+    docs = spark.createDataFrame(
+        [(i, "t", ["en", "es", "de"][i % 3]) for i in range(300)],
+        "doc_id long, text string, lang string",
+    )
+    s_half = stratified_sample(docs, {"en": 0.5, "es": 0.5, "de": 0.5})
+    s_quarter = stratified_sample(docs, {"en": 0.25, "es": 0.25, "de": 0.25})
+    ids_half = {r["doc_id"] for r in s_half.collect()}
+    ids_quarter = {r["doc_id"] for r in s_quarter.collect()}
+    # fixed per-row buckets make smaller samples SUBSETS of larger ones
+    assert ids_quarter <= ids_half
+    # deterministic across repartitioning
+    ids_again = {
+        r["doc_id"] for r in stratified_sample(
+            docs.repartition(7), {"en": 0.5, "es": 0.5, "de": 0.5}
+        ).collect()
+    }
+    assert ids_again == ids_half
+    # rate ~ proportion (md5 buckets are uniform; wide tolerance)
+    assert 0.3 * 300 < len(ids_half) < 0.7 * 300
+    # default_rate keeps unlisted strata entirely
+    kept_all = stratified_sample(docs, {"en": 0.0}, default_rate=1.0)
+    langs = {r["lang"] for r in kept_all.collect()}
+    assert langs == {"es", "de"}
+
+
+def test_stratified_sample_bucket_matches_md5(spark):
+    docs = spark.createDataFrame(
+        [(42, "t", "en")], "doc_id long, text string, lang string"
+    )
+    row = stratified_sample(docs, {}, default_rate=1.0).collect()[0]
+    want = int(hashlib.md5(b"42").hexdigest()[:15], 16) % SAMPLE_BUCKETS
+    assert row["bucket"] == want
+
+
+def test_corpus_stats_vs_pandas(spark):
+    import numpy as np
+
+    rows = [(i, " ".join(["w"] * (5 + i % 17)), "en" if i % 2 else "fr")
+            for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r["lang"]: r.asDict() for r in corpus_stats(docs).collect()}
+    for lang in ("en", "fr"):
+        toks = np.array(
+            [5 + i % 17 for i, _, l in rows if l == lang], dtype="float64"
+        )
+        g = got[lang]
+        assert g["n_docs"] == len(toks)
+        assert g["total_tokens"] == int(toks.sum())
+        assert g["avg_tokens"] == round(float(toks.mean()), 6)
+        # numpy's linear interpolation == Spark percentile == quantile_cont
+        assert g["p50_tokens"] == round(float(np.percentile(toks, 50)), 6)
+        assert g["p90_tokens"] == round(float(np.percentile(toks, 90)), 6)
+        assert g["p99_tokens"] == round(float(np.percentile(toks, 99)), 6)

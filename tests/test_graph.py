@@ -1,0 +1,121 @@
+"""Graph analytics (pagerank, k_hop) and dedup clustering: hand-graph
+oracles in pure Python, plus determinism across partitionings."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectrain_spark.operators.graph import (
+    DAMPING,
+    ITER_ROUND,
+    N_ITER,
+    OUT_ROUND,
+    k_hop,
+    pagerank,
+)
+
+# a small digraph with a hub, a chain, a 2-cycle, and a sink
+EDGES = [
+    (1, 2), (1, 3), (1, 4),      # hub 1
+    (2, 3), (3, 4), (4, 5),      # chain
+    (5, 1),                      # cycle back
+    (6, 1), (7, 1),              # feeders into the hub
+    (3, 8),                      # sink 8 (no out-edges)
+]
+
+
+def _pagerank_py(edges, n_iter=N_ITER, d=DAMPING):
+    nodes = sorted({u for e in edges for u in e})
+    out = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    rank = {n: 1.0 for n in nodes}
+    for _ in range(n_iter):
+        contrib = {n: 0.0 for n in nodes}
+        for s, t in edges:
+            contrib[t] += rank[s] / out[s]
+        rank = {n: round(1 - d + d * contrib[n], ITER_ROUND) for n in nodes}
+    return {n: round(r, OUT_ROUND) for n, r in rank.items()}
+
+
+def test_pagerank_matches_python_oracle(spark):
+    e = spark.createDataFrame(EDGES, "src long, dst long")
+    got = {r["id"]: r["rank"] for r in pagerank(e).collect()}
+    assert got == _pagerank_py(EDGES)
+
+
+def test_pagerank_deterministic_across_partitioning(spark):
+    e1 = spark.createDataFrame(EDGES, "src long, dst long").repartition(1)
+    e13 = spark.createDataFrame(EDGES, "src long, dst long").repartition(13)
+    r1 = sorted(map(tuple, pagerank(e1).collect()))
+    r13 = sorted(map(tuple, pagerank(e13).collect()))
+    assert r1 == r13
+
+
+def test_pagerank_hub_outranks_leaf(spark):
+    e = spark.createDataFrame(EDGES, "src long, dst long")
+    got = {r["id"]: r["rank"] for r in pagerank(e).collect()}
+    # node 1 has 3 in-edges (incl. from the cycle), node 6 has none
+    assert got[1] > got[6]
+    # never-linked-to nodes hold the base rank
+    assert got[6] == round(1 - DAMPING, OUT_ROUND)
+
+
+def _khop_py(edges, seeds, k=2):
+    adj = {}
+    for s, t in edges:
+        adj.setdefault(s, set()).add(t)
+    out = {}
+    for seed in seeds:
+        frontier = {seed}
+        for hop in range(1, k + 1):
+            frontier = set().union(*(adj.get(n, set()) for n in frontier))
+            for n in frontier:
+                if n != seed:
+                    out.setdefault((seed, n), hop)
+    return {(s, n, h) for (s, n), h in out.items()}
+
+
+def test_khop_matches_python_oracle(spark):
+    e = spark.createDataFrame(EDGES, "src long, dst long")
+    seeds = spark.createDataFrame([(1,), (6,)], "seed long")
+    got = {tuple(r) for r in k_hop(e, seeds, k=2).collect()}
+    assert got == _khop_py(EDGES, [1, 6], k=2)
+    # hop is the MINIMUM: 1 -> 3 exists directly and via 2; must be 1
+    assert (1, 3, 1) in got
+
+
+def test_dedup_clusters_union_find_oracle(spark):
+    from vectrain_spark.operators.dedup import dedup_clusters
+
+    corpus = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(10)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(0, 3), (3, 7), (1, 2), (8, 9)], "a long, b long"
+    ).withColumn("jaccard", F.lit(1.0))
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"], r["is_keeper"])
+        for r in dedup_clusters(corpus, pairs).collect()
+    }
+    # components: {0,3,7} -> 0, {1,2} -> 1, {8,9} -> 8; singletons 4,5,6
+    want = {
+        0: (0, 3, True), 3: (0, 3, False), 7: (0, 3, False),
+        1: (1, 2, True), 2: (1, 2, False),
+        8: (8, 2, True), 9: (8, 2, False),
+        4: (4, 1, True), 5: (5, 1, True), 6: (6, 1, True),
+    }
+    assert got == want
+
+
+def test_dedup_clusters_no_pairs_all_singletons(spark):
+    from vectrain_spark.operators.dedup import dedup_clusters
+
+    corpus = spark.createDataFrame(
+        [(i, "x") for i in range(5)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([], "a long, b long")
+    rows = dedup_clusters(corpus, pairs).collect()
+    assert len(rows) == 5
+    assert all(r["cluster_size"] == 1 and r["is_keeper"] for r in rows)

@@ -106,3 +106,48 @@ def test_simhash_partial_aggregation(spark):
     # i.e. there is a HashAggregate on the map side
     assert plan.count("HashAggregate") >= 2
     assert first_agg < first_exchange
+
+
+def test_pii_and_sampling_are_shuffle_free_jvm_maps(spark):
+    """PII scan/mask and stratified sampling are per-row map work: zero
+    exchanges, zero Python eval nodes — they fuse into the parquet scan."""
+    from vectrain_spark.operators.corpus import pii_scan, stratified_sample
+
+    spark.catalog.clearCache()
+    docs = spark.read.parquet(DOCS)
+    for df in (pii_scan(docs), stratified_sample(docs, {"en": 0.5})):
+        plan = _plan(df)
+        assert "Exchange" not in plan, plan
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+        assert "*(" in plan  # whole-stage codegen span
+
+
+def test_corpus_stats_single_aggregation_shuffle(spark):
+    """Per-lang stats: one hashpartitioning exchange with a map-side
+    partial aggregate below it (count/sum combine before the shuffle)."""
+    from vectrain_spark.operators.corpus import corpus_stats
+
+    spark.catalog.clearCache()
+    docs = spark.read.parquet(DOCS)
+    plan = _plan(corpus_stats(docs))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "EvalPython" not in plan
+
+
+def test_pagerank_iteration_reuses_src_partitioning(spark):
+    """After the one-time repartition("src"), each iteration's
+    contribution join must NOT re-shuffle the edge table: the only
+    hashpartitioning exchanges in an iteration touch rank-sized frames."""
+    from vectrain_spark.operators.graph import pagerank
+
+    spark.catalog.clearCache()
+    edges = spark.createDataFrame(
+        [(i % 7, (i * 3) % 11) for i in range(50)], "src long, dst long"
+    )
+    ranks = pagerank(edges, n_iter=2)
+    ranks.collect()
+    plan = _plan(ranks)
+    # final pass: nodes left-join contribs — contribs aggregate shuffles on
+    # dst, nodes join shuffles both sides; the persisted edge table itself
+    # appears as an InMemory/checkpoint scan, never a fresh parquet+exchange
+    assert "EvalPython" not in plan

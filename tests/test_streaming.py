@@ -286,3 +286,45 @@ def test_stream_dedup_first_seen_across_batches(spark, tmp_path):
         for r in spark.sql("SELECT url, html FROM firstseen").collect()
     }
     assert rows == {"https://a": b"v1", "https://b": b"b1", "https://c": b"c1"}
+
+
+def test_sessionized_activity_semantics_through_stream(spark, tmp_path):
+    """session_window gap semantics through a real availableNow stream:
+    <= gap merges (INCLUSIVE boundary, verified), > gap splits; a sentinel
+    far in the future drives the watermark so every real session closes."""
+    from datetime import datetime, timedelta
+
+    import pandas as pd
+
+    from vectrain_spark.streaming import pages_stream, sessionized_page_activity
+
+    b = datetime(2024, 1, 1)
+    secs = [0, 10, 40, 75, 200, 230]  # 40-10=30 merges; 75-40=35 splits
+    rows = [
+        {"url": f"u{i}", "warc_ts": b + timedelta(seconds=s), "html": b"x", "lang": "en"}
+        for i, s in enumerate(secs)
+    ]
+    rows.append(
+        {"url": "sent", "warc_ts": b + timedelta(seconds=100000), "html": b"x", "lang": "en"}
+    )
+    pdir = str(tmp_path / "sess_pages")
+    spark.createDataFrame(pd.DataFrame(rows)).write.parquet(pdir)
+    q = (
+        sessionized_page_activity(pages_stream(spark, pdir, 10000))
+        .writeStream.format("memory")
+        .queryName("sess_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["session_start"].second + r["session_start"].minute * 60,
+         r["session_end"].second + r["session_end"].minute * 60,
+         r["pages"])
+        for r in spark.sql(
+            "SELECT * FROM sess_test WHERE session_start < '2024-01-02'"
+        ).collect()
+    }
+    # [0,10,40] one session (30s boundary merges), [75], [200,230]
+    assert got == {(0, 70, 3), (75, 105, 1), (200, 260, 2)}

@@ -142,6 +142,19 @@ class Catalog:
         for a group whose authoritative commit never landed — before
         reprocessing, those orphan deltas are pruned so the re-run cannot
         double-append. Returns True if anything was pruned."""
+        return self.prune_if(
+            table,
+            lambda meta: meta.get("group") is not None
+            and int(meta["group"]) in groups,
+            reason={"pruned_groups": sorted(groups)},
+        )
+
+    def prune_if(self, table: str, drop_fn, reason: dict | None = None) -> bool:
+        """Commit a replace snapshot excluding every append delta whose
+        manifest meta satisfies ``drop_fn(meta)``. The general staging-sync
+        primitive behind :meth:`prune_groups` (incremental waves key deltas
+        by (group, wave), not group alone). Returns True if anything was
+        pruned; commits nothing otherwise."""
         with self._commit_lock:
             head = self._head(table)
             if head is None:
@@ -156,8 +169,7 @@ class Catalog:
                 else:
                     prev_set = set(prev)
                     delta = [d for d in m["data_dirs"] if d not in prev_set]
-                g = m["meta"].get("group")
-                if g is not None and int(g) in groups:
+                if delta and drop_fn(m["meta"]):
                     pruned = True
                 else:
                     keep.extend(delta)
@@ -170,7 +182,7 @@ class Catalog:
                 "parent": head,
                 "op": "replace",
                 "data_dirs": keep,
-                "meta": {"pruned_groups": sorted(groups)},
+                "meta": reason or {"pruned": True},
                 "committed_at": time.time(),
             }
             self._atomic_write(

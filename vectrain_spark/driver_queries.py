@@ -272,6 +272,94 @@ GROUP BY 1, 2
 """
 
 
+def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-window burst detection through a REAL stream: pages get
+    deterministic warc_ts bursts (10 events 5 s apart, bursts 120 s apart),
+    flow through session_window(gap=30s) with a watermark, and every closed
+    session is value-checked against a lag/cumulative-sum sessionization in
+    SQL. One sentinel event per lang at +100000 s drives the watermark past
+    every real session so append mode emits them all; the sentinel's own
+    session never closes and so never appears."""
+    import os
+    import shutil
+
+    from .streaming import pages_stream, sessionized_page_activity
+
+    base = "/tmp/vectrain_sessions_gate"
+    shutil.rmtree(base, ignore_errors=True)
+    doc_id = F.regexp_extract("url", "([0-9]+)$", 1).cast("long")
+    offset = (doc_id % 10) * 5 + F.floor((doc_id % 100) / 10) * 120
+    pages = (
+        pages_from_documents(_docs(spark, sf_dir))
+        .withColumn("__off", offset.cast("int"))
+        .withColumn(
+            "warc_ts", F.expr("warc_ts + make_interval(0, 0, 0, 0, 0, 0, __off)")
+        )
+        .drop("__off")
+    )
+    sentinels = (
+        pages.select("lang")
+        .distinct()
+        .select(
+            F.concat(F.lit("sentinel-"), F.col("lang")).alias("url"),
+            F.expr(
+                "TIMESTAMP '2024-01-01 00:00:00' + make_interval(0, 0, 0, 0, 0, 0, 100000)"
+            ).alias("warc_ts"),
+            F.lit(None).cast("binary").alias("html"),
+            "lang",
+        )
+    )
+    pdir = os.path.join(base, "pages")
+    pages.select("url", "warc_ts", "html", "lang").unionByName(sentinels).repartition(
+        4
+    ).write.parquet(pdir)
+    q = (
+        sessionized_page_activity(pages_stream(spark, pdir, 10000))
+        .writeStream.format("memory")
+        .queryName("gate_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(
+        "SELECT date_format(session_start, 'yyyy-MM-dd HH:mm:ss') AS session_start,"
+        " date_format(session_end, 'yyyy-MM-dd HH:mm:ss') AS session_end,"
+        " lang, pages FROM gate_sessions"
+        " WHERE session_start < TIMESTAMP '2024-01-02 00:00:00'"
+    )
+
+
+SQL_STREAM_SESSIONS = """
+WITH ev AS (
+  SELECT doc_id, lang,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + ((doc_id % 10) * 5 + (doc_id % 100) // 10 * 120) * INTERVAL 1 SECOND AS ts
+  FROM documents
+),
+-- ORDER BY (ts, doc_id) — a deterministic TOTAL order — in BOTH windows:
+-- with duplicate timestamps, lag() and the running sum would otherwise
+-- break ties independently and mis-assign one duplicate to the prior
+-- session (observed at sf0.01)
+o AS (
+  SELECT lang, ts, doc_id,
+         CASE WHEN lag(ts) OVER (PARTITION BY lang ORDER BY ts, doc_id) IS NULL
+              OR ts - lag(ts) OVER (PARTITION BY lang ORDER BY ts, doc_id) > INTERVAL 30 SECOND
+              THEN 1 ELSE 0 END AS brk
+  FROM ev
+),
+s AS (
+  SELECT lang, ts,
+         sum(brk) OVER (PARTITION BY lang ORDER BY ts, doc_id ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts) + INTERVAL 30 SECOND, '%Y-%m-%d %H:%M:%S') AS session_end,
+       lang, count(*)::BIGINT AS pages
+FROM s GROUP BY lang, sid
+"""
+
+
 def q_kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ct = q_kg_canonical_triples(spark, sf_dir)
     return ct.select(
@@ -466,6 +554,81 @@ SELECT e.src AS src, deg.degree AS degree,
 FROM edges e JOIN deg ON deg.src = e.src
 """
 
+def q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph analytics over the materialized edge table: 5-iteration
+    PageRank via iterative DataFrame joins, checked value-for-value
+    against an unrolled-CTE DuckDB reconstruction (identical per-iteration
+    rounding makes both engines iterate on the same doubles)."""
+    from .operators.graph import pagerank
+
+    return pagerank(q_kg_edges(spark, sf_dir))
+
+
+def q_kg_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop neighborhood expansion from the 3 smallest source entities:
+    (seed, node, hops) with hops = minimum directed distance."""
+    from .operators.graph import k_hop
+
+    edges = q_kg_edges(spark, sf_dir)
+    seeds = (
+        edges.select(F.col("src").alias("seed")).distinct().orderBy("seed").limit(3)
+    )
+    return k_hop(edges, seeds, k=2).withColumn("hops", F.col("hops").cast("int"))
+
+
+def q_kg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MERGE gate: bootstrap the warehouse from HALF the corpus
+    (even doc_ids), then feed the FULL corpus as an incremental wave — the
+    overlap must be skipped (url anti-join per bucket-group), the odd half
+    processed, and the final triples table must equal the one-shot batch
+    oracle exactly (no duplicates, nothing missing)."""
+    import shutil
+
+    from .catalog import Catalog
+    from .pipeline import PipelineConfig, run_incremental, run_pipeline
+
+    root = "/tmp/vectrain_incr_gate"
+    shutil.rmtree(root, ignore_errors=True)
+    docs = _docs(spark, sf_dir)
+    cfg = PipelineConfig(n_groups=4)
+    aliases = corpus_aliases(spark)
+    run_pipeline(
+        spark, pages_from_documents(docs.filter(F.col("doc_id") % 2 == 0)),
+        aliases, root, cfg,
+    )
+    run_incremental(
+        spark, pages_from_documents(docs), aliases, root, cfg, wave="w2"
+    )
+    return (
+        Catalog(root)
+        .read(spark, "triples")
+        .select("url", "subj", "pred", "obj")
+    )
+
+
+def _pagerank_sql() -> str:
+    from .operators.graph import pagerank_oracle_sql
+
+    return pagerank_oracle_sql(SQL_KG_EDGES)
+
+
+SQL_KG_PAGERANK = _pagerank_sql()
+
+SQL_KG_KHOP = f"""
+WITH e AS (SELECT DISTINCT src, dst FROM ({SQL_KG_EDGES})),
+seeds AS (SELECT DISTINCT src AS seed FROM e ORDER BY seed LIMIT 3),
+h1 AS (SELECT s.seed, e.dst AS node FROM seeds s JOIN e ON e.src = s.seed),
+h2 AS (SELECT h1.seed, e.dst AS node FROM h1 JOIN e ON e.src = h1.node),
+walks AS (
+  SELECT seed, node, 1 AS hops FROM h1
+  UNION ALL
+  SELECT seed, node, 2 AS hops FROM h2
+)
+SELECT seed, node, min(hops)::INTEGER AS hops
+FROM walks WHERE seed <> node GROUP BY seed, node
+"""
+
+
 # ---------------------------------------------------------------------------
 # Dedup queries
 # ---------------------------------------------------------------------------
@@ -516,6 +679,49 @@ SELECT l.doc_id AS a, r.doc_id AS b,
 FROM sim l JOIN sim r ON l.doc_id < r.doc_id
 WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
 """
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs -> clusters -> keeper: connected components over the MinHash
+    near-dup pair graph, every corpus doc labeled with its cluster id
+    (= min doc_id in the component), cluster size, and whether it is the
+    one copy a training corpus would keep. Oracle: recursive-CTE CC over
+    the same brute-force pair set."""
+    from .operators.dedup import dedup_clusters
+
+    corpus = dedup_corpus(_docs(spark, sf_dir))
+    return dedup_clusters(corpus, minhash_pairs(corpus))
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {DEDUP_CORPUS_SQL},
+{SHINGLES_SQL},
+prs AS (
+  SELECT e1.doc_id AS a, e2.doc_id AS b, count(*) AS inter
+  FROM e e1 JOIN e e2 USING (s) WHERE e1.doc_id < e2.doc_id
+  GROUP BY 1, 2
+),
+szs AS (SELECT doc_id, len(shingles) AS n FROM sh),
+dup_pairs AS (
+  SELECT a, b FROM prs
+  JOIN szs sa ON sa.doc_id = a JOIN szs sb ON sb.doc_id = b
+  WHERE round((prs.inter * 1.0) / (sa.n + sb.n - prs.inter), 6) >= {JACCARD_THRESHOLD}
+),
+und AS (
+  SELECT a AS src, b AS dst FROM dup_pairs
+  UNION SELECT b, a FROM dup_pairs
+),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM corpus
+  UNION
+  SELECT reach.id, und.dst FROM reach JOIN und ON und.src = reach.r
+),
+lab AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id)
+SELECT lab.doc_id, lab.cluster_id, sz.cluster_size,
+       lab.doc_id = lab.cluster_id AS is_keeper
+FROM lab JOIN sz USING (cluster_id)
+"""
+
 
 # ---------------------------------------------------------------------------
 # Text-analysis queries
@@ -597,6 +803,110 @@ WITH corpus AS (SELECT doc_id, text FROM documents),
 SELECT doc_id, min(md5(s)) AS fp_min, max(md5(s)) AS fp_max
 FROM e GROUP BY doc_id
 """
+
+def q_text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scan + mask over a deterministically-planted corpus (the base
+    documents contain no digits or '@', so every match is planted): per-
+    class counts plus the md5 of the masked text, all JVM regex — the
+    oracle repeats the identical planting and masking in DuckDB (the
+    patterns live in the shared Java-regex/RE2 subset)."""
+    from .operators.corpus import pii_corpus, pii_scan
+
+    return pii_scan(pii_corpus(_docs(spark, sf_dir)))
+
+
+def _pii_sql() -> str:
+    from .operators.corpus import _MASK_ORDER, RE_CARD, RE_EMAIL, RE_IP, RE_PHONE
+
+    masked = "t"
+    for pat, token in _MASK_ORDER:
+        masked = f"regexp_replace({masked}, '{pat}', '{token}', 'g')"
+    counts = {
+        "n_emails": RE_EMAIL,
+        "n_phones": RE_PHONE,
+        "n_ips": RE_IP,
+        "n_cards": RE_CARD,
+    }
+    count_cols = ",\n       ".join(
+        f"len(regexp_extract_all(t, '{pat}'))::BIGINT AS {name}"
+        for name, pat in counts.items()
+    )
+    return f"""
+WITH p AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+    || CASE WHEN doc_id % 5 = 0 THEN ' call +1-555-' || (doc_id % 9000 + 1000) ELSE '' END
+    || CASE WHEN doc_id % 4 = 0 THEN ' host 10.' || (doc_id % 256) || '.' || (doc_id % 100)
+                                      || '.' || (doc_id % 254 + 1) ELSE '' END
+    || CASE WHEN doc_id % 7 = 0 THEN ' pay 4111 1111 1111 ' || (doc_id % 9000 + 1000) ELSE '' END
+    AS t
+  FROM documents
+)
+SELECT doc_id,
+       {count_cols},
+       md5({masked}) AS masked_hash
+FROM p
+"""
+
+
+SQL_TEXT_PII = _pii_sql()
+
+
+SAMPLE_RATES = {"en": 0.5, "es": 0.25, "de": 0.75, "zh": 0.1}
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-deterministic stratified sampling: per-lang keep rates applied
+    via md5(doc_id) buckets — reproducible across engines/cluster sizes,
+    which is exactly what lets DuckDB reconstruct the identical sample."""
+    from .operators.corpus import stratified_sample
+
+    return stratified_sample(
+        _docs(spark, sf_dir), SAMPLE_RATES, default_rate=1.0
+    ).select("doc_id", "lang", "bucket")
+
+
+def _sample_sql() -> str:
+    from .operators.corpus import SAMPLE_BUCKETS
+
+    whens = " ".join(
+        f"WHEN '{lang}' THEN {rate}" for lang, rate in sorted(SAMPLE_RATES.items())
+    )
+    return f"""
+WITH b AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % {SAMPLE_BUCKETS} AS bucket
+  FROM documents
+)
+SELECT doc_id, lang, bucket FROM b
+WHERE bucket < (CASE lang {whens} ELSE 1.0 END) * {SAMPLE_BUCKETS}
+"""
+
+
+SQL_SAMPLE_STRATIFIED = _sample_sql()
+
+
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus statistics with exact interpolated percentiles
+    (Spark `percentile` == DuckDB `quantile_cont`)."""
+    from .operators.corpus import corpus_stats
+
+    return corpus_stats(_docs(spark, sf_dir))
+
+
+SQL_CORPUS_STATS = f"""
+WITH w AS (SELECT lang, len(string_split({NORM_SQL}, ' '))::DOUBLE AS toks FROM documents)
+SELECT lang,
+       count(*)::BIGINT AS n_docs,
+       sum(toks)::BIGINT AS total_tokens,
+       round(avg(toks), 6) AS avg_tokens,
+       round(quantile_cont(toks, 0.5), 6) AS p50_tokens,
+       round(quantile_cont(toks, 0.9), 6) AS p90_tokens,
+       round(quantile_cont(toks, 0.99), 6) AS p99_tokens
+FROM w GROUP BY lang
+"""
+
 
 # ---------------------------------------------------------------------------
 # Payload coercion (K2)
@@ -879,12 +1189,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_edges": q_kg_edges,
     "kg_adjacency": q_kg_adjacency,
     "kg_lineage": q_kg_lineage,
+    "kg_pagerank": q_kg_pagerank,
+    "kg_khop": q_kg_khop,
+    "kg_incremental": q_kg_incremental,
     "kg_stream_triples": q_kg_stream_triples,
     "stream_window_rates": q_stream_window_rates,
+    "stream_sessions": q_stream_sessions,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_clusters": q_dedup_clusters,
+    "text_pii": q_text_pii,
+    "sample_stratified": q_sample_stratified,
+    "corpus_stats": q_corpus_stats,
     "text_langid": q_text_langid,
     "text_quality": q_text_quality,
     "text_tokens": q_text_tokens,
@@ -911,9 +1229,14 @@ ORACLES: dict[str, str] = {
     "kg_edges": SQL_KG_EDGES,
     "kg_adjacency": SQL_KG_ADJACENCY,
     "kg_lineage": SQL_KG_LINEAGE,
+    "kg_pagerank": SQL_KG_PAGERANK,
+    "kg_khop": SQL_KG_KHOP,
     # streamed output must equal the batch extraction exactly
     "kg_stream_triples": SQL_KG_TRIPLES,
+    # incremental bootstrap+wave must converge to the one-shot batch result
+    "kg_incremental": SQL_KG_TRIPLES,
     "stream_window_rates": SQL_STREAM_WINDOW_RATES,
+    "stream_sessions": SQL_STREAM_SESSIONS,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_minhash": SQL_DEDUP_MINHASH,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
@@ -922,6 +1245,10 @@ ORACLES: dict[str, str] = {
     # shares the brute-force all-pairs oracle — unlike minhash it matches
     # by construction, not up to sketch recall.
     "dedup_ngram_jaccard": SQL_DEDUP_MINHASH,
+    "dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "text_pii": SQL_TEXT_PII,
+    "sample_stratified": SQL_SAMPLE_STRATIFIED,
+    "corpus_stats": SQL_CORPUS_STATS,
     "text_langid": SQL_TEXT_LANGID,
     "text_quality": SQL_TEXT_QUALITY,
     "text_tokens": SQL_TEXT_TOKENS,

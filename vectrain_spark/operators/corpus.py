@@ -1,0 +1,165 @@
+"""Corpus-hygiene operators a training-data pipeline runs before/after
+dedup: PII detection + masking, deterministic stratified sampling, and
+per-language corpus statistics.
+
+All pure JVM expressions (regexp/md5/percentile inside whole-stage
+codegen; zero Python), each with an exact DuckDB oracle:
+
+* PII regexes are written in the common Java-regex / RE2 subset
+  (character classes + bounded quantifiers, no lookaround) so Spark and
+  DuckDB match identical spans; the masked text is compared by md5.
+* sampling keys on md5(doc_id) — NOT rand() — so the sample is a pure
+  function of the row (reproducible across runs, engines, cluster
+  sizes; the same property that makes the pipeline's deterministic ids
+  re-run-safe, vs the reference's random-UUID sink,
+  /root/reference/internal/app/storages/qdrant/store.go:32).
+* corpus stats use exact linear-interpolation percentiles
+  (Spark ``percentile`` == DuckDB ``quantile_cont``).
+
+Scale notes: PII and sampling are per-row map work fused into the scan
+(no shuffle at all — a filter pushed on top of the parquet scan);
+corpus stats shuffle once on the low-cardinality ``lang`` key, with
+map-side partial aggregation; exact percentiles hold full per-group
+value lists, so at 100 TB you'd swap ``percentile`` for
+``approx_percentile`` (same plan shape, bounded state) — the exact form
+is kept here because the gate demands bit-reproducibility.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Java-regex / RE2 common-subset patterns (no lookaround, no \b needed —
+# the planted fixture delimits tokens with spaces).
+RE_EMAIL = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+RE_CARD = "[0-9]{4} [0-9]{4} [0-9]{4} [0-9]{4}"
+RE_PHONE = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+RE_IP = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+# masking order: email first (may contain digits/dots), then the longer
+# numeric shapes before the shorter ones so a card is never half-eaten
+# by the phone/ip patterns
+_MASK_ORDER = [
+    (RE_EMAIL, "<EMAIL>"),
+    (RE_CARD, "<CARD>"),
+    (RE_PHONE, "<PHONE>"),
+    (RE_IP, "<IP>"),
+]
+
+
+def pii_corpus(docs: DataFrame) -> DataFrame:
+    """Deterministic PII-bearing corpus derived from `documents` (whose
+    text contains no digits or '@', verified — so every match below is a
+    planted one and the oracle can rebuild the corpus from doc_id
+    arithmetic)."""
+    d = F.col("doc_id")
+    text = F.col("text")
+    text = F.when(
+        d % 3 == 0,
+        F.concat(text, F.lit(" contact user"), d.cast("string"), F.lit("@example.com")),
+    ).otherwise(text)
+    text = F.when(
+        d % 5 == 0,
+        F.concat(text, F.lit(" call +1-555-"), (d % 9000 + 1000).cast("string")),
+    ).otherwise(text)
+    text = F.when(
+        d % 4 == 0,
+        F.concat(
+            text,
+            F.lit(" host 10."),
+            (d % 256).cast("string"),
+            F.lit("."),
+            (d % 100).cast("string"),
+            F.lit("."),
+            (d % 254 + 1).cast("string"),
+        ),
+    ).otherwise(text)
+    text = F.when(
+        d % 7 == 0,
+        F.concat(
+            text, F.lit(" pay 4111 1111 1111 "), (d % 9000 + 1000).cast("string")
+        ),
+    ).otherwise(text)
+    return docs.select("doc_id", text.alias("text"))
+
+
+def pii_scan(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, text) -> per-class PII counts + md5 of the masked text.
+
+    Counting runs on the raw text; masking applies the class replacements
+    in a fixed order. Emitting the masked text's md5 (not the text) keeps
+    the result row narrow while still value-checking every replacement
+    byte-for-byte against the oracle.
+    """
+    t = F.col(text_col)
+    counts = {
+        "n_emails": RE_EMAIL,
+        "n_phones": RE_PHONE,
+        "n_ips": RE_IP,
+        "n_cards": RE_CARD,
+    }
+    masked = t
+    for pat, token in _MASK_ORDER:
+        masked = F.regexp_replace(masked, pat, token)
+    return docs.select(
+        "doc_id",
+        *[
+            F.size(F.regexp_extract_all(t, F.lit(pat), 0)).cast("long").alias(name)
+            for name, pat in counts.items()
+        ],
+        F.md5(masked.cast("binary")).alias("masked_hash"),
+    )
+
+
+SAMPLE_BUCKETS = 1000
+
+
+def _hash_bucket(col, buckets: int = SAMPLE_BUCKETS):
+    """Deterministic [0, buckets) bucket from md5 — first 15 hex chars as
+    a bigint (always < 2^60, so non-negative in both engines; identical
+    to DuckDB's ('0x' || substr(md5(x), 1, 15))::BIGINT % buckets)."""
+    h = F.conv(F.substring(F.md5(col.cast("string").cast("binary")), 1, 15), 16, 10)
+    return F.pmod(h.cast("long"), F.lit(buckets))
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    key_col: str = "doc_id",
+    stratum_col: str = "lang",
+) -> DataFrame:
+    """Hash-deterministic stratified sampling: keep a row iff its md5
+    bucket falls under its stratum's rate. Reproducible across runs and
+    cluster sizes; composable (a 0.5 sample is a superset of a 0.25 one,
+    since buckets are fixed per row)."""
+    bucket = _hash_bucket(F.col(key_col))
+    rate = F.lit(default_rate)
+    for stratum, r in sorted(rates.items()):
+        rate = F.when(F.col(stratum_col) == stratum, F.lit(float(r))).otherwise(rate)
+    return docs.withColumn("bucket", bucket.cast("long")).filter(
+        F.col("bucket") < rate * SAMPLE_BUCKETS
+    )
+
+
+def corpus_stats(docs: DataFrame, stratum_col: str = "lang") -> DataFrame:
+    """Per-stratum corpus statistics over whitespace token counts:
+    (lang, n_docs, total_tokens, avg_tokens, p50/p90/p99_tokens).
+
+    Exact percentiles with linear interpolation — Spark ``percentile``
+    and DuckDB ``quantile_cont`` implement the same estimator, so the
+    doubles agree bit-for-bit after shared rounding.
+    """
+    from .dedup import normalized_text
+
+    toks = F.size(F.split(normalized_text(), " ")).cast("double")
+    base = docs.select(F.col(stratum_col), toks.alias("toks"))
+    return base.groupBy(stratum_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("toks").cast("long").alias("total_tokens"),
+        F.round(F.avg("toks"), 6).alias("avg_tokens"),
+        F.round(F.percentile("toks", F.lit(0.5)), 6).alias("p50_tokens"),
+        F.round(F.percentile("toks", F.lit(0.9)), 6).alias("p90_tokens"),
+        F.round(F.percentile("toks", F.lit(0.99)), 6).alias("p99_tokens"),
+    )

@@ -290,6 +290,42 @@ def ngram_jaccard_pairs(
     )
 
 
+def dedup_clusters(corpus: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Near-dup pairs -> document clusters with a canonical keeper:
+    (doc_id, cluster_id, cluster_size, is_keeper) for EVERY corpus doc.
+
+    The step an actual dedup pipeline runs after pair generation: connected
+    components over the pair graph (the same large-star/small-star operator
+    that canonicalizes entities, C2) assigns cluster_id = min doc_id in the
+    component; docs in no pair are their own singleton cluster; the keeper
+    (the one copy a training corpus retains) is the cluster minimum.
+
+    Scale shape: CC is O(log n) rounds over the PAIR graph (pairs are
+    LSH-bounded, far smaller than the corpus); the only corpus-sized
+    shuffles are the label join (dup-docs are a small fraction, broadcast
+    in practice via AQE) and one groupBy(cluster_id) for sizes.
+    """
+    from .canonicalize import connected_components
+
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    mapping = connected_components(edges)
+    labeled = (
+        corpus.select("doc_id")
+        .distinct()
+        .join(mapping.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select("doc_id", F.coalesce("canon", F.col("doc_id")).alias("cluster_id"))
+    )
+    sizes = labeled.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return labeled.join(sizes, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"),
+    )
+
+
 def simhash_docs(corpus: DataFrame) -> DataFrame:
     """(doc_id, simhash): 60-bit SimHash over word occurrences, md5-keyed.
 

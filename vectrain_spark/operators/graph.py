@@ -1,0 +1,144 @@
+"""Graph analytics over the materialized KG edge table: PageRank and
+k-hop neighborhood expansion.
+
+The reference delegates every post-ingest query to Qdrant (it only
+*writes* the index, /root/reference/internal/app/storages/qdrant/
+store.go:40-49); the north_star materializes an adjacency/edge table
+instead — these operators are the query surface that table exists for.
+
+Scale design:
+* PageRank is the canonical iterative-DataFrame-join workload: the edge
+  table is hash-partitioned on ``src`` ONCE and persisted, so every
+  iteration's contribution join reuses the same partitioning (one-time
+  shuffle, then per-iteration joins co-locate); the per-``dst`` sum is a
+  two-phase aggregate (map-side partial combine collapses hub fan-in
+  before the exchange — the skew answer for algebraic aggregates);
+  ``localCheckpoint`` truncates the lineage so the plan stays flat
+  across iterations instead of growing exponentially.
+* k-hop is two self-joins with the seed side broadcast — at web scale
+  seeds are a handful of entities, so no shuffle touches the edge table
+  beyond its own partitioning.
+
+Determinism / oracle parity: ranks are rounded to 8 decimals per
+iteration (both engines then iterate on IDENTICAL doubles — the 1e-16
+summation-order noise can never compound) and 6 decimals on output,
+matching the unrolled-CTE DuckDB oracle built by
+:func:`pagerank_oracle_sql`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DAMPING = 0.85
+N_ITER = 5
+ITER_ROUND = 8
+OUT_ROUND = 6
+
+
+def pagerank(edges: DataFrame, n_iter: int = N_ITER, damping: float = DAMPING) -> DataFrame:
+    """(src, dst[, ...]) directed edges -> (id, rank) after ``n_iter``
+    synchronous iterations of rank(v) = (1-d) + d * sum(rank(u)/outdeg(u)).
+
+    Uses the non-normalized formulation (ranks sum to ~|V|, dangling mass
+    is dropped) — the classic iterative-join PageRank; deterministic given
+    the edge set.
+    """
+    e = edges.select("src", "dst").distinct()
+    # one-time partitioning by src: every iteration's contribution join
+    # then co-locates without further exchanges of the edge table
+    e = e.repartition("src").persist()
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).persist()
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionAll(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .persist()
+    )
+    ranks = nodes.select("id", F.lit(1.0).alias("rank"))
+    base = 1.0 - damping
+    for _ in range(n_iter):
+        contribs = (
+            e.join(ranks.withColumnRenamed("id", "src"), "src")
+            .join(outdeg, "src")
+            .select("dst", (F.col("rank") / F.col("outdeg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contribs.withColumnRenamed("dst", "id"), "id", "left")
+            .select(
+                "id",
+                F.round(
+                    F.lit(base) + F.lit(damping) * F.coalesce("s", F.lit(0.0)),
+                    ITER_ROUND,
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    out = ranks.select("id", F.round("rank", OUT_ROUND).alias("rank"))
+    e.unpersist()
+    outdeg.unpersist()
+    nodes.unpersist()
+    return out
+
+
+def pagerank_oracle_sql(
+    edges_sql: str, n_iter: int = N_ITER, damping: float = DAMPING
+) -> str:
+    """Unrolled-CTE DuckDB reconstruction of :func:`pagerank`.
+
+    ``edges_sql`` must select distinct (src, dst). Each iteration is one
+    CTE level with the identical per-iteration rounding.
+    """
+    base = 1.0 - damping
+    parts = [
+        f"e AS (SELECT DISTINCT src, dst FROM ({edges_sql}))",
+        "nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e)",
+        "od AS (SELECT src, count(*)::DOUBLE AS outdeg FROM e GROUP BY src)",
+        "r0 AS (SELECT id, 1.0::DOUBLE AS rank FROM nodes)",
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f"""r{i} AS (
+  SELECT n.id,
+         round({base} + {damping} * coalesce(c.s, 0.0), {ITER_ROUND}) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst, sum(r.rank / od.outdeg) AS s
+    FROM e JOIN r{i-1} r ON r.id = e.src JOIN od ON od.src = e.src
+    GROUP BY e.dst
+  ) c ON c.dst = n.id
+)"""
+        )
+    body = ",\n".join(parts)
+    return (
+        f"WITH {body}\n"
+        f"SELECT id, round(rank, {OUT_ROUND}) AS rank FROM r{n_iter}"
+    )
+
+
+def k_hop(edges: DataFrame, seeds: DataFrame, k: int = 2) -> DataFrame:
+    """BFS frontier expansion: (seed, node, hops) for every node reachable
+    from a seed in 1..k directed hops, hops = the MINIMUM distance.
+
+    The seed frontier is broadcast each hop (seeds are query-sized); the
+    edge table is only ever the probe side of the join.
+    """
+    e = edges.select("src", "dst").distinct()
+    frontier = seeds.select(F.col("seed"), F.col("seed").alias("node"))
+    reached = None
+    for hop in range(1, k + 1):
+        frontier = (
+            F.broadcast(frontier.select("seed", F.col("node").alias("src")))
+            .join(e, "src")
+            .select("seed", F.col("dst").alias("node"))
+            .distinct()
+        )
+        step = frontier.select("seed", "node", F.lit(hop).cast("int").alias("hops"))
+        reached = step if reached is None else reached.unionAll(step)
+    return (
+        reached.groupBy("seed", "node")
+        .agg(F.min("hops").alias("hops"))
+        .filter(F.col("seed") != F.col("node"))
+    )

@@ -190,6 +190,8 @@ def _run_group(
     cat: Catalog,
     fingerprint: str = "",
     broadcast_maps: bool = True,
+    wave: str | None = None,
+    seen_urls: DataFrame | None = None,
 ) -> dict:
     """Process one bucket-group end-to-end and commit its snapshots.
 
@@ -212,6 +214,14 @@ def _run_group(
     else:
         sub = pages.filter(F.pmod(F.xxhash64("url"), F.lit(n_groups)) == group)
 
+    # incremental wave: skip pages already processed by a committed unit.
+    # Both sides are filtered to THIS group (the same url-hash bucketing),
+    # so at cluster scale the anti-join is group-local — the Iceberg MERGE
+    # analog without rewriting existing data files.
+    if seen_urls is not None:
+        seen_g = seen_urls.filter(F.col("group_id") == group).select("url")
+        sub = sub.join(seen_g, "url", "left_anti")
+
     # Python pass 1: html -> text (+ error tags); one scan of the pages.
     # Staged on disk so every downstream consumer is a columnar JVM scan.
     tp = time.time()
@@ -219,7 +229,7 @@ def _run_group(
         "extracted",
         extract_pages(sub).withColumn("group_id", F.lit(group)),
         mode="append",
-        meta={"group": group},
+        meta={"group": group, "wave": wave},
     )
     ext = cat.read_snapshot_delta(spark, "extracted", ext_snap)
     _prof(f"group {group} stage extracted", tp)
@@ -275,7 +285,7 @@ def _run_group(
             "triples",
             canon.repartition(SINK_PARTITIONS),
             mode="append",
-            meta={"group": group, "fingerprint": fingerprint},
+            meta={"group": group, "fingerprint": fingerprint, "wave": wave},
         )
         _prof(f"group {group} write triples", tp)
     finally:
@@ -364,15 +374,24 @@ def run_pipeline(
     out_root: str,
     cfg: PipelineConfig | None = None,
     fail_after_groups: int | None = None,
+    wave: str | None = None,
 ) -> dict:
     """Run (or resume) the full pipeline; returns run stats.
 
     ``fail_after_groups`` injects a crash after K committed groups — the
     resume test hook (SURVEY.md §5.2 item 4).
+
+    ``wave`` names an incremental delta (see :func:`run_incremental`):
+    checkpoint state is scoped per wave, and pages already processed by
+    any committed (group, wave) unit are anti-joined away, so overlapping
+    input merges instead of duplicating — the Iceberg MERGE semantics the
+    reference's random-UUID sink lacks
+    (/root/reference/internal/app/storages/qdrant/store.go:32, TODO :45).
     """
     cfg = cfg or PipelineConfig()
     cat = Catalog(out_root)
-    manifest = GroupManifest(out_root, cfg.fingerprint())
+    manifest_fp = cfg.fingerprint() + (f"|wave={wave}" if wave is not None else "")
+    manifest = GroupManifest(out_root, manifest_fp)
 
     # effectively-exactly-once: a group counts as done if EITHER the
     # checkpoint manifest says so OR its data snapshot already committed
@@ -381,8 +400,12 @@ def run_pipeline(
     # under a different config (e.g. n_groups changed) must NOT mark a
     # same-numbered group done — its grouping means something else. Stale-
     # fingerprint snapshots are pruned so re-runs never mix groupings.
+    # With waves, completion is scoped per (group, wave): a wave-1 commit
+    # never marks the group done for wave 2 (its pages are excluded by the
+    # anti-join instead).
     done = manifest.completed()
     stale: set[int] = set()
+    live_keys: set[tuple[int, str | None]] = set()
     if cat.exists("triples"):
         snaps = cat.snapshots("triples")
         live = set(snaps[-1]["data_dirs"]) if snaps else set()
@@ -401,13 +424,34 @@ def run_pipeline(
             if not delta or not all(d in live for d in delta):
                 continue
             if snap["meta"].get("fingerprint") == cfg.fingerprint():
-                done.add(int(g))
+                live_keys.add((int(g), snap["meta"].get("wave")))
+                if snap["meta"].get("wave") == wave:
+                    done.add(int(g))
             else:
                 stale.add(int(g))
-    stale -= done  # never prune a group that also has a current-config commit
+    # never prune a group that also has a current-config commit (any wave)
+    stale -= done | {g for g, _w in live_keys}
     if stale:
         cat.prune_groups("triples", stale)
         cat.prune_groups("extracted", stale)
+
+    # staging sync: drop every extracted delta whose (group, wave) unit has
+    # no live authoritative triples commit — crash orphans from ANY wave
+    # (including an interrupted bootstrap) — so the extracted table never
+    # leads the triples table and the incremental anti-join below can trust
+    # it as the processed-page set.
+    cat.prune_if(
+        "extracted",
+        lambda meta: meta.get("group") is not None
+        and (int(meta["group"]), meta.get("wave")) not in live_keys,
+        reason={"sync": "extracted-to-triples"},
+    )
+
+    seen_urls = None
+    if wave is not None and cat.exists("extracted"):
+        # resolved AT WAVE START (fixed snapshot): this wave's own commits
+        # never feed back into its anti-join side
+        seen_urls = cat.read(spark, "extracted").select("url", "group_id")
 
     # size-dispatched linking: broadcast probe for dictionaries that fit an
     # executor, shuffle-join path beyond (VERDICT r1 'What's wrong #2' —
@@ -437,7 +481,7 @@ def run_pipeline(
     try:
         return _run_groups_and_finalize(
             spark, pages, linker, mapping, cat, manifest, cfg, done, stats,
-            use_broadcast_maps, fail_after_groups,
+            use_broadcast_maps, fail_after_groups, wave, seen_urls,
         )
     finally:
         # release the join-path linker's persisted dictionary frames so
@@ -445,18 +489,35 @@ def run_pipeline(
         getattr(linker, "cleanup", lambda: None)()
 
 
+def run_incremental(
+    spark: SparkSession,
+    new_pages: DataFrame,
+    aliases: DataFrame,
+    out_root: str,
+    cfg: PipelineConfig | None = None,
+    wave: str = "delta",
+    fail_after_groups: int | None = None,
+) -> dict:
+    """Incremental MERGE into an existing warehouse: process only pages not
+    already committed (url anti-join per bucket-group), append their
+    triples, rebuild the derived tables. Overlapping input is safe — a
+    wave fed the full corpus after a bootstrap run re-processes exactly
+    the unseen pages. Each wave is itself resumable (crash mid-wave →
+    re-run the same wave id)."""
+    return run_pipeline(
+        spark, new_pages, aliases, out_root, cfg,
+        fail_after_groups=fail_after_groups, wave=wave,
+    )
+
+
 def _run_groups_and_finalize(
     spark, pages, linker, mapping, cat, manifest, cfg, done, stats,
-    use_broadcast_maps, fail_after_groups,
+    use_broadcast_maps, fail_after_groups, wave=None, seen_urls=None,
 ) -> dict:
     pending = [g for g in range(cfg.n_groups) if g not in done]
     stopped = False
-
-    # resume hygiene: drop staged deltas of groups that crashed mid-flight
-    # (their authoritative triples commit never landed), so re-running them
-    # cannot double-append into the staging/metadata tables
-    if pending:
-        cat.prune_groups("extracted", set(pending))
+    # (mid-flight orphan deltas were already pruned by the staging sync in
+    # run_pipeline — extracted never leads triples at this point)
 
     if fail_after_groups is not None:
         # deterministic crash point for the resume tests: sequential
@@ -465,6 +526,7 @@ def _run_groups_and_finalize(
             gstats = _run_group(
                 spark, pages, linker, mapping, g, cfg.n_groups, cat,
                 cfg.fingerprint(), broadcast_maps=use_broadcast_maps,
+                wave=wave, seen_urls=seen_urls,
             )
             manifest.mark_done(g, gstats)
             stats["groups"].append(gstats)
@@ -495,7 +557,7 @@ def _run_groups_and_finalize(
                     fut = ex.submit(
                         _run_group, spark, pages, linker, mapping, g,
                         cfg.n_groups, cat, cfg.fingerprint(),
-                        use_broadcast_maps,
+                        use_broadcast_maps, wave, seen_urls,
                     )
                     inflight[fut] = g
                 if not inflight:

@@ -199,6 +199,40 @@ def windowed_page_rates(
     )
 
 
+def sessionized_page_activity(
+    pages: DataFrame, gap: str = "30 seconds", watermark: str = "10 seconds"
+) -> DataFrame:
+    """Session-window crawl-burst detection: merge pages of the same lang
+    whose warc_ts fall within ``gap`` of each other into one session ->
+    (session_start, session_end, lang, pages).
+
+    The dynamic-gap cousin of :func:`windowed_page_rates` — fixed windows
+    measure rate, sessions measure BURSTS (a crawler hitting one host, a
+    news spike). State per key is one open session, closed and emitted when
+    the watermark passes session_end + gap; late pages beyond the watermark
+    are dropped rather than reopening closed sessions (bounded state at
+    10^12-page scale).
+
+    Session semantics (exactly reproducible in the batch SQL oracle): an
+    event at t joins the current session iff t - last_event <= gap
+    (Spark merges windows whose bounds TOUCH, verified empirically — an
+    event exactly ``gap`` after the last one extends the session); a
+    strictly larger gap between consecutive events (per lang, event-time
+    order) starts a new session; session_end = last event + gap.
+    """
+    return (
+        pages.withWatermark("warc_ts", watermark)
+        .groupBy(F.session_window("warc_ts", gap).alias("s"), "lang")
+        .agg(F.count(F.lit(1)).alias("pages"))
+        .select(
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "lang",
+            "pages",
+        )
+    )
+
+
 _FIRST_SEEN_STATE = "seen byte"
 
 
