@@ -51,6 +51,7 @@ HEADLINE_QUERIES = [
     "corpus_stats",
     "sim_knn",
     "sim_ann_ivf",
+    "events_asof",
 ]
 
 

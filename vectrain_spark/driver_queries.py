@@ -909,6 +909,87 @@ FROM w GROUP BY lang
 
 
 # ---------------------------------------------------------------------------
+# Event-stream queries (events table)
+# ---------------------------------------------------------------------------
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+
+
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase-attribution as-of join: every purchase matched to the same
+    user's latest signup at-or-before it (union + keyed-window plan — ONE
+    shuffle, no range-join blow-up). Checked against DuckDB's native
+    ASOF LEFT JOIN — a genuinely independent implementation of the same
+    semantics. Timestamps compare as formatted strings (Spark hands pandas
+    ns-precision, DuckDB us — value-identical, hash-unfriendly)."""
+    from .operators.events import asof_join
+
+    # the parquet ts is TIMESTAMP_NTZ; the session runs UTC, so the cast to
+    # TIMESTAMP is value-preserving and unlocks unix_micros
+    ev = _events(spark, sf_dir).withColumn("ts", F.col("ts").cast("timestamp"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("signup_event_id"),
+        F.col("ts").alias("signup_ts"),
+    )
+    out = asof_join(purchases, signups, key="user_id", ts="ts").withColumn(
+        "secs_since_signup",
+        F.round(
+            (F.unix_micros("ts") - F.unix_micros("signup_ts")) / F.lit(1_000_000.0), 6
+        ),
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", _TS_FMT_SPARK).alias("ts"),
+        "value",
+        "signup_event_id",
+        "secs_since_signup",
+    )
+
+
+SQL_EVENTS_ASOF = f"""
+WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+s AS (SELECT user_id, ts, event_id AS signup_event_id FROM events WHERE event_type = 'signup')
+SELECT p.event_id,
+       p.user_id,
+       strftime(p.ts, '{_TS_FMT_DUCK}') AS ts,
+       p.value,
+       s.signup_event_id,
+       round((epoch_us(p.ts) - epoch_us(s.ts)) / 1000000.0, 6) AS secs_since_signup
+FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts
+"""
+
+
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property promotion (the open-schema cousin of payload_coerce):
+    props['k'] -> typed column, pure JVM get_json_object."""
+    from .operators.events import extract_event_props
+
+    return extract_event_props(_events(spark, sf_dir), {"k": "bigint"}).select(
+        "event_id", "event_type", "prop_k", "value"
+    )
+
+
+SQL_EVENTS_JSON = """
+SELECT event_id, event_type,
+       json_extract_string(props, '$.k')::BIGINT AS prop_k,
+       value
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
 # Payload coercion (K2)
 # ---------------------------------------------------------------------------
 
@@ -1217,6 +1298,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_image_features": q_multimodal_image_features,
     "multimodal_audio_frames": q_multimodal_audio_frames,
     "payload_coerce": q_payload_coerce,
+    "events_asof": q_events_asof,
+    "events_json": q_events_json,
 }
 
 ORACLES: dict[str, str] = {
@@ -1268,4 +1351,6 @@ ORACLES: dict[str, str] = {
     "multimodal_image_features": SQL_MULTIMODAL_IMAGE,
     "multimodal_audio_frames": SQL_MULTIMODAL_AUDIO,
     "payload_coerce": SQL_PAYLOAD_COERCE,
+    "events_asof": SQL_EVENTS_ASOF,
+    "events_json": SQL_EVENTS_JSON,
 }

@@ -1,0 +1,86 @@
+"""Event-stream operators over the driver `events` table: a generic
+distributed AS-OF join and JSON property extraction.
+
+The as-of join is the canonical operator Spark lacks natively (joins each
+left row to the latest right row at-or-before its timestamp — attribution,
+slowly-changing dimensions, market data). The naive formulation is a range
+join (quadratic blow-up per key); the scale-correct distributed shape used
+here is union + keyed window:
+
+    union(left tagged 1, right tagged 0)
+      -> ONE shuffle: partitionBy(key), in-partition sort by (ts, tag)
+      -> last(right attrs, ignorenulls) over rows unbounded-preceding
+      -> keep left rows
+
+Cost is a single exchange + sort, identical to a self-join aggregate —
+no candidate explosion regardless of how many right rows precede a left
+row. Hot keys are bounded by per-key row counts (the same skew profile as
+any keyed window; salt the key and merge per-salt tails if one key exceeds
+a partition).
+
+Reference analog: none — the reference has no joins at all (SURVEY.md
+§2.2); this extends the engine's relational surface over the event stream
+the way Qdrant payload filtering would be used downstream of vectrain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+) -> DataFrame:
+    """For every left row, attach the right row with the greatest ``ts``
+    at-or-before the left row's ``ts`` for the same ``key`` (inclusive:
+    equal timestamps match). Right rows must be unique per (key, ts) for a
+    deterministic result — the standard as-of precondition.
+
+    ``right`` must carry ``key`` and ``ts`` plus any attribute columns to
+    attach; attribute names must not collide with left's columns. Left
+    rows with no prior right row keep nulls (left-outer semantics).
+    """
+    carry = [c for c in right.columns if c not in (key, ts)]
+    lt = left.select(
+        "*",
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in carry],
+    )
+    rt = right.select(
+        *[
+            F.col(c) if c in (key, ts) else F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left.columns
+        ],
+        F.lit(0).alias("_side"),
+        *carry,
+    )
+    # right rows sort BEFORE left rows at equal ts (0 < 1) -> inclusive match
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = lt.unionByName(rt).select(
+        *left.columns,
+        "_side",
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in carry],
+    )
+    return matched.filter(F.col("_side") == 1).drop("_side")
+
+
+def extract_event_props(events: DataFrame, fields: dict[str, str]) -> DataFrame:
+    """Promote JSON ``props`` keys to typed columns:
+    ``fields`` maps json key -> spark type. The JSON-column cousin of the
+    payload-coercion operator (operators/payload.py) — late-bound schema
+    promotion, all JVM (`get_json_object`)."""
+    return events.select(
+        "*",
+        *[
+            F.get_json_object("props", f"$.{k}").cast(t).alias(f"prop_{k}")
+            for k, t in fields.items()
+        ],
+    )
