@@ -40,6 +40,10 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
                    help="dictionaries up to this many rows broadcast (linker probe, "
                         "mention maps, canonical mapping); bigger ones take the "
                         "shuffle-join path. Default: PipelineConfig.broadcast_dict_max")
+    p.add_argument("--wave", default=None,
+                   help="incremental MERGE wave id: process only pages not already "
+                        "committed to --out (per-bucket url anti-join); overlapping "
+                        "input is safe, re-running the same wave id resumes it")
     return p.parse_args(argv)
 
 
@@ -73,8 +77,9 @@ def main(argv: list[str] | None = None) -> int:
         max_concurrent_groups=args.max_concurrent_groups,
         **kw,
     )
-    stats = run_pipeline(spark, pages, aliases, args.out, cfg)
+    stats = run_pipeline(spark, pages, aliases, args.out, cfg, wave=args.wave)
     print(json.dumps({
+        "wave": args.wave,
         "resumed_from": stats["resumed_from"],
         "groups_run": len(stats["groups"]),
         "link_strategy": stats["link_strategy"],
