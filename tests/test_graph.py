@@ -119,3 +119,28 @@ def test_dedup_clusters_no_pairs_all_singletons(spark):
     rows = dedup_clusters(corpus, pairs).collect()
     assert len(rows) == 5
     assert all(r["cluster_size"] == 1 and r["is_keeper"] for r in rows)
+
+
+def test_pagerank_weighted_matches_python_oracle(spark):
+    # parallel/weighted edges: 1->2 heavy, 1->3 light
+    wedges = [(1, 2, 9.0), (1, 3, 1.0), (2, 1, 1.0), (3, 1, 1.0), (1, 2, 1.0)]
+    e = spark.createDataFrame(wedges, "src long, dst long, cnt double")
+    got = {r["id"]: r["rank"] for r in pagerank(e, weight="cnt").collect()}
+    # python oracle with per-(src,dst) summed weights
+    agg = {}
+    for s, t, w in wedges:
+        agg[(s, t)] = agg.get((s, t), 0.0) + w
+    outw = {}
+    for (s, _t), w in agg.items():
+        outw[s] = outw.get(s, 0.0) + w
+    nodes = sorted({n for st in agg for n in st})
+    rank = {n: 1.0 for n in nodes}
+    for _ in range(N_ITER):
+        contrib = {n: 0.0 for n in nodes}
+        for (s, t), w in agg.items():
+            contrib[t] += rank[s] * w / outw[s]
+        rank = {n: round(1 - DAMPING + DAMPING * contrib[n], ITER_ROUND) for n in nodes}
+    want = {n: round(r, OUT_ROUND) for n, r in rank.items()}
+    assert got == want
+    # the heavier edge target must outrank the lighter one
+    assert got[2] > got[3]

@@ -580,6 +580,14 @@ def q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(_materialized_edges(spark, sf_dir))
 
 
+def q_kg_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank: out-edge shares proportional to triple counts
+    (the KG's natural edge weight) instead of equal splits."""
+    from .operators.graph import pagerank
+
+    return pagerank(_materialized_edges(spark, sf_dir), weight="cnt")
+
+
 def q_kg_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-hop neighborhood expansion from the 3 smallest source entities:
     (seed, node, hops) with hops = minimum directed distance."""
@@ -622,13 +630,41 @@ def q_kg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pagerank_sql() -> str:
+def _pagerank_sql(weight_sql: str | None = None) -> str:
     from .operators.graph import pagerank_oracle_sql
 
-    return pagerank_oracle_sql(SQL_KG_EDGES)
+    return pagerank_oracle_sql(SQL_KG_EDGES, weight_sql=weight_sql)
 
 
 SQL_KG_PAGERANK = _pagerank_sql()
+SQL_KG_PAGERANK_WEIGHTED = _pagerank_sql(weight_sql="cnt")
+
+def q_kg_top_preds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 outgoing (pred, dst) per source entity by triple count —
+    the window-function (row_number over partition) surface, over the
+    materialized edge table, with a fully deterministic tie-break."""
+    from pyspark.sql import Window
+
+    edges = _materialized_edges(spark, sf_dir)
+    w = Window.partitionBy("src").orderBy(
+        F.col("cnt").desc(), F.col("pred").asc(), F.col("dst").asc()
+    )
+    return (
+        edges.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 2)
+        .select("src", "pred", "dst", "cnt", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+SQL_KG_TOP_PREDS = f"""
+WITH e AS ({{edges}})
+SELECT src, pred, dst, cnt, rk FROM (
+  SELECT src, pred, dst, cnt,
+         row_number() OVER (PARTITION BY src ORDER BY cnt DESC, pred ASC, dst ASC)::INTEGER AS rk
+  FROM e
+) WHERE rk <= 2
+"""
+
 
 SQL_KG_KHOP = f"""
 WITH e AS (SELECT DISTINCT src, dst FROM ({SQL_KG_EDGES})),
@@ -643,6 +679,8 @@ walks AS (
 SELECT seed, node, min(hops)::INTEGER AS hops
 FROM walks WHERE seed <> node GROUP BY seed, node
 """
+
+SQL_KG_TOP_PREDS = SQL_KG_TOP_PREDS.format(edges=SQL_KG_EDGES)
 
 
 # ---------------------------------------------------------------------------
@@ -921,6 +959,37 @@ SELECT lang,
        round(quantile_cont(toks, 0.9), 6) AS p90_tokens,
        round(quantile_cont(toks, 0.99), 6) AS p99_tokens
 FROM w GROUP BY lang
+"""
+
+
+def q_corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLAP rollup over (lang, source): per-combination, per-lang subtotal,
+    and grand-total doc/char counts in one pass (partial aggregation
+    handles every grouping level in the same shuffle). Null grouping
+    markers are coalesced to '<all>' identically on both engines."""
+    return (
+        _docs(spark, sf_dir)
+        .rollup("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .select(
+            F.coalesce("lang", F.lit("<all>")).alias("lang"),
+            F.coalesce("source", F.lit("<all>")).alias("source"),
+            "n_docs",
+            "total_chars",
+        )
+    )
+
+
+SQL_CORPUS_ROLLUP = """
+SELECT coalesce(lang, '<all>') AS lang,
+       coalesce(source, '<all>') AS source,
+       count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS total_chars
+FROM documents
+GROUP BY ROLLUP (lang, source)
 """
 
 
@@ -1287,7 +1356,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_adjacency": q_kg_adjacency,
     "kg_lineage": q_kg_lineage,
     "kg_pagerank": q_kg_pagerank,
+    "kg_pagerank_weighted": q_kg_pagerank_weighted,
     "kg_khop": q_kg_khop,
+    "kg_top_preds": q_kg_top_preds,
     "kg_incremental": q_kg_incremental,
     "kg_stream_triples": q_kg_stream_triples,
     "stream_window_rates": q_stream_window_rates,
@@ -1300,6 +1371,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_pii": q_text_pii,
     "sample_stratified": q_sample_stratified,
     "corpus_stats": q_corpus_stats,
+    "corpus_rollup": q_corpus_rollup,
     "text_langid": q_text_langid,
     "text_quality": q_text_quality,
     "text_tokens": q_text_tokens,
@@ -1329,7 +1401,9 @@ ORACLES: dict[str, str] = {
     "kg_adjacency": SQL_KG_ADJACENCY,
     "kg_lineage": SQL_KG_LINEAGE,
     "kg_pagerank": SQL_KG_PAGERANK,
+    "kg_pagerank_weighted": SQL_KG_PAGERANK_WEIGHTED,
     "kg_khop": SQL_KG_KHOP,
+    "kg_top_preds": SQL_KG_TOP_PREDS,
     # streamed output must equal the batch extraction exactly
     "kg_stream_triples": SQL_KG_TRIPLES,
     # incremental bootstrap+wave must converge to the one-shot batch result
@@ -1348,6 +1422,7 @@ ORACLES: dict[str, str] = {
     "text_pii": SQL_TEXT_PII,
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
     "corpus_stats": SQL_CORPUS_STATS,
+    "corpus_rollup": SQL_CORPUS_ROLLUP,
     "text_langid": SQL_TEXT_LANGID,
     "text_quality": SQL_TEXT_QUALITY,
     "text_tokens": SQL_TEXT_TOKENS,

@@ -37,19 +37,33 @@ ITER_ROUND = 8
 OUT_ROUND = 6
 
 
-def pagerank(edges: DataFrame, n_iter: int = N_ITER, damping: float = DAMPING) -> DataFrame:
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = N_ITER,
+    damping: float = DAMPING,
+    weight: str | None = None,
+) -> DataFrame:
     """(src, dst[, ...]) directed edges -> (id, rank) after ``n_iter``
     synchronous iterations of rank(v) = (1-d) + d * sum(rank(u)/outdeg(u)).
 
     Uses the non-normalized formulation (ranks sum to ~|V|, dangling mass
     is dropped) — the classic iterative-join PageRank; deterministic given
     the edge set.
+
+    ``weight`` names an edge-weight column (e.g. the KG's triple count):
+    each out-edge then carries rank * w / total_out_weight(src) instead of
+    an equal share; parallel edges are pre-summed per (src, dst).
     """
-    e = edges.select("src", "dst").distinct()
+    if weight is None:
+        e = edges.select("src", "dst").distinct().withColumn("w", F.lit(1.0))
+    else:
+        e = edges.groupBy("src", "dst").agg(
+            F.sum(F.col(weight).cast("double")).alias("w")
+        )
     # one-time partitioning by src: every iteration's contribution join
     # then co-locates without further exchanges of the edge table
     e = e.repartition("src").persist()
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).persist()
+    outdeg = e.groupBy("src").agg(F.sum("w").alias("outw")).persist()
     nodes = (
         e.select(F.col("src").alias("id"))
         .unionAll(e.select(F.col("dst").alias("id")))
@@ -62,7 +76,7 @@ def pagerank(edges: DataFrame, n_iter: int = N_ITER, damping: float = DAMPING) -
         contribs = (
             e.join(ranks.withColumnRenamed("id", "src"), "src")
             .join(outdeg, "src")
-            .select("dst", (F.col("rank") / F.col("outdeg")).alias("c"))
+            .select("dst", (F.col("rank") * F.col("w") / F.col("outw")).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
@@ -85,18 +99,29 @@ def pagerank(edges: DataFrame, n_iter: int = N_ITER, damping: float = DAMPING) -
 
 
 def pagerank_oracle_sql(
-    edges_sql: str, n_iter: int = N_ITER, damping: float = DAMPING
+    edges_sql: str,
+    n_iter: int = N_ITER,
+    damping: float = DAMPING,
+    weight_sql: str | None = None,
 ) -> str:
     """Unrolled-CTE DuckDB reconstruction of :func:`pagerank`.
 
-    ``edges_sql`` must select distinct (src, dst). Each iteration is one
-    CTE level with the identical per-iteration rounding.
+    ``edges_sql`` must select (src, dst[, weight col]). Each iteration is
+    one CTE level with the identical per-iteration rounding.
+    ``weight_sql`` names the weight column for the weighted variant.
     """
     base = 1.0 - damping
+    if weight_sql is None:
+        e_cte = f"e AS (SELECT src, dst, 1.0::DOUBLE AS w FROM (SELECT DISTINCT src, dst FROM ({edges_sql})))"
+    else:
+        e_cte = (
+            f"e AS (SELECT src, dst, sum({weight_sql})::DOUBLE AS w"
+            f" FROM ({edges_sql}) GROUP BY src, dst)"
+        )
     parts = [
-        f"e AS (SELECT DISTINCT src, dst FROM ({edges_sql}))",
+        e_cte,
         "nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e)",
-        "od AS (SELECT src, count(*)::DOUBLE AS outdeg FROM e GROUP BY src)",
+        "od AS (SELECT src, sum(w) AS outw FROM e GROUP BY src)",
         "r0 AS (SELECT id, 1.0::DOUBLE AS rank FROM nodes)",
     ]
     for i in range(1, n_iter + 1):
@@ -105,7 +130,7 @@ def pagerank_oracle_sql(
   SELECT n.id,
          round({base} + {damping} * coalesce(c.s, 0.0), {ITER_ROUND}) AS rank
   FROM nodes n LEFT JOIN (
-    SELECT e.dst, sum(r.rank / od.outdeg) AS s
+    SELECT e.dst, sum(r.rank * e.w / od.outw) AS s
     FROM e JOIN r{i-1} r ON r.id = e.src JOIN od ON od.src = e.src
     GROUP BY e.dst
   ) c ON c.dst = n.id
