@@ -86,3 +86,19 @@ def test_incremental_no_new_pages_is_a_noop(
     run_incremental(spark, pages_df, aliases_df, root, CFG, wave="again")
     assert _triples(spark, root) == before
     assert Catalog(root).read(spark, "extracted").count() == n_before
+
+
+def test_incremental_rejects_config_change(
+    spark, pages_df, aliases_df, tmp_path_factory
+):
+    """A wave under a different n_groups must refuse instead of pruning the
+    other config's committed data and merging only its own delta."""
+    root = str(tmp_path_factory.mktemp("incr_cfgguard"))
+    run_pipeline(spark, pages_df, aliases_df, root, PipelineConfig(n_groups=4))
+    with pytest.raises(ValueError, match="different pipeline config"):
+        run_incremental(
+            spark, pages_df, aliases_df, root, PipelineConfig(n_groups=8), wave="w2"
+        )
+    # the warehouse is untouched: a matching-config re-run still no-ops
+    stats = run_pipeline(spark, pages_df, aliases_df, root, PipelineConfig(n_groups=4))
+    assert len(stats["resumed_from"]) == 4 and not stats["groups"]

@@ -431,6 +431,16 @@ def run_pipeline(
                 stale.add(int(g))
     # never prune a group that also has a current-config commit (any wave)
     stale -= done | {g for g, _w in live_keys}
+    if stale and wave is not None:
+        # an incremental wave under a CHANGED config would prune the other
+        # config's committed groups and then process only this wave's delta
+        # — silent data loss. Incremental runs must match the warehouse
+        # config; re-group with a full run first.
+        raise ValueError(
+            f"incremental wave {wave!r} into a warehouse with live commits "
+            f"from a different pipeline config (groups {sorted(stale)}); "
+            "run a full (non-wave) pipeline to re-group first"
+        )
     if stale:
         cat.prune_groups("triples", stale)
         cat.prune_groups("extracted", stale)
