@@ -41,3 +41,26 @@ def test_group_manifest_resume_and_fingerprint(tmp_path):
     assert GroupManifest(str(tmp_path), "cfgA").completed() == {0, 2}
     # changed config invalidates the checkpoint (not resumable)
     assert GroupManifest(str(tmp_path), "cfgB").completed() == set()
+
+
+def test_compact_preserves_rows_and_time_travel(spark, tmp_path):
+    from vectrain_spark.catalog import Catalog
+
+    cat = Catalog(str(tmp_path / "wh"))
+    for i in range(5):
+        cat.write(
+            "t",
+            spark.range(i * 10, (i + 1) * 10).selectExpr("id", "id * 2 AS v"),
+            mode="append",
+            meta={"group": i},
+        )
+    head_before = cat.snapshots("t")[-1]
+    rows_before = sorted(map(tuple, cat.read(spark, "t").collect()))
+    snap = cat.compact(spark, "t", target_files=2)
+    m = cat.snapshots("t")[-1]
+    assert m["snapshot_id"] == snap and m["op"] == "replace"
+    assert len(m["data_dirs"]) == 1 and len(head_before["data_dirs"]) == 5
+    assert sorted(map(tuple, cat.read(spark, "t").collect())) == rows_before
+    # old snapshots stay time-travelable after compaction
+    old = cat.read(spark, "t", snapshot_id=3)
+    assert old.count() == 30

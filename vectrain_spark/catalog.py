@@ -207,6 +207,24 @@ class Catalog:
         own = [d for d in m["data_dirs"] if d not in parent_dirs]
         return spark.read.parquet(*own)
 
+    def compact(self, spark: SparkSession, table: str, target_files: int = 4) -> int:
+        """Iceberg-style maintenance: rewrite the table's live rows into one
+        right-sized replace snapshot. Incremental appends accumulate
+        per-commit file sets; compaction collapses them so downstream scans
+        stop paying per-file open cost. Readers are never disturbed — the
+        rewrite stages new files and the manifest swap is the same atomic
+        rename as any commit (old snapshots remain time-travelable).
+
+        Caveat: the replace snapshot carries no per-group meta, so the
+        snapshot-based group recovery can no longer attribute the
+        compacted rows — run compaction on COMPLETE tables (the durable
+        GroupManifest still proves completion either way)."""
+        df = self.read(spark, table)
+        return self.write(
+            table, df.repartition(target_files), mode="replace",
+            meta={"compacted": True},
+        )
+
     def drop(self, table: str) -> None:
         shutil.rmtree(self._tdir(table), ignore_errors=True)
 

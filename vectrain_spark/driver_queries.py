@@ -639,6 +639,45 @@ def _pagerank_sql(weight_sql: str | None = None) -> str:
 SQL_KG_PAGERANK = _pagerank_sql()
 SQL_KG_PAGERANK_WEIGHTED = _pagerank_sql(weight_sql="cnt")
 
+
+def q_kg_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot isolation / time travel: bootstrap the warehouse from the
+    EVEN half of the corpus, remember the triples HEAD, merge the full
+    corpus as an incremental wave, then read the REMEMBERED snapshot —
+    it must still be exactly the bootstrap state (the oracle filters the
+    batch result to even doc_ids), untouched by the later commits."""
+    import shutil
+
+    from .catalog import Catalog
+    from .pipeline import PipelineConfig, run_incremental, run_pipeline
+
+    root = "/tmp/vectrain_tt_gate"
+    shutil.rmtree(root, ignore_errors=True)
+    docs = _docs(spark, sf_dir)
+    cfg = PipelineConfig(n_groups=4)
+    aliases = corpus_aliases(spark)
+    cat = Catalog(root)
+    run_pipeline(
+        spark, pages_from_documents(docs.filter(F.col("doc_id") % 2 == 0)),
+        aliases, root, cfg,
+    )
+    head_before_wave = cat.snapshots("triples")[-1]["snapshot_id"]
+    run_incremental(spark, pages_from_documents(docs), aliases, root, cfg, wave="w2")
+    return cat.read(spark, "triples", snapshot_id=head_before_wave).select(
+        "url", "subj", "pred", "obj"
+    )
+
+
+SQL_KG_TIME_TRAVEL = f"""
+WITH pr(m, pred) AS (VALUES {_PRED_VALUES})
+SELECT 'https://docs.example/' || d.doc_id AS url,
+       'Vendor' || (d.doc_id % 7) AS subj,
+       pr.pred AS pred,
+       'Client' || (d.doc_id % 13) AS obj
+FROM documents d JOIN pr ON pr.m = d.doc_id % 8
+WHERE {_KG_PAGE_FILTER} AND d.doc_id % 2 = 0
+"""
+
 def q_kg_top_preds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-2 outgoing (pred, dst) per source entity by triple count —
     the window-function (row_number over partition) surface, over the
@@ -1360,6 +1399,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_khop": q_kg_khop,
     "kg_top_preds": q_kg_top_preds,
     "kg_incremental": q_kg_incremental,
+    "kg_time_travel": q_kg_time_travel,
     "kg_stream_triples": q_kg_stream_triples,
     "stream_window_rates": q_stream_window_rates,
     "stream_sessions": q_stream_sessions,
@@ -1408,6 +1448,7 @@ ORACLES: dict[str, str] = {
     "kg_stream_triples": SQL_KG_TRIPLES,
     # incremental bootstrap+wave must converge to the one-shot batch result
     "kg_incremental": SQL_KG_TRIPLES,
+    "kg_time_travel": SQL_KG_TIME_TRAVEL,
     "stream_window_rates": SQL_STREAM_WINDOW_RATES,
     "stream_sessions": SQL_STREAM_SESSIONS,
     "dedup_exact": SQL_DEDUP_EXACT,
