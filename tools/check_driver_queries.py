@@ -49,6 +49,9 @@ def main() -> int:
     for name, fn in QUERIES.items():
         if only and name not in only:
             continue
+        import time as _time
+
+        _t0 = _time.time()
         try:
             got = fn(spark, sf_dir).toPandas()
         except Exception as e:
@@ -84,7 +87,7 @@ def main() -> int:
         # dtype parity (schema check approximation)
         dt_g, dt_w = list(map(str, g.dtypes)), list(map(str, w.dtypes))
         flag = "" if dt_g == dt_w else f"  [dtype drift: {dt_g} vs {dt_w}]"
-        print(f"[ OK ] {name}: {len(g)} rows{flag}")
+        print(f"[ OK ] {name}: {len(g)} rows  ({_time.time() - _t0:.1f}s){flag}")
     spark.stop()
     return failures
 
