@@ -63,3 +63,18 @@ def test_extract_event_props_types_and_missing(spark):
         for r in extract_event_props(df, {"k": "bigint", "s": "string"}).collect()
     }
     assert got == {1: (7, "x"), 2: (None, "y"), 3: (None, None)}
+
+
+def test_asof_join_null_attribute_on_matched_row(spark):
+    """A NULL attribute on the MATCHED right row must come through as NULL —
+    never stitched from an older right row (per-column carry bug)."""
+    left = spark.createDataFrame(
+        [(1, 7, _ts(20))], "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(7, _ts(5), 50, "a"), (7, _ts(9), None, "b")],
+        "user_id long, ts timestamp, r_val long, r_tag string",
+    )
+    row = asof_join(left, right, key="user_id", ts="ts").collect()[0]
+    # matched row is ts=9: r_val NULL, r_tag 'b' — no mixing with ts=5
+    assert row["r_val"] is None and row["r_tag"] == "b"

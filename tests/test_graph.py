@@ -25,6 +25,14 @@ EDGES = [
 ]
 
 
+def _round_half_up(x: float, n: int) -> float:
+    """Spark F.round semantics on doubles: shortest-repr decimal, HALF_UP
+    (Python round() is half-to-even and can diverge on exact .5 digits)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal(1).scaleb(-n), rounding=ROUND_HALF_UP))
+
+
 def _pagerank_py(edges, n_iter=N_ITER, d=DAMPING):
     nodes = sorted({u for e in edges for u in e})
     out = {}
@@ -35,8 +43,8 @@ def _pagerank_py(edges, n_iter=N_ITER, d=DAMPING):
         contrib = {n: 0.0 for n in nodes}
         for s, t in edges:
             contrib[t] += rank[s] / out[s]
-        rank = {n: round(1 - d + d * contrib[n], ITER_ROUND) for n in nodes}
-    return {n: round(r, OUT_ROUND) for n, r in rank.items()}
+        rank = {n: _round_half_up(1 - d + d * contrib[n], ITER_ROUND) for n in nodes}
+    return {n: _round_half_up(r, OUT_ROUND) for n, r in rank.items()}
 
 
 def test_pagerank_matches_python_oracle(spark):
@@ -139,8 +147,8 @@ def test_pagerank_weighted_matches_python_oracle(spark):
         contrib = {n: 0.0 for n in nodes}
         for (s, t), w in agg.items():
             contrib[t] += rank[s] * w / outw[s]
-        rank = {n: round(1 - DAMPING + DAMPING * contrib[n], ITER_ROUND) for n in nodes}
-    want = {n: round(r, OUT_ROUND) for n, r in rank.items()}
+        rank = {n: _round_half_up(1 - DAMPING + DAMPING * contrib[n], ITER_ROUND) for n in nodes}
+    want = {n: _round_half_up(r, OUT_ROUND) for n, r in rank.items()}
     assert got == want
     # the heavier edge target must outrank the lighter one
     assert got[2] > got[3]

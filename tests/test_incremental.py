@@ -102,3 +102,61 @@ def test_incremental_rejects_config_change(
     # the warehouse is untouched: a matching-config re-run still no-ops
     stats = run_pipeline(spark, pages_df, aliases_df, root, PipelineConfig(n_groups=4))
     assert len(stats["resumed_from"]) == 4 and not stats["groups"]
+
+
+def test_plain_run_after_wave_bootstrap_no_duplicates(
+    spark, pages_df, aliases_df, tmp_path_factory, oneshot
+):
+    """Completion is wave-scoped, so a plain (wave=None) run over a
+    warehouse bootstrapped via a wave must rely on the url anti-join —
+    not re-append every page (review finding)."""
+    root = str(tmp_path_factory.mktemp("incr_plain_after_wave"))
+    run_incremental(spark, pages_df, aliases_df, root, CFG, wave="w1")
+    assert _triples(spark, root) == oneshot
+    run_pipeline(spark, pages_df, aliases_df, root, CFG)  # plain re-run
+    assert _triples(spark, root) == oneshot
+    urls = Catalog(root).read(spark, "extracted").select("url").toPandas()["url"]
+    assert urls.is_unique
+
+
+def test_wave_resume_after_crash_before_any_triples_commit(
+    spark, pages_df, aliases_df, tmp_path_factory, oneshot
+):
+    """Worst-case crash: an extracted delta committed but NO triples commit
+    exists yet. The staging sync prunes the orphan (possibly leaving an
+    empty-manifest extracted table) and the wave must still run (review
+    finding: the empty snapshot used to crash cat.read)."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path_factory.mktemp("incr_orphan_bootstrap"))
+    cat = Catalog(root)
+    orphan = pages_df.limit(5).select(
+        "url", "warc_ts", "lang",
+        F.lit(None).cast("string").alias("error"),
+        F.lit("x").alias("text"),
+        F.lit(0).alias("part_id"),
+        F.lit(1).cast("long").alias("html_bytes"),
+        F.lit(0.0).alias("wall_share"),
+        F.lit(0).alias("group_id"),
+    )
+    cat.write("extracted", orphan, mode="append", meta={"group": 0, "wave": "w1"})
+    stats = run_incremental(spark, pages_df, aliases_df, root, CFG, wave="w1")
+    assert len(stats["groups"]) == 4
+    assert _triples(spark, root) == oneshot
+
+
+def test_rerun_after_compaction_preserves_staging(
+    spark, pages_df, aliases_df, tmp_path_factory, oneshot
+):
+    """Catalog.compact leaves live triples data with no (group, wave)
+    attribution; the staging sync must then SKIP pruning instead of wiping
+    the extracted table (review finding)."""
+    root = str(tmp_path_factory.mktemp("incr_compacted"))
+    run_pipeline(spark, pages_df, aliases_df, root, CFG)
+    cat = Catalog(root)
+    n_extracted = cat.read(spark, "extracted").count()
+    cat.compact(spark, "triples", target_files=2)
+    stats = run_pipeline(spark, pages_df, aliases_df, root, CFG)
+    assert cat.read(spark, "extracted").count() == n_extracted
+    assert _triples(spark, root) == oneshot
+    assert not stats["groups"] or _triples(spark, root) == oneshot

@@ -134,20 +134,27 @@ def test_corpus_stats_single_aggregation_shuffle(spark):
     assert "EvalPython" not in plan
 
 
-def test_pagerank_iteration_reuses_src_partitioning(spark):
-    """After the one-time repartition("src"), each iteration's
-    contribution join must NOT re-shuffle the edge table: the only
-    hashpartitioning exchanges in an iteration touch rank-sized frames."""
+def test_pagerank_lineage_stays_flat_across_iterations(spark):
+    """Each iteration is localCheckpoint-ed, so the returned frame's plan
+    is a checkpoint scan + projection whose SIZE DOES NOT GROW with the
+    iteration count — the property that keeps iterative-join PageRank
+    from compiling exponentially deep plans at 20 iterations."""
     from vectrain_spark.operators.graph import pagerank
 
     spark.catalog.clearCache()
     edges = spark.createDataFrame(
         [(i % 7, (i * 3) % 11) for i in range(50)], "src long, dst long"
     )
-    ranks = pagerank(edges, n_iter=2)
-    ranks.collect()
-    plan = _plan(ranks)
-    # final pass: nodes left-join contribs — contribs aggregate shuffles on
-    # dst, nodes join shuffles both sides; the persisted edge table itself
-    # appears as an InMemory/checkpoint scan, never a fresh parquet+exchange
-    assert "EvalPython" not in plan
+
+    def final_plan(n_iter):
+        r = pagerank(edges, n_iter=n_iter)
+        r.collect()
+        return _plan(r)
+
+    p2, p5 = final_plan(2), final_plan(5)
+    # lineage truncated: the plan reads the checkpointed RDD, re-derives
+    # nothing (no joins/exchanges/python), and is iteration-count-invariant
+    for p in (p2, p5):
+        assert "Scan ExistingRDD" in p, p[:400]
+        assert "Exchange" not in p and "Join" not in p and "EvalPython" not in p
+    assert abs(len(p5) - len(p2)) < 200, (len(p2), len(p5))

@@ -8,6 +8,7 @@ Usage: python tools/check_driver_queries.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import sys
+import time as _time
 
 import duckdb
 import numpy as np
@@ -49,8 +50,6 @@ def main() -> int:
     for name, fn in QUERIES.items():
         if only and name not in only:
             continue
-        import time as _time
-
         _t0 = _time.time()
         try:
             got = fn(spark, sf_dir).toPandas()

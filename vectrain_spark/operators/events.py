@@ -45,18 +45,24 @@ def asof_join(
     rows with no prior right row keep nulls (left-outer semantics).
     """
     carry = [c for c in right.columns if c not in (key, ts)]
-    lt = left.select(
-        "*",
-        F.lit(1).alias("_side"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in carry],
-    )
+    # the carried attributes travel as ONE struct that is non-null exactly
+    # on right rows: last(_r, ignorenulls) then picks the matched right row
+    # WHOLESALE. Per-column last() would skip a NULL attribute on the
+    # matched row and stitch in a stale value from an older right row.
+    r_struct = F.struct(*carry).alias("_r")
+    null_struct = F.lit(None).cast(
+        "struct<" + ", ".join(
+            f"{c}: {right.schema[c].dataType.simpleString()}" for c in carry
+        ) + ">"
+    ).alias("_r")
+    lt = left.select("*", F.lit(1).alias("_side"), null_struct)
     rt = right.select(
         *[
             F.col(c) if c in (key, ts) else F.lit(None).cast(left.schema[c].dataType).alias(c)
             for c in left.columns
         ],
         F.lit(0).alias("_side"),
-        *carry,
+        r_struct,
     )
     # right rows sort BEFORE left rows at equal ts (0 < 1) -> inclusive match
     w = (
@@ -67,9 +73,11 @@ def asof_join(
     matched = lt.unionByName(rt).select(
         *left.columns,
         "_side",
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in carry],
+        F.last("_r", ignorenulls=True).over(w).alias("_r"),
     )
-    return matched.filter(F.col("_side") == 1).drop("_side")
+    return matched.filter(F.col("_side") == 1).select(
+        *left.columns, *[F.col(f"_r.{c}").alias(c) for c in carry]
+    )
 
 
 def extract_event_props(events: DataFrame, fields: dict[str, str]) -> DataFrame:

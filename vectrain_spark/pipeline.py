@@ -406,6 +406,7 @@ def run_pipeline(
     done = manifest.completed()
     stale: set[int] = set()
     live_keys: set[tuple[int, str | None]] = set()
+    unattributed_live = False  # e.g. a compaction replace: live data with no group meta
     if cat.exists("triples"):
         snaps = cat.snapshots("triples")
         live = set(snaps[-1]["data_dirs"]) if snaps else set()
@@ -415,6 +416,8 @@ def run_pipeline(
             prev = set(snap["data_dirs"])
             g = snap["meta"].get("group")
             if g is None:
+                if delta and any(d in live for d in delta):
+                    unattributed_live = True
                 continue
             # a commit only proves (or taints) its group if its data is
             # still LIVE at the head: a pruned commit — e.g. config A's
@@ -442,25 +445,40 @@ def run_pipeline(
             "run a full (non-wave) pipeline to re-group first"
         )
     if stale:
+        # keep the extracted prune here even though the staging sync below
+        # usually subsumes it: when the sync is skipped (unattributed live
+        # triples data, see below), this is the only pass that drops the
+        # stale config's staging rows
         cat.prune_groups("triples", stale)
         cat.prune_groups("extracted", stale)
 
     # staging sync: drop every extracted delta whose (group, wave) unit has
     # no live authoritative triples commit — crash orphans from ANY wave
     # (including an interrupted bootstrap) — so the extracted table never
-    # leads the triples table and the incremental anti-join below can trust
-    # it as the processed-page set.
-    cat.prune_if(
-        "extracted",
-        lambda meta: meta.get("group") is not None
-        and (int(meta["group"]), meta.get("wave")) not in live_keys,
-        reason={"sync": "extracted-to-triples"},
-    )
+    # leads the triples table and the anti-join below can trust it as the
+    # processed-page set. SKIPPED when the triples table carries live data
+    # we cannot attribute to a (group, wave) — e.g. after Catalog.compact —
+    # because then "no live commit for this key" proves nothing; compaction
+    # is documented for COMPLETE tables, where orphans cannot exist.
+    if not unattributed_live:
+        cat.prune_if(
+            "extracted",
+            lambda meta: meta.get("group") is not None
+            and (int(meta["group"]), meta.get("wave")) not in live_keys,
+            reason={"sync": "extracted-to-triples"},
+        )
 
+    # pages already processed by a committed unit are excluded per group —
+    # for EVERY run, not just waves: completion is wave-scoped, so a plain
+    # run over a wave-bootstrapped warehouse (or any wave over a plain one)
+    # must rely on the anti-join, never on the 'done' set, to avoid
+    # re-appending pages another wave already committed. Resolved AT RUN
+    # START (fixed snapshot): this run's own commits never feed back into
+    # its anti-join side. Empty-manifest guard: an all-orphan prune can
+    # leave a live snapshot with zero data dirs, which is "no data", not a
+    # readable table.
     seen_urls = None
-    if wave is not None and cat.exists("extracted"):
-        # resolved AT WAVE START (fixed snapshot): this wave's own commits
-        # never feed back into its anti-join side
+    if cat.exists("extracted") and cat.snapshots("extracted")[-1]["data_dirs"]:
         seen_urls = cat.read(spark, "extracted").select("url", "group_id")
 
     # size-dispatched linking: broadcast probe for dictionaries that fit an
