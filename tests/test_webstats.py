@@ -1,0 +1,123 @@
+"""Unit tests for the web-corpus operators added in round 2: repetition
+ratios (textstats.repetition_stats), URL normalization/dedup/domain
+rollups (operators.urls), and co-citation similarity (graph.co_mentions).
+Hand-computed expectations on tiny frames; the sf-scale oracle parity is
+covered by test_driver_contract.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from vectrain_spark.operators.graph import co_mentions
+from vectrain_spark.operators.textstats import repetition_stats
+from vectrain_spark.operators.urls import (
+    domain_stats,
+    normalize_url,
+    url_dedup,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def test_repetition_hand_case(spark):
+    # "a b a b a": 2-grams [a b, b a, a b, b a] -> n2=4 top2=2 frac=0.5
+    # 3-grams [a b a, b a b, a b a] -> n3=3, dup=2, frac=0.666667
+    out = (
+        repetition_stats(_docs(spark, [(1, "a b a b a")]))
+        .toPandas()
+        .iloc[0]
+    )
+    assert out["n_grams2"] == 4
+    assert out["top2_cnt"] == 2
+    assert out["top2_frac"] == 0.5
+    assert out["n_grams3"] == 3
+    assert out["dup3_cnt"] == 2
+    assert out["dup3_frac"] == 0.666667
+
+
+def test_repetition_no_3grams_and_short_docs(spark):
+    out = repetition_stats(
+        _docs(spark, [(1, "x y"), (2, "solo")])
+    ).toPandas()
+    # one-word doc has no 2-grams -> no row; two-word doc has no 3-grams
+    assert list(out["doc_id"]) == [1]
+    assert out.iloc[0]["n_grams3"] == 0
+    assert out.iloc[0]["dup3_frac"] == 0.0
+
+
+def test_repetition_unique_text(spark):
+    out = repetition_stats(_docs(spark, [(7, "one two three four")])).toPandas()
+    assert out.iloc[0]["top2_frac"] == round(1 / 3, 6)
+    assert out.iloc[0]["dup3_cnt"] == 0
+
+
+def test_normalize_url_cases(spark):
+    cases = {
+        "https://WWW.Site.Example.com/Page/9/?utm_source=x&ref=abc#frag":
+            "https://site.example.com/page/9",
+        "http://www.a.io/": "http://a.io",
+        "https://a.io/p?id=3&utm_campaign=z": "https://a.io/p?id=3",
+        "https://a.io/p?utm_a=1&utm_b=2": "https://a.io/p",
+        "https://a.io/wwwx/p": "https://a.io/wwwx/p",
+    }
+    df = spark.createDataFrame(pd.DataFrame({"url": list(cases)}))
+    got = df.select("url", normalize_url(F.col("url")).alias("n")).toPandas()
+    for _, row in got.iterrows():
+        assert row["n"] == cases[row["url"]], row["url"]
+
+
+def test_url_dedup_collapses_spellings(spark):
+    rows = [
+        (1, "https://www.a.io/x/"),
+        (2, "https://a.io/x?utm_source=f"),
+        (3, "https://a.io/y"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "url"]))
+    out = url_dedup(df).toPandas().set_index("url_norm")
+    assert out.loc["https://a.io/x", "keep_id"] == 1
+    assert out.loc["https://a.io/x", "dup_cnt"] == 2
+    assert out.loc["https://a.io/y", "dup_cnt"] == 1
+
+
+def test_domain_stats_hosts_and_totals(spark):
+    rows = [
+        (1, "https://www.a.example.com/1", "en", 10),
+        (2, "https://a.example.com/2", "de", 30),
+        (3, "https://b.example.org/1", "en", 5),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "url", "lang", "n_chars"])
+    )
+    out = domain_stats(df).toPandas().set_index("host")
+    assert out.loc["a.example.com", "n_docs"] == 2
+    assert out.loc["a.example.com", "n_langs"] == 2
+    assert out.loc["a.example.com", "total_chars"] == 40
+    assert out.loc["a.example.com", "avg_chars"] == 20.0
+    assert out.loc["a.example.com", "tld"] == "com"
+    assert out.loc["b.example.org", "tld"] == "org"
+
+
+def test_co_mentions_hand_graph(spark):
+    # s1 -> {x, y, z}; s2 -> {x, y}: pairs (x,y): common 2,
+    # deg x=2, y=2 -> jaccard 2/(2+2-2)=1.0; (x,z),(y,z): common 1,
+    # deg z=1 -> 1/(2+1-1)=0.5
+    rows = [("s1", "x"), ("s1", "y"), ("s1", "z"), ("s2", "x"), ("s2", "y")]
+    edges = spark.createDataFrame(pd.DataFrame(rows, columns=["src", "dst"]))
+    out = co_mentions(edges).toPandas().set_index(["a", "b"])
+    assert out.loc[("x", "y"), "common"] == 2
+    assert out.loc[("x", "y"), "jaccard"] == 1.0
+    assert out.loc[("x", "z"), "jaccard"] == 0.5
+    assert out.loc[("y", "z"), "jaccard"] == 0.5
+    assert len(out) == 3
+
+
+def test_co_mentions_duplicate_edges_ignored(spark):
+    rows = [("s1", "x"), ("s1", "x"), ("s1", "y")]
+    edges = spark.createDataFrame(pd.DataFrame(rows, columns=["src", "dst"]))
+    out = co_mentions(edges).toPandas()
+    assert len(out) == 1
+    assert out.iloc[0]["common"] == 1

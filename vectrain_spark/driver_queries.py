@@ -600,6 +600,29 @@ def q_kg_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_hop(edges, seeds, k=2).withColumn("hops", F.col("hops").cast("int"))
 
 
+def q_kg_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-citation similarity over the materialized edge table: object
+    entities sharing a subject, with shared-source count and in-neighbor
+    Jaccard (the near-bipartite KG's stand-in for triangle counting)."""
+    from .operators.graph import co_mentions
+
+    return co_mentions(_materialized_edges(spark, sf_dir))
+
+
+SQL_KG_COOCCUR = f"""
+WITH e AS (SELECT DISTINCT src, dst FROM ({SQL_KG_EDGES})),
+deg AS (SELECT dst, count(*) AS deg FROM e GROUP BY dst),
+pairs AS (
+  SELECT l.dst AS a, r.dst AS b, count(*) AS common
+  FROM e l JOIN e r USING (src) WHERE l.dst < r.dst
+  GROUP BY 1, 2
+)
+SELECT a, b, common,
+       round(common * 1.0 / (da.deg + db.deg - common), 6) AS jaccard
+FROM pairs JOIN deg da ON da.dst = a JOIN deg db ON db.dst = b
+"""
+
+
 def q_kg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental MERGE gate: bootstrap the warehouse from HALF the corpus
     (even doc_ids), then feed the FULL corpus as an incremental wave — the
@@ -896,6 +919,119 @@ WITH corpus AS (SELECT doc_id, text FROM documents),
 SELECT doc_id, min(md5(s)) AS fp_min, max(md5(s)) AS fp_max
 FROM e GROUP BY doc_id
 """
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition ratios (top-2-gram fraction, duplicated-
+    3-gram fraction) per document — both gram sizes in one tagged explode
+    + one (doc_id, gram) shuffle."""
+    from .operators.textstats import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
+SQL_TEXT_REPETITION = f"""
+WITH w AS (SELECT doc_id, string_split({NORM_SQL}, ' ') AS words FROM documents),
+g2 AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(words) - 1),
+                 i -> words[i] || ' ' || words[i+1])) AS g
+  FROM w WHERE len(words) >= 2
+),
+g3 AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(words) - 2),
+                 i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS g
+  FROM w WHERE len(words) >= 3
+),
+c2 AS (SELECT doc_id, g, count(*) AS cnt FROM g2 GROUP BY 1, 2),
+c3 AS (SELECT doc_id, g, count(*) AS cnt FROM g3 GROUP BY 1, 2),
+a2 AS (SELECT doc_id, sum(cnt) AS n2, max(cnt) AS t2 FROM c2 GROUP BY doc_id),
+a3 AS (
+  SELECT doc_id, sum(cnt) AS n3,
+         sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS d3
+  FROM c3 GROUP BY doc_id
+)
+SELECT a2.doc_id,
+       n2::BIGINT AS n_grams2,
+       t2::BIGINT AS top2_cnt,
+       round(t2 * 1.0 / n2, 6) AS top2_frac,
+       coalesce(n3, 0)::BIGINT AS n_grams3,
+       coalesce(d3, 0)::BIGINT AS dup3_cnt,
+       CASE WHEN coalesce(n3, 0) > 0 THEN round(d3 * 1.0 / n3, 6)
+            ELSE 0.0 END AS dup3_frac
+FROM a2 LEFT JOIN a3 USING (doc_id)
+"""
+
+
+def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-normalization dedup: every (2k, 2k+1) doc_id pair spells the
+    same logical page two ways (www., trailing slash, tracking params);
+    the normalized key collapses each pair. All JVM regexp — the oracle
+    replays the identical replacement chain in RE2."""
+    from .operators.urls import url_corpus, url_dedup
+
+    return url_dedup(url_corpus(_docs(spark, sf_dir)))
+
+
+def q_web_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain rollup of the URL corpus: host via Spark parse_url over
+    the normalized URL, TLD split, doc/lang/char totals in one shuffle."""
+    from .operators.urls import domain_stats, url_corpus
+
+    return domain_stats(url_corpus(_docs(spark, sf_dir)))
+
+
+# the oracle rebuilds the fixture URL, then applies normalize_url's exact
+# replacement chain step-for-step (RE2 'g' == Java replaceAll semantics)
+_URL_FIXTURE_SQL = """
+  u AS (
+    SELECT doc_id, lang, n_chars,
+           'https://'
+           || CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END
+           || 'site' || ((doc_id // 2) % 37)
+           || '.example.' || (['com', 'org', 'net', 'io'])[(doc_id // 2) % 4 + 1]
+           || '/page/' || (doc_id // 2)
+           || CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '' END
+           || CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed&ref=' || (doc_id % 5)
+                   WHEN doc_id % 5 = 2 THEN '?gclid=abc#frag'
+                   ELSE '' END AS url
+    FROM documents
+  ),
+  norm AS (
+    SELECT doc_id, lang, n_chars,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(lower(url), '#.*$', '', 'g'),
+                       '^(https?://)www\\.', '\\1', 'g'),
+                     '(\\?|&)(utm_[a-z]+|ref|fbclid|gclid)=[^&#]*', '\\1', 'g'),
+                   '\\?&+', '?', 'g'),
+                 '&&+', '&', 'g'),
+               '[?&]+$', '', 'g'),
+             '/$', '', 'g') AS url_norm
+    FROM u
+  )
+"""
+
+SQL_DEDUP_URL = f"""
+WITH {_URL_FIXTURE_SQL}
+SELECT url_norm, min(doc_id) AS keep_id, count(*) AS dup_cnt
+FROM norm GROUP BY url_norm
+"""
+
+SQL_WEB_DOMAINS = f"""
+WITH {_URL_FIXTURE_SQL}
+SELECT regexp_extract(url_norm, '^https?://([^/?#]+)', 1) AS host,
+       regexp_extract(regexp_extract(url_norm, '^https?://([^/?#]+)', 1),
+                      '\\.([a-z]+)$', 1) AS tld,
+       count(*)::BIGINT AS n_docs,
+       count(DISTINCT lang)::BIGINT AS n_langs,
+       sum(n_chars)::BIGINT AS total_chars,
+       round(avg(n_chars), 6) AS avg_chars
+FROM norm GROUP BY 1, 2
+"""
+
 
 def q_text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scan + mask over a deterministically-planted corpus (the base
@@ -1398,6 +1534,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_pagerank_weighted": q_kg_pagerank_weighted,
     "kg_khop": q_kg_khop,
     "kg_top_preds": q_kg_top_preds,
+    "kg_cooccur": q_kg_cooccur,
     "kg_incremental": q_kg_incremental,
     "kg_time_travel": q_kg_time_travel,
     "kg_stream_triples": q_kg_stream_triples,
@@ -1409,6 +1546,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_clusters": q_dedup_clusters,
     "text_pii": q_text_pii,
+    "text_repetition": q_text_repetition,
+    "dedup_url": q_dedup_url,
+    "web_domains": q_web_domains,
     "sample_stratified": q_sample_stratified,
     "corpus_stats": q_corpus_stats,
     "corpus_rollup": q_corpus_rollup,
@@ -1444,6 +1584,7 @@ ORACLES: dict[str, str] = {
     "kg_pagerank_weighted": SQL_KG_PAGERANK_WEIGHTED,
     "kg_khop": SQL_KG_KHOP,
     "kg_top_preds": SQL_KG_TOP_PREDS,
+    "kg_cooccur": SQL_KG_COOCCUR,
     # streamed output must equal the batch extraction exactly
     "kg_stream_triples": SQL_KG_TRIPLES,
     # incremental bootstrap+wave must converge to the one-shot batch result
@@ -1461,6 +1602,9 @@ ORACLES: dict[str, str] = {
     "dedup_ngram_jaccard": SQL_DEDUP_MINHASH,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "text_pii": SQL_TEXT_PII,
+    "text_repetition": SQL_TEXT_REPETITION,
+    "dedup_url": SQL_DEDUP_URL,
+    "web_domains": SQL_WEB_DOMAINS,
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
     "corpus_stats": SQL_CORPUS_STATS,
     "corpus_rollup": SQL_CORPUS_ROLLUP,

@@ -87,9 +87,11 @@ def exact_dedup(corpus: DataFrame) -> DataFrame:
     )
 
 
-def shingles_col(col: str = "text", n: int = 3):
-    """Distinct word n-gram shingles, computed with JVM higher-order
-    functions (whole-stage codegen; no Python).
+def shingles_col(col: str = "text", n: int = 3, distinct: bool = True):
+    """Word n-gram shingles (distinct by default; ``distinct=False`` keeps
+    every occurrence, for frequency-based metrics like repetition ratios),
+    computed with JVM higher-order functions (whole-stage codegen; no
+    Python).
 
     Construction is O(total words): n-1 zips of shifted copies of the word
     array (shingle i = words[i] + ' ' + ... + words[i+n-1]), then the tail
@@ -113,7 +115,9 @@ def shingles_col(col: str = "text", n: int = 3):
             lambda a, b: F.concat_ws(" ", a, b),
         )
     full = F.slice(acc, 1, F.size(words) - n + 1)
-    return F.when(F.size(words) >= n, F.array_distinct(full)).otherwise(
+    if distinct:
+        full = F.array_distinct(full)
+    return F.when(F.size(words) >= n, full).otherwise(
         F.array().cast("array<string>")
     )
 

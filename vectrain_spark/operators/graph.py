@@ -143,6 +143,51 @@ def pagerank_oracle_sql(
     )
 
 
+def co_mentions(edges: DataFrame) -> DataFrame:
+    """Co-citation similarity over the KG edge table: pairs of target
+    entities that share at least one source, with the shared-source count
+    and the Jaccard of their in-neighbor sets — the classic
+    related-entity / "customers also bought" signal, and the directed
+    graph's stand-in for triangle counting (the KG edge table is
+    near-bipartite subject->object, so literal triangles are vacuous).
+
+    -> (a, b, common, jaccard) with a < b.
+
+    Scale design: one self-join of the distinct (src, dst) edge set on
+    src — the output per source is outdeg^2/2, so hub SOURCES dominate
+    cost. For a web KG out-degree is bounded by the predicate vocabulary
+    (vs in-degree, which is the unbounded hub axis — popular entities),
+    making src the cheap join side by construction; a corpus with
+    unbounded out-degree would cap or sample per-src fanout first. The
+    in-degree table is entity-sized and broadcast onto the pair list.
+    """
+    e = edges.select("src", "dst").distinct()
+    deg = e.groupBy("dst").agg(F.count(F.lit(1)).alias("deg"))
+    pairs = (
+        e.select("src", F.col("dst").alias("a"))
+        .join(e.select("src", F.col("dst").alias("b")), "src")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    deg_a = F.broadcast(deg.select(F.col("dst").alias("a"), F.col("deg").alias("deg_a")))
+    deg_b = F.broadcast(deg.select(F.col("dst").alias("b"), F.col("deg").alias("deg_b")))
+    return (
+        pairs.join(deg_a, "a")
+        .join(deg_b, "b")
+        .select(
+            "a",
+            "b",
+            "common",
+            F.round(
+                F.col("common")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
 def k_hop(edges: DataFrame, seeds: DataFrame, k: int = 2) -> DataFrame:
     """BFS frontier expansion: (seed, node, hops) for every node reachable
     from a seed in 1..k directed hops, hops = the MINIMUM distance.

@@ -109,6 +109,60 @@ def token_counts(docs: DataFrame) -> DataFrame:
     )
 
 
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition filters: per-document fraction of word
+    2-grams taken by the single most frequent 2-gram, and fraction of word
+    3-grams that are duplicated (occur more than once) — the two signals
+    web-corpus pipelines (Gopher / RefinedWeb rules) use to drop
+    boilerplate-repetitive pages before training.
+
+    -> (doc_id, n_grams2, top2_cnt, top2_frac, n_grams3, dup3_cnt,
+        dup3_frac), one row per document with at least one 2-gram.
+
+    Scale design: both gram sizes ride ONE explode and one
+    (doc_id, gram) shuffle — grams are tagged with their size ("2\\t...",
+    "3\\t..."; a tab can never appear inside a gram because normalization
+    collapses all whitespace to single spaces) so the per-gram count and
+    the per-doc rollup handle both metrics in the same two-phase
+    aggregation with map-side partial combine. No Python, no collect;
+    per-doc state never materializes the gram set in memory (unlike a
+    higher-order-function formulation, which is O(words^2) per doc).
+    """
+    g2 = shingles_col(n=2, distinct=False)
+    g3 = shingles_col(n=3, distinct=False)
+    tagged = spread(docs).select(
+        "doc_id",
+        F.explode(
+            F.concat(
+                F.transform(g2, lambda s: F.concat(F.lit("2\t"), s)),
+                F.transform(g3, lambda s: F.concat(F.lit("3\t"), s)),
+            )
+        ).alias("g"),
+    )
+    counts = tagged.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("cnt"))
+    is2 = F.col("g").startswith("2\t")
+    cnt = F.col("cnt")
+    agg = counts.groupBy("doc_id").agg(
+        F.sum(F.when(is2, cnt).otherwise(F.lit(0))).alias("n_grams2"),
+        F.max(F.when(is2, cnt)).alias("top2_cnt"),
+        F.sum(F.when(~is2, cnt).otherwise(F.lit(0))).alias("n_grams3"),
+        F.sum(F.when(~is2 & (cnt > 1), cnt).otherwise(F.lit(0))).alias("dup3_cnt"),
+    )
+    return agg.select(
+        "doc_id",
+        F.col("n_grams2").cast("long").alias("n_grams2"),
+        F.col("top2_cnt").cast("long").alias("top2_cnt"),
+        F.round(F.col("top2_cnt") / F.col("n_grams2"), 6).alias("top2_frac"),
+        F.col("n_grams3").cast("long").alias("n_grams3"),
+        F.col("dup3_cnt").cast("long").alias("dup3_cnt"),
+        F.when(
+            F.col("n_grams3") > 0, F.round(F.col("dup3_cnt") / F.col("n_grams3"), 6)
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup3_frac"),
+    )
+
+
 def fingerprints(docs: DataFrame) -> DataFrame:
     """Winnowing-style document fingerprint: lexicographic min/max of
     md5(shingle) over distinct word-3-gram shingles -> (doc_id, fp_min, fp_max).
