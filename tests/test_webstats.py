@@ -121,3 +121,60 @@ def test_co_mentions_duplicate_edges_ignored(spark):
     out = co_mentions(edges).toPandas()
     assert len(out) == 1
     assert out.iloc[0]["common"] == 1
+
+
+def test_decontaminate_finds_copy_and_overlap(spark):
+    # bench doc 1; doc 10 is an exact copy (all 8-grams shared);
+    # doc 11 shares one 8-gram window; doc 12 is clean
+    t = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"
+    rows_c = [
+        (10, t),
+        (11, "x " + " ".join(f"w{i}" for i in range(8)) + " y z"),
+        (12, "a b c d e f g h i j"),
+        (1, t),  # benchmark member itself -> excluded
+    ]
+    from vectrain_spark.operators.textclean import decontaminate
+
+    corpus = _docs(spark, rows_c)
+    bench = _docs(spark, [(1, t)])
+    out = decontaminate(corpus, bench).toPandas().set_index("doc_id")
+    assert set(out.index) == {10, 11}
+    assert out.loc[10, "n_shared_grams"] == 3  # 10 words -> 3 distinct 8-grams
+    assert out.loc[11, "n_shared_grams"] == 1
+
+
+def test_remove_boilerplate_lines_order_and_hash(spark):
+    import hashlib
+
+    from vectrain_spark.operators.textclean import remove_boilerplate_lines
+
+    rows = [
+        ("u1", "nav\nunique one\nfooter"),
+        ("u2", "nav\nunique two\nfooter"),
+        ("u3", "solo\nnav"),
+    ]
+    import pandas as pd
+
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["url", "text"]))
+    out = remove_boilerplate_lines(df).toPandas().set_index("url")
+    assert out.loc["u1", "n_lines"] == 3 and out.loc["u1", "n_kept"] == 1
+    assert (
+        out.loc["u1", "clean_hash"]
+        == hashlib.md5(b"unique one").hexdigest()
+    )
+    # u3 keeps 'solo' only; order preserved
+    assert out.loc["u3", "clean_hash"] == hashlib.md5(b"solo").hexdigest()
+
+
+def test_remove_boilerplate_all_lines_removed(spark):
+    import hashlib
+
+    import pandas as pd
+
+    from vectrain_spark.operators.textclean import remove_boilerplate_lines
+
+    rows = [("u1", "same"), ("u2", "same")]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["url", "text"]))
+    out = remove_boilerplate_lines(df).toPandas()
+    assert set(out["n_kept"]) == {0}
+    assert set(out["clean_hash"]) == {hashlib.md5(b"").hexdigest()}

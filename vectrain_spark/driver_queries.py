@@ -1033,6 +1033,95 @@ FROM norm GROUP BY 1, 2
 """
 
 
+def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs sharing any word 8-gram with the
+    'benchmark' subset (doc_id % 50 == 7) of the dup-bearing corpus —
+    exactly the duplicated copies of benchmark docs, found via a
+    broadcast hashed-gram semi-join + string verify."""
+    from .operators.textclean import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    return decontaminate(
+        dedup_corpus(docs.select("doc_id", "text")),
+        docs.filter(F.col("doc_id") % 50 == 7).select("doc_id", "text"),
+    )
+
+
+def _gram8_sql() -> str:
+    joined = " || ' ' || ".join(f"words[i+{k}]" for k in range(8))
+    return (
+        "list_distinct(list_transform(generate_series(1, len(words) - 7),"
+        f" i -> {joined}))"
+    )
+
+
+SQL_TEXT_DECONTAMINATE = f"""
+WITH {DEDUP_CORPUS_SQL},
+bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 7),
+cw AS (
+  SELECT doc_id, string_split({NORM_SQL}, ' ') AS words FROM corpus
+  WHERE doc_id NOT IN (SELECT doc_id FROM bench)
+),
+cg AS (
+  SELECT doc_id, unnest({_gram8_sql()}) AS g
+  FROM cw WHERE len(words) >= 8
+),
+bw AS (SELECT string_split({NORM_SQL}, ' ') AS words FROM bench),
+bg AS (
+  SELECT DISTINCT unnest({_gram8_sql()}) AS g
+  FROM bw WHERE len(words) >= 8
+)
+SELECT doc_id, count(*)::BIGINT AS n_shared_grams
+FROM cg JOIN bg USING (g) GROUP BY doc_id
+"""
+
+
+def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus boilerplate line removal over a 3-line fixture (nav
+    line shared by doc_id%400 cohort, the unique document text, a licence
+    line shared by doc_id%3 cohort): lines appearing in >= 2 docs are
+    stripped, survivors reassembled in order and value-checked by hash."""
+    from .operators.textclean import remove_boilerplate_lines
+
+    d = F.col("doc_id")
+    fixture = _docs(spark, sf_dir).select(
+        F.concat(F.lit("https://docs.example/"), d).alias("url"),
+        F.concat(
+            F.lit("Nav site "),
+            (d % 400).cast("string"),
+            F.lit("\n"),
+            F.col("text"),
+            F.lit("\nLicense CC-"),
+            (d % 3).cast("string"),
+        ).alias("text"),
+    )
+    return remove_boilerplate_lines(fixture)
+
+
+SQL_TEXT_BOILERPLATE = """
+WITH fx AS (
+  SELECT 'https://docs.example/' || doc_id AS url,
+         'Nav site ' || (doc_id % 400) || chr(10) || text
+           || chr(10) || 'License CC-' || (doc_id % 3) AS text
+  FROM documents
+),
+ls AS (SELECT url, string_split(text, chr(10)) AS ls FROM fx),
+e AS (SELECT url, unnest(ls) AS line FROM ls),
+b AS (
+  SELECT line FROM (
+    SELECT line, count(DISTINCT url) AS c FROM e GROUP BY line
+  ) WHERE c >= 2
+),
+bl AS (SELECT coalesce(list(line), []) AS blines FROM b)
+SELECT url,
+       len(ls)::BIGINT AS n_lines,
+       len(list_filter(ls, x -> NOT list_contains(blines, x)))::BIGINT AS n_kept,
+       md5(array_to_string(list_filter(ls, x -> NOT list_contains(blines, x)),
+                           chr(10))) AS clean_hash
+FROM ls, bl
+"""
+
+
 def q_text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scan + mask over a deterministically-planted corpus (the base
     documents contain no digits or '@', so every match is planted): per-
@@ -1547,6 +1636,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": q_dedup_clusters,
     "text_pii": q_text_pii,
     "text_repetition": q_text_repetition,
+    "text_decontaminate": q_text_decontaminate,
+    "text_boilerplate": q_text_boilerplate,
     "dedup_url": q_dedup_url,
     "web_domains": q_web_domains,
     "sample_stratified": q_sample_stratified,
@@ -1603,6 +1694,8 @@ ORACLES: dict[str, str] = {
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "text_pii": SQL_TEXT_PII,
     "text_repetition": SQL_TEXT_REPETITION,
+    "text_decontaminate": SQL_TEXT_DECONTAMINATE,
+    "text_boilerplate": SQL_TEXT_BOILERPLATE,
     "dedup_url": SQL_DEDUP_URL,
     "web_domains": SQL_WEB_DOMAINS,
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
