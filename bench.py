@@ -46,7 +46,12 @@ HEADLINE_QUERIES = [
     "text_quality",
     "text_tokens",
     "text_fingerprint",
+    "text_repetition",
+    "text_decontaminate",
+    "text_boilerplate",
     "text_pii",
+    "dedup_url",
+    "web_domains",
     "sample_stratified",
     "corpus_stats",
     "sim_knn",

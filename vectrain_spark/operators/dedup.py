@@ -233,11 +233,20 @@ def ngram_jaccard_pairs(
     on exploded prefix tokens, apply the length filter
     min >= ceil(t * max), then verify exact Jaccard on the full hash sets.
 
+    The global token order is ASCENDING DOCUMENT FREQUENCY (ties by hash)
+    — the canonical PPJoin ordering: prefixes then hold each doc's RAREST
+    tokens, so the candidate fan-out per join key is the square of a
+    rare token's doc count instead of a common one's. Any global total
+    order preserves exactness (the prefix-filter theorem is
+    order-agnostic), so the result set is identical; only the candidate
+    count changes. The frequency table costs one extra
+    explode + groupBy + re-group shuffle, all on int64 tokens.
+
     Scale shape: shuffle volume is O(sum of prefix lengths) — at t=0.8 a
     prefix is ~20% of each doc's shingles — plus the candidate verify
-    join; no all-pairs, no collect. Skewed (very common) prefix tokens
-    bound candidate fan-out exactly like a band key in MinHash; AQE skew
-    join handles residual hot tokens.
+    join; no all-pairs, no collect. The rare-first ordering bounds
+    per-token fan-out by construction; AQE skew join handles residual
+    hot tokens.
 
     ceil() runs on float t*|S|: a binary-rounding overshoot (0.8*15 ->
     12.000...002) would SHORTEN the prefix and break exactness, so an
@@ -245,15 +254,26 @@ def ngram_jaccard_pairs(
     candidate filters, never toward misses.
     """
     t = float(threshold)
-    hashed = (
+    distinct_hashes = (
         spread(corpus)
         .select(
             "doc_id",
-            F.array_sort(
+            F.explode(
                 F.array_distinct(
                     F.transform(shingles_col(n=n), lambda s: F.xxhash64(s))
                 )
-            ).alias("hsh"),
+            ).alias("tok"),
+        )
+    )
+    tok_df = distinct_hashes.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    hashed = (
+        distinct_hashes.join(tok_df, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("df", "tok"))),
+                lambda s: s["tok"],
+            ).alias("hsh")
         )
         .filter(F.size("hsh") > 0)
         .persist()

@@ -61,8 +61,19 @@ def pagerank(
             F.sum(F.col(weight).cast("double")).alias("w")
         )
     # one-time partitioning by src: every iteration's contribution join
-    # then co-locates without further exchanges of the edge table
-    e = e.repartition("src").persist()
+    # then co-locates without further exchanges of the edge table.
+    # Partition count adapts to the edge count (one cheap count on the
+    # pre-aggregated edge set): entity graphs distilled from a corpus are
+    # often orders of magnitude smaller than the corpus itself, and 5
+    # iterations x several exchanges of empty 32-way partitions is pure
+    # scheduler overhead — while a web-scale edge set still fans out to
+    # the session's full parallelism.
+    spark = edges.sparkSession
+    n_edges = e.count()
+    parts = max(
+        1, min(spark.sparkContext.defaultParallelism, n_edges // 50_000 + 1)
+    )
+    e = e.repartition(parts, "src").persist()
     outdeg = e.groupBy("src").agg(F.sum("w").alias("outw")).persist()
     nodes = (
         e.select(F.col("src").alias("id"))
