@@ -178,3 +178,32 @@ def test_remove_boilerplate_all_lines_removed(spark):
     out = remove_boilerplate_lines(df).toPandas()
     assert set(out["n_kept"]) == {0}
     assert set(out["clean_hash"]) == {hashlib.md5(b"").hexdigest()}
+
+
+def test_tfidf_hand_case(spark):
+    import math
+
+    from vectrain_spark.operators.index import tfidf_top_terms
+
+    # N=2: "a a b" and "b c". idf(a)=ln(3/2)+1, idf(b)=ln(3/3)+1=1, idf(c)=ln(3/2)+1
+    out = (
+        tfidf_top_terms(_docs(spark, [(1, "a a b"), (2, "b c")]), k=3)
+        .toPandas()
+        .set_index(["doc_id", "term"])
+    )
+    assert out.loc[(1, "a"), "score"] == round(2 * (math.log(3 / 2) + 1), 6)
+    assert out.loc[(1, "b"), "score"] == 1.0
+    assert out.loc[(1, "a"), "rk"] == 1  # highest score in doc 1
+    assert out.loc[(2, "c"), "rk"] == 1  # idf(c) > idf(b)
+    assert out.loc[(1, "a"), "df"] == 1 and out.loc[(1, "b"), "df"] == 2
+
+
+def test_inverted_index_postings_cap_and_totals(spark):
+    from vectrain_spark.operators.index import inverted_index
+
+    rows = [(i, "tok") for i in range(8)] + [(100, "tok tok rare")]
+    out = inverted_index(_docs(spark, rows), cap=5).toPandas().set_index("term")
+    assert out.loc["tok", "df"] == 9
+    assert out.loc["tok", "total_tf"] == 10  # doc 100 has it twice
+    assert out.loc["tok", "postings"] == "0,1,2,3,4"  # capped, ascending
+    assert out.loc["rare", "postings"] == "100"

@@ -360,6 +360,127 @@ FROM s GROUP BY lang, sid
 """
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup gate (applyInPandasWithState): pages with
+    colliding urls (doc_id % 137) flow through stream_dedup_first_seen in
+    one availableNow batch; the deterministic survivor is the min-warc_ts
+    row per url, which the oracle reconstructs as the min-doc_id row
+    (warc_ts increases with doc_id by construction)."""
+    import os
+    import shutil
+
+    from .streaming import pages_stream, stream_dedup_first_seen
+
+    base = "/tmp/vectrain_sdedup_gate"
+    shutil.rmtree(base, ignore_errors=True)
+    d = F.regexp_extract("url", "([0-9]+)$", 1).cast("long")
+    pages = (
+        pages_from_documents(_docs(spark, sf_dir))
+        # derive BOTH the collision key and the offset from the original
+        # url before overwriting it — doc_id is the only stable id here
+        .withColumn("__off", (d % 100000).cast("int"))
+        .withColumn(
+            "url", F.concat(F.lit("https://dup.example/"), (d % 137).cast("string"))
+        )
+        .withColumn(
+            "warc_ts", F.expr("warc_ts + make_interval(0, 0, 0, 0, 0, 0, __off)")
+        )
+        .drop("__off")
+    )
+    pdir = os.path.join(base, "pages")
+    pages.select("url", "warc_ts", "html", "lang").repartition(4).write.parquet(pdir)
+    q = (
+        stream_dedup_first_seen(pages_stream(spark, pdir, 10_000))
+        .writeStream.format("memory")
+        .queryName("gate_sdedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(
+        "SELECT url, date_format(warc_ts, 'yyyy-MM-dd HH:mm:ss') AS warc_ts,"
+        " lang FROM gate_sdedup"
+    )
+
+
+SQL_STREAM_DEDUP = """
+WITH r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY doc_id % 137 ORDER BY doc_id) AS rn
+  FROM documents
+)
+SELECT 'https://dup.example/' || (doc_id % 137) AS url,
+       strftime(TIMESTAMP '2024-01-01 00:00:00'
+                + (doc_id % 100000) * INTERVAL 1 SECOND,
+                '%Y-%m-%d %H:%M:%S') AS warc_ts,
+       lang
+FROM r WHERE rn = 1
+"""
+
+
+def q_stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join gate: purchases and signups staged as
+    two independent file streams, joined on user_id within a 35-day
+    event-time bound (wider than the fixture's 30-day span, so watermark
+    eviction can never race the availableNow drain and every cross-batch
+    pair is emitted exactly once). Checked against the batch range-join
+    oracle."""
+    import os
+    import shutil
+
+    from .streaming import stream_attribution_join
+
+    base = "/tmp/vectrain_sjoin_gate"
+    shutil.rmtree(base, ignore_errors=True)
+    ev = _events(spark, sf_dir).withColumn("ts", F.col("ts").cast("timestamp"))
+    pdir, sdir = os.path.join(base, "purchases"), os.path.join(base, "signups")
+    ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    ).repartition(4).write.parquet(pdir)
+    ev.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "ts"
+    ).repartition(4).write.parquet(sdir)
+    p_schema = "event_id bigint, user_id bigint, ts timestamp, value double"
+    s_schema = "event_id bigint, user_id bigint, ts timestamp"
+    p = (
+        spark.readStream.schema(p_schema).option("maxFilesPerTrigger", 2).parquet(pdir)
+    )
+    s = (
+        spark.readStream.schema(s_schema).option("maxFilesPerTrigger", 2).parquet(sdir)
+    )
+    q = (
+        stream_attribution_join(p, s, max_delay="35 days")
+        .writeStream.format("memory")
+        .queryName("gate_sjoin")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return spark.sql(
+        "SELECT event_id, user_id,"
+        " date_format(ts, 'yyyy-MM-dd HH:mm:ss.SSSSSS') AS ts, value,"
+        " signup_event_id,"
+        " date_format(signup_ts, 'yyyy-MM-dd HH:mm:ss.SSSSSS') AS signup_ts"
+        " FROM gate_sjoin"
+    )
+
+
+SQL_STREAM_JOIN_ATTRIBUTION = """
+SELECT p.event_id,
+       p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+       p.value,
+       s.event_id AS signup_event_id,
+       strftime(s.ts, '%Y-%m-%d %H:%M:%S.%f') AS signup_ts
+FROM events p JOIN events s
+  ON p.user_id = s.user_id
+ AND p.event_type = 'purchase' AND s.event_type = 'signup'
+ AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 35 DAY
+"""
+
+
 def q_kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ct = q_kg_canonical_triples(spark, sf_dir)
     return ct.select(
@@ -1122,6 +1243,56 @@ FROM ls, bl
 """
 
 
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (smoothed idf, score rounded to 6
+    decimals BEFORE ranking, term-asc tie-break — deterministic on both
+    engines)."""
+    from .operators.index import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(spark, sf_dir))
+
+
+SQL_TEXT_TFIDF = f"""
+WITH w AS (
+  SELECT doc_id, unnest(string_split({NORM_SQL}, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+s AS (
+  SELECT doc_id, term, tf, df,
+         round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 6) AS score
+  FROM tf JOIN df USING (term), n
+),
+r AS (
+  SELECT doc_id, term, tf, df, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rk
+  FROM s
+)
+SELECT doc_id, term, tf::BIGINT AS tf, df::BIGINT AS df, score, rk::INTEGER AS rk
+FROM r WHERE rk <= 3
+"""
+
+
+def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posting-list materialization: per term, document frequency, total
+    occurrences, first 5 doc ids ascending as a CSV string."""
+    from .operators.index import inverted_index
+
+    return inverted_index(_docs(spark, sf_dir))
+
+
+SQL_TEXT_INVERTED_INDEX = f"""
+WITH w AS (
+  SELECT doc_id, unnest(string_split({NORM_SQL}, ' ')) AS term FROM documents
+),
+pd AS (SELECT term, doc_id, count(*) AS tf FROM w GROUP BY 1, 2)
+SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS total_tf,
+       array_to_string(list_slice(list_sort(list(doc_id)), 1, 5), ',') AS postings
+FROM pd GROUP BY term
+"""
+
+
 def q_text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scan + mask over a deterministically-planted corpus (the base
     documents contain no digits or '@', so every match is planted): per-
@@ -1629,6 +1800,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_stream_triples": q_kg_stream_triples,
     "stream_window_rates": q_stream_window_rates,
     "stream_sessions": q_stream_sessions,
+    "stream_dedup": q_stream_dedup,
+    "stream_join_attribution": q_stream_join_attribution,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
@@ -1638,6 +1811,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_repetition": q_text_repetition,
     "text_decontaminate": q_text_decontaminate,
     "text_boilerplate": q_text_boilerplate,
+    "text_tfidf": q_text_tfidf,
+    "text_inverted_index": q_text_inverted_index,
     "dedup_url": q_dedup_url,
     "web_domains": q_web_domains,
     "sample_stratified": q_sample_stratified,
@@ -1683,6 +1858,8 @@ ORACLES: dict[str, str] = {
     "kg_time_travel": SQL_KG_TIME_TRAVEL,
     "stream_window_rates": SQL_STREAM_WINDOW_RATES,
     "stream_sessions": SQL_STREAM_SESSIONS,
+    "stream_dedup": SQL_STREAM_DEDUP,
+    "stream_join_attribution": SQL_STREAM_JOIN_ATTRIBUTION,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_minhash": SQL_DEDUP_MINHASH,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
@@ -1696,6 +1873,8 @@ ORACLES: dict[str, str] = {
     "text_repetition": SQL_TEXT_REPETITION,
     "text_decontaminate": SQL_TEXT_DECONTAMINATE,
     "text_boilerplate": SQL_TEXT_BOILERPLATE,
+    "text_tfidf": SQL_TEXT_TFIDF,
+    "text_inverted_index": SQL_TEXT_INVERTED_INDEX,
     "dedup_url": SQL_DEDUP_URL,
     "web_domains": SQL_WEB_DOMAINS,
     "sample_stratified": SQL_SAMPLE_STRATIFIED,

@@ -242,9 +242,16 @@ def _first_seen_fn(key, pdf_iter, state):
     if state.exists:
         return  # already emitted once; empty generator = no output rows
     first = None
+    # group rows can span Arrow chunks — track the min-warc_ts row across
+    # ALL chunks of this micro-batch so the survivor is deterministic
+    # (earliest event time in the batch), not chunk-order-dependent
     for pdf in pdf_iter:
-        if len(pdf) and first is None:
-            first = pdf.sort_values("warc_ts").iloc[[0]]
+        if len(pdf):
+            cand = pdf.sort_values("warc_ts").iloc[[0]]
+            if first is None or (
+                cand.iloc[0]["warc_ts"] < first.iloc[0]["warc_ts"]
+            ):
+                first = cand
     state.update((1,))
     if first is not None:
         yield first[["url", "warc_ts", "html", "lang"]]
@@ -273,3 +280,40 @@ def stream_dedup_first_seen(pages: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_attribution_join(
+    purchases: DataFrame, signups: DataFrame, max_delay: str = "7 days"
+) -> DataFrame:
+    """Stream-stream interval join: every purchase matched to every signup
+    of the same user that happened at most ``max_delay`` before it — the
+    two-live-streams face of operators/events.asof_join (which picks only
+    the latest signup, batch-side).
+
+    Inner equi-join on user_id plus an event-time range predicate; both
+    sides carry watermarks derived from ``max_delay`` so Spark can evict
+    matched state instead of buffering both streams forever (the
+    production requirement for an unbounded run — with availableNow
+    drains, the watermark only ever drops state after the final batch, so
+    every cross-batch match is still emitted exactly once).
+
+    -> (event_id, user_id, ts, value, signup_event_id, signup_ts).
+    """
+    p = (
+        purchases.withWatermark("ts", max_delay)
+        .select("event_id", "user_id", "ts", "value")
+    )
+    s = (
+        signups.withWatermark("ts", max_delay)
+        .select(
+            F.col("user_id").alias("s_user_id"),
+            F.col("event_id").alias("signup_event_id"),
+            F.col("ts").alias("signup_ts"),
+        )
+    )
+    return p.join(
+        s,
+        (F.col("user_id") == F.col("s_user_id"))
+        & (F.col("ts") >= F.col("signup_ts"))
+        & (F.col("ts") <= F.col("signup_ts") + F.expr(f"interval {max_delay}")),
+    ).select("event_id", "user_id", "ts", "value", "signup_event_id", "signup_ts")
