@@ -64,3 +64,52 @@ def test_compact_preserves_rows_and_time_travel(spark, tmp_path):
     # old snapshots stay time-travelable after compaction
     old = cat.read(spark, "t", snapshot_id=3)
     assert old.count() == 30
+
+
+def test_expire_snapshots_retention(spark, tmp_path):
+    import os
+
+    import pytest
+
+    from vectrain_spark.catalog import Catalog
+
+    cat = Catalog(str(tmp_path / "wh"))
+    for i in range(5):
+        cat.write(
+            "t",
+            spark.range(i * 10, (i + 1) * 10).selectExpr("id"),
+            mode="append",
+            meta={"group": i},
+        )
+    rows_before = sorted(r["id"] for r in cat.read(spark, "t").collect())
+    assert cat.expire_snapshots("t", keep_last=2) == 3
+    # head unchanged and fully readable
+    assert sorted(r["id"] for r in cat.read(spark, "t").collect()) == rows_before
+    # retention window still time-travelable (snap 4 = first 40 rows)
+    assert cat.read(spark, "t", snapshot_id=4).count() == 40
+    # expired snapshots are gone: manifest deleted, read raises
+    with pytest.raises(FileNotFoundError):
+        cat.read(spark, "t", snapshot_id=2)
+    assert cat.snapshots("t")[0]["parent"] is None
+    assert len(cat.snapshots("t")) == 2
+    # appends keep working on the re-rooted chain
+    cat.write("t", spark.range(100, 110).selectExpr("id"), mode="append")
+    assert cat.read(spark, "t").count() == 60
+    # no-op when inside the retention window
+    assert cat.expire_snapshots("t", keep_last=10) == 0
+
+
+def test_expire_snapshots_reclaims_replaced_dirs(spark, tmp_path):
+    import os
+
+    from vectrain_spark.catalog import Catalog
+
+    cat = Catalog(str(tmp_path / "wh"))
+    cat.write("t", spark.range(10).selectExpr("id"), mode="append")
+    old_dir = cat.snapshots("t")[-1]["data_dirs"][0]
+    cat.write("t", spark.range(5).selectExpr("id"), mode="replace")
+    assert os.path.exists(old_dir)
+    assert cat.expire_snapshots("t", keep_last=1) == 1
+    # the replaced snapshot's data dir is physically reclaimed
+    assert not os.path.exists(old_dir)
+    assert cat.read(spark, "t").count() == 5

@@ -225,6 +225,39 @@ class Catalog:
             meta={"compacted": True},
         )
 
+    def expire_snapshots(self, table: str, keep_last: int = 2) -> int:
+        """Iceberg-style retention maintenance: drop every snapshot except
+        the most recent ``keep_last``, deleting manifests and any data dir
+        no retained snapshot references. The oldest retained manifest is
+        re-rooted (parent -> None); because each manifest carries its
+        CUMULATIVE data-dir list, retained snapshots stay fully readable
+        and time travel inside the retention window is unchanged — travel
+        to an expired snapshot now fails, which is the point (the disk
+        space is reclaimed). Returns the number of snapshots expired."""
+        with self._commit_lock:
+            chain = self.snapshots(table)
+            if keep_last < 1 or len(chain) <= keep_last:
+                return 0
+            expired, retained = chain[:-keep_last], chain[-keep_last:]
+            live_dirs = {d for m in retained for d in m["data_dirs"]}
+            for m in expired:
+                for d in m["data_dirs"]:
+                    if d not in live_dirs:
+                        shutil.rmtree(d, ignore_errors=True)
+                os.remove(
+                    os.path.join(
+                        self._mdir(table), f"snap-{m['snapshot_id']:06d}.json"
+                    )
+                )
+            oldest = dict(retained[0], parent=None)
+            self._atomic_write(
+                os.path.join(
+                    self._mdir(table), f"snap-{oldest['snapshot_id']:06d}.json"
+                ),
+                json.dumps(oldest, indent=1),
+            )
+            return len(expired)
+
     def drop(self, table: str) -> None:
         shutil.rmtree(self._tdir(table), ignore_errors=True)
 
