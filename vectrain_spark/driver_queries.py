@@ -678,17 +678,20 @@ FROM edges e JOIN deg ON deg.src = e.src
 # The graph-analytics queries run over the MATERIALIZED edge table (in
 # production the pipeline has already written it — pipeline.finalize);
 # in the gate the edges are derived once per sf_dir and shared between
-# pagerank and k-hop instead of re-running the whole extract->link->CC
-# chain per query. Entity-id-sized, so a pandas snapshot is cheap.
+# pagerank / k-hop / co-citation instead of re-running the whole
+# extract->link->CC chain per query. The cache is a PERSISTED DataFrame
+# (executor-side blocks, materialized once by the count) — nothing is
+# collected to the driver.
 _EDGES_CACHE: dict = {}
 
 
 def _materialized_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pdf = _EDGES_CACHE.get(sf_dir)
-    if pdf is None:
-        pdf = q_kg_edges(spark, sf_dir).toPandas()
-        _EDGES_CACHE[sf_dir] = pdf
-    return spark.createDataFrame(pdf)
+    df = _EDGES_CACHE.get(sf_dir)
+    if df is None:
+        df = q_kg_edges(spark, sf_dir).persist()
+        df.count()
+        _EDGES_CACHE[sf_dir] = df
+    return df
 
 
 def q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
