@@ -1720,7 +1720,10 @@ _COS6 = (
     " * sqrt(list_dot_product({b}, {b}))), 6)"
 )
 
-SQL_SIM_ANN_IVF = f"""
+def _ann_ivf_sql(expr_tpl: str, order: str) -> str:
+    """IVF oracle parametrized by metric expression and rank direction
+    (DESC for cosine/dot similarity, ASC for euclid distance)."""
+    return f"""
 WITH v AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
   FROM embeddings
@@ -1728,25 +1731,25 @@ WITH v AS (
 c AS (SELECT vec_id::INTEGER AS cell, emb AS c_emb FROM v WHERE vec_id < 16),
 scored AS (
   SELECT v.vec_id, c.cell,
-         {_COS6.format(a='v.emb', b='c.c_emb')} AS score
+         {expr_tpl.format(a='v.emb', b='c.c_emb')} AS score
   FROM v, c
 ),
 assigned AS (
   SELECT vec_id, cell FROM (
     SELECT vec_id, cell,
-           row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell ASC) AS rn
+           row_number() OVER (PARTITION BY vec_id ORDER BY score {order}, cell ASC) AS rn
     FROM scored) WHERE rn = 1
 ),
 probes AS (
   SELECT vec_id AS q_id, cell FROM (
     SELECT vec_id, cell,
-           row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell ASC) AS rn
+           row_number() OVER (PARTITION BY vec_id ORDER BY score {order}, cell ASC) AS rn
     FROM scored WHERE vec_id < 10) WHERE rn <= 4
 ),
 q AS (SELECT vec_id AS q_id, emb AS q_emb FROM v WHERE vec_id < 10),
 cand AS (
   SELECT p.q_id, a.vec_id AS n_id,
-         {_COS6.format(a='q.q_emb', b='v.emb')} AS score
+         {expr_tpl.format(a='q.q_emb', b='v.emb')} AS score
   FROM probes p
   JOIN assigned a USING (cell)
   JOIN v ON v.vec_id = a.vec_id
@@ -1755,11 +1758,23 @@ cand AS (
 ),
 r AS (
   SELECT q_id, n_id, score,
-         row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id ASC) AS rank
+         row_number() OVER (PARTITION BY q_id ORDER BY score {order}, n_id ASC) AS rank
   FROM cand
 )
 SELECT q_id, n_id, score, rank FROM r WHERE rank <= 5
 """
+
+
+SQL_SIM_ANN_IVF = _ann_ivf_sql(_COS6, "DESC")
+SQL_SIM_ANN_IVF_EUCLID = _ann_ivf_sql(_EUC6, "ASC")
+
+
+def q_sim_ann_ivf_euclid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF under euclid distance (ascending rank) — metric parity with
+    knn_bruteforce across the reference's cosine/euclid/dot set."""
+    return ann_ivf(spark, _emb(spark, sf_dir), metric="euclid").withColumn(
+        "rank", F.col("rank").cast("long")
+    )
 
 
 SQL_DEDUP_EMBEDDING_EXACT = f"""
@@ -1829,6 +1844,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_knn_euclid": q_sim_knn_euclid,
     "sim_knn_dot": q_sim_knn_dot,
     "sim_ann_ivf": q_sim_ann_ivf,
+    "sim_ann_ivf_euclid": q_sim_ann_ivf_euclid,
     "dedup_embedding_exact": q_dedup_embedding_exact,
     "dedup_embedding_euclid": q_dedup_embedding_euclid,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
@@ -1891,6 +1907,7 @@ ORACLES: dict[str, str] = {
     "sim_knn_euclid": SQL_SIM_KNN_EUCLID,
     "sim_knn_dot": SQL_SIM_KNN_DOT,
     "sim_ann_ivf": SQL_SIM_ANN_IVF,
+    "sim_ann_ivf_euclid": SQL_SIM_ANN_IVF_EUCLID,
     "dedup_embedding_exact": SQL_DEDUP_EMBEDDING_EXACT,
     "dedup_embedding_euclid": SQL_DEDUP_EMBEDDING_EUCLID,
     # The LSH variant is deterministic (seeded hyperplanes, exact-cosine

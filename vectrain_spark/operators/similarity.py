@@ -247,27 +247,42 @@ def centroids_df(embeddings: DataFrame, n_cells: int = 16) -> DataFrame:
     )
 
 
-def assign_cells(vecs: DataFrame, cents: DataFrame, n_probe: int = 1) -> DataFrame:
+def assign_cells(
+    vecs: DataFrame, cents: DataFrame, n_probe: int = 1, metric: str = "cosine"
+) -> DataFrame:
     """(vec_id, emb) -> n_probe nearest cells per vector, entirely JVM-side.
 
-    Corpus x broadcast(centroids) rounded cosine, then argmax per vector.
+    Corpus x broadcast(centroids) rounded metric score, then arg-best per
+    vector ("best" = max for cosine/dot, min for euclid distance).
     n_probe=1 (corpus assignment) avoids the window: ONE shuffle with
-    map-side partial aggregation — max over (score, -cell) structs is
-    highest-score-then-lowest-cell, the same order the window would give.
+    map-side partial aggregation — min/max over (score, cell) structs is
+    best-score-then-lowest-cell, the same order the window would give.
     No driver collect, no Python: the probe list for a 10^7-row QUERY TABLE
     costs the same plan as the corpus assignment (this replaces the round-1
     driver-side loop flagged in VERDICT.md 'What's wrong #3').
     """
     scored = vecs.join(F.broadcast(cents)).select(
-        "vec_id", "cell", F.round(cosine_expr("emb", "c_emb"), 6).alias("score")
+        "vec_id",
+        "cell",
+        F.round(metric_expr(metric, "emb", "c_emb"), 6).alias("score"),
     )
     if n_probe == 1:
+        if _is_distance(metric):
+            # min struct = lowest distance, then lowest cell
+            best = F.min(F.struct(F.col("score"), F.col("cell"))).alias("m")
+            return (
+                scored.groupBy("vec_id")
+                .agg(best)
+                .select("vec_id", F.col("m.cell").cast("int").alias("cell"))
+            )
+        best = F.max(F.struct(F.col("score"), (-F.col("cell")).alias("nc"))).alias("m")
         return (
             scored.groupBy("vec_id")
-            .agg(F.max(F.struct(F.col("score"), (-F.col("cell")).alias("nc"))).alias("m"))
+            .agg(best)
             .select("vec_id", (-F.col("m.nc")).cast("int").alias("cell"))
         )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("score"), F.asc("cell"))
+    order = F.asc("score") if _is_distance(metric) else F.desc("score")
+    w = Window.partitionBy("vec_id").orderBy(order, F.asc("cell"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= n_probe)
@@ -282,18 +297,20 @@ def ann_ivf(
     k: int = 5,
     n_cells: int = 16,
     n_probe: int = 4,
+    metric: str = "cosine",
 ) -> DataFrame:
     """IVF approximate top-k, same output shape as ``knn_bruteforce``.
 
-    Every stage is a JVM Catalyst plan over rounded float64 cosines, so the
+    Every stage is a JVM Catalyst plan over rounded float64 scores, so the
     WHOLE approximate operator is deterministic and exactly reproducible by
     the DuckDB oracle (SQL_SIM_ANN_IVF): corpus->cell assignment, query
     probe lists (n_probe nearest cells), and the probed top-k all use the
-    same (round(cos,6) DESC, id ASC) ordering on both engines.
+    same (round(score,6), id ASC) ordering on both engines — descending
+    for cosine/dot similarity, ascending for euclid distance.
     """
     vecs = _vecs(embeddings)
     cents = centroids_df(embeddings, n_cells)
-    corpus = vecs.join(assign_cells(vecs, cents), "vec_id")
+    corpus = vecs.join(assign_cells(vecs, cents, metric=metric), "vec_id")
     q = vecs.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
     )
@@ -301,6 +318,7 @@ def ann_ivf(
         q.select(F.col("q_id").alias("vec_id"), F.col("q_emb").alias("emb")),
         cents,
         n_probe,
+        metric=metric,
     ).select(F.col("vec_id").alias("q_id"), "cell")
     probes = q.join(qprobe, "q_id")
     # corpus cells are unique per vector (argmax), so no dedup is needed:
@@ -312,10 +330,11 @@ def ann_ivf(
         .select(
             "q_id",
             F.col("vec_id").alias("n_id"),
-            F.round(cosine_expr("q_emb", "emb"), 6).alias("score"),
+            F.round(metric_expr(metric, "q_emb", "emb"), 6).alias("score"),
         )
     )
-    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("n_id"))
+    order = F.asc("score") if _is_distance(metric) else F.desc("score")
+    w = Window.partitionBy("q_id").orderBy(order, F.asc("n_id"))
     return (
         cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
