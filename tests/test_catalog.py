@@ -113,3 +113,17 @@ def test_expire_snapshots_reclaims_replaced_dirs(spark, tmp_path):
     # the replaced snapshot's data dir is physically reclaimed
     assert not os.path.exists(old_dir)
     assert cat.read(spark, "t").count() == 5
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    from vectrain_spark.catalog import Catalog
+
+    cat = Catalog(str(tmp_path / "wh"))
+    cat.write("t", spark.range(3).selectExpr("id"), mode="append")
+    # later append widens the schema with a new nullable column
+    cat.write("t", spark.range(3, 5).selectExpr("id", "id * 2 AS extra"), mode="append")
+    merged = cat.read(spark, "t", merge_schema=True)
+    assert set(merged.columns) == {"id", "extra"}
+    rows = {r["id"]: r["extra"] for r in merged.collect()}
+    assert rows[4] == 8 and rows[0] is None  # pre-evolution rows null-filled
+    assert merged.count() == 5

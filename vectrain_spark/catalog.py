@@ -128,13 +128,25 @@ class Catalog:
         return snap
 
     def read(
-        self, spark: SparkSession, table: str, snapshot_id: int | None = None
+        self,
+        spark: SparkSession,
+        table: str,
+        snapshot_id: int | None = None,
+        merge_schema: bool = False,
     ) -> DataFrame:
+        """``merge_schema=True`` is the Iceberg schema-evolution analog:
+        appends may widen the schema (new nullable columns) and the read
+        unions all per-snapshot parquet schemas, null-filling rows written
+        before a column existed. Off by default — schema-stable tables
+        skip the extra footer pass."""
         head = snapshot_id if snapshot_id is not None else self._head(table)
         if head is None:
             raise FileNotFoundError(f"table {table} has no committed snapshot")
         dirs = self._manifest(table, head)["data_dirs"]
-        return spark.read.parquet(*dirs)
+        reader = spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*dirs)
 
     def prune_groups(self, table: str, groups: set[int]) -> bool:
         """Commit a snapshot that excludes every delta written by the given
