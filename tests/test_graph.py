@@ -152,3 +152,86 @@ def test_pagerank_weighted_matches_python_oracle(spark):
     assert got == want
     # the heavier edge target must outrank the lighter one
     assert got[2] > got[3]
+
+
+# ---------------------------------------------------------------------------
+# triangle counting + k-core
+# ---------------------------------------------------------------------------
+
+# undirected (a < b): a 4-clique {1,2,3,4}, a pendant 5, a separate
+# triangle {6,7,8}, and an isolated edge (9, 10)
+UEDGES = [
+    (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+    (4, 5),
+    (6, 7), (6, 8), (7, 8),
+    (9, 10),
+]
+
+
+def _triangles_py(edges):
+    es = {tuple(sorted(e)) for e in edges}
+    nodes = sorted({u for e in es for u in e})
+    cnt = {}
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1:]:
+            for c in nodes[nodes.index(b) + 1:]:
+                if (a, b) in es and (b, c) in es and (a, c) in es:
+                    for v in (a, b, c):
+                        cnt[v] = cnt.get(v, 0) + 1
+    return cnt
+
+
+def test_triangle_counts_matches_python_oracle(spark):
+    from vectrain_spark.operators.graph import triangle_counts
+
+    e = spark.createDataFrame(UEDGES, "a long, b long")
+    got = {r["id"]: r["triangles"] for r in triangle_counts(e).collect()}
+    assert got == _triangles_py(UEDGES)
+
+
+def test_triangle_counts_hub_graph(spark):
+    """Star graph (hub + leaves) has zero triangles; adding one leaf-leaf
+    edge creates exactly one — and the oriented wedge join must not blow
+    up on the hub (its oriented out-degree is 0 or 1 by construction)."""
+    from vectrain_spark.operators.graph import triangle_counts
+
+    star = [(0, i) for i in range(1, 40)]
+    e = spark.createDataFrame(star, "a long, b long")
+    assert triangle_counts(e).count() == 0
+    e2 = spark.createDataFrame(star + [(1, 2)], "a long, b long")
+    got = {r["id"]: r["triangles"] for r in triangle_counts(e2).collect()}
+    assert got == {0: 1, 1: 1, 2: 1}
+
+
+def _kcore_py(edges, k, rounds):
+    es = {tuple(sorted(e)) for e in edges}
+    for _ in range(rounds):
+        deg = {}
+        for a, b in es:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        alive = {v for v, d in deg.items() if d >= k}
+        es = {(a, b) for a, b in es if a in alive and b in alive}
+    deg = {}
+    for a, b in es:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    return {v: d for v, d in deg.items() if d >= k}
+
+
+def test_k_core_matches_python_oracle(spark):
+    from vectrain_spark.operators.graph import k_core
+
+    e = spark.createDataFrame(UEDGES, "a long, b long")
+    got = {r["id"]: r["core_degree"] for r in k_core(e, k=3, rounds=6).collect()}
+    # only the 4-clique survives a 3-core peel (triangle {6,7,8} has deg 2)
+    assert got == _kcore_py(UEDGES, 3, 6) == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_k_core_chain_peels_to_nothing(spark):
+    from vectrain_spark.operators.graph import k_core
+
+    chain = [(i, i + 1) for i in range(12)]
+    e = spark.createDataFrame(chain, "a long, b long")
+    assert _kcore_py(chain, 2, 6) == {}
+    assert k_core(e, k=2, rounds=6).count() == 0

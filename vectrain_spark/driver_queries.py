@@ -747,6 +747,37 @@ FROM pairs JOIN deg da ON da.dst = a JOIN deg db ON db.dst = b
 """
 
 
+def q_kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-node triangle counts over the co-mention projection of
+    the KG (the undirected graph where two entities are adjacent iff they
+    share a citing subject) — degree-oriented wedge enumeration on the
+    Spark side vs a brute a<b<c three-way-join DuckDB oracle."""
+    from .operators.graph import co_mentions, triangle_counts
+
+    pairs = co_mentions(_materialized_edges(spark, sf_dir)).select("a", "b")
+    return triangle_counts(pairs)
+
+
+def q_kg_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (k=3, 6 synchronous peeling rounds) of the
+    co-mention graph: survivors with their in-subgraph degree, matched
+    round-for-round by an unrolled-CTE oracle."""
+    from .operators.graph import co_mentions, k_core
+
+    pairs = co_mentions(_materialized_edges(spark, sf_dir)).select("a", "b")
+    return k_core(pairs, k=3, rounds=6)
+
+
+def _graph_pairs_sql() -> tuple[str, str]:
+    from .operators.graph import k_core_oracle_sql, triangle_counts_oracle_sql
+
+    pairs_sql = f"SELECT a, b FROM ({SQL_KG_COOCCUR})"
+    return (
+        triangle_counts_oracle_sql(pairs_sql),
+        k_core_oracle_sql(pairs_sql, k=3, rounds=6),
+    )
+
+
 def q_kg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental MERGE gate: bootstrap the warehouse from HALF the corpus
     (even doc_ids), then feed the FULL corpus as an incremental wave — the
@@ -785,6 +816,7 @@ def _pagerank_sql(weight_sql: str | None = None) -> str:
 
 SQL_KG_PAGERANK = _pagerank_sql()
 SQL_KG_PAGERANK_WEIGHTED = _pagerank_sql(weight_sql="cnt")
+SQL_KG_TRIANGLES, SQL_KG_KCORE = _graph_pairs_sql()
 
 
 def q_kg_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1813,6 +1845,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_khop": q_kg_khop,
     "kg_top_preds": q_kg_top_preds,
     "kg_cooccur": q_kg_cooccur,
+    "kg_triangles": q_kg_triangles,
+    "kg_kcore": q_kg_kcore,
     "kg_incremental": q_kg_incremental,
     "kg_time_travel": q_kg_time_travel,
     "kg_stream_triples": q_kg_stream_triples,
@@ -1870,6 +1904,8 @@ ORACLES: dict[str, str] = {
     "kg_khop": SQL_KG_KHOP,
     "kg_top_preds": SQL_KG_TOP_PREDS,
     "kg_cooccur": SQL_KG_COOCCUR,
+    "kg_triangles": SQL_KG_TRIANGLES,
+    "kg_kcore": SQL_KG_KCORE,
     # streamed output must equal the batch extraction exactly
     "kg_stream_triples": SQL_KG_TRIPLES,
     # incremental bootstrap+wave must converge to the one-shot batch result

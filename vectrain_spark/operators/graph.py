@@ -223,3 +223,147 @@ def k_hop(edges: DataFrame, seeds: DataFrame, k: int = 2) -> DataFrame:
         .agg(F.min("hops").alias("hops"))
         .filter(F.col("seed") != F.col("node"))
     )
+
+
+def triangle_counts(pairs: DataFrame) -> DataFrame:
+    """Undirected edge list (a, b) with a < b -> per-node triangle
+    participation counts (id, triangles), exact.
+
+    Scale design (Suri & Vassilvitskii, "Counting Triangles and the Curse
+    of the Last Reducer", WWW'11): every edge is oriented from its
+    lower-(degree, id) endpoint to the higher one, so each wedge is
+    enumerated exactly once AT ITS LOWEST-DEGREE VERTEX — the self-join
+    fan-out per vertex is bounded by its *oriented* out-degree, which the
+    orientation caps at O(sqrt(|E|)) even for hub nodes. The degree table
+    is node-sized and broadcast onto the edge list; the wedge->edge
+    existence probe is a shuffle join on the (lo, hi) edge key.
+    """
+    e = pairs.select("a", "b").distinct()
+    deg = (
+        e.select(F.col("a").alias("id"))
+        .unionAll(e.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = F.broadcast(deg).withColumnsRenamed({"id": "a", "deg": "deg_a"})
+    db = F.broadcast(deg).withColumnsRenamed({"id": "b", "deg": "deg_b"})
+    # orient: u = lower (deg, id) endpoint, v = higher
+    oriented = (
+        e.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(
+                (F.col("deg_a") < F.col("deg_b"))
+                | ((F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+            )
+            .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("v")))
+            .alias("o")
+        )
+        .select("o.u", "o.v")
+    )
+    # wedges at the low-degree pivot; close them against the undirected set
+    w1 = oriented.select(F.col("u"), F.col("v").alias("x"))
+    w2 = oriented.select(F.col("u"), F.col("v").alias("y"))
+    wedges = (
+        w1.join(w2, "u")
+        .filter(F.col("x") < F.col("y"))
+        .select("u", F.col("x").alias("a"), F.col("y").alias("b"))
+    )
+    triangles = wedges.join(e, ["a", "b"])
+    per_node = (
+        triangles.select(F.col("u").alias("id"))
+        .unionAll(triangles.select(F.col("a").alias("id")))
+        .unionAll(triangles.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return per_node
+
+
+def triangle_counts_oracle_sql(pairs_sql: str) -> str:
+    """DuckDB reconstruction: enumerate each triangle once as a < b < c
+    (orientation-free brute form — the oracle is allowed the O(n^3) plan
+    the Spark side avoids), then count per-node participations."""
+    return f"""
+WITH e AS MATERIALIZED (SELECT DISTINCT a, b FROM ({pairs_sql})),
+t AS MATERIALIZED (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT id, count(*)::BIGINT AS triangles
+FROM (SELECT x AS id FROM t UNION ALL SELECT y FROM t UNION ALL SELECT z FROM t)
+GROUP BY id
+"""
+
+
+def k_core(pairs: DataFrame, k: int = 3, rounds: int = 6) -> DataFrame:
+    """Iterative k-core peeling over an undirected (a, b) edge list:
+    run ``rounds`` synchronous rounds of "drop every node whose degree in
+    the surviving subgraph is < k"; return (id, core_degree) for the nodes
+    still alive, with their degree inside the surviving subgraph.
+
+    Deterministic for a fixed round count (the oracle unrolls the same
+    number of rounds, so both sides agree even on graphs that have not
+    converged yet). Each round is one semi-join pass over the edge list
+    plus a two-phase count aggregate — map-side partial counts collapse
+    hub fan-in before the exchange, so skewed degrees never concentrate
+    on one reducer.
+    """
+    e0 = pairs.select("a", "b").distinct().persist()
+    e = e0
+    for _ in range(rounds):
+        deg = (
+            e.select(F.col("a").alias("id"))
+            .unionAll(e.select(F.col("b").alias("id")))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        alive = F.broadcast(deg.filter(F.col("deg") >= k).select("id"))
+        e = (
+            e.join(alive.withColumnRenamed("id", "a"), "a", "left_semi")
+            .join(alive.withColumnRenamed("id", "b"), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint()
+        )
+    out = (
+        e.select(F.col("a").alias("id"))
+        .unionAll(e.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .filter(F.col("core_degree") >= k)
+    )
+    e0.unpersist()
+    return out
+
+
+def k_core_oracle_sql(pairs_sql: str, k: int = 3, rounds: int = 6) -> str:
+    """Unrolled-CTE DuckDB reconstruction of :func:`k_core` (same round
+    count, so the two engines agree round-for-round).
+
+    Every CTE is ``AS MATERIALIZED``: the peel chain references each
+    previous round ~3x, and DuckDB's default CTE inlining would otherwise
+    re-evaluate the (deep) pairs pipeline 3^rounds times."""
+    parts = [f"e0 AS MATERIALIZED (SELECT DISTINCT a, b FROM ({pairs_sql}))"]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""d{i} AS MATERIALIZED (
+  SELECT id, count(*) AS deg FROM (
+    SELECT a AS id FROM e{i-1} UNION ALL SELECT b FROM e{i-1}
+  ) GROUP BY id
+),
+a{i} AS MATERIALIZED (SELECT id FROM d{i} WHERE deg >= {k}),
+e{i} AS MATERIALIZED (
+  SELECT e.a, e.b FROM e{i-1} e
+  JOIN a{i} x ON x.id = e.a JOIN a{i} y ON y.id = e.b
+)"""
+        )
+    body = ",\n".join(parts)
+    return f"""
+WITH {body}
+SELECT id, count(*)::BIGINT AS core_degree FROM (
+  SELECT a AS id FROM e{rounds} UNION ALL SELECT b FROM e{rounds}
+) GROUP BY id HAVING count(*) >= {k}
+"""
