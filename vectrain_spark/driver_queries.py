@@ -50,9 +50,13 @@ from .operators.textstats import (
 from .operators.webcorpus import (
     PHRASES,
     PREDS,
+    REVISION_SUFFIX,
+    SECOND_CRAWL_TS,
     corpus_aliases,
     corpus_aliases_sql,
+    crawl_drift,
     pages_from_documents,
+    second_crawl_documents,
 )
 
 # ---------------------------------------------------------------------------
@@ -1463,6 +1467,129 @@ GROUP BY ROLLUP (lang, source)
 """
 
 
+def q_corpus_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE over (lang, source): every grouping-set combination —
+    incl. the per-source-across-languages slice a rollup cannot produce —
+    in one pass (Spark expands the grouping sets before a single shuffle,
+    partial aggregation intact)."""
+    return (
+        _docs(spark, sf_dir)
+        .cube("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .select(
+            F.coalesce("lang", F.lit("<all>")).alias("lang"),
+            F.coalesce("source", F.lit("<all>")).alias("source"),
+            "n_docs",
+            "total_chars",
+            "max_chars",
+        )
+    )
+
+
+SQL_CORPUS_CUBE = """
+SELECT coalesce(lang, '<all>') AS lang,
+       coalesce(source, '<all>') AS source,
+       count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS total_chars,
+       max(n_chars)::BIGINT AS max_chars
+FROM documents
+GROUP BY CUBE (lang, source)
+"""
+
+
+def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-text sketch per language: the k=16 smallest md5-derived
+    60-bit hashes per group drive the (k-1)/R_k cardinality estimator —
+    mergeable, one narrow shuffle, value-checked against an identical
+    DuckDB reconstruction (see operators/sketch.py for why KMV and not
+    HLL: the sketch itself must be oracle-reproducible)."""
+    from .operators.sketch import kmv_distinct
+
+    return kmv_distinct(_docs(spark, sf_dir), "lang", "text")
+
+
+def _sketch_sql() -> str:
+    from .operators.sketch import kmv_oracle_sql
+
+    return kmv_oracle_sql("SELECT lang, text FROM documents", "lang", "text")
+
+
+SQL_SKETCH_DISTINCT = _sketch_sql()
+
+
+def q_ingest_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL round-trip fidelity: stage documents as JSON-lines (the
+    reference's wire format — its Kafka/HTTP sources JSON-decode into the
+    Entity record), re-read with a DECLARED schema, aggregate per lang
+    with a bit_xor text checksum; the oracle aggregates the ORIGINAL
+    parquet, so one corrupted byte anywhere fails the gate."""
+    import os
+
+    from .operators.ingest import jsonl_roundtrip_stats
+
+    stage = f"/tmp/vectrain_jsonl_{os.path.basename(sf_dir.rstrip('/'))}"
+    return jsonl_roundtrip_stats(spark, _docs(spark, sf_dir), stage)
+
+
+def _jsonl_sql() -> str:
+    from .operators.ingest import JSONL_STATS_ORACLE_SQL
+
+    return JSONL_STATS_ORACLE_SQL
+
+
+SQL_INGEST_JSONL = _jsonl_sql()
+
+
+def q_web_crawl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned-corpus diff: run the REAL extraction over two crawl
+    snapshots of the same url space (second crawl: every 11th url gone,
+    every 4th body revised), then classify each url added / removed /
+    changed / unchanged from first-vs-last extracted text per url."""
+    docs = _docs(spark, sf_dir)
+    crawl1 = pages_from_documents(docs)
+    crawl2 = pages_from_documents(
+        second_crawl_documents(docs), warc_ts=SECOND_CRAWL_TS
+    )
+    good, _ = split_quarantine(extract_pages(crawl1.unionAll(crawl2)))
+    return crawl_drift(good.select("url", "warc_ts", "text"))
+
+
+SQL_WEB_CRAWL_DRIFT = f"""
+WITH ph(m, phrase) AS (VALUES {_PHRASE_VALUES}),
+base AS MATERIALIZED (
+  SELECT d.doc_id,
+         'https://docs.example/' || d.doc_id AS url,
+         'Vendor' || (d.doc_id % 7) || ' ' || ph.phrase || ' Client' || (d.doc_id % 13)
+           || '.' || chr(10) || d.text AS text
+  FROM documents d JOIN ph ON ph.m = d.doc_id % 8
+  WHERE {_KG_PAGE_FILTER}
+),
+u AS MATERIALIZED (
+  SELECT url, TIMESTAMP '2024-01-01 00:00:00' AS warc_ts, text FROM base
+  UNION ALL
+  SELECT url, TIMESTAMP '{SECOND_CRAWL_TS}' AS warc_ts,
+         text || CASE WHEN doc_id % 4 = 0 THEN '{REVISION_SUFFIX}' ELSE '' END
+  FROM base WHERE doc_id % 11 <> 0
+),
+g AS (
+  SELECT url, count(*)::BIGINT AS n_crawls, max(warc_ts) AS last_ts,
+         arg_min(text, warc_ts) AS first_text,
+         arg_max(text, warc_ts) AS last_text
+  FROM u GROUP BY url
+)
+SELECT url, n_crawls,
+       CASE WHEN last_ts < (SELECT max(warc_ts) FROM u) THEN 'removed'
+            WHEN n_crawls = 1 THEN 'added'
+            WHEN first_text <> last_text THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM g
+"""
+
+
 # ---------------------------------------------------------------------------
 # Event-stream queries (events table)
 # ---------------------------------------------------------------------------
@@ -1870,6 +1997,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_stratified": q_sample_stratified,
     "corpus_stats": q_corpus_stats,
     "corpus_rollup": q_corpus_rollup,
+    "corpus_cube": q_corpus_cube,
+    "sketch_distinct": q_sketch_distinct,
+    "ingest_jsonl": q_ingest_jsonl,
+    "web_crawl_drift": q_web_crawl_drift,
     "text_langid": q_text_langid,
     "text_quality": q_text_quality,
     "text_tokens": q_text_tokens,
@@ -1935,6 +2066,10 @@ ORACLES: dict[str, str] = {
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
     "corpus_stats": SQL_CORPUS_STATS,
     "corpus_rollup": SQL_CORPUS_ROLLUP,
+    "corpus_cube": SQL_CORPUS_CUBE,
+    "sketch_distinct": SQL_SKETCH_DISTINCT,
+    "ingest_jsonl": SQL_INGEST_JSONL,
+    "web_crawl_drift": SQL_WEB_CRAWL_DRIFT,
     "text_langid": SQL_TEXT_LANGID,
     "text_quality": SQL_TEXT_QUALITY,
     "text_tokens": SQL_TEXT_TOKENS,

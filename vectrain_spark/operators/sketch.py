@@ -1,0 +1,99 @@
+"""Mergeable cardinality sketches: KMV (k-minimum-values) distinct-count
+estimation per group.
+
+The reference has no aggregation surface at all (SURVEY §2.2) — this is
+part of the training-data-pipeline surface a 100 TB corpus engine needs:
+"how many distinct documents/urls/shingles per language" without paying an
+exact global distinct. HyperLogLog (Spark's approx_count_distinct) is the
+built-in answer but its register layout is engine-private and cannot be
+reconstructed by an independent SQL oracle; KMV over a shared md5-derived
+hash is equally mergeable, has a known estimator (Bar-Yossef et al. 2002:
+distinct ~= (k-1) / R_k where R_k is the k-th smallest normalized hash),
+and is bit-for-bit reproducible in DuckDB — so the gate can check the
+sketch VALUE, not just row counts.
+
+Scale design: the per-group k smallest hashes are selected with
+row_number over (group ORDER BY hash) filtered to rn <= k — Spark >= 3.5
+rewrites exactly this shape to a WindowGroupLimit, which keeps only k rows
+per group per partition BEFORE the exchange (asserted in
+tests/test_sketch.py), i.e. the shuffle carries O(k * groups * partitions)
+rows, not the distinct set. The preceding distinct is one hash shuffle of
+(group, 8-byte hash) pairs — the narrow representation of the input, never
+the payload column itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+K_DEFAULT = 16
+_TWO60 = float(1 << 60)  # md5-prefix hash space: 15 hex chars = 60 bits
+
+
+def _hash60(col: F.Column) -> F.Column:
+    # identical on both engines: first 15 hex chars of md5 -> bigint
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def kmv_distinct(
+    df: DataFrame, group_col: str, value_col: str, k: int = K_DEFAULT
+) -> DataFrame:
+    """-> (group_col, n_hashes, kth_hash, est_distinct).
+
+    For groups with fewer than k distinct values the sketch has seen
+    everything and the estimate IS the exact count; otherwise
+    est = floor((k-1) * 2^60 / kth_hash). floor (not round) so no
+    half-way tie semantics can diverge between engines.
+    """
+    kn = float(k - 1) * _TWO60  # exactly representable for k <= ~2^12
+    d = (
+        df.select(F.col(group_col), _hash60(F.col(value_col)).alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy(group_col).orderBy("h")
+    kept = d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    return (
+        kept.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_hashes"),
+            F.max("h").alias("kth_hash"),
+        )
+        .select(
+            group_col,
+            "n_hashes",
+            "kth_hash",
+            F.when(F.col("n_hashes") < k, F.col("n_hashes"))
+            .otherwise(F.floor(F.lit(kn) / F.col("kth_hash")))
+            .cast("long")
+            .alias("est_distinct"),
+        )
+    )
+
+
+def kmv_oracle_sql(
+    source_sql: str, group_col: str, value_col: str, k: int = K_DEFAULT
+) -> str:
+    """DuckDB reconstruction of :func:`kmv_distinct` over ``source_sql``
+    (a SELECT producing at least group_col and value_col)."""
+    kn = repr(float(k - 1) * _TWO60)
+    return f"""
+WITH d AS (
+  SELECT DISTINCT {group_col},
+         ('0x' || substr(md5({value_col}), 1, 15))::BIGINT AS h
+  FROM ({source_sql})
+),
+r AS (
+  SELECT {group_col}, h,
+         row_number() OVER (PARTITION BY {group_col} ORDER BY h) AS rn
+  FROM d
+),
+g AS (
+  SELECT {group_col}, count(*)::BIGINT AS n_hashes, max(h) AS kth_hash
+  FROM r WHERE rn <= {k} GROUP BY {group_col}
+)
+SELECT {group_col}, n_hashes, kth_hash,
+       CASE WHEN n_hashes < {k} THEN n_hashes
+            ELSE floor({kn} / kth_hash)::BIGINT END AS est_distinct
+FROM g
+"""

@@ -62,13 +62,19 @@ def _assemble_html(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-def pages_from_documents(docs: DataFrame) -> DataFrame:
-    """documents -> pages(url, warc_ts, html, lang), input_hint shape."""
+def pages_from_documents(
+    docs: DataFrame, warc_ts: str = "2024-01-01 00:00:00"
+) -> DataFrame:
+    """documents -> pages(url, warc_ts, html, lang), input_hint shape.
+
+    ``warc_ts`` stamps the crawl snapshot — pass a later timestamp to
+    derive a re-crawl of the same urls (see :func:`second_crawl_documents`
+    / :func:`crawl_drift`)."""
     phrase_arr = F.array(*[F.lit(s) for s in PHRASES])
     base = docs.select(
         "doc_id",
         F.concat(F.lit("https://docs.example/"), F.col("doc_id")).alias("url"),
-        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        F.to_timestamp(F.lit(warc_ts)).alias("warc_ts"),
         F.concat(
             F.lit("Vendor"),
             F.col("doc_id") % 7,
@@ -99,6 +105,62 @@ def expected_page_text(docs: DataFrame) -> DataFrame:
             F.lit(".\n"),
             F.col("text"),
         ).alias("text"),
+    )
+
+
+SECOND_CRAWL_TS = "2024-03-01 00:00:00"
+REVISION_SUFFIX = " updated revision r2"
+
+
+def second_crawl_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic re-crawl of the derived corpus two months later:
+    every 11th url has dropped off the web (doc_id % 11 == 0), every 4th
+    page's body text was revised (doc_id % 4 == 0 gains a trailing
+    sentence); everything else is byte-identical. All arithmetic on
+    doc_id, so the SQL oracle reconstructs the same snapshot."""
+    return docs.filter(F.col("doc_id") % 11 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.col("text"), F.lit(REVISION_SUFFIX)),
+        ).otherwise(F.col("text")),
+    )
+
+
+def crawl_drift(good_pages: DataFrame) -> DataFrame:
+    """Extracted pages across crawl snapshots (url, warc_ts, text) ->
+    per-url change status: (url, n_crawls, status) with status in
+    {'added', 'removed', 'changed', 'unchanged'}.
+
+    removed   = url absent from the newest snapshot
+    added     = url present only in the newest snapshot
+    changed   = first and last extracted text differ
+    unchanged = byte-identical across snapshots
+
+    Scale design: one groupBy(url) with algebraic aggregates only
+    (count / max / min_by / max_by — all partial-aggregatable, so per-url
+    crawl history collapses map-side); the newest-snapshot timestamp is a
+    1-row aggregate broadcast onto the result. No window over the full
+    corpus, no text shuffle beyond first/last per url.
+    """
+    latest = good_pages.agg(F.max("warc_ts").alias("_global_last"))
+    per_url = good_pages.groupBy("url").agg(
+        F.count(F.lit(1)).alias("n_crawls"),
+        F.max("warc_ts").alias("_last_ts"),
+        F.expr("min_by(text, warc_ts)").alias("_first_text"),
+        F.expr("max_by(text, warc_ts)").alias("_last_text"),
+    )
+    return (
+        per_url.crossJoin(F.broadcast(latest))
+        .select(
+            "url",
+            "n_crawls",
+            F.when(F.col("_last_ts") < F.col("_global_last"), F.lit("removed"))
+            .when(F.col("n_crawls") == 1, F.lit("added"))
+            .when(F.col("_first_text") != F.col("_last_text"), F.lit("changed"))
+            .otherwise(F.lit("unchanged"))
+            .alias("status"),
+        )
     )
 
 
