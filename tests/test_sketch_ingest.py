@@ -109,3 +109,26 @@ def test_crawl_drift_statuses(spark):
         "u/gone": ("removed", 1),
         "u/fresh": ("added", 1),
     }
+
+
+def test_csv_roundtrip_byte_fidelity(spark, tmp_path):
+    from vectrain_spark.operators.ingest import read_csv, write_csv
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(EVIL_TEXTS)),
+            "text": EVIL_TEXTS,
+            "lang": ["en"] * len(EVIL_TEXTS),
+            "source": ["web"] * len(EVIL_TEXTS),
+            "n_chars": [len(t) for t in EVIL_TEXTS],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    stage = str(tmp_path / "csv")
+    write_csv(df, stage)
+    back = read_csv(spark, stage, DOCS_JSONL_SCHEMA)
+    got = {r["doc_id"]: r["text"] for r in back.collect()}
+    # full fidelity incl. embedded newlines/quotes, leading/trailing
+    # whitespace (writer-side trimming disabled) and the empty string
+    # (sentinel nullValue)
+    assert got == dict(zip(pdf["doc_id"], pdf["text"]))

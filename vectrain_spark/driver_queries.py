@@ -1544,6 +1544,110 @@ def _jsonl_sql() -> str:
 SQL_INGEST_JSONL = _jsonl_sql()
 
 
+def q_ingest_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV round-trip fidelity (RFC-4180 doubled-quote dialect, multiLine
+    reads for embedded newlines) — same checksum aggregate and oracle as
+    the JSONL round-trip, so both wire formats carry the identical
+    value-level fidelity bar."""
+    import os
+
+    from .operators.ingest import csv_roundtrip_stats
+
+    stage = f"/tmp/vectrain_csv_{os.path.basename(sf_dir.rstrip('/'))}"
+    return csv_roundtrip_stats(spark, _docs(spark, sf_dir), stage)
+
+
+def q_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-100 tokens by frequency (ties broken by
+    token) — the classic wordcount, one explode + one map-side-combining
+    aggregate + a 100-row ordered limit (Spark runs TakeOrderedAndProject,
+    never a full sort of the vocabulary)."""
+    from .operators.dedup import normalized_text, spread
+
+    toks = (
+        spread(_docs(spark, sf_dir))
+        .select(F.explode(F.split(normalized_text(), " ")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(100)
+    )
+
+
+SQL_TEXT_VOCAB = f"""
+WITH toks AS (
+  SELECT unnest(string_split({NORM_SQL}, ' ')) AS token FROM documents
+)
+SELECT token, count(*)::BIGINT AS cnt
+FROM toks WHERE token <> ''
+GROUP BY token
+ORDER BY cnt DESC, token ASC
+LIMIT 100
+"""
+
+
+def q_corpus_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width length histogram per language: 500-char bins with
+    count/min/max per bin — single map-side-combining aggregate."""
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("lang", F.floor(F.col("n_chars") / 500).alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+SQL_CORPUS_HISTOGRAM = """
+SELECT lang, (n_chars // 500)::BIGINT AS bin, count(*)::BIGINT AS n_docs,
+       min(n_chars)::BIGINT AS min_chars, max(n_chars)::BIGINT AS max_chars
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+def q_olap_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational surface over the TPC-H-ish driver tables: revenue by
+    nation for open orders — fact scan with a pushed-down status filter,
+    shuffle join to customer, BROADCAST join to nation, one aggregate.
+    Money sums run in DECIMAL(18,2) (exact, order-insensitive) and cast to
+    double only at output, so both engines emit identical values."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .select(
+            "o_custkey", F.col("o_totalprice").cast("decimal(18,2)").alias("price")
+        )
+        .join(customer.select("c_custkey", "c_nationkey"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("price").cast("double").alias("revenue"),
+        )
+    )
+
+
+SQL_OLAP_NATION_REVENUE = """
+SELECT n_name, count(*)::BIGINT AS n_orders,
+       (sum(o_totalprice::DECIMAL(18,2)))::DOUBLE AS revenue
+FROM orders
+JOIN customer ON c_custkey = o_custkey
+JOIN nation ON n_nationkey = c_nationkey
+WHERE o_orderstatus = 'O'
+GROUP BY n_name
+"""
+
+
 def q_web_crawl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Versioned-corpus diff: run the REAL extraction over two crawl
     snapshots of the same url space (second crawl: every 11th url gone,
@@ -2000,6 +2104,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_cube": q_corpus_cube,
     "sketch_distinct": q_sketch_distinct,
     "ingest_jsonl": q_ingest_jsonl,
+    "ingest_csv": q_ingest_csv,
+    "text_vocab": q_text_vocab,
+    "corpus_histogram": q_corpus_histogram,
+    "olap_nation_revenue": q_olap_nation_revenue,
     "web_crawl_drift": q_web_crawl_drift,
     "text_langid": q_text_langid,
     "text_quality": q_text_quality,
@@ -2069,6 +2177,12 @@ ORACLES: dict[str, str] = {
     "corpus_cube": SQL_CORPUS_CUBE,
     "sketch_distinct": SQL_SKETCH_DISTINCT,
     "ingest_jsonl": SQL_INGEST_JSONL,
+    # the CSV round-trip must converge to the same per-lang checksums as
+    # the JSONL one — both compare against the ORIGINAL parquet
+    "ingest_csv": SQL_INGEST_JSONL,
+    "text_vocab": SQL_TEXT_VOCAB,
+    "corpus_histogram": SQL_CORPUS_HISTOGRAM,
+    "olap_nation_revenue": SQL_OLAP_NATION_REVENUE,
     "web_crawl_drift": SQL_WEB_CRAWL_DRIFT,
     "text_langid": SQL_TEXT_LANGID,
     "text_quality": SQL_TEXT_QUALITY,

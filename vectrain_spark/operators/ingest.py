@@ -63,6 +63,65 @@ def jsonl_roundtrip_stats(
     )
 
 
+def write_csv(df: DataFrame, path: str, n_files: int = 4) -> None:
+    """RFC-4180 CSV stage: quote char doubled as the escape (escape='"')
+    rather than Spark's default backslash escaping — the doubled-quote
+    dialect is what external CSV tooling reads back unambiguously, and it
+    round-trips embedded quotes/backslashes/newlines (tested on hostile
+    strings in tests/test_sketch_ingest.py)."""
+    (
+        df.coalesce(n_files)
+        .write.mode("overwrite")
+        .option("header", True)
+        .option("escape", '"')
+        # the WRITER trims whitespace by default (these default true on
+        # write, false on read) — disable for byte fidelity
+        .option("ignoreLeadingWhiteSpace", False)
+        .option("ignoreTrailingWhiteSpace", False)
+        .csv(path)
+    )
+
+
+def read_csv(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """CSV scan, declared schema, multiLine for quoted embedded newlines
+    (multiLine disables input-split parallelism per file — the writer side
+    keeps files small/multiple so readers still fan out)."""
+    return (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("multiLine", True)
+        .option("escape", '"')
+        # fidelity over convenience: the reader's defaults silently strip
+        # leading/trailing whitespace inside quoted fields
+        .option("ignoreLeadingWhiteSpace", False)
+        .option("ignoreTrailingWhiteSpace", False)
+        # default nullValue is "" which silently turns empty strings into
+        # nulls; an out-of-band sentinel keeps "" round-tripping (a corpus
+        # with REAL nulls would set the writer's nullValue to the same
+        # sentinel)
+        .option("nullValue", "\x01")
+        .csv(path)
+    )
+
+
+def csv_roundtrip_stats(
+    spark: SparkSession, docs: DataFrame, stage_dir: str
+) -> DataFrame:
+    """documents -> CSV -> back -> same per-lang checksum aggregate as the
+    JSONL round-trip (shared oracle)."""
+    write_csv(
+        docs.select("doc_id", "text", "lang", "source", "n_chars"), stage_dir
+    )
+    back = read_csv(spark, stage_dir, DOCS_JSONL_SCHEMA)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.expr(
+            "bit_xor(cast(conv(substring(md5(text), 1, 15), 16, 10) as long))"
+        ).alias("text_xor"),
+    )
+
+
 JSONL_STATS_ORACLE_SQL = """
 SELECT lang, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS total_chars,
        bit_xor(('0x' || substr(md5(text), 1, 15))::BIGINT) AS text_xor
