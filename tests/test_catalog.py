@@ -127,3 +127,71 @@ def test_schema_evolution_merge_read(spark, tmp_path):
     rows = {r["id"]: r["extra"] for r in merged.collect()}
     assert rows[4] == 8 and rows[0] is None  # pre-evolution rows null-filled
     assert merged.count() == 5
+
+
+def test_cluster_sort_order_gives_skippable_files(spark, tmp_path):
+    """After cluster(cols=[x]): per-file [min,max] ranges must be (nearly)
+    disjoint — the parquet-footer evidence that a range predicate skips
+    whole files. Before clustering, every file spans ~the whole domain."""
+    from pyspark.sql import functions as F
+
+    from vectrain_spark.catalog import Catalog
+
+    cat = Catalog(str(tmp_path / "wh"))
+    df = spark.range(20_000).select(
+        F.col("id"),
+        (F.xxhash64("id") % 10_000).alias("v"),  # scattered, not sorted
+    )
+    cat.write("t", df.repartition(8), mode="replace")
+
+    def file_ranges(col):
+        return (
+            cat.read(spark, "t")
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(F.min(col).alias("lo"), F.max(col).alias("hi"))
+            .collect()
+        )
+
+    before = file_ranges("v")
+    # unclustered: every file spans nearly the whole domain
+    assert all(r["hi"] - r["lo"] > 15_000 for r in before)
+
+    cat.cluster(spark, "t", ["v"], target_files=8)
+    after = sorted(((r["lo"], r["hi"]) for r in file_ranges("v")))
+    # clustered: ranges are non-overlapping -> any point predicate matches
+    # exactly one file
+    for (lo1, hi1), (lo2, hi2) in zip(after, after[1:]):
+        assert hi1 <= lo2
+    # and the rows are all still there
+    total = cat.read(spark, "t").count()
+    assert total == 20_000
+
+
+def test_cluster_zorder_localizes_both_columns(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from vectrain_spark.catalog import Catalog
+
+    cat = Catalog(str(tmp_path / "whz"))
+    df = spark.range(40_000).select(
+        (F.xxhash64("id") % 1000).alias("x"),
+        (F.xxhash64("id", F.lit(7)) % 1000).alias("y"),
+    )
+    cat.write("t", df.repartition(8), mode="replace")
+    cat.cluster(spark, "t", ["x", "y"], target_files=16, zorder=True)
+    stats = (
+        cat.read(spark, "t")
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(
+            (F.max("x") - F.min("x")).alias("sx"),
+            (F.max("y") - F.min("y")).alias("sy"),
+        )
+        .collect()
+    )
+    assert len(stats) >= 8
+    # z-ordering bounds BOTH dimensions' per-file spread well below the
+    # full domain (2000 wide incl. negatives from the modulo)
+    med_sx = sorted(r["sx"] for r in stats)[len(stats) // 2]
+    med_sy = sorted(r["sy"] for r in stats)[len(stats) // 2]
+    assert med_sx < 1200 and med_sy < 1200
+    assert cat.read(spark, "t").count() == 40_000

@@ -237,6 +237,74 @@ class Catalog:
             meta={"compacted": True},
         )
 
+    def cluster(
+        self,
+        spark: SparkSession,
+        table: str,
+        cols: list[str],
+        target_files: int = 8,
+        zorder: bool = False,
+    ) -> int:
+        """Iceberg-style data clustering (rewrite-with-sort-order /
+        Z-order): rewrite the table so each data file covers a narrow
+        value range of ``cols`` — parquet footers then carry tight min/max
+        stats and a predicate on a clustering column skips whole files /
+        row groups instead of scanning everything.
+
+        ``zorder=False``: range-partition + sort by ``cols`` (best when
+        queries filter on a prefix of the column list).
+        ``zorder=True`` (exactly 2 numeric columns): interleave the bits
+        of the min/max-scaled 16-bit ranks into a Z-value and sort by it —
+        BOTH columns get locality, so single-column predicates on either
+        one skip files. All arithmetic is JVM bitwise ops (no Python).
+
+        Maintenance op like :meth:`compact` — replace snapshot, atomic
+        manifest swap, old snapshots remain time-travelable.
+        """
+        from pyspark.sql import functions as F
+
+        df = self.read(spark, table)
+        if not zorder:
+            out = df.repartitionByRange(target_files, *cols).sortWithinPartitions(
+                *cols
+            )
+            meta = {"clustered_by": cols}
+        else:
+            assert len(cols) == 2, "zorder expects exactly 2 columns"
+            cx, cy = cols
+            bounds = df.agg(
+                F.min(cx).alias("xmin"), F.max(cx).alias("xmax"),
+                F.min(cy).alias("ymin"), F.max(cy).alias("ymax"),
+            ).collect()[0]  # 1-row maintenance scan, not a data-path collect
+            def scaled(c, lo, hi):
+                span = float(hi - lo) or 1.0
+                return F.least(
+                    F.lit(65535),
+                    F.floor((F.col(c) - F.lit(lo)) / F.lit(span) * 65535),
+                ).cast("long")
+            x, y = scaled(cx, bounds["xmin"], bounds["xmax"]), scaled(
+                cy, bounds["ymin"], bounds["ymax"]
+            )
+            z = F.lit(0).cast("long")
+            for b in range(16):
+                z = (
+                    z.bitwiseOR(
+                        F.shiftleft(F.shiftright(x, b).bitwiseAND(F.lit(1)), 2 * b)
+                    ).bitwiseOR(
+                        F.shiftleft(
+                            F.shiftright(y, b).bitwiseAND(F.lit(1)), 2 * b + 1
+                        )
+                    )
+                )
+            out = (
+                df.withColumn("_z", z)
+                .repartitionByRange(target_files, "_z")
+                .sortWithinPartitions("_z")
+                .drop("_z")
+            )
+            meta = {"clustered_by": cols, "zorder": True}
+        return self.write(table, out, mode="replace", meta=meta)
+
     def expire_snapshots(self, table: str, keep_last: int = 2) -> int:
         """Iceberg-style retention maintenance: drop every snapshot except
         the most recent ``keep_last``, deleting manifests and any data dir
