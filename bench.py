@@ -57,6 +57,12 @@ HEADLINE_QUERIES = [
     "sim_knn",
     "sim_ann_ivf",
     "events_asof",
+    "events_funnel",
+    "text_vocab",
+    "corpus_histogram",
+    "corpus_cube",
+    "sketch_distinct",
+    "olap_nation_revenue",
 ]
 
 

@@ -782,6 +782,39 @@ def _graph_pairs_sql() -> tuple[str, str]:
     )
 
 
+def q_kg_path2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph pattern matching: the V-shaped 2-hop pattern
+    a -[partnered_with]-> t <- [invested_in]- c (a partner and an investor
+    sharing a target entity; a != c), weighted by the product of triple
+    counts. One self-join of two pred-filtered slices of the edge table on
+    the shared-target key — at web scale the join input is those slices,
+    not the whole graph (the canonical KG is bipartite subject->object, so
+    a chained a->b->c pattern is structurally empty; the V-pattern is the
+    2-hop shape this graph actually supports)."""
+    e = _materialized_edges(spark, sf_dir)
+    h1 = e.filter(F.col("pred") == "partnered_with").select(
+        F.col("src").alias("a"), F.col("dst").alias("t"), F.col("cnt").alias("c1")
+    )
+    h2 = e.filter(F.col("pred") == "invested_in").select(
+        F.col("src").alias("c"), F.col("dst").alias("t"), F.col("cnt").alias("c2")
+    )
+    return (
+        h1.join(h2, "t")
+        .filter(F.col("a") != F.col("c"))
+        .select("a", "t", "c", (F.col("c1") * F.col("c2")).alias("paths"))
+    )
+
+
+SQL_KG_PATH2 = f"""
+WITH e AS MATERIALIZED ({SQL_KG_EDGES})
+SELECT h1.src AS a, h1.dst AS t, h2.src AS c,
+       (h1.cnt * h2.cnt)::BIGINT AS paths
+FROM e h1 JOIN e h2 ON h2.dst = h1.dst
+WHERE h1.pred = 'partnered_with' AND h2.pred = 'invested_in'
+  AND h1.src <> h2.src
+"""
+
+
 def q_kg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental MERGE gate: bootstrap the warehouse from HALF the corpus
     (even doc_ids), then feed the FULL corpus as an incremental wave — the
@@ -1775,6 +1808,67 @@ FROM events
 """
 
 
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel signup -> view -> purchase: per stage,
+    how many users reached it IN ORDER (first view strictly after first
+    signup, first purchase strictly after that view). Three per-user min
+    aggregates chained by user-keyed joins — every aggregate is algebraic
+    (map-side combine), every join is on the same user key, so AQE
+    co-locates the whole chain after one user-hash exchange."""
+    ev = _events(spark, sf_dir).withColumn("ts", F.col("ts").cast("timestamp"))
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        s.select(F.lit("1_signup").alias("stage"))
+        .unionAll(v.select(F.lit("2_view_after_signup").alias("stage")))
+        .unionAll(p.select(F.lit("3_purchase_after_view").alias("stage")))
+        .groupBy("stage")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+SQL_EVENTS_FUNNEL = """
+WITH s AS (
+  SELECT user_id, min(ts) AS t_signup FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+v AS (
+  SELECT e.user_id, min(e.ts) AS t_view
+  FROM events e JOIN s ON s.user_id = e.user_id
+  WHERE e.event_type = 'view' AND e.ts > s.t_signup
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > v.t_view
+  GROUP BY e.user_id
+)
+SELECT stage, count(*)::BIGINT AS n_users FROM (
+  SELECT '1_signup' AS stage FROM s
+  UNION ALL SELECT '2_view_after_signup' FROM v
+  UNION ALL SELECT '3_purchase_after_view' FROM p
+) GROUP BY stage
+"""
+
+
 # ---------------------------------------------------------------------------
 # Payload coercion (K2)
 # ---------------------------------------------------------------------------
@@ -2078,6 +2172,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_cooccur": q_kg_cooccur,
     "kg_triangles": q_kg_triangles,
     "kg_kcore": q_kg_kcore,
+    "kg_path2": q_kg_path2,
     "kg_incremental": q_kg_incremental,
     "kg_time_travel": q_kg_time_travel,
     "kg_stream_triples": q_kg_stream_triples,
@@ -2126,6 +2221,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "payload_coerce": q_payload_coerce,
     "events_asof": q_events_asof,
     "events_json": q_events_json,
+    "events_funnel": q_events_funnel,
 }
 
 ORACLES: dict[str, str] = {
@@ -2145,6 +2241,7 @@ ORACLES: dict[str, str] = {
     "kg_cooccur": SQL_KG_COOCCUR,
     "kg_triangles": SQL_KG_TRIANGLES,
     "kg_kcore": SQL_KG_KCORE,
+    "kg_path2": SQL_KG_PATH2,
     # streamed output must equal the batch extraction exactly
     "kg_stream_triples": SQL_KG_TRIPLES,
     # incremental bootstrap+wave must converge to the one-shot batch result
@@ -2206,4 +2303,5 @@ ORACLES: dict[str, str] = {
     "payload_coerce": SQL_PAYLOAD_COERCE,
     "events_asof": SQL_EVENTS_ASOF,
     "events_json": SQL_EVENTS_JSON,
+    "events_funnel": SQL_EVENTS_FUNNEL,
 }
