@@ -63,6 +63,8 @@ HEADLINE_QUERIES = [
     "corpus_cube",
     "sketch_distinct",
     "olap_nation_revenue",
+    "events_rolling",
+    "text_bigram_lm",
 ]
 
 

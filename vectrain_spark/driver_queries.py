@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .operators.dedup import (
@@ -1622,6 +1622,62 @@ LIMIT 100
 """
 
 
+def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model statistics: the 20 most frequent adjacent
+    word pairs with their conditional probability p(w2|w1). Bigram
+    enumeration is an in-row array transform (element_at is 1-based on
+    both engines) exploded once; counts are map-side-combining aggregates;
+    the final ordered limit is a 20-row TakeOrderedAndProject."""
+    from .operators.dedup import normalized_text, spread
+
+    ws = F.split(normalized_text(), " ")
+    pairs = (
+        spread(_docs(spark, sf_dir))
+        .select(ws.alias("ws"))
+        .filter(F.size("ws") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 1),"
+                    " i -> struct(element_at(ws, i) AS w1,"
+                    "             element_at(ws, i + 1) AS w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+    )
+    cnt2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
+    cnt1 = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("cnt1"))
+    return (
+        cnt2.join(cnt1, "w1")
+        .select(
+            "w1", "w2", "cnt",
+            F.round(F.col("cnt") / F.col("cnt1"), 6).alias("p_w2_given_w1"),
+        )
+        .orderBy(F.desc("cnt"), F.asc("w1"), F.asc("w2"))
+        .limit(20)
+    )
+
+
+SQL_TEXT_BIGRAM_LM = f"""
+WITH ws AS (
+  SELECT string_split({NORM_SQL}, ' ') AS ws FROM documents
+),
+pairs AS (
+  SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+                i -> {{'w1': ws[i], 'w2': ws[i + 1]}})) AS p
+  FROM ws WHERE len(ws) >= 2
+),
+flat AS (SELECT p.w1 AS w1, p.w2 AS w2 FROM pairs),
+c2 AS (SELECT w1, w2, count(*)::BIGINT AS cnt FROM flat GROUP BY 1, 2),
+c1 AS (SELECT w1, count(*) AS cnt1 FROM flat GROUP BY 1)
+SELECT c2.w1, c2.w2, c2.cnt, round(c2.cnt * 1.0 / c1.cnt1, 6) AS p_w2_given_w1
+FROM c2 JOIN c1 ON c1.w1 = c2.w1
+ORDER BY c2.cnt DESC, c2.w1 ASC, c2.w2 ASC
+LIMIT 20
+"""
+
+
 def q_corpus_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width length histogram per language: 500-char bins with
     count/min/max per bin — single map-side-combining aggregate."""
@@ -1842,6 +1898,49 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("stage")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+def q_events_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day revenue per day: daily purchase totals (DECIMAL-exact)
+    with a RANGE-frame window summing the trailing week — the moving-
+    aggregate shape every metrics pipeline needs. One shuffle for the
+    daily aggregate; the window then runs per-partition (days are few per
+    year, but the pattern holds when partitioned by tenant at scale)."""
+    ev = _events(spark, sf_dir).withColumn("ts", F.col("ts").cast("timestamp"))
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("rev"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    w = (
+        Window.orderBy(F.col("day").cast("timestamp").cast("long"))
+        .rangeBetween(-6 * 86400, 0)
+    )
+    return daily.select(
+        F.col("day").cast("string").alias("day"),
+        F.col("rev").cast("double").alias("revenue"),
+        "n",
+        F.sum("rev").over(w).cast("double").alias("revenue_7d"),
+        F.sum("n").over(w).alias("n_7d"),
+    )
+
+
+SQL_EVENTS_ROLLING = """
+WITH daily AS (
+  SELECT ts::DATE AS day, sum(value::DECIMAL(18,2)) AS rev,
+         count(*)::BIGINT AS n
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+)
+SELECT day::VARCHAR AS day, rev::DOUBLE AS revenue, n,
+       (sum(rev) OVER (ORDER BY day RANGE BETWEEN INTERVAL 6 DAYS PRECEDING
+                       AND CURRENT ROW))::DOUBLE AS revenue_7d,
+       (sum(n) OVER (ORDER BY day RANGE BETWEEN INTERVAL 6 DAYS PRECEDING
+                     AND CURRENT ROW))::BIGINT AS n_7d
+FROM daily
+"""
 
 
 SQL_EVENTS_FUNNEL = """
@@ -2201,6 +2300,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ingest_jsonl": q_ingest_jsonl,
     "ingest_csv": q_ingest_csv,
     "text_vocab": q_text_vocab,
+    "text_bigram_lm": q_text_bigram_lm,
     "corpus_histogram": q_corpus_histogram,
     "olap_nation_revenue": q_olap_nation_revenue,
     "web_crawl_drift": q_web_crawl_drift,
@@ -2222,6 +2322,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_asof": q_events_asof,
     "events_json": q_events_json,
     "events_funnel": q_events_funnel,
+    "events_rolling": q_events_rolling,
 }
 
 ORACLES: dict[str, str] = {
@@ -2278,6 +2379,7 @@ ORACLES: dict[str, str] = {
     # the JSONL one — both compare against the ORIGINAL parquet
     "ingest_csv": SQL_INGEST_JSONL,
     "text_vocab": SQL_TEXT_VOCAB,
+    "text_bigram_lm": SQL_TEXT_BIGRAM_LM,
     "corpus_histogram": SQL_CORPUS_HISTOGRAM,
     "olap_nation_revenue": SQL_OLAP_NATION_REVENUE,
     "web_crawl_drift": SQL_WEB_CRAWL_DRIFT,
@@ -2304,4 +2406,5 @@ ORACLES: dict[str, str] = {
     "events_asof": SQL_EVENTS_ASOF,
     "events_json": SQL_EVENTS_JSON,
     "events_funnel": SQL_EVENTS_FUNNEL,
+    "events_rolling": SQL_EVENTS_ROLLING,
 }
