@@ -158,3 +158,42 @@ def test_pagerank_lineage_stays_flat_across_iterations(spark):
         assert "Scan ExistingRDD" in p, p[:400]
         assert "Exchange" not in p and "Join" not in p and "EvalPython" not in p
     assert abs(len(p5) - len(p2)) < 200, (len(p2), len(p5))
+
+
+def test_vocab_topk_avoids_full_sort(spark):
+    """Top-100 vocabulary must plan as TakeOrderedAndProject (per-partition
+    top-k then a 100-row merge), never a global sort of the vocabulary."""
+    from vectrain_spark.driver_queries import q_text_vocab
+
+    spark.catalog.clearCache()
+    plan = _plan(q_text_vocab(spark, "/root/testdata/sf0.001"))
+    assert "TakeOrderedAndProject" in plan, plan[:500]
+    assert "EvalPython" not in plan
+
+
+def test_olap_join_broadcasts_dimension(spark):
+    """nation (25 rows) must enter the plan as a BroadcastHashJoin; the
+    status filter must reach the orders parquet scan as a pushed filter."""
+    from vectrain_spark.driver_queries import q_olap_nation_revenue
+
+    spark.catalog.clearCache()
+    plan = _plan(q_olap_nation_revenue(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan, plan[:500]
+    assert "EqualTo(o_orderstatus,O)" in plan, plan[:1500]  # pushed to scan
+    # column pruning: the orders scan reads 3 of 6 columns
+    assert "ReadSchema: struct<o_custkey:bigint,o_orderstatus:string,o_totalprice:double>" in plan
+
+
+def test_funnel_joins_stay_on_one_key(spark):
+    """The funnel's three stage joins all key on user_id — no EvalPython,
+    and every exchange in the plan partitions on user_id (plus the final
+    1-partition stage aggregate)."""
+    from vectrain_spark.driver_queries import q_events_funnel
+
+    spark.catalog.clearCache()
+    plan = _plan(q_events_funnel(spark, "/root/testdata/sf0.001"))
+    assert "EvalPython" not in plan
+    import re
+
+    keys = re.findall(r"Exchange hashpartitioning\(([a-z_]+)", plan)
+    assert keys and all(k in ("user_id", "stage") for k in keys), keys
