@@ -132,3 +132,24 @@ def test_csv_roundtrip_byte_fidelity(spark, tmp_path):
     # whitespace (writer-side trimming disabled) and the empty string
     # (sentinel nullValue)
     assert got == dict(zip(pdf["doc_id"], pdf["text"]))
+
+
+def test_jsonl_malformed_lines_quarantine(spark, tmp_path):
+    """PERMISSIVE mode surfaces malformed lines as all-null rows — the
+    ingestion analog of the pipeline's quarantine gate (the reference
+    400s empty-text pushes; we filter instead of failing the batch)."""
+    import os
+
+    from vectrain_spark.operators.ingest import DOCS_JSONL_SCHEMA, read_jsonl
+
+    stage = tmp_path / "jl"
+    os.makedirs(stage)
+    (stage / "part-0.json").write_text(
+        '{"doc_id": 1, "text": "ok", "lang": "en", "source": "web", "n_chars": 2}\n'
+        "this is not json at all\n"
+        '{"doc_id": 2, "text": "fine", "lang": "de", "source": "web", "n_chars": 4}\n'
+    )
+    back = read_jsonl(spark, str(stage), DOCS_JSONL_SCHEMA)
+    good = back.filter(F.col("doc_id").isNotNull())
+    bad = back.filter(F.col("doc_id").isNull())
+    assert good.count() == 2 and bad.count() == 1

@@ -959,6 +959,32 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(dedup_corpus(_docs(spark, sf_dir)))
 
 
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed containment pairs C(a in b) >= 0.9 — catches the
+    truncated/excerpted copies the symmetric Jaccard queries miss (the
+    dedup corpus plants them: doc_id+2000000 variants append trailing
+    tokens, so the base doc is contained in the variant but their Jaccard
+    sits below the 0.8 gate)."""
+    from .operators.dedup import containment_pairs
+
+    return containment_pairs(dedup_corpus(_docs(spark, sf_dir)))
+
+
+SQL_DEDUP_CONTAINMENT = f"""
+WITH {DEDUP_CORPUS_SQL},
+{SHINGLES_SQL},
+pairs AS (
+  SELECT e1.doc_id AS a, e2.doc_id AS b, count(*) AS inter
+  FROM e e1 JOIN e e2 USING (s) WHERE e1.doc_id <> e2.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, len(shingles) AS n FROM sh)
+SELECT a, b, round((pairs.inter * 1.0) / sa.n, 6) AS containment
+FROM pairs JOIN sizes sa ON sa.doc_id = a
+WHERE round((pairs.inter * 1.0) / sa.n, 6) >= 0.9
+"""
+
+
 SQL_DEDUP_EXACT = f"""
 WITH {DEDUP_CORPUS_SQL}
 SELECT md5({NORM_SQL}) AS text_hash, min(doc_id) AS keep_id, count(*) AS dup_cnt
@@ -1446,6 +1472,31 @@ WHERE bucket < (CASE lang {whens} ELSE 1.0 END) * {SAMPLE_BUCKETS}
 
 
 SQL_SAMPLE_STRATIFIED = _sample_sql()
+
+
+def q_sample_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reservoir-contract sampling: exactly k=10 docs per language, chosen
+    by smallest md5 rank — deterministic, engine-reproducible, and planned
+    as a WindowGroupLimit (each partition forwards <= k rows per stratum
+    to the one exchange, the bounded-shuffle property of a distributed
+    reservoir merge)."""
+    from .operators.corpus import fixed_k_sample
+
+    return fixed_k_sample(_docs(spark, sf_dir), k=10).select("doc_id", "lang")
+
+
+SQL_SAMPLE_FIXED_K = """
+WITH r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT,
+                    doc_id
+         ) AS rn
+  FROM documents
+)
+SELECT doc_id, lang FROM r WHERE rn <= 10
+"""
 
 
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2283,6 +2334,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_containment": q_dedup_containment,
     "dedup_clusters": q_dedup_clusters,
     "text_pii": q_text_pii,
     "text_repetition": q_text_repetition,
@@ -2293,6 +2345,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_url": q_dedup_url,
     "web_domains": q_web_domains,
     "sample_stratified": q_sample_stratified,
+    "sample_fixed_k": q_sample_fixed_k,
     "corpus_stats": q_corpus_stats,
     "corpus_rollup": q_corpus_rollup,
     "corpus_cube": q_corpus_cube,
@@ -2360,6 +2413,7 @@ ORACLES: dict[str, str] = {
     # shares the brute-force all-pairs oracle — unlike minhash it matches
     # by construction, not up to sketch recall.
     "dedup_ngram_jaccard": SQL_DEDUP_MINHASH,
+    "dedup_containment": SQL_DEDUP_CONTAINMENT,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "text_pii": SQL_TEXT_PII,
     "text_repetition": SQL_TEXT_REPETITION,
@@ -2370,6 +2424,7 @@ ORACLES: dict[str, str] = {
     "dedup_url": SQL_DEDUP_URL,
     "web_domains": SQL_WEB_DOMAINS,
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
+    "sample_fixed_k": SQL_SAMPLE_FIXED_K,
     "corpus_stats": SQL_CORPUS_STATS,
     "corpus_rollup": SQL_CORPUS_ROLLUP,
     "corpus_cube": SQL_CORPUS_CUBE,

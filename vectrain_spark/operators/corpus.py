@@ -143,6 +143,40 @@ def stratified_sample(
     )
 
 
+def fixed_k_sample(
+    docs: DataFrame,
+    k: int = 10,
+    key_col: str = "doc_id",
+    stratum_col: str = "lang",
+) -> DataFrame:
+    """Deterministic fixed-size-per-stratum sample: the k rows whose
+    md5-derived rank is smallest in each stratum — the reservoir-sampling
+    contract (exactly k per group regardless of group size) made
+    reproducible by ranking on a hash instead of a random draw.
+
+    Scale shape: rank-and-filter plans as a WindowGroupLimit, so each
+    input partition forwards at most k rows per stratum to the single
+    exchange — the same bounded-shuffle property a distributed reservoir
+    merge has, with none of the RNG state."""
+    from pyspark.sql import Window
+
+    # full 60-bit hash as the rank key (not the coarse sample bucket):
+    # ties are practically impossible, key_col is the deterministic breaker
+    rank_key = F.conv(
+        F.substring(
+            F.md5(F.col(key_col).cast("string").cast("binary")), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy(stratum_col).orderBy(rank_key, F.col(key_col))
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
 def corpus_stats(docs: DataFrame, stratum_col: str = "lang") -> DataFrame:
     """Per-stratum corpus statistics over whitespace token counts:
     (lang, n_docs, total_tokens, avg_tokens, p50/p90/p99_tokens).

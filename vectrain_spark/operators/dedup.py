@@ -314,6 +314,75 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    corpus: DataFrame, threshold: float = 0.9, n: int = 3
+) -> DataFrame:
+    """EXACT directed containment pairs (a, b, containment) with
+    C(a in b) = |Sa ∩ Sb| / |Sa| >= threshold over n-gram shingle sets —
+    the subset-duplicate detector (a quote, excerpt, or truncated copy of
+    b) that symmetric Jaccard misses when |Sb| >> |Sa|.
+
+    Scale shape (probe/index asymmetry of the containment prefix filter):
+    an overlap of ceil(t*|Sa|) forces a shared token inside a's FIRST
+    |Sa| - ceil(t*|Sa|) + 1 tokens under any global order, so only a's
+    prefix is exploded on the probe side; the index side must carry every
+    token (containment puts no length bound on b). Tokens are ordered by
+    ascending document frequency (rarest-first, as in
+    :func:`ngram_jaccard_pairs`) so probe fan-out is bounded by rare-token
+    doc counts; exact verification runs on the full int64 hash arrays of
+    the candidates only.
+    """
+    t = float(threshold)
+    distinct_hashes = spread(corpus).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(shingles_col(n=n), lambda s: F.xxhash64(s))
+            )
+        ).alias("tok"),
+    )
+    tok_df = distinct_hashes.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    hashed = (
+        distinct_hashes.join(tok_df, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("df", "tok"))),
+                lambda s: s["tok"],
+            ).alias("hsh")
+        )
+        .filter(F.size("hsh") > 0)
+        .persist()
+    )
+    eps = 1e-9
+    plen = (
+        F.size("hsh") - F.ceil(F.size("hsh") * F.lit(t) - F.lit(eps)) + 1
+    ).cast("int")
+    probe = hashed.select(
+        F.col("doc_id").alias("a"), F.explode(F.slice("hsh", 1, plen)).alias("tok")
+    )
+    index = hashed.select(
+        F.col("doc_id").alias("b"), F.explode("hsh").alias("tok")
+    )
+    cand = (
+        probe.join(index, "tok")
+        .filter(F.col("a") != F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    sa = hashed.select(F.col("doc_id").alias("a"), F.col("hsh").alias("sha"))
+    sb = hashed.select(F.col("doc_id").alias("b"), F.col("hsh").alias("shb"))
+    containment = F.size(F.array_intersect("sha", "shb")).cast("double") / F.size(
+        "sha"
+    ).cast("double")
+    return (
+        cand.join(sa, "a")
+        .join(sb, "b")
+        .select("a", "b", F.round(containment, 6).alias("containment"))
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 def dedup_clusters(corpus: DataFrame, pairs: DataFrame) -> DataFrame:
     """Near-dup pairs -> document clusters with a canonical keeper:
     (doc_id, cluster_id, cluster_size, is_keeper) for EVERY corpus doc.
