@@ -165,6 +165,10 @@ def run_default(cores: int = CPUS, kg_only: bool = False) -> dict:
     from vectrain_spark.session import get_spark
 
     sf = _sf_of(SF_DIR)
+    # sandbox-VM capacity drifts by >2x between rounds (observed 122 -> 50
+    # units/s at 32 procs); stamping the no-Spark control into every bench
+    # JSON makes absolute numbers comparable across measurement windows
+    host_control = round(_machine_capacity(cores), 1)
     spark = get_spark(app_name="bench", cores=cores)
     timings: dict[str, float] = {}
     try:
@@ -202,6 +206,7 @@ def run_default(cores: int = CPUS, kg_only: bool = False) -> dict:
         "kg_canonical_triples": kg["canonical_triples"],
         "triples_per_sec": round(kg["triples_per_sec"], 1),
         "pages_per_sec": round(kg["pages_per_sec"], 1),
+        "host_control_units_per_sec": host_control,
     }
 
 
