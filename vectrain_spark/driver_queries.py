@@ -276,6 +276,59 @@ GROUP BY 1, 2
 """
 
 
+def q_stream_sliding_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (2-minute window, 1-minute slide)
+    through a REAL stream: every page counts into exactly two overlapping
+    windows; the oracle unnests both candidate window starts per row and
+    re-aggregates."""
+    import os
+    import shutil
+
+    from .streaming import pages_stream, sliding_page_rates
+
+    base = "/tmp/vectrain_slide_gate"
+    shutil.rmtree(base, ignore_errors=True)
+    pages = pages_from_documents(_docs(spark, sf_dir)).withColumn(
+        "warc_ts",
+        F.expr(
+            "warc_ts + make_interval(0, 0, 0, 0, 0, 0,"
+            " cast(regexp_extract(url, '([0-9]+)$', 1) AS int) % 180)"
+        ),
+    )
+    pdir = os.path.join(base, "pages")
+    pages.repartition(4).write.parquet(pdir)
+    q = (
+        sliding_page_rates(pages_stream(spark, pdir, 2))
+        .writeStream.format("memory")
+        .queryName("gate_sliding")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(
+        "SELECT date_format(window_start, 'yyyy-MM-dd HH:mm:ss') AS window_start,"
+        " lang, pages FROM gate_sliding"
+    )
+
+
+SQL_STREAM_SLIDING_RATES = """
+WITH t AS (
+  SELECT lang,
+         TIMESTAMP '2024-01-01 00:00:00' + (doc_id % 180) * INTERVAL 1 SECOND AS ts
+  FROM documents
+),
+w AS (
+  SELECT lang, unnest([date_trunc('minute', ts),
+                       date_trunc('minute', ts) - INTERVAL 1 MINUTE]) AS ws
+  FROM t
+)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, lang,
+       count(*)::BIGINT AS pages
+FROM w GROUP BY 1, 2
+"""
+
+
 def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-window burst detection through a REAL stream: pages get
     deterministic warc_ts bursts (10 events 5 s apart, bursts 120 s apart),
@@ -2327,6 +2380,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_time_travel": q_kg_time_travel,
     "kg_stream_triples": q_kg_stream_triples,
     "stream_window_rates": q_stream_window_rates,
+    "stream_sliding_rates": q_stream_sliding_rates,
     "stream_sessions": q_stream_sessions,
     "stream_dedup": q_stream_dedup,
     "stream_join_attribution": q_stream_join_attribution,
@@ -2402,6 +2456,7 @@ ORACLES: dict[str, str] = {
     "kg_incremental": SQL_KG_TRIPLES,
     "kg_time_travel": SQL_KG_TIME_TRAVEL,
     "stream_window_rates": SQL_STREAM_WINDOW_RATES,
+    "stream_sliding_rates": SQL_STREAM_SLIDING_RATES,
     "stream_sessions": SQL_STREAM_SESSIONS,
     "stream_dedup": SQL_STREAM_DEDUP,
     "stream_join_attribution": SQL_STREAM_JOIN_ATTRIBUTION,

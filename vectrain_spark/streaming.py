@@ -199,6 +199,26 @@ def windowed_page_rates(
     )
 
 
+def sliding_page_rates(
+    pages: DataFrame,
+    window: str = "2 minutes",
+    slide: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Sliding-window ingestion rates: every page lands in window//slide
+    overlapping windows (2 here), giving a smoothed rate curve instead of
+    the tumbling histogram of :func:`windowed_page_rates`. State cost
+    scales with the overlap factor — each key holds window/slide open
+    windows until the watermark closes them — which is why the overlap is
+    an explicit knob and not a default."""
+    return (
+        pages.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window, slide).alias("w"), "lang")
+        .agg(F.count(F.lit(1)).alias("pages"))
+        .select(F.col("w.start").alias("window_start"), "lang", "pages")
+    )
+
+
 def sessionized_page_activity(
     pages: DataFrame, gap: str = "30 seconds", watermark: str = "10 seconds"
 ) -> DataFrame:
