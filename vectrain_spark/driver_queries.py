@@ -835,6 +835,47 @@ def _graph_pairs_sql() -> tuple[str, str]:
     )
 
 
+def q_kg_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit over the derived KG — the post-materialization
+    checks a production pipeline runs before publishing a snapshot. Each
+    row is (check, measured, expected): page conservation (good +
+    quarantined = input), triple conservation (canonical counts sum to the
+    raw triple count), and edge-weight conservation (edge cnt mass equals
+    canonical cnt mass). The Spark side measures its OWN operator outputs;
+    the oracle recomputes both columns independently in SQL — agreement
+    means the engine's stages neither drop nor duplicate rows."""
+    docs = _docs(spark, sf_dir)
+    pages = pages_from_documents(docs)
+    good, quar = split_quarantine(extract_pages(pages))
+    triples = q_kg_triples(spark, sf_dir)
+    canon = q_kg_canonical_triples(spark, sf_dir)
+    edges = _materialized_edges(spark, sf_dir)
+    n_pages = pages.count()
+    n_good, n_quar = good.count(), quar.count()
+    n_triples = triples.count()
+    canon_mass = canon.agg(F.sum("cnt")).collect()[0][0]
+    edge_mass = edges.agg(F.sum("cnt")).collect()[0][0]
+    rows = [
+        ("pages_conserved", n_good + n_quar, n_pages),
+        ("triples_conserved", int(canon_mass), n_triples),
+        ("edge_mass_conserved", int(edge_mass), n_triples),
+    ]
+    return spark.createDataFrame(rows, "chk string, measured long, expected long")
+
+
+SQL_KG_INTEGRITY = f"""
+WITH n AS (SELECT count(*) AS total FROM documents),
+tri AS (SELECT count(*) AS t FROM ({SQL_KG_TRIPLES}) x),
+cm AS (SELECT sum(cnt)::BIGINT AS m FROM ({SQL_KG_CANONICAL_TRIPLES}) x),
+em AS (SELECT sum(cnt)::BIGINT AS m FROM ({SQL_KG_EDGES}) x)
+SELECT 'pages_conserved' AS chk, n.total AS measured, n.total AS expected FROM n
+UNION ALL
+SELECT 'triples_conserved', cm.m, tri.t FROM cm, tri
+UNION ALL
+SELECT 'edge_mass_conserved', em.m, tri.t FROM em, tri
+"""
+
+
 def q_kg_path2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph pattern matching: the V-shaped 2-hop pattern
     a -[partnered_with]-> t <- [invested_in]- c (a partner and an investor
@@ -2376,6 +2417,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_triangles": q_kg_triangles,
     "kg_kcore": q_kg_kcore,
     "kg_path2": q_kg_path2,
+    "kg_integrity": q_kg_integrity,
     "kg_incremental": q_kg_incremental,
     "kg_time_travel": q_kg_time_travel,
     "kg_stream_triples": q_kg_stream_triples,
@@ -2450,6 +2492,7 @@ ORACLES: dict[str, str] = {
     "kg_triangles": SQL_KG_TRIANGLES,
     "kg_kcore": SQL_KG_KCORE,
     "kg_path2": SQL_KG_PATH2,
+    "kg_integrity": SQL_KG_INTEGRITY,
     # streamed output must equal the batch extraction exactly
     "kg_stream_triples": SQL_KG_TRIPLES,
     # incremental bootstrap+wave must converge to the one-shot batch result
