@@ -1823,6 +1823,44 @@ LIMIT 20
 """
 
 
+def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality filter: per-doc coverage under a corpus
+    bigram model (pairs seen >= 5 times), DECIMAL-exact probability mass
+    so the independent SQL model build reproduces every value."""
+    from .operators.textstats import lm_quality_score
+
+    return lm_quality_score(_docs(spark, sf_dir))
+
+
+SQL_TEXT_LM_SCORE = f"""
+WITH ws AS MATERIALIZED (
+  SELECT doc_id, string_split({NORM_SQL}, ' ') AS ws FROM documents
+),
+grams AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(ws) - 1),
+                i -> {{'w1': ws[i], 'w2': ws[i + 1]}})) AS g
+  FROM ws WHERE len(ws) >= 2
+),
+flat AS MATERIALIZED (SELECT doc_id, g.w1 AS w1, g.w2 AS w2 FROM grams),
+c2 AS (SELECT w1, w2, count(*) AS cnt FROM flat GROUP BY 1, 2),
+c1 AS (SELECT w1, count(*) AS cnt1 FROM flat GROUP BY 1),
+lm AS MATERIALIZED (
+  SELECT c2.w1, c2.w2, round(c2.cnt * 1.0 / c1.cnt1, 6)::DECIMAL(18,6) AS p
+  FROM c2 JOIN c1 ON c1.w1 = c2.w1 WHERE c2.cnt >= 5
+),
+scored AS (
+  SELECT f.doc_id, lm.p FROM flat f
+  LEFT JOIN lm ON lm.w1 = f.w1 AND lm.w2 = f.w2
+)
+SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+       sum(CASE WHEN p IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+       (coalesce(sum(p), 0))::DOUBLE AS sum_p,
+       floor((coalesce(sum(p), 0))::DOUBLE * 1000000 / count(*)) / 1000000 AS avg_p
+FROM scored GROUP BY doc_id
+"""
+
+
 def q_corpus_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width length histogram per language: 500-char bins with
     count/min/max per bin — single map-side-combining aggregate."""
@@ -2450,6 +2488,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ingest_csv": q_ingest_csv,
     "text_vocab": q_text_vocab,
     "text_bigram_lm": q_text_bigram_lm,
+    "text_lm_score": q_text_lm_score,
     "corpus_histogram": q_corpus_histogram,
     "olap_nation_revenue": q_olap_nation_revenue,
     "web_crawl_drift": q_web_crawl_drift,
@@ -2533,6 +2572,7 @@ ORACLES: dict[str, str] = {
     "ingest_csv": SQL_INGEST_JSONL,
     "text_vocab": SQL_TEXT_VOCAB,
     "text_bigram_lm": SQL_TEXT_BIGRAM_LM,
+    "text_lm_score": SQL_TEXT_LM_SCORE,
     "corpus_histogram": SQL_CORPUS_HISTOGRAM,
     "olap_nation_revenue": SQL_OLAP_NATION_REVENUE,
     "web_crawl_drift": SQL_WEB_CRAWL_DRIFT,

@@ -175,3 +175,77 @@ def fingerprints(docs: DataFrame) -> DataFrame:
         F.array_min(hashed).alias("fp_min"),
         F.array_max(hashed).alias("fp_max"),
     ).filter(F.col("fp_min").isNotNull())
+
+
+def lm_quality_score(docs: DataFrame, min_count: int = 5) -> DataFrame:
+    """CCNet-style language-model quality filtering, transcendental-free:
+    build a bigram model from the corpus (pairs seen >= ``min_count``
+    times, conditional prob p(w2|w1) rounded to 6 decimals), then score
+    every document by its coverage under that model ->
+    (doc_id, n_bigrams, n_oov, sum_p, avg_p).
+
+    A low avg_p / high OOV rate marks gibberish, boilerplate salad, and
+    wrong-language text — the same filtering signal CCNet gets from a
+    KenLM perplexity, but with exact arithmetic: per-doc probability mass
+    is summed as DECIMAL(18,6) (order-insensitive, engine-exact) and only
+    the final average divides in doubles on identical inputs, so an
+    independent SQL reconstruction matches value-for-value.
+
+    Scale shape: the model is vocabulary-sized (min_count prunes the
+    tail) and broadcast onto the exploded bigram stream; the per-doc
+    aggregate is algebraic. Two shuffles total: model build, doc rollup.
+    """
+    from .dedup import normalized_text, spread
+
+    ws = F.split(normalized_text(), " ")
+    grams = (
+        spread(docs)
+        .select("doc_id", ws.alias("ws"))
+        .filter(F.size("ws") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 1),"
+                    " i -> struct(element_at(ws, i) AS w1,"
+                    "             element_at(ws, i + 1) AS w2))"
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", "g.w1", "g.w2")
+    )
+    c2 = grams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
+    c1 = grams.groupBy("w1").agg(F.count(F.lit(1)).alias("cnt1"))
+    lm = (
+        c2.filter(F.col("cnt") >= min_count)
+        .join(c1, "w1")
+        .select(
+            "w1", "w2",
+            F.round(F.col("cnt") / F.col("cnt1"), 6)
+            .cast("decimal(18,6)")
+            .alias("p"),
+        )
+    )
+    scored = grams.join(F.broadcast(lm), ["w1", "w2"], "left")
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.when(F.col("p").isNull(), 1).otherwise(0)).alias("n_oov"),
+            F.coalesce(F.sum("p"), F.lit(0).cast("decimal(18,6)")).alias("_sp"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "n_oov",
+            F.col("_sp").cast("double").alias("sum_p"),
+            # floor-quantized average: sum_p*1e6 is integer-valued (the
+            # decimal sum has 6 places), so floor on the shared double
+            # quotient is engine-unambiguous — round() would diverge at
+            # exact .5 boundaries (Spark HALF_UP vs DuckDB half-even)
+            (
+                F.floor(F.col("_sp").cast("double") * 1e6 / F.col("n_bigrams"))
+                / 1e6
+            ).alias("avg_p"),
+        )
+    )
