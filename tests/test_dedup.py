@@ -152,3 +152,25 @@ def test_short_docs_never_crash_shingling(spark):
     assert minhash_pairs(df).collect() == []
     fp = fingerprints(df).toPandas()
     assert set(fp["doc_id"]) == {4, 5}
+
+
+def test_incremental_minhash_matches_old_and_wave(spark):
+    from vectrain_spark.operators.dedup import incremental_minhash_pairs
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    old = spark.createDataFrame(
+        [(1, base), (2, "totally different words " + " ".join(f"z{i}" for i in range(30)))],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, base + " trailing extra"),       # near-dup of old 1
+            (11, base + " trailing extra"),       # near-dup of old 1 AND new 10
+            (12, "fresh " + " ".join(f"q{i}" for i in range(30))),  # no match
+        ],
+        "doc_id long, text string",
+    )
+    got = {(r["a"], r["b"]) for r in incremental_minhash_pairs(old, new, 0.8).collect()}
+    # 10->1, 11->1 (old matches), 11->10 (same-wave, later keeps earlier);
+    # 12 matches nothing; no old-old pairs ever
+    assert got == {(10, 1), (11, 1), (11, 10)}

@@ -1053,6 +1053,68 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(dedup_corpus(_docs(spark, sf_dir)))
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wave-incremental near-dup gate: a new crawl wave (appended-token
+    variants, exact copies, and genuinely fresh docs) deduped against the
+    existing corpus — only new docs are signed, matches land against old
+    and same-wave docs, fresh docs match nothing."""
+    from .operators.dedup import incremental_minhash_pairs
+
+    docs = _docs(spark, sf_dir)
+    old = docs.select("doc_id", "text")
+    new = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .select(
+            (F.col("doc_id") + 3_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" extra trailing tokens appended"))
+            .alias("text"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 7 == 0).select(
+                (F.col("doc_id") + 4_000_000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 97 == 1).select(
+                (F.col("doc_id") + 5_000_000).alias("doc_id"),
+                F.concat(F.lit("fresh document "), F.md5("text")).alias("text"),
+            )
+        )
+    )
+    return incremental_minhash_pairs(old, new)
+
+
+SQL_DEDUP_INCREMENTAL = f"""
+WITH corpus AS (
+  SELECT doc_id, text, FALSE AS is_new FROM documents
+  UNION ALL
+  SELECT doc_id + 3000000, text || ' extra trailing tokens appended', TRUE
+  FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 4000000, text, TRUE FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 5000000, 'fresh document ' || md5(text), TRUE
+  FROM documents WHERE doc_id % 97 = 1
+),
+{SHINGLES_SQL},
+flags AS (SELECT doc_id, is_new FROM corpus),
+pairs AS (
+  SELECT e1.doc_id AS a, e2.doc_id AS b, count(*) AS inter
+  FROM e e1
+  JOIN flags f1 ON f1.doc_id = e1.doc_id AND f1.is_new
+  JOIN e e2 ON e2.s = e1.s
+  JOIN flags f2 ON f2.doc_id = e2.doc_id
+  WHERE e1.doc_id <> e2.doc_id AND (NOT f2.is_new OR e1.doc_id > e2.doc_id)
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, len(shingles) AS n FROM sh)
+SELECT a, b,
+       round((pairs.inter * 1.0) / (sa.n + sb.n - pairs.inter), 6) AS jaccard
+FROM pairs JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+WHERE round((pairs.inter * 1.0) / (sa.n + sb.n - pairs.inter), 6) >= {JACCARD_THRESHOLD}
+"""
+
+
 def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed containment pairs C(a in b) >= 0.9 — catches the
     truncated/excerpted copies the symmetric Jaccard queries miss (the
@@ -2469,6 +2531,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_containment": q_dedup_containment,
+    "dedup_incremental": q_dedup_incremental,
     "dedup_clusters": q_dedup_clusters,
     "text_pii": q_text_pii,
     "text_repetition": q_text_repetition,
@@ -2551,6 +2614,7 @@ ORACLES: dict[str, str] = {
     # by construction, not up to sketch recall.
     "dedup_ngram_jaccard": SQL_DEDUP_MINHASH,
     "dedup_containment": SQL_DEDUP_CONTAINMENT,
+    "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "text_pii": SQL_TEXT_PII,
     "text_repetition": SQL_TEXT_REPETITION,

@@ -215,6 +215,77 @@ def minhash_pairs(
     )
 
 
+def incremental_minhash_pairs(
+    old: DataFrame,
+    new: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    n_hashes: int = N_MINHASH,
+    n_bands: int = N_MINHASH_BANDS,
+) -> DataFrame:
+    """Wave-incremental near-dup detection: (a, b, jaccard) where ``a`` is
+    a NEW doc and ``b`` is its match in the existing corpus or the same
+    wave (new-new pairs emitted once, keeping the earlier doc as ``b``).
+
+    THE 100 TB dedup scenario is incremental — each crawl wave must be
+    deduped against petabytes of already-accepted corpus without
+    re-banding it. Only the new wave is shingled/signed here per call; the
+    old side's signatures are recomputed for self-containment but are
+    exactly the table a production run persists once and appends to
+    (signatures are per-doc, so the index is trivially incremental). Band
+    join cost is O(|new| + matching-band index rows), never O(|old|^2).
+    """
+    ho = (
+        spread(old).select(
+            "doc_id",
+            F.array_distinct(
+                F.transform(shingles_col(), lambda s: F.xxhash64(s))
+            ).alias("hsh"),
+        )
+        .filter(F.size("hsh") > 0)
+        .persist()
+    )
+    hn = (
+        spread(new).select(
+            "doc_id",
+            F.array_distinct(
+                F.transform(shingles_col(), lambda s: F.xxhash64(s))
+            ).alias("hsh"),
+        )
+        .filter(F.size("hsh") > 0)
+        .persist()
+    )
+    udf = _minhash_udf_factory(n_hashes, n_bands)
+    schema = "doc_id long, band int, sig long"
+    sigs_new = hn.mapInPandas(udf, schema=schema)
+    index = (
+        ho.mapInPandas(udf, schema=schema).withColumn("is_new", F.lit(False))
+        .unionByName(sigs_new.withColumn("is_new", F.lit(True)))
+    )
+    cand = (
+        sigs_new.alias("l")
+        .join(index.alias("r"), on=["band", "sig"])
+        .filter(
+            (F.col("l.doc_id") != F.col("r.doc_id"))
+            & (~F.col("r.is_new") | (F.col("l.doc_id") > F.col("r.doc_id")))
+        )
+        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .distinct()
+    )
+    full = ho.unionByName(hn)
+    sa = hn.select(F.col("doc_id").alias("a"), F.col("hsh").alias("sha"))
+    sb = full.select(F.col("doc_id").alias("b"), F.col("hsh").alias("shb"))
+    inter = F.size(F.array_intersect("sha", "shb")).cast("double")
+    na = F.size("sha").cast("double")
+    nb = F.size("shb").cast("double")
+    jac = inter / (na + nb - inter)
+    return (
+        cand.join(sa, "a")
+        .join(sb, "b")
+        .select("a", "b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def ngram_jaccard_pairs(
     corpus: DataFrame,
     threshold: float = JACCARD_THRESHOLD,
