@@ -2145,6 +2145,33 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reshape: daily event counts pivoted to one column per event type
+    (explicit pivot value list — an implicit list would cost a discovery
+    pass and make the output schema data-dependent, both wrong at scale).
+    Planned as a single aggregate over conditional counts, same as the
+    oracle's CASE sums."""
+    ev = _events(spark, sf_dir).withColumn("ts", F.col("ts").cast("timestamp"))
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.groupBy(F.to_date("ts").cast("string").alias("day"))
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+    )
+
+
+SQL_EVENTS_PIVOT = """
+SELECT (ts::DATE)::VARCHAR AS day,
+       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS click,
+       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS error,
+       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS purchase,
+       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS signup,
+       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS view
+FROM events GROUP BY 1
+"""
+
+
 def q_events_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 7-day revenue per day: daily purchase totals (DECIMAL-exact)
     with a RANGE-frame window summing the trailing week — the moving-
@@ -2574,6 +2601,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_json": q_events_json,
     "events_funnel": q_events_funnel,
     "events_rolling": q_events_rolling,
+    "events_pivot": q_events_pivot,
 }
 
 ORACLES: dict[str, str] = {
@@ -2664,4 +2692,5 @@ ORACLES: dict[str, str] = {
     "events_json": SQL_EVENTS_JSON,
     "events_funnel": SQL_EVENTS_FUNNEL,
     "events_rolling": SQL_EVENTS_ROLLING,
+    "events_pivot": SQL_EVENTS_PIVOT,
 }
