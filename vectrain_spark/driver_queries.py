@@ -835,6 +835,68 @@ def _graph_pairs_sql() -> tuple[str, str]:
     )
 
 
+def q_kg_link_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-tolerant entity linking: mention surfaces with one character
+    deleted (derived deterministically from doc_id) matched to the alias
+    dictionary by Levenshtein distance <= 2, best match = (min distance,
+    min entity_id). The dictionary is broadcast (it is the pipeline's
+    dictionary-sized side); a length-band pre-filter keeps the distance
+    evaluations to the plausible candidates — at 10^8-row dictionaries
+    this becomes the same (band, signature) blocked join the embedding
+    linker uses, with q-gram blocks instead of hyperplane bands."""
+    docs = _docs(spark, sf_dir)
+    aliases = corpus_aliases(spark)
+    surface = F.concat(F.lit("Vendor"), F.col("doc_id") % 7)
+    pos = (F.col("doc_id") % 6 + 1).cast("int")  # 1-based char to delete
+    mentions = (
+        docs.select(surface.alias("m"), pos.alias("p"))
+        .select(
+            F.concat(
+                F.expr("substring(m, 1, p - 1)"),
+                F.expr("substring(m, p + 1, length(m))"),
+            ).alias("mention")
+        )
+        .distinct()
+    )
+    cand = mentions.crossJoin(F.broadcast(aliases)).filter(
+        F.abs(F.length("mention") - F.length("alias")) <= 2
+    )
+    scored = cand.select(
+        "mention", "entity_id", F.levenshtein("mention", "alias").alias("lev")
+    ).filter(F.col("lev") <= 2)
+    w = Window.partitionBy("mention").orderBy("lev", "entity_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("mention", "entity_id", "lev")
+    )
+
+
+SQL_KG_LINK_FUZZY = f"""
+WITH aliases AS ({corpus_aliases_sql()}),
+mentions AS (
+  SELECT DISTINCT
+    substr(m, 1, p - 1) || substr(m, p + 1) AS mention
+  FROM (
+    SELECT 'Vendor' || (doc_id % 7) AS m, (doc_id % 6 + 1)::INT AS p
+    FROM documents
+  )
+),
+scored AS (
+  SELECT mention, entity_id, levenshtein(mention, alias) AS lev
+  FROM mentions CROSS JOIN aliases
+  WHERE abs(length(mention) - length(alias)) <= 2
+    AND levenshtein(mention, alias) <= 2
+),
+r AS (
+  SELECT mention, entity_id, lev,
+         row_number() OVER (PARTITION BY mention ORDER BY lev, entity_id) AS rn
+  FROM scored
+)
+SELECT mention, entity_id, lev FROM r WHERE rn = 1
+"""
+
+
 def q_kg_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality audit over the derived KG — the post-materialization
     checks a production pipeline runs before publishing a snapshot. Each
@@ -2532,6 +2594,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_triples": q_kg_triples,
     "kg_link": q_kg_link,
     "kg_link_join": q_kg_link_join,
+    "kg_link_fuzzy": q_kg_link_fuzzy,
     "kg_canonical_triples": q_kg_canonical_triples,
     "kg_edges": q_kg_edges,
     "kg_adjacency": q_kg_adjacency,
@@ -2610,6 +2673,7 @@ ORACLES: dict[str, str] = {
     "kg_triples": SQL_KG_TRIPLES,
     "kg_link": SQL_KG_LINK,
     "kg_link_join": SQL_KG_LINK_JOIN,
+    "kg_link_fuzzy": SQL_KG_LINK_FUZZY,
     "kg_canonical_triples": SQL_KG_CANONICAL_TRIPLES,
     "kg_edges": SQL_KG_EDGES,
     "kg_adjacency": SQL_KG_ADJACENCY,
