@@ -2207,6 +2207,53 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-signup week, and
+    for each (cohort, weeks-since) offset, how many distinct cohort
+    members were active (any event) that week. Two shuffles — the per-user
+    cohort aggregate and the (cohort, offset) distinct-count — with the
+    cohort table joined back user-keyed, the plan every product-analytics
+    warehouse runs nightly."""
+    ev = _events(spark, sf_dir).withColumn("ts", F.col("ts").cast("timestamp"))
+    week = F.date_trunc("week", F.col("ts"))
+    cohort = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(week).alias("cohort_week"))
+    )
+    active = ev.select("user_id", week.alias("week")).distinct()
+    return (
+        active.join(cohort, "user_id")
+        .filter(F.col("week") >= F.col("cohort_week"))
+        .select(
+            F.col("cohort_week").cast("date").cast("string").alias("cohort_week"),
+            F.floor(
+                F.datediff(F.col("week"), F.col("cohort_week")) / 7
+            ).alias("weeks_since"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "weeks_since")
+        .agg(F.count_distinct("user_id").alias("active_users"))
+    )
+
+
+SQL_EVENTS_RETENTION = """
+WITH cohort AS (
+  SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+active AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+)
+SELECT (cohort_week::DATE)::VARCHAR AS cohort_week,
+       floor(date_diff('day', cohort_week, week) / 7)::BIGINT AS weeks_since,
+       count(DISTINCT user_id)::BIGINT AS active_users
+FROM active JOIN cohort USING (user_id)
+WHERE week >= cohort_week
+GROUP BY 1, 2
+"""
+
+
 def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reshape: daily event counts pivoted to one column per event type
     (explicit pivot value list — an implicit list would cost a discovery
@@ -2665,6 +2712,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_funnel": q_events_funnel,
     "events_rolling": q_events_rolling,
     "events_pivot": q_events_pivot,
+    "events_retention": q_events_retention,
 }
 
 ORACLES: dict[str, str] = {
@@ -2757,4 +2805,5 @@ ORACLES: dict[str, str] = {
     "events_funnel": SQL_EVENTS_FUNNEL,
     "events_rolling": SQL_EVENTS_ROLLING,
     "events_pivot": SQL_EVENTS_PIVOT,
+    "events_retention": SQL_EVENTS_RETENTION,
 }
