@@ -195,3 +195,20 @@ def test_cluster_zorder_localizes_both_columns(spark, tmp_path):
     med_sy = sorted(r["sy"] for r in stats)[len(stats) // 2]
     assert med_sx < 1200 and med_sy < 1200
     assert cat.read(spark, "t").count() == 40_000
+
+
+def test_delete_where_copy_on_write(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from vectrain_spark.catalog import Catalog
+
+    cat = Catalog(str(tmp_path / "whd"))
+    cat.write("t", spark.range(100).select("id"), mode="replace")
+    head = cat.snapshots("t")[-1]["snapshot_id"]
+    cat.delete_where(spark, "t", "id % 10 = 0")
+    assert cat.read(spark, "t").count() == 90
+    assert cat.read(spark, "t").filter(F.col("id") % 10 == 0).count() == 0
+    # pre-delete snapshot still audits the removed rows
+    assert cat.read(spark, "t", snapshot_id=head).count() == 100
+    # manifest records the predicate
+    assert cat.snapshots("t")[-1]["meta"]["deleted_where"] == "id % 10 = 0"

@@ -237,6 +237,26 @@ class Catalog:
             meta={"compacted": True},
         )
 
+    def delete_where(
+        self, spark: SparkSession, table: str, predicate: str
+    ) -> int:
+        """Row-level DELETE (retention windows, GDPR forget requests):
+        commit a replace snapshot containing every live row NOT matching
+        ``predicate`` (a SQL boolean expression over the table's columns).
+
+        Copy-on-write semantics like :meth:`compact`: readers of older
+        snapshots still see the deleted rows (time travel is how you
+        audit a delete), while the new HEAD excludes them atomically.
+        Real Iceberg would prune untouched data files and write positional
+        delete files instead of rewriting everything — the commit protocol
+        (stage files, atomic manifest swap) is identical, which is what
+        the pipeline depends on. Returns the new snapshot id.
+        """
+        kept = self.read(spark, table).filter(f"NOT ({predicate})")
+        return self.write(
+            table, kept, mode="replace", meta={"deleted_where": predicate}
+        )
+
     def cluster(
         self,
         spark: SparkSession,

@@ -1050,6 +1050,48 @@ FROM documents d JOIN pr ON pr.m = d.doc_id % 8
 WHERE {_KG_PAGE_FILTER} AND d.doc_id % 2 = 0
 """
 
+def q_kg_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DELETE gate (the forget-request path): materialize the
+    KG, then delete every triple whose url's doc_id ends in 0 via the
+    catalog's copy-on-write delete; the surviving HEAD must equal the
+    batch oracle minus the deleted urls, and the pre-delete snapshot must
+    still contain them (checked via a count carried in the result)."""
+    import shutil
+
+    from .catalog import Catalog
+    from .pipeline import PipelineConfig, run_pipeline
+
+    root = "/tmp/vectrain_del_gate"
+    shutil.rmtree(root, ignore_errors=True)
+    docs = _docs(spark, sf_dir)
+    cat = Catalog(root)
+    run_pipeline(
+        spark, pages_from_documents(docs), corpus_aliases(spark), root,
+        PipelineConfig(n_groups=4),
+    )
+    head_before = cat.snapshots("triples")[-1]["snapshot_id"]
+    n_before = cat.read(spark, "triples").count()
+    cat.delete_where(
+        spark, "triples", "substring(url, -1, 1) = '0' AND length(url) > 0"
+    )
+    survivors = cat.read(spark, "triples").select("url", "subj", "pred", "obj")
+    # audit: the remembered snapshot still holds every pre-delete row
+    n_travel = cat.read(spark, "triples", snapshot_id=head_before).count()
+    assert n_travel == n_before, (n_travel, n_before)
+    return survivors
+
+
+SQL_KG_DELETE = f"""
+WITH pr(m, pred) AS (VALUES {_PRED_VALUES})
+SELECT 'https://docs.example/' || d.doc_id AS url,
+       'Vendor' || (d.doc_id % 7) AS subj,
+       pr.pred AS pred,
+       'Client' || (d.doc_id % 13) AS obj
+FROM documents d JOIN pr ON pr.m = d.doc_id % 8
+WHERE {_KG_PAGE_FILTER} AND d.doc_id % 10 <> 0
+"""
+
+
 def q_kg_top_preds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-2 outgoing (pred, dst) per source entity by triple count —
     the window-function (row_number over partition) surface, over the
@@ -2657,6 +2699,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_integrity": q_kg_integrity,
     "kg_incremental": q_kg_incremental,
     "kg_time_travel": q_kg_time_travel,
+    "kg_delete": q_kg_delete,
     "kg_stream_triples": q_kg_stream_triples,
     "stream_window_rates": q_stream_window_rates,
     "stream_sliding_rates": q_stream_sliding_rates,
@@ -2740,6 +2783,7 @@ ORACLES: dict[str, str] = {
     # incremental bootstrap+wave must converge to the one-shot batch result
     "kg_incremental": SQL_KG_TRIPLES,
     "kg_time_travel": SQL_KG_TIME_TRAVEL,
+    "kg_delete": SQL_KG_DELETE,
     "stream_window_rates": SQL_STREAM_WINDOW_RATES,
     "stream_sliding_rates": SQL_STREAM_SLIDING_RATES,
     "stream_sessions": SQL_STREAM_SESSIONS,
