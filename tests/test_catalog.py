@@ -212,3 +212,20 @@ def test_delete_where_copy_on_write(spark, tmp_path):
     assert cat.read(spark, "t", snapshot_id=head).count() == 100
     # manifest records the predicate
     assert cat.snapshots("t")[-1]["meta"]["deleted_where"] == "id % 10 = 0"
+
+
+def test_update_where_copy_on_write(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from vectrain_spark.catalog import Catalog
+
+    cat = Catalog(str(tmp_path / "whu"))
+    df = spark.range(10).select("id", (F.col("id") * 2).alias("v"))
+    cat.write("t", df, mode="replace")
+    head = cat.snapshots("t")[-1]["snapshot_id"]
+    cat.update_where(spark, "t", {"v": "v + 100"}, "id >= 7")
+    got = {r["id"]: r["v"] for r in cat.read(spark, "t").collect()}
+    assert got == {i: (i * 2 + 100 if i >= 7 else i * 2) for i in range(10)}
+    # pre-update snapshot unchanged
+    old = {r["id"]: r["v"] for r in cat.read(spark, "t", snapshot_id=head).collect()}
+    assert old == {i: i * 2 for i in range(10)}

@@ -257,6 +257,37 @@ class Catalog:
             table, kept, mode="replace", meta={"deleted_where": predicate}
         )
 
+    def update_where(
+        self,
+        spark: SparkSession,
+        table: str,
+        set_exprs: dict[str, str],
+        predicate: str,
+    ) -> int:
+        """Row-level UPDATE, copy-on-write: rows matching ``predicate``
+        get each column in ``set_exprs`` replaced by its SQL expression
+        (evaluated against the old row); all other rows pass through
+        byte-identical. Same snapshot/commit semantics as
+        :meth:`delete_where`. Returns the new snapshot id."""
+        from pyspark.sql import functions as F
+
+        df = self.read(spark, table)
+        cond = F.expr(predicate)
+        updated = df.select(
+            *[
+                F.when(cond, F.expr(set_exprs[c])).otherwise(F.col(c)).alias(c)
+                if c in set_exprs
+                else F.col(c)
+                for c in df.columns
+            ]
+        )
+        return self.write(
+            table,
+            updated,
+            mode="replace",
+            meta={"updated_where": predicate, "set": dict(set_exprs)},
+        )
+
     def cluster(
         self,
         spark: SparkSession,
