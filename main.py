@@ -44,7 +44,39 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
                    help="incremental MERGE wave id: process only pages not already "
                         "committed to --out (per-bucket url anti-join); overlapping "
                         "input is safe, re-running the same wave id resumes it")
+    p.add_argument("--maintain", default=None,
+                   choices=["compact", "expire", "cluster", "delete"],
+                   help="run a catalog maintenance op on --out instead of the "
+                        "pipeline (needs --table; delete needs --predicate, "
+                        "cluster needs --cols)")
+    p.add_argument("--table", default="triples")
+    p.add_argument("--predicate", default=None,
+                   help="SQL boolean for --maintain delete")
+    p.add_argument("--cols", default=None,
+                   help="comma-separated columns for --maintain cluster")
+    p.add_argument("--keep-last", type=int, default=2,
+                   help="snapshots to retain for --maintain expire")
     return p.parse_args(argv)
+
+
+def run_maintenance(spark, args) -> dict:
+    from vectrain_spark.catalog import Catalog
+
+    cat = Catalog(args.out)
+    if args.maintain == "compact":
+        snap = cat.compact(spark, args.table)
+        return {"op": "compact", "table": args.table, "snapshot": snap}
+    if args.maintain == "expire":
+        n = cat.expire_snapshots(args.table, keep_last=args.keep_last)
+        return {"op": "expire", "table": args.table, "expired": n}
+    if args.maintain == "cluster":
+        assert args.cols, "--maintain cluster needs --cols"
+        cols = [c.strip() for c in args.cols.split(",")]
+        snap = cat.cluster(spark, args.table, cols, zorder=len(cols) == 2)
+        return {"op": "cluster", "table": args.table, "cols": cols, "snapshot": snap}
+    assert args.predicate, "--maintain delete needs --predicate"
+    snap = cat.delete_where(spark, args.table, args.predicate)
+    return {"op": "delete", "table": args.table, "snapshot": snap}
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -55,6 +87,11 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = SparkSession.builder.appName("vectrain_spark_kg").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    if args.maintain:
+        print(json.dumps(run_maintenance(spark, args)))
+        spark.stop()
+        return 0
 
     if args.generate:
         from vectrain_spark.fixtures import pages_spark
