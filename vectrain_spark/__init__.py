@@ -18,4 +18,23 @@ Arrow-batched pandas UDFs (never per-row Python), matching the
 BASELINE.json input_hint.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+
+def __getattr__(name):
+    # lazy top-level conveniences: `from vectrain_spark import Catalog`
+    # without paying pyspark-submodule import cost for tooling that only
+    # wants __version__
+    if name == "Catalog":
+        from .catalog import Catalog
+
+        return Catalog
+    if name in ("PipelineConfig", "run_pipeline", "run_incremental"):
+        from . import pipeline
+
+        return getattr(pipeline, name)
+    if name == "get_spark":
+        from .session import get_spark
+
+        return get_spark
+    raise AttributeError(name)
