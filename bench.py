@@ -65,6 +65,11 @@ HEADLINE_QUERIES = [
     "olap_nation_revenue",
     "events_rolling",
     "text_bigram_lm",
+    "text_lm_score",
+    "events_pivot",
+    "events_retention",
+    "dedup_incremental",
+    "kg_link_fuzzy",
 ]
 
 
