@@ -56,7 +56,16 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
                    help="comma-separated columns for --maintain cluster")
     p.add_argument("--keep-last", type=int, default=2,
                    help="snapshots to retain for --maintain expire")
-    return p.parse_args(argv)
+    p.add_argument("--zorder", action="store_true",
+                   help="Z-order interleave for --maintain cluster "
+                        "(exactly 2 NUMERIC --cols); default is plain "
+                        "range-partition + sort clustering")
+    args = p.parse_args(argv)
+    if args.maintain == "cluster" and not args.cols:
+        p.error("--maintain cluster requires --cols")
+    if args.maintain == "delete" and not args.predicate:
+        p.error("--maintain delete requires --predicate")
+    return args
 
 
 def run_maintenance(spark, args) -> dict:
@@ -70,11 +79,9 @@ def run_maintenance(spark, args) -> dict:
         n = cat.expire_snapshots(args.table, keep_last=args.keep_last)
         return {"op": "expire", "table": args.table, "expired": n}
     if args.maintain == "cluster":
-        assert args.cols, "--maintain cluster needs --cols"
         cols = [c.strip() for c in args.cols.split(",")]
-        snap = cat.cluster(spark, args.table, cols, zorder=len(cols) == 2)
+        snap = cat.cluster(spark, args.table, cols, zorder=args.zorder)
         return {"op": "cluster", "table": args.table, "cols": cols, "snapshot": snap}
-    assert args.predicate, "--maintain delete needs --predicate"
     snap = cat.delete_where(spark, args.table, args.predicate)
     return {"op": "delete", "table": args.table, "snapshot": snap}
 

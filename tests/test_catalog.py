@@ -229,3 +229,18 @@ def test_update_where_copy_on_write(spark, tmp_path):
     # pre-update snapshot unchanged
     old = {r["id"]: r["v"] for r in cat.read(spark, "t", snapshot_id=head).collect()}
     assert old == {i: i * 2 for i in range(10)}
+
+
+def test_delete_where_null_predicate_keeps_rows(spark, tmp_path):
+    """SQL DELETE semantics: rows where the predicate evaluates to NULL
+    are NOT MATCHED and must be kept, not silently dropped."""
+    from vectrain_spark.catalog import Catalog
+
+    cat = Catalog(str(tmp_path / "whn"))
+    df = spark.createDataFrame(
+        [(1, "a@x.com"), (2, None), (3, "b@x.com")], "id long, email string"
+    )
+    cat.write("t", df, mode="replace")
+    cat.delete_where(spark, "t", "email = 'a@x.com'")
+    got = sorted(r["id"] for r in cat.read(spark, "t").collect())
+    assert got == [2, 3]  # NULL-email row survives

@@ -252,7 +252,11 @@ class Catalog:
         (stage files, atomic manifest swap) is identical, which is what
         the pipeline depends on. Returns the new snapshot id.
         """
-        kept = self.read(spark, table).filter(f"NOT ({predicate})")
+        # SQL DELETE semantics: a NULL predicate means NOT MATCHED — the
+        # row is kept. A bare NOT(pred) would drop NULL-evaluating rows.
+        kept = self.read(spark, table).filter(
+            f"NOT coalesce(({predicate}), false)"
+        )
         return self.write(
             table, kept, mode="replace", meta={"deleted_where": predicate}
         )
@@ -272,6 +276,12 @@ class Catalog:
         from pyspark.sql import functions as F
 
         df = self.read(spark, table)
+        unknown = set(set_exprs) - set(df.columns)
+        if unknown:
+            raise ValueError(
+                f"update_where: SET names {sorted(unknown)} are not columns "
+                f"of {table} ({df.columns})"
+            )
         cond = F.expr(predicate)
         updated = df.select(
             *[

@@ -174,22 +174,7 @@ def minhash_pairs(
     the result equals the brute-force O(n^2) oracle up to MinHash recall
     (~1 - 5e-8 at J >= threshold).
     """
-    # Shingle strings are hashed to int64 ONCE, JVM-side (xxhash64, inside
-    # the scan stage): the persisted working set, the signature UDF input,
-    # and the verification join all carry compact int64 sets instead of
-    # string arrays (~20x smaller shuffle/cache; distinct-set semantics
-    # preserved, collision odds ~n^2/2^64). Exact Jaccard on the hash sets
-    # equals Jaccard on the strings, so the SQL oracle still matches.
-    hashed = (
-        spread(corpus).select(
-            "doc_id",
-            F.array_distinct(
-                F.transform(shingles_col(), lambda s: F.xxhash64(s))
-            ).alias("hsh"),
-        )
-        .filter(F.size("hsh") > 0)
-        .persist()
-    )
+    hashed = _hashed_shingles(corpus)
     sigs = hashed.mapInPandas(
         _minhash_udf_factory(n_hashes, n_bands), schema="doc_id long, band int, sig long"
     ).select("doc_id", "band", "sig")
@@ -201,8 +186,37 @@ def minhash_pairs(
         .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
         .distinct()
     )
-    sa = hashed.select(F.col("doc_id").alias("a"), F.col("hsh").alias("sha"))
-    sb = hashed.select(F.col("doc_id").alias("b"), F.col("hsh").alias("shb"))
+    return _verify_jaccard(cand, hashed, hashed, threshold)
+
+
+def _hashed_shingles(corpus: DataFrame) -> DataFrame:
+    """(doc_id, hsh): distinct shingle sets hashed to int64 ONCE, JVM-side
+    (xxhash64, inside the scan stage): the persisted working set, the
+    signature UDF input, and the verification join all carry compact int64
+    sets instead of string arrays (~20x smaller shuffle/cache; distinct-set
+    semantics preserved, collision odds ~n^2/2^64). Exact Jaccard on the
+    hash sets equals Jaccard on the strings, so the SQL oracles match."""
+    return (
+        spread(corpus)
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.transform(shingles_col(), lambda s: F.xxhash64(s))
+            ).alias("hsh"),
+        )
+        .filter(F.size("hsh") > 0)
+        .persist()
+    )
+
+
+def _verify_jaccard(
+    cand: DataFrame, left: DataFrame, right: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification of (a, b) candidates against the hashed
+    shingle sets of each side — shared by the batch and incremental paths
+    so their rounding/threshold semantics can never drift."""
+    sa = left.select(F.col("doc_id").alias("a"), F.col("hsh").alias("sha"))
+    sb = right.select(F.col("doc_id").alias("b"), F.col("hsh").alias("shb"))
     inter = F.size(F.array_intersect("sha", "shb")).cast("double")
     na = F.size("sha").cast("double")
     nb = F.size("shb").cast("double")
@@ -233,27 +247,18 @@ def incremental_minhash_pairs(
     exactly the table a production run persists once and appends to
     (signatures are per-doc, so the index is trivially incremental). Band
     join cost is O(|new| + matching-band index rows), never O(|old|^2).
+
+    Precondition: doc_ids are globally unique across waves (they key both
+    the pair output and the verification join) — enforced with a cheap
+    id-only semi-join check.
     """
-    ho = (
-        spread(old).select(
-            "doc_id",
-            F.array_distinct(
-                F.transform(shingles_col(), lambda s: F.xxhash64(s))
-            ).alias("hsh"),
+    ho = _hashed_shingles(old)
+    hn = _hashed_shingles(new)
+    if hn.join(ho, "doc_id", "left_semi").limit(1).count():
+        raise ValueError(
+            "incremental_minhash_pairs: new wave reuses doc_ids already in "
+            "the old corpus — ids must be globally unique across waves"
         )
-        .filter(F.size("hsh") > 0)
-        .persist()
-    )
-    hn = (
-        spread(new).select(
-            "doc_id",
-            F.array_distinct(
-                F.transform(shingles_col(), lambda s: F.xxhash64(s))
-            ).alias("hsh"),
-        )
-        .filter(F.size("hsh") > 0)
-        .persist()
-    )
     udf = _minhash_udf_factory(n_hashes, n_bands)
     schema = "doc_id long, band int, sig long"
     sigs_new = hn.mapInPandas(udf, schema=schema)
@@ -271,19 +276,7 @@ def incremental_minhash_pairs(
         .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
         .distinct()
     )
-    full = ho.unionByName(hn)
-    sa = hn.select(F.col("doc_id").alias("a"), F.col("hsh").alias("sha"))
-    sb = full.select(F.col("doc_id").alias("b"), F.col("hsh").alias("shb"))
-    inter = F.size(F.array_intersect("sha", "shb")).cast("double")
-    na = F.size("sha").cast("double")
-    nb = F.size("shb").cast("double")
-    jac = inter / (na + nb - inter)
-    return (
-        cand.join(sa, "a")
-        .join(sb, "b")
-        .select("a", "b", F.round(jac, 6).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return _verify_jaccard(cand, hn, ho.unionByName(hn), threshold)
 
 
 def ngram_jaccard_pairs(
