@@ -2656,6 +2656,40 @@ def q_sim_ann_ivf_euclid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sim_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style multi-vector MaxSim retrieval: every 4 consecutive
+    vec_ids form one multi-vector doc; queries are the first 3 docs;
+    top-3 candidates per query by sum-of-max-cosine (decimal-exact)."""
+    from .operators.similarity import maxsim_topk
+
+    return maxsim_topk(_emb(spark, sf_dir))
+
+
+SQL_SIM_MAXSIM = """
+WITH v AS (
+  SELECT vec_id, vec_id // 4 AS doc,
+         list_transform(embedding, x -> x::DOUBLE) AS emb
+  FROM embeddings
+),
+q AS (SELECT doc AS q_doc, vec_id AS q_vec, emb AS q_emb FROM v WHERE doc < 3),
+pc AS (
+  SELECT q.q_doc, q.q_vec, v.doc,
+         round(list_dot_product(q.q_emb, v.emb)
+               / (sqrt(list_dot_product(q.q_emb, q.q_emb))
+                  * sqrt(list_dot_product(v.emb, v.emb))), 6)::DECIMAL(10,6) AS c
+  FROM v CROSS JOIN q WHERE v.doc <> q.q_doc
+),
+best AS (SELECT q_doc, q_vec, doc, max(c) AS m FROM pc GROUP BY 1, 2, 3),
+scored AS (SELECT q_doc, doc, sum(m) AS s FROM best GROUP BY 1, 2),
+r AS (
+  SELECT q_doc, doc, s,
+         row_number() OVER (PARTITION BY q_doc ORDER BY s DESC, doc ASC) AS rank
+  FROM scored
+)
+SELECT q_doc, doc, s::DOUBLE AS score, rank FROM r WHERE rank <= 3
+"""
+
+
 SQL_DEDUP_EMBEDDING_EXACT = f"""
 WITH {NEARDUP_CORPUS_SQL}
 SELECT a.vec_id AS a, b.vec_id AS b,
@@ -2744,6 +2778,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_knn_dot": q_sim_knn_dot,
     "sim_ann_ivf": q_sim_ann_ivf,
     "sim_ann_ivf_euclid": q_sim_ann_ivf_euclid,
+    "sim_maxsim": q_sim_maxsim,
     "dedup_embedding_exact": q_dedup_embedding_exact,
     "dedup_embedding_euclid": q_dedup_embedding_euclid,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
@@ -2833,6 +2868,7 @@ ORACLES: dict[str, str] = {
     "sim_knn_dot": SQL_SIM_KNN_DOT,
     "sim_ann_ivf": SQL_SIM_ANN_IVF,
     "sim_ann_ivf_euclid": SQL_SIM_ANN_IVF_EUCLID,
+    "sim_maxsim": SQL_SIM_MAXSIM,
     "dedup_embedding_exact": SQL_DEDUP_EMBEDDING_EXACT,
     "dedup_embedding_euclid": SQL_DEDUP_EMBEDDING_EUCLID,
     # The LSH variant is deterministic (seeded hyperplanes, exact-cosine

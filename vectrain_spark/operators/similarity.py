@@ -340,3 +340,67 @@ def ann_ivf(
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", "score", "rank")
     )
+
+
+def maxsim_topk(
+    embeddings: DataFrame, group: int = 4, n_queries: int = 3, k: int = 3
+) -> DataFrame:
+    """ColBERT-style multi-vector late interaction (MaxSim): treat every
+    ``group`` consecutive vec_ids as one multi-vector document; score a
+    query doc against a candidate as sum over query vectors of the MAX
+    cosine against any candidate vector; return the top-k candidates per
+    query -> (q_doc, doc, score, rank).
+
+    Engine parity: each pairwise cosine is rounded to 6 decimals and cast
+    to DECIMAL(10,6) BEFORE the max/sum aggregates — max is order-free and
+    the decimal sum is exact, so no float-summation-order noise can leak
+    into the ranking (ties then break on doc id).
+
+    Scale shape: this is the exact re-rank stage — queries are
+    query-sized and broadcast; the candidate side streams through one
+    (q_doc, q_vec, doc) aggregate and one (q_doc, doc) aggregate, both
+    algebraic. A full-corpus MaxSim first shortlists candidates with the
+    single-vector ANN index (ann_ivf) and only late-interacts the
+    shortlist; the brute form here is that stage without the shortlist.
+    """
+    from pyspark.sql import Window
+
+    doc = F.floor(F.col("vec_id") / group).cast("long")
+    vecs = embeddings.select(
+        doc.alias("doc"),
+        F.col("vec_id"),
+        F.col("embedding").cast("array<double>").alias("emb"),
+    )
+    qvecs = (
+        vecs.filter(F.col("doc") < n_queries)
+        .select(
+            F.col("doc").alias("q_doc"),
+            F.col("vec_id").alias("q_vec"),
+            F.col("emb").alias("q_emb"),
+        )
+    )
+    pair_cos = (
+        vecs.crossJoin(F.broadcast(qvecs))
+        .filter(F.col("doc") != F.col("q_doc"))
+        .select(
+            "q_doc",
+            "q_vec",
+            "doc",
+            F.round(cosine_expr("q_emb", "emb"), 6)
+            .cast("decimal(10,6)")
+            .alias("c"),
+        )
+    )
+    best = pair_cos.groupBy("q_doc", "q_vec", "doc").agg(F.max("c").alias("m"))
+    scored = best.groupBy("q_doc", "doc").agg(F.sum("m").alias("s"))
+    w = Window.partitionBy("q_doc").orderBy(F.desc("s"), F.asc("doc"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_doc",
+            "doc",
+            F.col("s").cast("double").alias("score"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
