@@ -2086,6 +2086,38 @@ GROUP BY n_name
 """
 
 
+OLAP_PRICING_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_olap_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw-SQL surface: TPC-H Q1's pricing summary submitted as a SQL
+    string over a registered view (the engine's spark.sql entry point —
+    the reference has no SQL surface at all, SURVEY §2.2). Money math in
+    DECIMAL so the grouped sums are exact and order-insensitive; the
+    DuckDB oracle runs the IDENTICAL statement text."""
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").createOrReplaceTempView(
+        "lineitem"
+    )
+    return spark.sql(OLAP_PRICING_SQL).withColumn(
+        "count_order", F.col("count_order").cast("long")
+    )
+
+
+SQL_OLAP_PRICING_SUMMARY = OLAP_PRICING_SQL.replace(
+    "count(*)", "count(*)::BIGINT"
+)
+
+
 def q_web_crawl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Versioned-corpus diff: run the REAL extraction over two crawl
     snapshots of the same url space (second crawl: every 11th url gone,
@@ -2768,6 +2800,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_lm_score": q_text_lm_score,
     "corpus_histogram": q_corpus_histogram,
     "olap_nation_revenue": q_olap_nation_revenue,
+    "olap_pricing_summary": q_olap_pricing_summary,
     "web_crawl_drift": q_web_crawl_drift,
     "text_langid": q_text_langid,
     "text_quality": q_text_quality,
@@ -2858,6 +2891,7 @@ ORACLES: dict[str, str] = {
     "text_lm_score": SQL_TEXT_LM_SCORE,
     "corpus_histogram": SQL_CORPUS_HISTOGRAM,
     "olap_nation_revenue": SQL_OLAP_NATION_REVENUE,
+    "olap_pricing_summary": SQL_OLAP_PRICING_SUMMARY,
     "web_crawl_drift": SQL_WEB_CRAWL_DRIFT,
     "text_langid": SQL_TEXT_LANGID,
     "text_quality": SQL_TEXT_QUALITY,
