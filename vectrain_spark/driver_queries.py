@@ -2027,6 +2027,36 @@ FROM scored GROUP BY doc_id
 """
 
 
+def q_corpus_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language length-quartile assignment via ntile(4) — the bucketed
+    window function (deterministic under the (n_chars, doc_id) total
+    order), summarized per (lang, quartile) so the gate checks every
+    bucket boundary."""
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    return (
+        _docs(spark, sf_dir)
+        .withColumn("q", F.ntile(4).over(w))
+        .groupBy("lang", "q")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+SQL_CORPUS_QUARTILES = """
+WITH t AS (
+  SELECT lang, n_chars,
+         ntile(4) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS q
+  FROM documents
+)
+SELECT lang, q, count(*)::BIGINT AS n_docs,
+       min(n_chars)::BIGINT AS min_chars, max(n_chars)::BIGINT AS max_chars
+FROM t GROUP BY 1, 2
+"""
+
+
 def q_corpus_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width length histogram per language: 500-char bins with
     count/min/max per bin — single map-side-combining aggregate."""
@@ -2799,6 +2829,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bigram_lm": q_text_bigram_lm,
     "text_lm_score": q_text_lm_score,
     "corpus_histogram": q_corpus_histogram,
+    "corpus_quartiles": q_corpus_quartiles,
     "olap_nation_revenue": q_olap_nation_revenue,
     "olap_pricing_summary": q_olap_pricing_summary,
     "web_crawl_drift": q_web_crawl_drift,
@@ -2890,6 +2921,7 @@ ORACLES: dict[str, str] = {
     "text_bigram_lm": SQL_TEXT_BIGRAM_LM,
     "text_lm_score": SQL_TEXT_LM_SCORE,
     "corpus_histogram": SQL_CORPUS_HISTOGRAM,
+    "corpus_quartiles": SQL_CORPUS_QUARTILES,
     "olap_nation_revenue": SQL_OLAP_NATION_REVENUE,
     "olap_pricing_summary": SQL_OLAP_PRICING_SUMMARY,
     "web_crawl_drift": SQL_WEB_CRAWL_DRIFT,
