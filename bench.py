@@ -70,6 +70,9 @@ HEADLINE_QUERIES = [
     "events_retention",
     "dedup_incremental",
     "kg_link_fuzzy",
+    "sim_maxsim",
+    "olap_pricing_summary",
+    "corpus_quartiles",
 ]
 
 
