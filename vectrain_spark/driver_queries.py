@@ -185,6 +185,44 @@ def q_kg_canonical_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-triple provenance: every canonical triple with its distinct
+    source-url count and the 3 lexicographically-smallest citing urls as
+    evidence (capped + sorted, comma-joined for a deterministic scalar the
+    gate can hash). A KG consumer needs to answer "where did this fact
+    come from" — this is that table. Scale shape: one groupBy over the
+    canonicalized triples; the evidence cap keeps hub facts from building
+    unbounded arrays (slice after sort_array, all JVM)."""
+    pages = pages_from_documents(_docs(spark, sf_dir))
+    good, _ = split_quarantine(extract_pages(pages))
+    tri = extract_triples_df(good)
+    aliases = corpus_aliases(spark)
+    idx = build_alias_index(aliases.toPandas())
+    linked_m = link_mentions(spark, mention_surfaces(tri), idx)
+    subj_map = linked_m.select(
+        F.col("surface").alias("subj"), F.col("entity_id").alias("subj_id")
+    )
+    obj_map = linked_m.select(
+        F.col("surface").alias("obj"), F.col("entity_id").alias("obj_id")
+    )
+    linked = tri.join(F.broadcast(subj_map), "subj").join(
+        F.broadcast(obj_map), "obj"
+    )
+    mapping = connected_components(edges_from_aliases(aliases))
+    canon = apply_canonical(linked, mapping)
+    return (
+        canon.groupBy("subj_canon", "pred", "obj_canon")
+        .agg(
+            F.count_distinct("url").alias("n_sources"),
+            F.concat_ws(
+                ",", F.slice(F.sort_array(F.collect_set("url")), 1, 3)
+            ).alias("evidence"),
+        )
+    )
+
+
+
+
 def q_kg_stream_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ingestion end-to-end, gate-checked against the BATCH
     oracle: the derived pages corpus is staged as parquet files, ingested
@@ -690,6 +728,27 @@ SELECT c1.canon AS subj_canon, tri.pred AS pred, c2.canon AS obj_canon,
 FROM tri JOIN canon c1 ON c1.id = tri.subj_id JOIN canon c2 ON c2.id = tri.obj_id
 GROUP BY 1, 2, 3
 """
+
+SQL_KG_PROVENANCE = f"""
+WITH RECURSIVE {_CANON_SQL},
+pr(m, pred) AS (VALUES {_PRED_VALUES}),
+linkmap AS (SELECT alias, min(entity_id) AS eid FROM aliases GROUP BY alias),
+tri AS (
+  SELECT 'https://docs.example/' || d.doc_id AS url,
+         lv.eid AS subj_id, pr.pred AS pred, lc.eid AS obj_id
+  FROM documents d
+  JOIN pr ON pr.m = d.doc_id % 8
+  JOIN linkmap lv ON lv.alias = 'Vendor' || (d.doc_id % 7)
+  JOIN linkmap lc ON lc.alias = 'Client' || (d.doc_id % 13)
+  WHERE {_KG_PAGE_FILTER}
+)
+SELECT c1.canon AS subj_canon, tri.pred AS pred, c2.canon AS obj_canon,
+       count(DISTINCT tri.url)::BIGINT AS n_sources,
+       array_to_string(list_sort(list(DISTINCT tri.url))[1:3], ',') AS evidence
+FROM tri JOIN canon c1 ON c1.id = tri.subj_id JOIN canon c2 ON c2.id = tri.obj_id
+GROUP BY 1, 2, 3
+"""
+
 
 SQL_KG_EDGES = f"""
 WITH RECURSIVE {_CANON_SQL},
@@ -2781,6 +2840,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_link_join": q_kg_link_join,
     "kg_link_fuzzy": q_kg_link_fuzzy,
     "kg_canonical_triples": q_kg_canonical_triples,
+    "kg_provenance": q_kg_provenance,
     "kg_edges": q_kg_edges,
     "kg_adjacency": q_kg_adjacency,
     "kg_lineage": q_kg_lineage,
@@ -2865,6 +2925,7 @@ ORACLES: dict[str, str] = {
     "kg_link_join": SQL_KG_LINK_JOIN,
     "kg_link_fuzzy": SQL_KG_LINK_FUZZY,
     "kg_canonical_triples": SQL_KG_CANONICAL_TRIPLES,
+    "kg_provenance": SQL_KG_PROVENANCE,
     "kg_edges": SQL_KG_EDGES,
     "kg_adjacency": SQL_KG_ADJACENCY,
     "kg_lineage": SQL_KG_LINEAGE,
