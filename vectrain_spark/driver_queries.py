@@ -1030,6 +1030,47 @@ WHERE h1.pred = 'partnered_with' AND h2.pred = 'invested_in'
 """
 
 
+def q_kg_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling over the materialized edge table
+    (2 head- + 2 tail-corruptions per true edge, hash-chosen from the
+    entity vocabulary, true edges and self-corruptions filtered) — the
+    training-pair generator a KG-embedding job runs, reproducible across
+    engines/cluster sizes by construction."""
+    from .operators.graph import negative_edges
+
+    return negative_edges(_materialized_edges(spark, sf_dir), k=2)
+
+
+SQL_KG_NEGATIVES_TPL = """
+WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({edges})),
+nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+vocab AS MATERIALIZED (
+  SELECT id, row_number() OVER (ORDER BY id) - 1 AS idx FROM nodes
+),
+nv AS (SELECT count(*) AS n FROM vocab),
+base AS (SELECT src, dst, unnest([0, 1]) AS slot FROM e),
+tail AS (
+  SELECT b.src, v.id AS dst, 'tail' AS kind, b.slot, b.dst AS orig
+  FROM base b JOIN vocab v
+    ON v.idx = ('0x' || substr(md5(b.src || '|' || b.dst || '|' || b.slot || '|t'), 1, 15))::BIGINT % (SELECT n FROM nv)
+),
+head AS (
+  SELECT v.id AS src, b.dst, 'head' AS kind, b.slot, b.src AS orig
+  FROM base b JOIN vocab v
+    ON v.idx = ('0x' || substr(md5(b.src || '|' || b.dst || '|' || b.slot || '|h'), 1, 15))::BIGINT % (SELECT n FROM nv)
+),
+cands AS (
+  SELECT * FROM tail WHERE dst <> orig
+  UNION ALL
+  SELECT * FROM head WHERE src <> orig
+)
+SELECT DISTINCT c.src, c.dst, c.kind, c.slot::BIGINT AS slot
+FROM cands c
+LEFT JOIN e ON e.src = c.src AND e.dst = c.dst
+WHERE e.src IS NULL
+"""
+
+
 def q_kg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental MERGE gate: bootstrap the warehouse from HALF the corpus
     (even doc_ids), then feed the FULL corpus as an incremental wave — the
@@ -1069,6 +1110,7 @@ def _pagerank_sql(weight_sql: str | None = None) -> str:
 SQL_KG_PAGERANK = _pagerank_sql()
 SQL_KG_PAGERANK_WEIGHTED = _pagerank_sql(weight_sql="cnt")
 SQL_KG_TRIANGLES, SQL_KG_KCORE = _graph_pairs_sql()
+SQL_KG_NEGATIVES = SQL_KG_NEGATIVES_TPL.format(edges=SQL_KG_EDGES)
 
 
 def q_kg_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2852,6 +2894,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_triangles": q_kg_triangles,
     "kg_kcore": q_kg_kcore,
     "kg_path2": q_kg_path2,
+    "kg_negatives": q_kg_negatives,
     "kg_integrity": q_kg_integrity,
     "kg_incremental": q_kg_incremental,
     "kg_time_travel": q_kg_time_travel,
@@ -2937,6 +2980,7 @@ ORACLES: dict[str, str] = {
     "kg_triangles": SQL_KG_TRIANGLES,
     "kg_kcore": SQL_KG_KCORE,
     "kg_path2": SQL_KG_PATH2,
+    "kg_negatives": SQL_KG_NEGATIVES,
     "kg_integrity": SQL_KG_INTEGRITY,
     # streamed output must equal the batch extraction exactly
     "kg_stream_triples": SQL_KG_TRIPLES,

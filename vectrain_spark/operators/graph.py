@@ -367,3 +367,78 @@ SELECT id, count(*)::BIGINT AS core_degree FROM (
   SELECT a AS id FROM e{rounds} UNION ALL SELECT b FROM e{rounds}
 ) GROUP BY id HAVING count(*) >= {k}
 """
+
+
+def negative_edges(edges: DataFrame, k: int = 2) -> DataFrame:
+    """Deterministic negative sampling for KG-embedding training: for each
+    true edge, k head-corrupted and k tail-corrupted candidates drawn by
+    hashing (src, dst, slot) into the entity vocabulary, with candidates
+    that collide with ANY true edge (or the original) removed ->
+    (src, dst, kind, slot), kind in {'head', 'tail'}.
+
+    Every sampler choice is a pure function of the edge content (md5-based
+    60-bit hash mod vocab size), so the sample is reproducible across
+    runs, partitionings, and engines — the property that makes train/eval
+    splits stable at 10^12 scale. The vocabulary index is node-sized and
+    broadcast; the true-edge filter is one anti-join on the edge key.
+    """
+    e = edges.select("src", "dst").distinct()
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionAll(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    vocab = nodes.withColumn(
+        "idx", F.row_number().over(Window.orderBy("id")) - 1
+    )
+    n_vocab = vocab.count()
+
+    def h60(*cols):
+        return F.conv(
+            F.substring(F.md5(F.concat_ws("|", *cols)), 1, 15), 16, 10
+        ).cast("long")
+
+    slots = F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("slot")
+    base = e.select("src", "dst", slots)
+    tail = base.select(
+        "src",
+        "dst",
+        "slot",
+        F.lit("tail").alias("kind"),
+        F.pmod(h60(F.col("src"), F.col("dst"), F.col("slot"), F.lit("t")),
+               F.lit(n_vocab)).alias("idx"),
+    )
+    head = base.select(
+        "src",
+        "dst",
+        "slot",
+        F.lit("head").alias("kind"),
+        F.pmod(h60(F.col("src"), F.col("dst"), F.col("slot"), F.lit("h")),
+               F.lit(n_vocab)).alias("idx"),
+    )
+    cands = (
+        tail.join(F.broadcast(vocab), "idx")
+        .select("src", F.col("id").alias("neg_dst"), "kind", "slot",
+                F.col("dst").alias("orig"))
+        .unionByName(
+            head.join(F.broadcast(vocab), "idx").select(
+                F.col("id").alias("neg_src"), "dst", "kind", "slot",
+                F.col("src").alias("orig"),
+            ).select(F.col("neg_src").alias("src"),
+                     F.col("dst").alias("neg_dst"), "kind", "slot",
+                     "orig")
+        )
+    )
+    out = cands.select(
+        F.col("src"), F.col("neg_dst").alias("dst"), "kind", "slot", "orig"
+    ).filter(
+        ((F.col("kind") == "tail") & (F.col("dst") != F.col("orig")))
+        | ((F.col("kind") == "head") & (F.col("src") != F.col("orig")))
+    )
+    return (
+        out.join(e.withColumnRenamed("dst", "dst"), ["src", "dst"], "left_anti")
+        .select("src", "dst", "kind", F.col("slot").cast("long").alias("slot"))
+        .distinct()
+    )
