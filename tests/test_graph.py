@@ -235,3 +235,18 @@ def test_k_core_chain_peels_to_nothing(spark):
     e = spark.createDataFrame(chain, "a long, b long")
     assert _kcore_py(chain, 2, 6) == {}
     assert k_core(e, k=2, rounds=6).count() == 0
+
+
+def test_negative_edges_deterministic_and_clean(spark):
+    from vectrain_spark.operators.graph import negative_edges
+
+    e = spark.createDataFrame(
+        [(i % 5, 10 + (i * 3) % 7) for i in range(20)], "src long, dst long"
+    )
+    n1 = sorted(map(tuple, negative_edges(e, k=2).collect()))
+    n2 = sorted(map(tuple, negative_edges(e.repartition(7), k=2).collect()))
+    assert n1 == n2 and len(n1) > 0  # reproducible across partitionings
+    true = {(r["src"], r["dst"]) for r in e.distinct().collect()}
+    for src, dst, kind, slot in n1:
+        assert (src, dst) not in true  # never a true edge
+        assert kind in ("head", "tail") and slot in (0, 1)

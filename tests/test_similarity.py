@@ -83,3 +83,42 @@ def test_ann_ivf_deterministic(spark, emb):
     a = ann_ivf(spark, emb).toPandas().sort_values(["q_id", "rank"]).reset_index(drop=True)
     b = ann_ivf(spark, emb.repartition(7)).toPandas().sort_values(["q_id", "rank"]).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_maxsim_matches_python_oracle(spark):
+    import numpy as np
+
+    from vectrain_spark.operators.similarity import maxsim_topk
+
+    rng = np.random.RandomState(7)
+    vecs = rng.rand(24, 8).astype("float32")  # 6 docs x 4 vectors
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(24)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        (r["q_doc"], r["rank"]): (r["doc"], round(r["score"], 6))
+        for r in maxsim_topk(df, group=4, n_queries=2, k=2).collect()
+    }
+
+    def cos(a, b):
+        a, b = a.astype("float64"), b.astype("float64")
+        return round(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 6)
+
+    import itertools
+
+    want = {}
+    for qd in range(2):
+        scores = []
+        for dd in range(6):
+            if dd == qd:
+                continue
+            s = sum(
+                max(cos(vecs[qd * 4 + qi], vecs[dd * 4 + di]) for di in range(4))
+                for qi in range(4)
+            )
+            scores.append((dd, round(s, 6)))
+        scores.sort(key=lambda t: (-t[1], t[0]))
+        for rk, (dd, s) in enumerate(scores[:2], 1):
+            want[(qd, rk)] = (dd, s)
+    assert got == want
