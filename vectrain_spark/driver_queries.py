@@ -1835,6 +1835,58 @@ WHERE bucket < (CASE lang {whens} ELSE 1.0 END) * {SAMPLE_BUCKETS}
 SQL_SAMPLE_STRATIFIED = _sample_sql()
 
 
+def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (~90/5/5 by md5 bucket of
+    doc_id, integer thresholds so no float compare) with per-(lang, split)
+    counts and a bit_xor membership checksum — the split every training
+    pipeline needs to be stable across reruns, engines, and cluster
+    sizes. Disjointness and coverage are structural (every doc lands in
+    exactly one bucket range)."""
+    from .operators.corpus import SAMPLE_BUCKETS, _hash_bucket
+
+    b = _hash_bucket(F.col("doc_id"))
+    split = (
+        F.when(b < int(0.90 * SAMPLE_BUCKETS), "train")
+        .when(b < int(0.95 * SAMPLE_BUCKETS), "val")
+        .otherwise("test")
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("lang", split.alias("split"), "doc_id")
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr(
+                "bit_xor(cast(conv(substring(md5(cast(doc_id as string)), 1, 15),"
+                " 16, 10) as long))"
+            ).alias("member_xor"),
+        )
+    )
+
+
+def _sample_split_sql() -> str:
+    from .operators.corpus import SAMPLE_BUCKETS
+
+    t_train = int(0.90 * SAMPLE_BUCKETS)
+    t_val = int(0.95 * SAMPLE_BUCKETS)
+    return f"""
+WITH b AS (
+  SELECT lang, doc_id,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % {SAMPLE_BUCKETS} AS bkt
+  FROM documents
+)
+SELECT lang,
+       CASE WHEN bkt < {t_train} THEN 'train'
+            WHEN bkt < {t_val} THEN 'val' ELSE 'test' END AS split,
+       count(*)::BIGINT AS n_docs,
+       bit_xor(('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT) AS member_xor
+FROM b GROUP BY 1, 2
+"""
+
+
+SQL_SAMPLE_SPLIT = _sample_split_sql()
+
+
 def q_sample_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reservoir-contract sampling: exactly k=10 docs per language, chosen
     by smallest md5 rank — deterministic, engine-reproducible, and planned
@@ -2922,6 +2974,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "web_domains": q_web_domains,
     "sample_stratified": q_sample_stratified,
     "sample_fixed_k": q_sample_fixed_k,
+    "sample_split": q_sample_split,
     "corpus_stats": q_corpus_stats,
     "corpus_rollup": q_corpus_rollup,
     "corpus_cube": q_corpus_cube,
@@ -3014,6 +3067,7 @@ ORACLES: dict[str, str] = {
     "web_domains": SQL_WEB_DOMAINS,
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
     "sample_fixed_k": SQL_SAMPLE_FIXED_K,
+    "sample_split": SQL_SAMPLE_SPLIT,
     "corpus_stats": SQL_CORPUS_STATS,
     "corpus_rollup": SQL_CORPUS_ROLLUP,
     "corpus_cube": SQL_CORPUS_CUBE,
