@@ -2511,6 +2511,90 @@ GROUP BY 1, 2
 """
 
 
+def q_events_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running totals: cumulative purchase count and revenue by day
+    (UNBOUNDED PRECEDING frame — the growth-curve query; the rolling-week
+    query exercises the RANGE frame, this one the cumulative frame).
+    Money stays DECIMAL through the window so the running sum is exact."""
+    ev = _events(spark, sf_dir).withColumn("ts", F.col("ts").cast("timestamp"))
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("rev"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        F.col("day").cast("string").alias("day"),
+        "n",
+        F.sum("n").over(w).alias("cum_n"),
+        F.sum("rev").over(w).cast("double").alias("cum_revenue"),
+    )
+
+
+SQL_EVENTS_CUMULATIVE = """
+WITH daily AS (
+  SELECT ts::DATE AS day, count(*)::BIGINT AS n,
+         sum(value::DECIMAL(18,2)) AS rev
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+)
+SELECT day::VARCHAR AS day, n,
+       (sum(n) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING))::BIGINT AS cum_n,
+       (sum(rev) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING))::DOUBLE AS cum_revenue
+FROM daily
+"""
+
+
+def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier days: daily revenue more than 1.5 sigma from the global daily
+    mean. Mean and variance come from exact DECIMAL sums (sum, sum of
+    squares), so both engines compute the z-score from IDENTICAL doubles;
+    the score is floor-quantized to 4 decimals (round() diverges at .5
+    boundaries between engines)."""
+    ev = _events(spark, sf_dir).withColumn("ts", F.col("ts").cast("timestamp"))
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("rev"))
+    )
+    stats = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rev").cast("double").alias("s1"),
+        F.sum(F.col("rev") * F.col("rev")).cast("double").alias("s2"),
+    )
+    joined = daily.crossJoin(F.broadcast(stats))
+    mean = F.col("s1") / F.col("n")
+    var = F.col("s2") / F.col("n") - mean * mean
+    z = (F.col("rev").cast("double") - mean) / F.sqrt(var)
+    return (
+        joined.select(
+            F.col("day").cast("string").alias("day"),
+            F.col("rev").cast("double").alias("revenue"),
+            (F.floor(z * 10000) / 10000).alias("z"),
+        )
+        .filter(F.abs("z") > 1.5)
+    )
+
+
+SQL_EVENTS_ANOMALY = """
+WITH daily AS (
+  SELECT ts::DATE AS day, sum(value::DECIMAL(18,2)) AS rev
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+st AS (
+  SELECT count(*) AS n, sum(rev)::DOUBLE AS s1, sum(rev * rev)::DOUBLE AS s2
+  FROM daily
+)
+SELECT * FROM (
+  SELECT day::VARCHAR AS day, rev::DOUBLE AS revenue,
+         floor(((rev::DOUBLE - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n))) * 10000) / 10000 AS z
+  FROM daily, st
+) WHERE abs(z) > 1.5
+"""
+
+
 def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reshape: daily event counts pivoted to one column per event type
     (explicit pivot value list — an implicit list would cost a discovery
@@ -3011,6 +3095,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_rolling": q_events_rolling,
     "events_pivot": q_events_pivot,
     "events_retention": q_events_retention,
+    "events_cumulative": q_events_cumulative,
+    "events_anomaly": q_events_anomaly,
 }
 
 ORACLES: dict[str, str] = {
@@ -3111,4 +3197,6 @@ ORACLES: dict[str, str] = {
     "events_rolling": SQL_EVENTS_ROLLING,
     "events_pivot": SQL_EVENTS_PIVOT,
     "events_retention": SQL_EVENTS_RETENTION,
+    "events_cumulative": SQL_EVENTS_CUMULATIVE,
+    "events_anomaly": SQL_EVENTS_ANOMALY,
 }
