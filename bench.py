@@ -73,6 +73,9 @@ HEADLINE_QUERIES = [
     "sim_maxsim",
     "olap_pricing_summary",
     "corpus_quartiles",
+    "events_cumulative",
+    "events_anomaly",
+    "sample_split",
 ]
 
 
