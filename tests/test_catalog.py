@@ -244,3 +244,22 @@ def test_delete_where_null_predicate_keeps_rows(spark, tmp_path):
     cat.delete_where(spark, "t", "email = 'a@x.com'")
     got = sorted(r["id"] for r in cat.read(spark, "t").collect())
     assert got == [2, 3]  # NULL-email row survives
+
+
+def test_cluster_zorder_guards_bad_input(spark, tmp_path):
+    """ADVICE r2: wrong column count and empty/all-NULL clustering columns
+    must raise a clear ValueError, not an opaque TypeError (both reachable
+    from `main.py --maintain cluster --zorder`)."""
+    cat = Catalog(str(tmp_path))
+    cat.write("t", spark.createDataFrame([(1, 2)], "x long, y long"))
+    with pytest.raises(ValueError, match="exactly 2"):
+        cat.cluster(spark, "t", ["x"], zorder=True)
+    cat.write("empty", spark.createDataFrame([], "x long, y long"))
+    with pytest.raises(ValueError, match="empty table or all-NULL"):
+        cat.cluster(spark, "empty", ["x", "y"], zorder=True)
+    cat.write(
+        "nulls",
+        spark.createDataFrame([(None, 1), (None, 2)], "x long, y long"),
+    )
+    with pytest.raises(ValueError, match="empty table or all-NULL"):
+        cat.cluster(spark, "nulls", ["x", "y"], zorder=True)

@@ -174,3 +174,37 @@ def test_incremental_minhash_matches_old_and_wave(spark):
     # 10->1, 11->1 (old matches), 11->10 (same-wave, later keeps earlier);
     # 12 matches nothing; no old-old pairs ever
     assert got == {(10, 1), (11, 1), (11, 10)}
+
+
+def test_incremental_minhash_precomputed_index_parity(spark):
+    """Production path: the old side's (hashed, sigs) index is built once
+    with minhash_signature_index and passed per wave — the result must be
+    identical to the self-contained form (which re-derives it inline)."""
+    from vectrain_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        minhash_signature_index,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    old = spark.createDataFrame(
+        [(1, base), (2, " ".join(f"z{i}" for i in range(30)))],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(10, base + " trailing extra"), (11, base + " trailing extra")],
+        "doc_id long, text string",
+    )
+    hashed, sigs = minhash_signature_index(old)
+    hashed, sigs = hashed.persist(), sigs.persist()  # caller-owned lifecycle
+    try:
+        got = sorted(
+            map(tuple, incremental_minhash_pairs(
+                old, new, 0.8, old_index=(hashed, sigs)).collect())
+        )
+        want = sorted(
+            map(tuple, incremental_minhash_pairs(old, new, 0.8).collect())
+        )
+        assert got == want and len(got) > 0
+    finally:
+        hashed.unpersist()
+        sigs.unpersist()

@@ -60,3 +60,19 @@ def test_two_phase_agg_equals_plain_agg(spark):
         F.max("v").alias("hi"),
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_salted_join_rejects_build_preserving_joins(spark):
+    """right/full outer would emit each unmatched build row s times (the
+    build side is exploded s-fold) — parity would break silently, so the
+    operator refuses (ADVICE r2)."""
+    import pytest
+
+    fact = _skewed_fact(spark)
+    build = spark.range(100).select(F.col("id").alias("key"))
+    for how in ("right", "full", "full_outer", "right_outer"):
+        with pytest.raises(ValueError, match="fact-preserving"):
+            salted_join(fact, build, "key", salt_from=["row_id"], how=how)
+    # fact-preserving joins still work
+    n = salted_join(fact, build, "key", salt_from=["row_id"], how="left_semi").count()
+    assert n == fact.join(build, "key", "left_semi").count()

@@ -331,12 +331,22 @@ class Catalog:
             )
             meta = {"clustered_by": cols}
         else:
-            assert len(cols) == 2, "zorder expects exactly 2 columns"
+            if len(cols) != 2:
+                raise ValueError(
+                    f"cluster(zorder=True) expects exactly 2 numeric "
+                    f"columns, got {cols!r}"
+                )
             cx, cy = cols
             bounds = df.agg(
                 F.min(cx).alias("xmin"), F.max(cx).alias("xmax"),
                 F.min(cy).alias("ymin"), F.max(cy).alias("ymax"),
             ).collect()[0]  # 1-row maintenance scan, not a data-path collect
+            if any(bounds[b] is None for b in ("xmin", "xmax", "ymin", "ymax")):
+                raise ValueError(
+                    f"cluster(zorder=True) on {table!r}: min/max of "
+                    f"{cols!r} undefined (empty table or all-NULL column) "
+                    "— nothing to cluster"
+                )
             def scaled(c, lo, hi):
                 span = float(hi - lo) or 1.0
                 return F.least(

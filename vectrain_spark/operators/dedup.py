@@ -189,14 +189,19 @@ def minhash_pairs(
     return _verify_jaccard(cand, hashed, hashed, threshold)
 
 
-def _hashed_shingles(corpus: DataFrame) -> DataFrame:
+def _hashed_shingles(corpus: DataFrame, persist: bool = True) -> DataFrame:
     """(doc_id, hsh): distinct shingle sets hashed to int64 ONCE, JVM-side
     (xxhash64, inside the scan stage): the persisted working set, the
     signature UDF input, and the verification join all carry compact int64
     sets instead of string arrays (~20x smaller shuffle/cache; distinct-set
     semantics preserved, collision odds ~n^2/2^64). Exact Jaccard on the
-    hash sets equals Jaccard on the strings, so the SQL oracles match."""
-    return (
+    hash sets equals Jaccard on the strings, so the SQL oracles match.
+
+    ``persist=False`` skips caching: used by the incremental path, whose
+    cache lifecycle belongs to the CALLER (see
+    :func:`minhash_signature_index`) — an operator that persists internally
+    and returns a lazy result can never unpersist safely."""
+    out = (
         spread(corpus)
         .select(
             "doc_id",
@@ -205,8 +210,30 @@ def _hashed_shingles(corpus: DataFrame) -> DataFrame:
             ).alias("hsh"),
         )
         .filter(F.size("hsh") > 0)
-        .persist()
     )
+    return out.persist() if persist else out
+
+
+def minhash_signature_index(
+    corpus: DataFrame,
+    n_hashes: int = N_MINHASH,
+    n_bands: int = N_MINHASH_BANDS,
+) -> tuple[DataFrame, DataFrame]:
+    """The persisted-once, append-forever side of incremental dedup:
+    ``(hashed, sigs)`` where hashed = (doc_id, hsh int64 shingle set) and
+    sigs = (doc_id, band, sig) MinHash band signatures. A production run
+    materializes both to the catalog once per corpus and APPENDS each
+    accepted wave's rows (signatures are per-doc, so the index is trivially
+    incremental); per-wave dedup then passes them to
+    :func:`incremental_minhash_pairs` so the old corpus is never
+    re-shingled. The caller owns the lifecycle (persist/unpersist or
+    catalog write) — nothing here caches behind the caller's back."""
+    hashed = _hashed_shingles(corpus, persist=False)
+    sigs = hashed.mapInPandas(
+        _minhash_udf_factory(n_hashes, n_bands),
+        schema="doc_id long, band int, sig long",
+    )
+    return hashed, sigs
 
 
 def _verify_jaccard(
@@ -235,6 +262,7 @@ def incremental_minhash_pairs(
     threshold: float = JACCARD_THRESHOLD,
     n_hashes: int = N_MINHASH,
     n_bands: int = N_MINHASH_BANDS,
+    old_index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Wave-incremental near-dup detection: (a, b, jaccard) where ``a`` is
     a NEW doc and ``b`` is its match in the existing corpus or the same
@@ -242,18 +270,30 @@ def incremental_minhash_pairs(
 
     THE 100 TB dedup scenario is incremental — each crawl wave must be
     deduped against petabytes of already-accepted corpus without
-    re-banding it. Only the new wave is shingled/signed here per call; the
-    old side's signatures are recomputed for self-containment but are
-    exactly the table a production run persists once and appends to
-    (signatures are per-doc, so the index is trivially incremental). Band
-    join cost is O(|new| + matching-band index rows), never O(|old|^2).
+    re-banding it. Band join cost is O(|new| + matching-band index rows),
+    never O(|old|^2).
+
+    ``old_index``: the ``(hashed, sigs)`` pair from
+    :func:`minhash_signature_index` — THE production path: build the old
+    side once (persist or write to the catalog), append each accepted
+    wave, and pass it here so every wave reuses it without re-shingling
+    petabytes. When omitted, the old side is derived from ``old`` inline
+    for self-containment: that recomputes the old corpus's shingles per
+    reference to the result (the price of statelessness) and is the
+    small-corpus / test path. NOTHING is persisted internally either way —
+    a function that returns a lazy DataFrame cannot unpersist its own
+    caches, so cache lifecycle stays with the caller (ADVICE r2 fix: the
+    old behavior leaked one persisted working set per wave, per side).
 
     Precondition: doc_ids are globally unique across waves (they key both
     the pair output and the verification join) — enforced with a cheap
     id-only semi-join check.
     """
-    ho = _hashed_shingles(old)
-    hn = _hashed_shingles(new)
+    if old_index is not None:
+        ho, old_sigs = old_index
+    else:
+        ho, old_sigs = minhash_signature_index(old, n_hashes, n_bands)
+    hn = _hashed_shingles(new, persist=False)
     if hn.join(ho, "doc_id", "left_semi").limit(1).count():
         raise ValueError(
             "incremental_minhash_pairs: new wave reuses doc_ids already in "
@@ -263,7 +303,7 @@ def incremental_minhash_pairs(
     schema = "doc_id long, band int, sig long"
     sigs_new = hn.mapInPandas(udf, schema=schema)
     index = (
-        ho.mapInPandas(udf, schema=schema).withColumn("is_new", F.lit(False))
+        old_sigs.withColumn("is_new", F.lit(False))
         .unionByName(sigs_new.withColumn("is_new", F.lit(True)))
     )
     cand = (

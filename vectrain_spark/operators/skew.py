@@ -41,7 +41,21 @@ def salted_join(
     across salts (use a unique row id; using ``key`` itself would put the
     whole hub back on one reducer). Result == fact.join(build, key, how)
     with the salt column dropped.
+
+    ``how`` is restricted to the fact-preserving joins (inner, left,
+    left_semi, left_anti, cross): the construction explodes every build
+    row s-fold, so any join that must preserve UNMATCHED build rows
+    (right/full outer) would emit each of them s times — parity with the
+    naive join breaks silently. Those joins raise instead.
     """
+    allowed = {"inner", "left", "leftouter", "left_outer", "left_semi",
+               "leftsemi", "left_anti", "leftanti", "cross"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} is not fact-preserving — the s-fold "
+            "exploded build side would duplicate unmatched build rows "
+            "(use inner/left/left_semi/left_anti)"
+        )
     salt: Column = F.pmod(F.xxhash64(*[F.col(c) for c in salt_from]), F.lit(s))
     f = fact.withColumn("_salt", salt.cast("int"))
     b = build.withColumn(
