@@ -263,3 +263,44 @@ def test_cluster_zorder_guards_bad_input(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="empty table or all-NULL"):
         cat.cluster(spark, "nulls", ["x", "y"], zorder=True)
+
+
+def test_concurrent_process_commits_lose_nothing(tmp_path):
+    """VERDICT r2 ask #3: two separate PROCESSES appending N snapshots each
+    to one table — the link-based optimistic commit must keep every
+    update: final chain = 2N contiguous snapshots whose cumulative data
+    dirs contain all 2N staged dirs (Spark-free via _commit_staged; the
+    staging half is independent of the commit protocol)."""
+    import subprocess
+    import sys
+
+    script = r"""
+import os, sys
+sys.path.insert(0, {repo!r})
+from vectrain_spark.catalog import Catalog
+root, tag, n = sys.argv[1], sys.argv[2], int(sys.argv[3])
+cat = Catalog(root)
+for i in range(n):
+    d = os.path.join(root, "t", "data", f"w-{{tag}}-{{i}}")
+    os.makedirs(d, exist_ok=True)
+    cat._commit_staged("t", d, "append", {{"writer": tag, "i": i}})
+""".format(repo="/root/repo")
+    n = 20
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", script, str(tmp_path), tag, str(n)]
+        )
+        for tag in ("A", "B")
+    ]
+    for p in procs:
+        assert p.wait() == 0
+    cat = Catalog(str(tmp_path))
+    chain = cat.snapshots("t")
+    assert len(chain) == 2 * n
+    assert [m["snapshot_id"] for m in chain] == list(range(1, 2 * n + 1))
+    assert [m["parent"] for m in chain] == [None] + list(range(1, 2 * n))
+    final_dirs = set(chain[-1]["data_dirs"])
+    assert len(final_dirs) == 2 * n  # every writer's every commit survived
+    for tag in ("A", "B"):
+        for i in range(n):
+            assert any(f"w-{tag}-{i}" in d for d in final_dirs)

@@ -328,3 +328,24 @@ def test_sessionized_activity_semantics_through_stream(spark, tmp_path):
     }
     # [0,10,40] one session (30s boundary merges), [75], [200,230]
     assert got == {(0, 70, 3), (75, 105, 1), (200, 260, 2)}
+
+
+def test_kafka_json_parse_parity_with_file_source(spark, pages_df):
+    """VERDICT r2 ask #5: the Kafka path's ONLY logic beyond the connector
+    jar is the JSON value -> pages-schema decode (parse_pages_json, shared
+    by kafka_pages_stream). Serialize the pages fixture to the Kafka wire
+    format (to_json: html binary as base64, ISO timestamps) and assert the
+    decode returns byte-identical rows to the file-source frame — the
+    connector jar is then the sole untested piece."""
+    from pyspark.sql import functions as F
+
+    from vectrain_spark.streaming import parse_pages_json
+
+    wire = pages_df.select(
+        F.to_json(F.struct("url", "warc_ts", "html", "lang")).alias("value")
+    )
+    got = sorted(map(tuple, parse_pages_json(wire).collect()))
+    want = sorted(
+        map(tuple, pages_df.select("url", "warc_ts", "html", "lang").collect())
+    )
+    assert got == want and len(got) == 400

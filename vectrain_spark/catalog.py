@@ -58,11 +58,70 @@ class Catalog:
 
     # -- manifest primitives --------------------------------------------
     def _head(self, table: str) -> int | None:
-        vf = self._version_file(table)
-        if not os.path.exists(vf):
+        """Committed head = highest snap id with a manifest file present.
+
+        Derived from a directory listing, NOT the VERSION file: manifests
+        become visible atomically (link/rename), and ids are allocated by
+        winning the link on ``snap-N.json`` (see :meth:`_commit_manifest`),
+        so max-present-id is exact even with several concurrent WRITER
+        PROCESSES — whereas a lagging VERSION pointer written post-commit
+        could hide a committed snapshot (lost update). VERSION remains as
+        a best-effort human-readable hint only."""
+        mdir = self._mdir(table)
+        try:
+            names = os.listdir(mdir)
+        except FileNotFoundError:
             return None
-        with open(vf) as f:
-            return int(f.read().strip())
+        snaps = [
+            int(n[5:11])
+            for n in names
+            if n.startswith("snap-") and n.endswith(".json") and n[5:11].isdigit()
+        ]
+        return max(snaps) if snaps else None
+
+    def _commit_manifest(self, table: str, build) -> int | None:
+        """Optimistic-concurrency commit, safe across PROCESSES (the
+        Iceberg commit contract — retry on HEAD mismatch; reference
+        analog: the external store's atomic upsert, qdrant/client.go:55-68).
+
+        ``build(parent_id_or_None) -> manifest dict | None`` (None aborts,
+        nothing committed). Loop: read head, build the manifest for id
+        head+1, write it to a temp file, then ``os.link`` it to
+        ``snap-{id}.json`` — link fails with EEXIST iff another writer
+        committed that id first, in which case re-read head and rebuild on
+        the new parent. The winner's manifest appears atomically; no
+        update is ever lost, chains stay contiguous. The in-process lock
+        is kept only to avoid needless same-process link contention."""
+        mdir = self._mdir(table)
+        os.makedirs(mdir, exist_ok=True)
+        delay = 0.01
+        while True:
+            parent = self._head(table)
+            manifest = build(parent)
+            if manifest is None:
+                return None
+            snap = (parent + 1) if parent is not None else 1
+            manifest = dict(
+                manifest, snapshot_id=snap, parent=parent,
+                committed_at=time.time(),
+            )
+            target = os.path.join(mdir, f"snap-{snap:06d}.json")
+            tmp = f"{target}.tmp.{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                f.write(json.dumps(manifest, indent=1))
+                f.flush()
+                os.fsync(f.fileno())
+            try:
+                os.link(tmp, target)
+            except FileExistsError:
+                os.unlink(tmp)
+                time.sleep(delay)
+                delay = min(delay * 2, 0.2)
+                continue
+            os.unlink(tmp)
+            # advisory pointer for humans; correctness never reads it
+            self._atomic_write(self._version_file(table), str(snap))
+            return snap
 
     def _manifest(self, table: str, snap: int) -> dict:
         with open(os.path.join(self._mdir(table), f"snap-{snap:06d}.json")) as f:
@@ -98,34 +157,28 @@ class Catalog:
     ) -> int:
         """Commit df as a new snapshot. mode: 'append' | 'replace'."""
         assert mode in ("append", "replace")
-        mdir = self._mdir(table)
-        os.makedirs(mdir, exist_ok=True)
         # stage data under a content-unique dir (no lock held): concurrent
         # writers never collide; the dir only becomes visible via a manifest
         data_dir = os.path.join(self._tdir(table), "data", f"w-{uuid.uuid4().hex}")
         df.write.mode("overwrite").parquet(data_dir)
-        # commit: serialize the head read-modify-write
-        with self._commit_lock:
-            parent = self._head(table)
-            snap = (parent + 1) if parent is not None else 1
+        return self._commit_staged(table, data_dir, mode, meta)
+
+    def _commit_staged(
+        self, table: str, data_dir: str, mode: str, meta: dict | None
+    ) -> int:
+        """Manifest commit for an already-staged data dir (the Spark-free
+        half of :meth:`write` — exercised directly by the multi-process
+        concurrency test)."""
+
+        def build(parent: int | None) -> dict:
             if mode == "append" and parent is not None:
                 dirs = self._manifest(table, parent)["data_dirs"] + [data_dir]
             else:
                 dirs = [data_dir]
-            manifest = {
-                "snapshot_id": snap,
-                "parent": parent,
-                "op": mode,
-                "data_dirs": dirs,
-                "meta": meta or {},
-                "committed_at": time.time(),
-            }
-            self._atomic_write(
-                os.path.join(mdir, f"snap-{snap:06d}.json"),
-                json.dumps(manifest, indent=1),
-            )
-            self._atomic_write(self._version_file(table), str(snap))
-        return snap
+            return {"op": mode, "data_dirs": dirs, "meta": meta or {}}
+
+        with self._commit_lock:
+            return self._commit_manifest(table, build)
 
     def read(
         self,
@@ -167,10 +220,9 @@ class Catalog:
         primitive behind :meth:`prune_groups` (incremental waves key deltas
         by (group, wave), not group alone). Returns True if anything was
         pruned; commits nothing otherwise."""
-        with self._commit_lock:
-            head = self._head(table)
-            if head is None:
-                return False
+        def build(parent: int | None) -> dict | None:
+            if parent is None:
+                return None
             keep: list[str] = []
             prev: list[str] = []
             pruned = False
@@ -187,22 +239,15 @@ class Catalog:
                     keep.extend(delta)
                 prev = m["data_dirs"]
             if not pruned:
-                return False
-            snap = head + 1
-            manifest = {
-                "snapshot_id": snap,
-                "parent": head,
+                return None
+            return {
                 "op": "replace",
                 "data_dirs": keep,
                 "meta": reason or {"pruned": True},
-                "committed_at": time.time(),
             }
-            self._atomic_write(
-                os.path.join(self._mdir(table), f"snap-{snap:06d}.json"),
-                json.dumps(manifest, indent=1),
-            )
-            self._atomic_write(self._version_file(table), str(snap))
-            return True
+
+        with self._commit_lock:
+            return self._commit_manifest(table, build) is not None
 
     def read_snapshot_delta(
         self, spark: SparkSession, table: str, snapshot_id: int

@@ -55,20 +55,34 @@ def pages_stream(
     )
 
 
+def parse_pages_json(raw: DataFrame) -> DataFrame:
+    """Kafka-message decode as a standalone transformation: a frame with a
+    ``value`` column (binary or string JSON, html as base64 — the wire
+    format ``to_json`` produces) -> typed pages rows. Mirrors the
+    reference's JSON unmarshal into Entity (kafka/fetch_messages.go:33-35).
+
+    Deliberately source-agnostic (works on a BATCH frame too): the Kafka
+    connector jar is absent in this sandbox, so the parse step — the only
+    logic between the connector and the pipeline — is parity-tested
+    offline against the file-source rows (tests/test_streaming.py), and
+    the jar remains the sole unexercised piece of the Kafka path."""
+    parsed = raw.select(
+        F.from_json(F.col("value").cast("string"), PAGES_SCHEMA).alias("p")
+    )
+    return parsed.select("p.url", "p.warc_ts", "p.html", "p.lang")
+
+
 def kafka_pages_stream(spark: SparkSession, bootstrap: str, topic: str) -> DataFrame:
     """Kafka-source variant (requires spark-sql-kafka jar; untested in this
-    sandbox). JSON value -> pages schema, mirroring the reference's JSON
-    unmarshal into Entity (kafka/fetch_messages.go:33-35)."""
+    sandbox — the JSON decode it shares with batch IS tested, see
+    :func:`parse_pages_json`)."""
     raw = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap)
         .option("subscribe", topic)
         .load()
     )
-    parsed = raw.select(
-        F.from_json(F.col("value").cast("string"), PAGES_SCHEMA).alias("p")
-    )
-    return parsed.select("p.url", "p.warc_ts", "p.html", "p.lang")
+    return parse_pages_json(raw)
 
 
 def _committed_batches(cat: Catalog, table: str) -> set:
