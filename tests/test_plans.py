@@ -197,3 +197,55 @@ def test_funnel_joins_stay_on_one_key(spark):
 
     keys = re.findall(r"Exchange hashpartitioning\(([a-z_]+)", plan)
     assert keys and all(k in ("user_id", "stage") for k in keys), keys
+
+
+def test_event_window_queries_have_no_global_window(spark):
+    """VERDICT r2 ask #7: the cumulative and rolling event queries must
+    never plan a partition-less WindowExec (the 'No Partition Defined'
+    warnings in the r2 bench tail). Cumulative uses a year-partitioned
+    window + offsets; rolling is a bucketed equi-join with no window."""
+    from vectrain_spark.driver_queries import (
+        q_events_cumulative,
+        q_events_rolling,
+    )
+    import re
+
+    sf = "/root/testdata/sf0.001"
+    cum = _plan(q_events_cumulative(spark, sf))
+    # every Window node must carry a partition spec (3 bracket groups)
+    for line in cum.splitlines():
+        if "Window [" in line:
+            assert re.search(r"Window \[.*\], \[.*\], \[.*\]", line), line
+    roll = _plan(q_events_rolling(spark, sf))
+    assert "Window" not in roll, roll
+
+
+def test_kg_integrity_runs_one_action(spark, monkeypatch):
+    """VERDICT r2 ask #8: the integrity query itself must derive all six
+    conservation masses from ONE materializing call (the r2 version made
+    ~5 — three counts + two collects). Dependencies keep their own
+    intrinsic actions (connected-components convergence checksums, the
+    shared edge-cache warm-up), so the count is scoped to calls issued
+    directly from q_kg_integrity's own frame."""
+    import traceback
+
+    from vectrain_spark.driver_queries import q_kg_integrity
+
+    # patch the CONCRETE class (pyspark.sql.classic overrides the base)
+    DataFrame = type(spark.range(1))
+    calls = {"n": 0}
+    for name in ("collect", "count", "toPandas", "take", "head", "first"):
+        orig = getattr(DataFrame, name)
+
+        def wrapper(self, *a, _orig=orig, **kw):
+            # immediate caller frame only: [-1] is this wrapper, [-2] the
+            # site that invoked the DataFrame method
+            if traceback.extract_stack(limit=2)[0].name == "q_kg_integrity":
+                calls["n"] += 1
+            return _orig(self, *a, **kw)
+
+        monkeypatch.setattr(DataFrame, name, wrapper)
+    out = q_kg_integrity(spark, "/root/testdata/sf0.001")
+    assert calls["n"] == 1, f"{calls['n']} materializing calls, expected 1"
+    rows = {r["chk"]: (r["measured"], r["expected"]) for r in out.collect()}
+    assert all(m == e for m, e in rows.values())
