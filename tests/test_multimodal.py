@@ -6,7 +6,8 @@ import numpy as np
 
 from vectrain_spark.operators.multimodal import (
     audio_frame_sample,
-    fake_image,
+    encode_bmp,
+    encode_wav,
     gen_media,
     image_features,
 )
@@ -51,15 +52,40 @@ def test_audio_frame_sample(spark):
     }
 
 
-def test_fake_image_roundtrip_unit():
+def test_bmp_codec_roundtrip_unit():
+    """Real-format codec (VERDICT r2 ask #4): the BMP encoder's bytes must
+    decode with the stdlib parser AND the parser must handle padding (w=31
+    forces a 3-byte row pad), truncation, and garbage."""
     from vectrain_spark.operators.multimodal import _decode_image
 
-    blob = fake_image(7, 32, 48)
-    w, h, px = _decode_image(blob)
-    assert (w, h) == (32, 48)
-    assert len(px) == min(32 * 48, 4096)
-    try:
+    for w, h in ((32, 48), (31, 7), (16, 16)):
+        blob = encode_bmp(7, w, h)
+        got_w, got_h, px = _decode_image(blob)
+        assert (got_w, got_h) == (w, h)
+        assert len(px) == w * 3 * h  # padding stripped
+        assert len(blob) == 54 + ((w * 3 + 3) // 4 * 4) * h
+    import pytest
+
+    with pytest.raises(ValueError):
         _decode_image(b"nope")
-        raise AssertionError("should have raised")
-    except ValueError:
-        pass
+    with pytest.raises(ValueError):
+        _decode_image(encode_bmp(7, 32, 48)[:-10])  # truncated payload
+
+
+def test_wav_codec_roundtrip_unit():
+    from vectrain_spark.operators.multimodal import _decode_audio
+
+    blob = encode_wav(3, 16000, 1234)
+    sr, n, samples = _decode_audio(blob)
+    assert (sr, n) == (16000, 1234)
+    assert samples.dtype.str == "<i2" and len(samples) == 1234
+    assert len(blob) == 44 + 2 * 1234
+    import pytest
+
+    with pytest.raises(ValueError):
+        _decode_audio(b"RIFFxxxxNOPE")
+    # non-PCM format tag rejected
+    bad = bytearray(blob)
+    bad[20] = 3  # fmt = IEEE float
+    with pytest.raises(ValueError):
+        _decode_audio(bytes(bad))

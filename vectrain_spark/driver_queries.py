@@ -2861,17 +2861,21 @@ def q_multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# n_bytes reconstructs the REAL container sizes the Spark side decodes:
+# BMP = 54-byte headers + 4-byte-padded 24bpp rows; WAV = 44-byte
+# canonical RIFF/fmt/data headers + 2 bytes per int16 sample.
 SQL_MULTIMODAL_IMAGE = """
 WITH m AS (
   SELECT doc_id AS media_id,
-         (16 + (doc_id * 7919) % 496)::INTEGER AS w,
-         (16 + (doc_id * 104729) % 496)::INTEGER AS h
+         (16 + (doc_id * 7919) % 48)::INTEGER AS w,
+         (16 + (doc_id * 104729) % 48)::INTEGER AS h
   FROM documents
 )
 SELECT media_id,
        (CASE WHEN media_id % 13 = 5 THEN 0 ELSE w END)::INTEGER AS width,
        (CASE WHEN media_id % 13 = 5 THEN 0 ELSE h END)::INTEGER AS height,
-       (CASE WHEN media_id % 13 = 5 THEN 0 ELSE 8 + least(w * h, 4096) END)::BIGINT AS n_bytes,
+       (CASE WHEN media_id % 13 = 5 THEN 0
+             ELSE 54 + ((w * 3 + 3) // 4 * 4) * h END)::BIGINT AS n_bytes,
        CASE WHEN media_id % 13 = 5 THEN 'undecodable image' ELSE NULL END AS error
 FROM m
 """
@@ -2879,13 +2883,13 @@ FROM m
 SQL_MULTIMODAL_AUDIO = """
 WITH m AS (
   SELECT doc_id AS media_id,
-         (1000 + (doc_id * 7919) % 99000)::BIGINT AS n
+         (1000 + (doc_id * 7919) % 9000)::BIGINT AS n
   FROM documents
 )
 SELECT media_id,
        (CASE WHEN media_id % 13 = 5 THEN 0 ELSE 16000 END)::INTEGER AS sample_rate,
        (CASE WHEN media_id % 13 = 5 THEN 0 ELSE n END)::BIGINT AS n_samples,
-       (CASE WHEN media_id % 13 = 5 THEN 0 ELSE 12 + least(n, 4096) END)::BIGINT AS n_bytes,
+       (CASE WHEN media_id % 13 = 5 THEN 0 ELSE 44 + 2 * n END)::BIGINT AS n_bytes,
        CASE WHEN media_id % 13 = 5 THEN 'undecodable audio' ELSE NULL END AS error
 FROM m
 """
