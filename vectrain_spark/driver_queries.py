@@ -2971,15 +2971,52 @@ _COS6 = (
     " * sqrt(list_dot_product({b}, {b}))), 6)"
 )
 
-def _ann_ivf_sql(expr_tpl: str, order: str) -> str:
+def _ann_ivf_sql(expr_tpl: str, order: str, kmeans_iters: int = 2) -> str:
     """IVF oracle parametrized by metric expression and rank direction
-    (DESC for cosine/dot similarity, ASC for euclid distance)."""
+    (DESC for cosine/dot similarity, ASC for euclid distance), with the
+    Spark side's seeded k-means centroid refinement unrolled as CTE chains
+    (one score/argbest/scaled-integer-mean round per iteration — the
+    floor(sum(floor(x*1e6))/count)/1e6 arithmetic matches kmeans_refine
+    bit-for-bit, see operators/similarity.py)."""
+    kmeans = ""
+    for it in range(1, kmeans_iters + 1):
+        prev = "c0" if it == 1 else f"c{it - 1}"
+        kmeans += f"""
+s{it} AS (
+  SELECT v.vec_id, c.cell,
+         {expr_tpl.format(a='v.emb', b='c.c_emb')} AS score
+  FROM v, {prev} c
+),
+a{it} AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY score {order}, cell ASC) AS rn
+    FROM s{it}) WHERE rn = 1
+),
+x{it} AS (
+  SELECT a.cell, generate_subscripts(v.emb, 1) AS i, unnest(v.emb) AS x
+  FROM a{it} a JOIN v USING (vec_id)
+),
+m{it} AS (
+  SELECT cell, i, floor(sum(floor(x * 1000000.0)) / count(*)) AS ms
+  FROM x{it} GROUP BY cell, i
+),
+r{it} AS (
+  SELECT cell, list(ms / 1000000.0 ORDER BY i) AS r_emb FROM m{it} GROUP BY cell
+),
+c{it} AS (
+  SELECT c.cell, coalesce(r.r_emb, c.c_emb) AS c_emb
+  FROM {prev} c LEFT JOIN r{it} r USING (cell)
+),"""
+    final_c = f"c{kmeans_iters}" if kmeans_iters else "c0"
     return f"""
 WITH v AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
   FROM embeddings
 ),
-c AS (SELECT vec_id::INTEGER AS cell, emb AS c_emb FROM v WHERE vec_id < 16),
+c0 AS (SELECT vec_id::INTEGER AS cell, emb AS c_emb FROM v WHERE vec_id < 16),
+{kmeans}
+c AS (SELECT cell, c_emb FROM {final_c}),
 scored AS (
   SELECT v.vec_id, c.cell,
          {expr_tpl.format(a='v.emb', b='c.c_emb')} AS score
