@@ -3209,6 +3209,35 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_anomaly": q_events_anomaly,
 }
 
+# Registry ordered by RISK (VERDICT r2 ask #9): the driver's correctness
+# run can truncate (r2 stopped at 50 of 86 entries), so (1) queries whose
+# code changed this round go first, (2) then everything a driver run has
+# never verified (past the r2 cutoff; locally gate-replica-green), (3)
+# then the twice-driver-verified stable tail in original order.
+_CHANGED_THIS_ROUND = [
+    "sim_ann_ivf", "sim_ann_ivf_euclid",            # k-means refinement
+    "multimodal_image_features", "multimodal_audio_frames",  # real codecs
+    "events_cumulative", "events_rolling",          # window rewrites
+    "kg_integrity",                                 # single-action rewrite
+    "kg_negatives",                                 # two-phase vocab rank
+    "dedup_incremental",                            # precomputed-index path
+    "kg_incremental", "kg_lineage", "kg_stream_triples",  # commit protocol
+]
+_DRIVER_VERIFIED_R2 = 50  # entries past this index never ran driver-side
+
+
+def _risk_order(queries: dict) -> dict:
+    keys = list(queries)
+    tail_first = keys[_DRIVER_VERIFIED_R2:]
+    ordered = list(_CHANGED_THIS_ROUND)
+    ordered += [k for k in tail_first if k not in ordered]
+    ordered += [k for k in keys if k not in ordered]
+    assert set(ordered) == set(keys)
+    return {k: queries[k] for k in ordered}
+
+
+QUERIES = _risk_order(QUERIES)
+
 ORACLES: dict[str, str] = {
     "kg_extract_text": SQL_KG_EXTRACT_TEXT,
     "kg_quarantine": SQL_KG_QUARANTINE,
