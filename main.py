@@ -29,13 +29,17 @@ import sys
 
 def parse_args(argv: list[str]) -> argparse.Namespace:
     p = argparse.ArgumentParser(description="vectrain_spark KG pipeline")
+    p.add_argument("--config", default=None,
+                   help="YAML job config (the reference's --config surface, "
+                        "internal/config/config.go:56-63); explicit CLI flags "
+                        "override config values")
     p.add_argument("--pages", help="parquet dir/file with (url, warc_ts, html, lang)")
     p.add_argument("--aliases", help="parquet with (entity_id, alias)")
     p.add_argument("--generate", type=int, default=0,
                    help="generate a deterministic synthetic corpus of N pages instead of --pages/--aliases")
-    p.add_argument("--out", required=True, help="output warehouse root")
-    p.add_argument("--n-groups", type=int, default=8)
-    p.add_argument("--max-concurrent-groups", type=int, default=1)
+    p.add_argument("--out", default=None, help="output warehouse root")
+    p.add_argument("--n-groups", type=int, default=None)
+    p.add_argument("--max-concurrent-groups", type=int, default=None)
     p.add_argument("--broadcast-dict-max", type=int, default=None,
                    help="dictionaries up to this many rows broadcast (linker probe, "
                         "mention maps, canonical mapping); bigger ones take the "
@@ -65,6 +69,8 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
         p.error("--maintain cluster requires --cols")
     if args.maintain == "delete" and not args.predicate:
         p.error("--maintain delete requires --predicate")
+    if not args.config and not args.out:
+        p.error("--out is required (or provide sink.out via --config)")
     return args
 
 
@@ -92,38 +98,87 @@ def main(argv: list[str] | None = None) -> int:
 
     from vectrain_spark.pipeline import PipelineConfig, run_pipeline
 
-    spark = SparkSession.builder.appName("vectrain_spark_kg").getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    # declarative job config (reference: YAML AppConfig + typed sections,
+    # internal/config/config.go:16-54); explicit CLI flags win over it
+    job = None
+    if args.config:
+        from vectrain_spark.config import ConfigError, load_config
 
+        try:
+            job = load_config(args.config)
+        except ConfigError as e:
+            print(str(e), file=sys.stderr)
+            return 2
+
+    builder = SparkSession.builder.appName(
+        job.name if job else "vectrain_spark_kg"
+    )
+    if job:
+        for k, v in job.spark.conf.items():
+            builder = builder.config(k, str(v))
+        if job.spark.shuffle_partitions:
+            builder = builder.config(
+                "spark.sql.shuffle.partitions", str(job.spark.shuffle_partitions)
+            )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel(
+        {"debug": "INFO", "info": "WARN", "warn": "WARN", "error": "ERROR"}[
+            job.log_level
+        ]
+        if job
+        else "WARN"
+    )
+
+    out = args.out or (job.sink.out if job else None)
     if args.maintain:
+        args.out = out
         print(json.dumps(run_maintenance(spark, args)))
         spark.stop()
         return 0
 
-    if args.generate:
+    gen_n = args.generate or (
+        job.source.n_pages if job and job.source.type == "generate" else 0
+    )
+    pages_path = args.pages or (
+        job.source.path if job and job.source.type in ("parquet", "push") else None
+    )
+    aliases_path = args.aliases or (job.source.aliases if job else None)
+    if gen_n:
         from vectrain_spark.fixtures import pages_spark
 
-        pages, alias_pdf = pages_spark(spark, args.generate)
+        pages, alias_pdf = pages_spark(spark, gen_n)
         aliases = spark.createDataFrame(alias_pdf[["entity_id", "alias"]])
     else:
-        if not args.pages or not args.aliases:
+        if not pages_path or not aliases_path:
             print("either --generate N or both --pages and --aliases are required",
                   file=sys.stderr)
             return 2
-        pages = spark.read.parquet(args.pages)
-        aliases = spark.read.parquet(args.aliases)
+        pages = spark.read.parquet(pages_path)
+        aliases = spark.read.parquet(aliases_path)
 
-    kw = {}
-    if args.broadcast_dict_max is not None:
-        kw["broadcast_dict_max"] = args.broadcast_dict_max
-    cfg = PipelineConfig(
-        n_groups=args.n_groups,
-        max_concurrent_groups=args.max_concurrent_groups,
-        **kw,
-    )
-    stats = run_pipeline(spark, pages, aliases, args.out, cfg, wave=args.wave)
+    if job:
+        cfg = job.pipeline
+        if args.n_groups is not None:
+            cfg.n_groups = args.n_groups
+        if args.max_concurrent_groups is not None:
+            cfg.max_concurrent_groups = args.max_concurrent_groups
+        if args.broadcast_dict_max is not None:
+            cfg.broadcast_dict_max = args.broadcast_dict_max
+    else:
+        kw = {}
+        if args.broadcast_dict_max is not None:
+            kw["broadcast_dict_max"] = args.broadcast_dict_max
+        cfg = PipelineConfig(
+            n_groups=args.n_groups if args.n_groups is not None else 8,
+            max_concurrent_groups=args.max_concurrent_groups
+            if args.max_concurrent_groups is not None
+            else 1,
+            **kw,
+        )
+    wave = args.wave or (job.wave if job else None)
+    stats = run_pipeline(spark, pages, aliases, out, cfg, wave=wave)
     print(json.dumps({
-        "wave": args.wave,
+        "wave": wave,
         "resumed_from": stats["resumed_from"],
         "groups_run": len(stats["groups"]),
         "link_strategy": stats["link_strategy"],

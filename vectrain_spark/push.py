@@ -17,6 +17,13 @@ semantics in front of the Structured Streaming file source:
 * ``start_drainer()`` — optional background thread calling drain on an
   interval (the reference's worker goroutine).
 
+Write failures retry under a real :class:`~vectrain_spark.config.
+RetryPolicy` (exponential backoff, then re-queue the batch at the FRONT
+of the queue so no accepted row is ever dropped — backpressure propagates
+to pushers as 429 instead). The reference declares this policy in its
+YAML (max_retries/backoff, /root/reference/internal/config/config.go:43-46)
+but never wires it to a component; here it is live.
+
 Files are written with pyarrow directly (no Spark session on the hot
 path): the gateway is the kind of thin edge process you'd run NEXT to the
 cluster, feeding the streaming job through storage.
@@ -58,11 +65,15 @@ class PushGateway:
         pages_dir: str,
         max_queue: int = 1000,
         batch_size: int = 300,
+        retry_policy=None,
     ):
+        from .config import RetryPolicy
+
         os.makedirs(pages_dir, exist_ok=True)
         self.pages_dir = pages_dir
         self.max_queue = max_queue
         self.batch_size = batch_size
+        self.retry_policy = retry_policy or RetryPolicy()
         self._q: deque[dict] = deque()
         self._lock = threading.Lock()
         self._drainer: threading.Thread | None = None
@@ -71,6 +82,8 @@ class PushGateway:
         self.rejected = 0
         self.throttled = 0
         self.files_written = 0
+        self.write_retries = 0
+        self.write_failures = 0
 
     # -- ingress ---------------------------------------------------------
     def push(self, page: dict) -> tuple[int, str]:
@@ -124,20 +137,48 @@ class PushGateway:
                 return []
             return [self._q.popleft() for _ in range(min(self.batch_size, len(self._q)))]
 
+    def _write_batch(self, batch: list[dict]) -> None:
+        table = pa.Table.from_pylist(batch, schema=_PAGES_ARROW_SCHEMA)
+        tmp = os.path.join(self.pages_dir, f".tmp-{uuid.uuid4().hex}")
+        pq.write_table(table, tmp)
+        # rename so the streaming file source never sees partial files
+        os.rename(tmp, os.path.join(self.pages_dir, f"push-{uuid.uuid4().hex}.parquet"))
+
     def drain(self, force: bool = False) -> int:
         """Write full batches (all remaining rows when ``force``) as parquet
-        files into the watched pages directory. Returns files written."""
+        files into the watched pages directory. Returns files written.
+
+        A failed write retries under ``retry_policy`` (exponential
+        backoff); when retries are exhausted the batch goes BACK to the
+        front of the queue — accepted rows are never dropped, the queue
+        fills, and pushers see 429 until the sink recovers."""
         n = 0
         while True:
             batch = self._take_batch(force)
             if not batch:
                 return n
-            table = pa.Table.from_pylist(batch, schema=_PAGES_ARROW_SCHEMA)
-            tmp = os.path.join(self.pages_dir, f".tmp-{uuid.uuid4().hex}")
-            pq.write_table(table, tmp)
-            # rename so the streaming file source never sees partial files
-            os.rename(tmp, os.path.join(self.pages_dir, f"push-{uuid.uuid4().hex}.parquet"))
-            self.files_written += 1
+            try:
+                self._write_batch(batch)
+            except OSError:
+                recovered = False
+                for delay in self.retry_policy.delays():
+                    with self._lock:
+                        self.write_retries += 1
+                    if delay > 0:
+                        time.sleep(delay)
+                    try:
+                        self._write_batch(batch)
+                        recovered = True
+                        break
+                    except OSError:
+                        continue
+                if not recovered:
+                    with self._lock:
+                        self.write_failures += 1
+                        self._q.extendleft(reversed(batch))
+                    return n
+            with self._lock:
+                self.files_written += 1
             n += 1
 
     # -- background worker -------------------------------------------------
@@ -168,4 +209,6 @@ class PushGateway:
             "throttled": self.throttled,
             "pending": self.pending(),
             "files_written": self.files_written,
+            "write_retries": self.write_retries,
+            "write_failures": self.write_failures,
         }
