@@ -76,6 +76,11 @@ HEADLINE_QUERIES = [
     "events_cumulative",
     "events_anomaly",
     "sample_split",
+    "events_sessions",
+    "text_gopher",
+    "olap_shipping_priority",
+    "kg_neighbor_jaccard",
+    "kg_link_dispatch",
 ]
 
 

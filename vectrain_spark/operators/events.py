@@ -80,6 +80,46 @@ def asof_join(
     )
 
 
+def sessionize(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
+    """Gap-based batch sessionization: per user, a new session starts at
+    the first event and whenever the inactivity gap exceeds ``gap_sec``.
+    The batch twin of streaming.session_windows — backfill jobs sessionize
+    historical corpora with this exact query shape.
+
+    -> (user_id, sess_seq, n_events, start_us, duration_us, total_value)
+
+    Scale design: ONE hash exchange on user_id serves both windows (lag
+    flag + running session index) AND the final per-session aggregate —
+    Catalyst reuses the partitioning, so a 10^10-event backfill pays a
+    single shuffle. Per-user state in the window is O(1) (lag + running
+    sum), never a buffered session. Timestamps flow as unix microseconds
+    (exact integers end-to-end); money sums in DECIMAL(18,2), cast to
+    double only at the edge.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    prev_us = F.lag(us).over(w)
+    new_sess = F.when(
+        prev_us.isNull() | (us - prev_us > gap_sec * 1_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    sess = events.withColumn("_new", new_sess).withColumn(
+        "sess_seq",
+        F.sum("_new").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return sess.groupBy("user_id", "sess_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.unix_micros(F.min("ts")).alias("start_us"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias(
+            "duration_us"
+        ),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+            "total_value"
+        ),
+    )
+
+
 def extract_event_props(events: DataFrame, fields: dict[str, str]) -> DataFrame:
     """Promote JSON ``props`` keys to typed columns:
     ``fields`` maps json key -> spark type. The JSON-column cousin of the

@@ -299,6 +299,79 @@ GROUP BY id
 """
 
 
+def neighbor_jaccard(pairs: DataFrame) -> DataFrame:
+    """Neighbor-set Jaccard similarity for every connected pair of an
+    undirected (a, b), a < b edge list -> (a, b, common, jaccard).
+
+    The KG use: rank candidate entity merges / predicted links — two
+    entities whose neighborhoods overlap heavily are coreference (or
+    missing-edge) suspects even when their surfaces never matched.
+
+    jaccard = |N(a) ∩ N(b)| / |N(a) ∪ N(b)| with raw neighbor sets
+    (common neighbors counted by wedge enumeration; the union by
+    inclusion-exclusion deg_a + deg_b - common, so neighbor sets are
+    never materialized per pair).
+
+    Scale design: common-neighbor counting is ONE self-join of the
+    symmetrized edge list on the shared-neighbor pivot — the same
+    wedge shuffle triangle counting pays, and the same skew answer
+    applies (AQE skew-join splits hub pivots; for adversarial hubs,
+    pre-cap pivot out-degree like triangle_counts' orientation does).
+    The degree table is node-sized and broadcast.
+    """
+    e = pairs.select("a", "b").distinct()
+    sym = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg")).withColumnRenamed("a", "id")
+    common = (
+        sym.alias("e1")
+        .join(sym.alias("e2"), F.col("e1.a") == F.col("e2.a"))
+        .filter(F.col("e1.b") < F.col("e2.b"))
+        .groupBy(F.col("e1.b").alias("a"), F.col("e2.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    da = F.broadcast(deg).withColumnsRenamed({"id": "a", "deg": "deg_a"})
+    db = F.broadcast(deg).withColumnsRenamed({"id": "b", "deg": "deg_b"})
+    return (
+        e.join(da, "a")
+        .join(db, "b")
+        .join(common, ["a", "b"], "left")
+        .select(
+            "a",
+            "b",
+            F.coalesce(F.col("common"), F.lit(0)).cast("long").alias("common"),
+            F.round(
+                F.coalesce(F.col("common"), F.lit(0))
+                / (F.col("deg_a") + F.col("deg_b") - F.coalesce(F.col("common"), F.lit(0))).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def neighbor_jaccard_oracle_sql(pairs_sql: str) -> str:
+    """DuckDB reconstruction of neighbor_jaccard (same wedge counting,
+    brute form)."""
+    return f"""
+WITH e AS MATERIALIZED (SELECT DISTINCT a, b FROM ({pairs_sql})),
+sym AS (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
+deg AS (SELECT src, count(*) AS d FROM sym GROUP BY src),
+common AS (
+  SELECT e1.dst AS a, e2.dst AS b, count(*) AS c
+  FROM sym e1 JOIN sym e2 ON e1.src = e2.src AND e1.dst < e2.dst
+  GROUP BY e1.dst, e2.dst
+)
+SELECT p.a, p.b, coalesce(c.c, 0)::BIGINT AS common,
+       round(coalesce(c.c, 0) / (da.d + db.d - coalesce(c.c, 0))::DOUBLE, 6)
+         AS jaccard
+FROM e p
+JOIN deg da ON da.src = p.a
+JOIN deg db ON db.src = p.b
+LEFT JOIN common c ON c.a = p.a AND c.b = p.b
+"""
+
+
 def k_core(pairs: DataFrame, k: int = 3, rounds: int = 6) -> DataFrame:
     """Iterative k-core peeling over an undirected (a, b) edge list:
     run ``rounds`` synchronous rounds of "drop every node whose degree in

@@ -163,6 +163,52 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+def gopher_rules(docs: DataFrame) -> DataFrame:
+    """Gopher-style hard document filters as an explicit verdict table:
+    per doc, each rule's measurement AND its pass flag, plus the overall
+    keep decision — the shape a production corpus pipeline materializes so
+    filter decisions are auditable (and re-aggregable into per-rule drop
+    stats) instead of silently applied.
+
+    Rules (numeric bounds follow the Gopher paper's published ranges,
+    adapted to the fixture's scale): word count in [15, 100000]; mean word
+    length in [3, 10]; >= 2 English stopword hits; fraction of
+    digit-bearing words <= 0.3.
+
+    -> (doc_id, n_words, mean_word_len, stop_hits, digit_word_frac,
+        ok_words, ok_word_len, ok_stops, ok_digits, keep) — flags as 0/1
+    ints so every engine hashes them identically.
+
+    All whole-stage-codegen JVM expressions over one projection — no
+    shuffle at all; at 100 TB this is a pure map stage that fuses with the
+    scan.
+    """
+    norm = normalized_text()
+    words = F.split(norm, " ")
+    n_words = F.size(words).cast("long")
+    n_chars = F.length(norm)
+    mean_wl = F.round((n_chars - (n_words - 1)) / n_words.cast("double"), 6)
+    stop = _stop_count(words, "en").cast("long")
+    digit_words = F.size(F.filter(words, lambda w: w.rlike("[0-9]")))
+    digit_frac = F.round(digit_words / n_words.cast("double"), 6)
+    ok_words = (n_words >= 15) & (n_words <= 100_000)
+    ok_wl = (mean_wl >= 3.0) & (mean_wl <= 10.0)
+    ok_stops = stop >= 2
+    ok_digits = digit_frac <= 0.3
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        stop.alias("stop_hits"),
+        digit_frac.alias("digit_word_frac"),
+        ok_words.cast("long").alias("ok_words"),
+        ok_wl.cast("long").alias("ok_word_len"),
+        ok_stops.cast("long").alias("ok_stops"),
+        ok_digits.cast("long").alias("ok_digits"),
+        (ok_words & ok_wl & ok_stops & ok_digits).cast("long").alias("keep"),
+    )
+
+
 def fingerprints(docs: DataFrame) -> DataFrame:
     """Winnowing-style document fingerprint: lexicographic min/max of
     md5(shingle) over distinct word-3-gram shingles -> (doc_id, fp_min, fp_max).

@@ -77,12 +77,18 @@ class PipelineConfig:
     broadcast_dict_max: int = BROADCAST_DICT_MAX
     # Concurrent group submission (>1): bucket-groups are independent, so
     # the driver MAY overlap their jobs (commits serialize inside Catalog/
-    # GroupManifest locks; FAIR scheduler shares cores). Overlap hides the
-    # stage-barrier tails between a group's extract and triples stages —
-    # measured ~20% wall reduction at local[16] with 4 groups (identical
-    # triples). Round 1 kept this at 1 because cached intermediates
-    # thrashed; intermediates now stage to disk, so overlap is safe.
-    max_concurrent_groups: int = 4
+    # GroupManifest locks; FAIR scheduler shares cores). Round 2 defaulted
+    # this to 4 on a "20% faster at local[16]" measurement; a same-window
+    # interleaved A/B on the identical 200k-page corpus at local[32]
+    # (tools/ab_kg.py, BENCH/BASELINE.md round-3 addendum) showed the
+    # opposite at full width: mcg=4 ran 222-231 s vs 92-137 s for mcg=1
+    # across both trials — overlapping groups quadruple the
+    # python-UDF worker pools and interleave their shuffle spills, which
+    # thrashes a single host even with disk-staged intermediates. Default
+    # is 1 (each group already saturates local[*]); >1 is the lever for a
+    # REAL multi-executor cluster where per-group commit latency leaves
+    # executors idle and workers are per-executor, not per-host.
+    max_concurrent_groups: int = 1
 
     def fingerprint(self) -> str:
         d = asdict(self)
