@@ -81,6 +81,7 @@ HEADLINE_QUERIES = [
     "olap_shipping_priority",
     "kg_neighbor_jaccard",
     "kg_link_dispatch",
+    "sketch_cms_words",
 ]
 
 

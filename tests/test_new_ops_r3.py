@@ -88,3 +88,35 @@ def test_neighbor_jaccard_square_with_diagonal(spark):
     assert got[(1, 3)] == (2, round(2 / 4, 6))  # common {2,4}
     assert got[(2, 3)] == (1, round(1 / 4, 6))
     assert len(out) == 5  # one row per input edge, none invented
+
+
+def test_cms_never_undercounts_and_merges(spark):
+    from vectrain_spark.operators.sketch import cms_estimates, cms_sketch
+
+    words = spark.createDataFrame(
+        pd.DataFrame({"word": ["a", "b", "c", "a", "a", "b", "d", "e", "f", "g"]})
+    )
+    est = cms_estimates(words, "word", depth=2, width=2).toPandas()
+    assert len(est) == 7
+    assert (est.cms_est >= est.exact_cnt).all()  # the CMS guarantee
+    assert (est.overcount > 0).any()  # width 2 forces collisions
+    # mergeability: sketch(A) + sketch(B) == sketch(A union B), counter-wise
+    half1 = spark.createDataFrame(pd.DataFrame({"word": ["a", "b", "c", "a", "a"]}))
+    half2 = spark.createDataFrame(pd.DataFrame({"word": ["b", "d", "e", "f", "g"]}))
+    merged = (
+        cms_sketch(half1, "word", 2, 2)
+        .unionAll(cms_sketch(half2, "word", 2, 2))
+        .groupBy("row", "bucket")
+        .sum("cnt")
+        .withColumnRenamed("sum(cnt)", "cnt")
+        .toPandas()
+        .sort_values(["row", "bucket"])
+        .reset_index(drop=True)
+    )
+    whole = (
+        cms_sketch(words, "word", 2, 2)
+        .toPandas()
+        .sort_values(["row", "bucket"])
+        .reset_index(drop=True)
+    )
+    assert merged.astype("int64").equals(whole.astype("int64"))

@@ -2128,6 +2128,34 @@ def _sketch_sql() -> str:
 SQL_SKETCH_DISTINCT = _sketch_sql()
 
 
+def q_sketch_cms_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency sketch over the corpus word stream, every
+    distinct word point-queried against it (exact vs estimate vs
+    overcount). Width 16 on a 31-word vocabulary, so bucket collisions
+    REALLY happen and the min-over-depth-4 correction is exercised; the
+    oracle reconstructs the identical sketch, so the check is
+    value-for-value on the estimates themselves."""
+    from .operators.dedup import normalized_text
+    from .operators.sketch import cms_estimates
+
+    words = _docs(spark, sf_dir).select(
+        F.explode(F.split(normalized_text(), " ")).alias("word")
+    )
+    return cms_estimates(words, "word")
+
+
+def _cms_sql() -> str:
+    from .operators.sketch import cms_oracle_sql
+
+    return cms_oracle_sql(
+        f"SELECT unnest(string_split({NORM_SQL}, ' ')) AS word FROM documents",
+        "word",
+    )
+
+
+SQL_SKETCH_CMS_WORDS = _cms_sql()
+
+
 def q_ingest_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSONL round-trip fidelity: stage documents as JSON-lines (the
     reference's wire format — its Kafka/HTTP sources JSON-decode into the
@@ -3364,6 +3392,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_rollup": q_corpus_rollup,
     "corpus_cube": q_corpus_cube,
     "sketch_distinct": q_sketch_distinct,
+    "sketch_cms_words": q_sketch_cms_words,
     "ingest_jsonl": q_ingest_jsonl,
     "ingest_csv": q_ingest_csv,
     "text_vocab": q_text_vocab,
@@ -3412,6 +3441,7 @@ _CHANGED_THIS_ROUND = [
     "kg_link_dispatch",                             # NEW: make_linker gate
     "events_sessions", "text_gopher",               # NEW this round
     "olap_shipping_priority", "kg_neighbor_jaccard",  # NEW this round
+    "sketch_cms_words",                             # NEW this round
     "sim_ann_ivf", "sim_ann_ivf_euclid",            # k-means refinement
     "multimodal_image_features", "multimodal_audio_frames",  # real codecs
     "events_cumulative", "events_rolling",          # window rewrites
@@ -3496,6 +3526,7 @@ ORACLES: dict[str, str] = {
     "corpus_rollup": SQL_CORPUS_ROLLUP,
     "corpus_cube": SQL_CORPUS_CUBE,
     "sketch_distinct": SQL_SKETCH_DISTINCT,
+    "sketch_cms_words": SQL_SKETCH_CMS_WORDS,
     "ingest_jsonl": SQL_INGEST_JSONL,
     # the CSV round-trip must converge to the same per-lang checksums as
     # the JSONL one — both compare against the ORIGINAL parquet

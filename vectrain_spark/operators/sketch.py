@@ -97,3 +97,122 @@ SELECT {group_col}, n_hashes, kth_hash,
             ELSE floor({kn} / kth_hash)::BIGINT END AS est_distinct
 FROM g
 """
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch: mergeable frequency estimation
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 16
+
+
+def _cms_bucket(col: F.Column, j: int, width: int) -> F.Column:
+    # row-j hash: md5 over a row-tagged key (0x1f separator cannot appear
+    # in a word after whitespace normalization); identical in DuckDB
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{j}\x1f"), col)), 1, 15), 16, 10
+    ).cast("long")
+    return (h % width).cast("int")
+
+
+def cms_sketch(
+    df: DataFrame, value_col: str, depth: int = CMS_DEPTH, width: int = CMS_WIDTH
+) -> DataFrame:
+    """Count-Min sketch of a value stream -> (row, bucket, cnt).
+
+    The frequency twin of the KMV cardinality sketch: depth x width
+    counters, each occurrence incrementing one bucket per row. MERGEABLE —
+    two corpora's sketches union+sum into the combined sketch — and
+    bounded at depth*width rows regardless of input size, so shipping a
+    10^13-token corpus's frequency summary costs a few KB.
+
+    Scale shape: one narrow projection (value -> depth tagged buckets, an
+    in-row transform fused with the scan) and ONE aggregate with map-side
+    partial combine on a key space of at most depth*width — the shuffle
+    carries O(partitions * depth * width) rows, never the corpus.
+    """
+    tagged = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("row"),
+                        _cms_bucket(F.col(value_col), j, width).alias("bucket"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("rb")
+    ).select("rb.row", "rb.bucket")
+    return tagged.groupBy("row", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_estimates(
+    df: DataFrame, value_col: str, depth: int = CMS_DEPTH, width: int = CMS_WIDTH
+) -> DataFrame:
+    """Point-query every distinct value against the corpus's own CMS ->
+    (value_col, exact_cnt, cms_est, overcount).
+
+    cms_est = min over rows of the value's bucket counter; the CMS
+    guarantee cms_est >= exact always holds (gate-checked value-for-value
+    — the width is deliberately small so collisions actually occur and
+    the min-of-rows correction is exercised, not vacuous). The sketch
+    side of the join is depth*width rows -> broadcast; the exact counts
+    exist only to exhibit the sketch's error and would be dropped in a
+    production point-query path.
+    """
+    sketch = cms_sketch(df, value_col, depth, width)
+    exact = df.groupBy(value_col).agg(F.count(F.lit(1)).alias("exact_cnt"))
+    probes = exact.select(
+        value_col,
+        "exact_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("row"),
+                        _cms_bucket(F.col(value_col), j, width).alias("bucket"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("rb"),
+    ).select(value_col, "exact_cnt", "rb.row", "rb.bucket")
+    return (
+        probes.join(F.broadcast(sketch), ["row", "bucket"])
+        .groupBy(value_col, "exact_cnt")
+        .agg(F.min("cnt").alias("cms_est"))
+        .select(
+            value_col,
+            "exact_cnt",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"),
+        )
+    )
+
+
+def cms_oracle_sql(
+    source_sql: str, value_col: str, depth: int = CMS_DEPTH, width: int = CMS_WIDTH
+) -> str:
+    """DuckDB reconstruction of :func:`cms_estimates` over ``source_sql``."""
+    return f"""
+WITH src AS ({source_sql}),
+h AS (
+  SELECT {value_col}, j,
+         (('0x' || substr(md5(j::VARCHAR || chr(31) || {value_col}), 1, 15))::BIGINT
+          % {width})::INT AS bucket
+  FROM src, generate_series(0, {depth - 1}) t(j)
+),
+sketch AS (SELECT j, bucket, count(*) AS cnt FROM h GROUP BY j, bucket),
+exact AS (SELECT {value_col}, count(*)::BIGINT AS exact_cnt FROM src GROUP BY {value_col}),
+probes AS (SELECT DISTINCT {value_col}, j, bucket FROM h),
+est AS (
+  SELECT p.{value_col}, min(s.cnt)::BIGINT AS cms_est
+  FROM probes p JOIN sketch s ON s.j = p.j AND s.bucket = p.bucket
+  GROUP BY p.{value_col}
+)
+SELECT e.{value_col}, e.exact_cnt, est.cms_est,
+       (est.cms_est - e.exact_cnt)::BIGINT AS overcount
+FROM exact e JOIN est ON est.{value_col} = e.{value_col}
+"""
