@@ -82,6 +82,7 @@ HEADLINE_QUERIES = [
     "kg_neighbor_jaccard",
     "kg_link_dispatch",
     "sketch_cms_words",
+    "web_linkgraph",
 ]
 
 

@@ -2500,6 +2500,43 @@ LIMIT 10
 """
 
 
+def q_web_linkgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperlink graph from RAW page bytes: pages derive with 4 junk
+    blocks (deterministic nav trees + promo asides around the article, the
+    markup a real crawl drags along), JVM regex pulls every href out of
+    the decoded html, one aggregate yields the in-link table
+    (href, n_refs, n_pages) a crawler frontier schedules from. The oracle
+    never parses html — it reconstructs the expected link set
+    arithmetically from doc_id (fixtures._junk_block's formulas), so any
+    drift in html assembly OR in extraction fails the gate. Corrupt pages
+    (doc_id%97==3) decode to no links on the Spark side and are filtered
+    on the oracle side — same outcome, both code paths exercised."""
+    from .operators.webcorpus import link_graph
+
+    pages = pages_from_documents(_docs(spark, sf_dir), junk_blocks=4)
+    return link_graph(pages)
+
+
+SQL_WEB_LINKGRAPH = """
+WITH good AS (SELECT doc_id FROM documents WHERE doc_id % 97 != 3),
+cat AS (
+  SELECT 'https://docs.example/' || doc_id AS src,
+         '/cat/' || ((doc_id + j) % 50) || '/' || i AS href
+  FROM good, generate_series(0, 3) b(i), generate_series(0, 24) t(j)
+  WHERE (doc_id + i) % 4 = 2
+),
+ad AS (
+  SELECT 'https://docs.example/' || doc_id AS src,
+         '/ad/' || i || '/' || j AS href
+  FROM good, generate_series(0, 3) b(i), generate_series(0, 19) t(j)
+  WHERE (doc_id + i) % 4 = 3
+),
+links AS (SELECT * FROM cat UNION ALL SELECT * FROM ad)
+SELECT href, count(*)::BIGINT AS n_refs, count(DISTINCT src)::BIGINT AS n_pages
+FROM links GROUP BY href
+"""
+
+
 def q_web_crawl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Versioned-corpus diff: run the REAL extraction over two crawl
     snapshots of the same url space (second crawl: every 11th url gone,
@@ -3385,6 +3422,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_inverted_index": q_text_inverted_index,
     "dedup_url": q_dedup_url,
     "web_domains": q_web_domains,
+    "web_linkgraph": q_web_linkgraph,
     "sample_stratified": q_sample_stratified,
     "sample_fixed_k": q_sample_fixed_k,
     "sample_split": q_sample_split,
@@ -3441,7 +3479,7 @@ _CHANGED_THIS_ROUND = [
     "kg_link_dispatch",                             # NEW: make_linker gate
     "events_sessions", "text_gopher",               # NEW this round
     "olap_shipping_priority", "kg_neighbor_jaccard",  # NEW this round
-    "sketch_cms_words",                             # NEW this round
+    "sketch_cms_words", "web_linkgraph",            # NEW this round
     "sim_ann_ivf", "sim_ann_ivf_euclid",            # k-means refinement
     "multimodal_image_features", "multimodal_audio_frames",  # real codecs
     "events_cumulative", "events_rolling",          # window rewrites
@@ -3519,6 +3557,7 @@ ORACLES: dict[str, str] = {
     "text_inverted_index": SQL_TEXT_INVERTED_INDEX,
     "dedup_url": SQL_DEDUP_URL,
     "web_domains": SQL_WEB_DOMAINS,
+    "web_linkgraph": SQL_WEB_LINKGRAPH,
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
     "sample_fixed_k": SQL_SAMPLE_FIXED_K,
     "sample_split": SQL_SAMPLE_SPLIT,

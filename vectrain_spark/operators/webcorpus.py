@@ -40,36 +40,49 @@ PREDS = [p for _, p in PREDICATE_PHRASES]
 _PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, lang string"
 
 
-def _assemble_html(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in batches:
-        htmls: list[bytes] = []
-        for doc_id, para1, para2 in zip(pdf["doc_id"], pdf["para1"], pdf["para2"]):
-            if int(doc_id) % 97 == 3:
-                htmls.append(b"\xff\xfe corrupt page bytes")
-            else:
-                htmls.append(
-                    _page_html(
-                        f"doc {doc_id}", "docs.example", [para1, para2], int(doc_id)
+def _assemble_html_factory(junk_blocks: int = 0):
+    def _assemble_html(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            htmls: list[bytes] = []
+            for doc_id, para1, para2 in zip(pdf["doc_id"], pdf["para1"], pdf["para2"]):
+                if int(doc_id) % 97 == 3:
+                    htmls.append(b"\xff\xfe corrupt page bytes")
+                else:
+                    htmls.append(
+                        _page_html(
+                            f"doc {doc_id}",
+                            "docs.example",
+                            [para1, para2],
+                            int(doc_id),
+                            junk_blocks=junk_blocks,
+                        )
                     )
-                )
-        yield pd.DataFrame(
-            {
-                "url": pdf["url"],
-                "warc_ts": pdf["warc_ts"],
-                "html": htmls,
-                "lang": pdf["lang"],
-            }
-        )
+            yield pd.DataFrame(
+                {
+                    "url": pdf["url"],
+                    "warc_ts": pdf["warc_ts"],
+                    "html": htmls,
+                    "lang": pdf["lang"],
+                }
+            )
+
+    return _assemble_html
+
+
+_assemble_html = _assemble_html_factory(0)
 
 
 def pages_from_documents(
-    docs: DataFrame, warc_ts: str = "2024-01-01 00:00:00"
+    docs: DataFrame, warc_ts: str = "2024-01-01 00:00:00", junk_blocks: int = 0
 ) -> DataFrame:
     """documents -> pages(url, warc_ts, html, lang), input_hint shape.
 
     ``warc_ts`` stamps the crawl snapshot — pass a later timestamp to
     derive a re-crawl of the same urls (see :func:`second_crawl_documents`
-    / :func:`crawl_drift`)."""
+    / :func:`crawl_drift`). ``junk_blocks`` wraps each page in that many
+    deterministic boilerplate blocks (fixtures._junk_block — nav link
+    trees, promo asides, scripts), still fully SQL-reconstructible from
+    doc_id."""
     phrase_arr = F.array(*[F.lit(s) for s in PHRASES])
     base = docs.select(
         "doc_id",
@@ -87,7 +100,9 @@ def pages_from_documents(
         F.col("text").alias("para2"),
         "lang",
     )
-    return base.mapInPandas(_assemble_html, schema=_PAGES_SCHEMA)
+    return base.mapInPandas(
+        _assemble_html_factory(junk_blocks), schema=_PAGES_SCHEMA
+    )
 
 
 def expected_page_text(docs: DataFrame) -> DataFrame:
@@ -197,3 +212,29 @@ def corpus_aliases_sql() -> str:
       FROM (VALUES (400, 'Vendor1'), (400, 'BridgeX'), (401, 'BridgeX'),
                    (401, 'BridgeY'), (402, 'BridgeY')) v(entity_id, alias)
     """
+
+
+def link_graph(pages: DataFrame) -> DataFrame:
+    """Hyperlink extraction + in-link aggregation over raw page bytes ->
+    (href, n_refs, n_pages): the crawl-frontier / in-degree table a web
+    corpus pipeline derives before scheduling the next wave.
+
+    All JVM: utf-8 decode (invalid bytes become U+FFFD and simply match no
+    links — the quarantine pages contribute nothing, same as the SQL
+    oracle's corrupt-page filter), `regexp_extract_all` for the href
+    attributes, one explode, one aggregate with map-side combine. No
+    Python in the path; at 100 TB this fuses with the scan and shuffles
+    only (href, partial-count) pairs.
+    """
+    hrefs = pages.select(
+        F.col("url").alias("src"),
+        F.explode(
+            F.regexp_extract_all(
+                F.col("html").cast("string"), F.lit('href="([^"]+)"'), 1
+            )
+        ).alias("href"),
+    )
+    return hrefs.groupBy("href").agg(
+        F.count(F.lit(1)).alias("n_refs"),
+        F.count_distinct("src").alias("n_pages"),
+    )
