@@ -249,3 +249,58 @@ def test_kg_integrity_runs_one_action(spark, monkeypatch):
     assert calls["n"] == 1, f"{calls['n']} materializing calls, expected 1"
     rows = {r["chk"]: (r["measured"], r["expected"]) for r in out.collect()}
     assert all(m == e for m, e in rows.values())
+
+
+def test_sessionize_single_user_exchange(spark):
+    """The lag flag, the running session index, and the per-session
+    aggregate must all ride ONE hashpartitioning(user_id) exchange —
+    Catalyst recognizes that user_id partitioning satisfies the
+    (user_id, sess_seq) aggregation's distribution."""
+    from pyspark.sql import functions as F
+
+    from vectrain_spark.operators.events import sessionize
+
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    plan = _plan(sessionize(ev))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_gopher_rules_is_shuffle_free_jvm_map(spark):
+    from vectrain_spark.operators.textstats import gopher_rules
+
+    docs = spark.read.parquet(DOCS)
+    plan = _plan(gopher_rules(docs))
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_cms_sketch_two_phase_aggregate_jvm(spark):
+    """The CMS counter aggregate must partial-combine map-side (partial_
+    count before the exchange) and never touch Python."""
+    from vectrain_spark.operators.sketch import cms_sketch
+
+    docs = spark.read.parquet(DOCS).selectExpr("cast(doc_id as string) word")
+    plan = _plan(cms_sketch(docs, "word"))
+    assert "partial_count" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_link_graph_aggregation_is_jvm(spark):
+    """After the (pandas) page-assembly source, href extraction and the
+    in-link aggregate are pure JVM: exactly one BatchEvalPython/ArrowEval
+    from the corpus derivation, none added by the operator."""
+    from vectrain_spark.driver_queries import q_web_linkgraph
+
+    plan = _plan(q_web_linkgraph(spark, "/root/testdata/sf0.001"))
+    n_python = (
+        plan.count("ArrowEvalPython")
+        + plan.count("BatchEvalPython")
+        + plan.count("MapInPandas")
+    )
+    assert n_python == 1, plan  # only the fixture html assembly
+    assert "partial_count" in plan, plan
