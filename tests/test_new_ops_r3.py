@@ -120,3 +120,105 @@ def test_cms_never_undercounts_and_merges(spark):
         .reset_index(drop=True)
     )
     assert merged.astype("int64").equals(whole.astype("int64"))
+
+
+def test_hits_star_graph(spark):
+    # star: h -> a1..a3; one reverse edge a1 -> h
+    from vectrain_spark.operators.graph import hits
+
+    edges = spark.createDataFrame(
+        pd.DataFrame(
+            {"src": ["h", "h", "h", "a1"], "dst": ["a1", "a2", "a3", "h"]}
+        )
+    )
+    out = hits(edges, n_iter=3).toPandas().set_index("id")
+    # h is the dominant hub (points at everything), a1..a3 the authorities
+    assert out.loc["h"].hub > out.loc["a1"].hub
+    assert out.loc["a1"].auth > out.loc["h"].hub * 0  # present
+    assert abs(out.hub.sum() - 1.0) < 1e-4  # L1-normalized
+    assert abs(out.auth.sum() - 1.0) < 1e-4
+    # a1 gets the same authority as a2/a3 (all fed only by h)
+    assert out.loc["a1"].auth == out.loc["a2"].auth == out.loc["a3"].auth
+
+
+def test_hits_matches_numpy_power_iteration(spark):
+    import numpy as np
+    from vectrain_spark.operators.graph import hits
+
+    rng = [("n%d" % (i % 5), "n%d" % ((i * 3 + 1) % 5)) for i in range(12)]
+    rng = [(s, d) for s, d in rng if s != d]
+    edges = spark.createDataFrame(pd.DataFrame(rng, columns=["src", "dst"]))
+    out = hits(edges, n_iter=5).toPandas().set_index("id").sort_index()
+    ids = sorted(set(s for s, _ in rng) | set(d for _, d in rng))
+    idx = {n: i for i, n in enumerate(ids)}
+    A = np.zeros((len(ids), len(ids)))
+    for s, d in set(rng):
+        A[idx[s], idx[d]] = 1.0
+    h = np.ones(len(ids))
+    for _ in range(5):
+        a = A.T @ h
+        a = np.round(a / a.sum(), 8)
+        h = A @ a
+        h = np.round(h / h.sum(), 8)
+    np.testing.assert_allclose(out.hub.values, np.round(h, 6), atol=2e-6)
+    np.testing.assert_allclose(out.auth.values, np.round(a, 6), atol=2e-6)
+
+
+def test_label_propagation_two_cliques(spark):
+    from vectrain_spark.operators.graph import label_propagation
+
+    # two triangles bridged by one edge: LPA should keep them separate
+    pairs = [
+        ("a1", "a2"), ("a1", "a3"), ("a2", "a3"),
+        ("b1", "b2"), ("b1", "b3"), ("b2", "b3"),
+        ("a3", "b1"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(pairs, columns=["a", "b"]))
+    out = label_propagation(df, rounds=4).toPandas().set_index("id")
+    assert len(set(out.loc[["a1", "a2", "a3"]].label)) == 1
+    assert len(set(out.loc[["b1", "b2", "b3"]].label)) == 1
+    assert out.loc["a1"].label != out.loc["b2"].label
+    assert set(out.community_size) <= {3, 4}
+
+
+def test_label_propagation_deterministic_tiebreak(spark):
+    from vectrain_spark.operators.graph import label_propagation
+
+    # node m has one neighbor in each of two labels -> smallest label wins
+    pairs = [("aaa", "m"), ("zzz", "m")]
+    df = spark.createDataFrame(pd.DataFrame(pairs, columns=["a", "b"]))
+    out1 = label_propagation(df, rounds=1).toPandas().set_index("id")
+    assert out1.loc["m"].label == "aaa"
+
+
+def test_bloom_pruned_join_matches_plain_join(spark):
+    from vectrain_spark.operators.bloom import (
+        bloom_build, bloom_filter_col, bloom_pruned_join,
+    )
+
+    fact = spark.createDataFrame(
+        pd.DataFrame({"k": list(range(200)), "v": [i * 2 for i in range(200)]})
+    )
+    dim = spark.createDataFrame(
+        pd.DataFrame({"k": [3, 17, 99, 150], "name": ["a", "b", "c", "d"]})
+    )
+    got = bloom_pruned_join(fact, dim, "k").toPandas().sort_values("k")
+    want = fact.join(dim, "k").toPandas().sort_values("k")
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True)
+    )
+    # the filter really prunes: most of the 200 fact keys are dropped
+    bitmap = bloom_build(dim, "k")
+    n = fact.filter(bloom_filter_col(F.col("k"), bitmap)).count()
+    assert 4 <= n < 100
+
+
+def test_bloom_no_false_negatives_property(spark):
+    from vectrain_spark.operators.bloom import bloom_build, bloom_filter_col
+
+    keys = ["key%d" % (i * 7919) for i in range(50)]
+    dim = spark.createDataFrame(pd.DataFrame({"k": keys}))
+    bitmap = bloom_build(dim, "k", m_bits=512, k=4)
+    # every inserted key must test positive, even in a crowded filter
+    hits = dim.filter(bloom_filter_col(F.col("k"), bitmap, m_bits=512, k=4))
+    assert hits.count() == 50

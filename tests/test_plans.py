@@ -304,3 +304,34 @@ def test_link_graph_aggregation_is_jvm(spark):
     )
     assert n_python == 1, plan  # only the fixture html assembly
     assert "partial_count" in plan, plan
+
+
+def test_q6_pushes_every_predicate_and_prunes_columns(spark):
+    """TPC-H Q6 shape: all filters reach the parquet scan; ReadSchema
+    carries only the columns the query touches."""
+    from vectrain_spark.driver_queries import q_olap_revenue_forecast
+
+    plan = _plan(q_olap_revenue_forecast(spark, "/root/testdata/sf0.001"))
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    assert "l_quantity" in pushed and "l_discount" in pushed
+    assert "l_shipdate" in pushed
+    schema_part = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" not in schema_part and "l_tax" not in schema_part
+
+
+def test_bloom_filter_is_jvm_and_prunes_before_join(spark):
+    """The Bloom membership test must compile to built-in expressions (no
+    Python eval in the fact scan stage) and sit BELOW the join."""
+    from vectrain_spark.operators.bloom import bloom_build, bloom_filter_col
+
+    fact = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    dim = spark.read.parquet("/root/testdata/sf0.001/part.parquet").filter(
+        F.col("p_size") <= 5
+    ).select(F.col("p_partkey").alias("l_partkey"))
+    bitmap = bloom_build(dim, "l_partkey")
+    pruned = fact.filter(bloom_filter_col(F.col("l_partkey"), bitmap))
+    plan = _plan(pruned)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the `*(n)` prefix is the whole-stage-codegen marker in plan toString
+    assert "*(1) Filter" in plan

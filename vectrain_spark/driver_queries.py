@@ -1194,6 +1194,41 @@ SQL_KG_TRIANGLES, SQL_KG_KCORE, SQL_KG_NEIGHBOR_JACCARD = _graph_pairs_sql()
 SQL_KG_NEGATIVES = SQL_KG_NEGATIVES_TPL.format(edges=SQL_KG_EDGES)
 
 
+def q_kg_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kleinberg HITS over the materialized edge table: 5 synchronous
+    hub/authority iterations with per-iteration L1 normalization, checked
+    value-for-value against an unrolled-CTE DuckDB reconstruction (the
+    identical rounding contract as kg_pagerank — both engines iterate on
+    the same doubles)."""
+    from .operators.graph import hits
+
+    return hits(_materialized_edges(spark, sf_dir))
+
+
+def q_kg_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic label-propagation communities over the co-mention
+    graph: 4 synchronous rounds of most-frequent-neighbor-label with a
+    smallest-label tie-break (total order, so no RNG), plus community
+    sizes — the coarse topical clustering CC is too blunt for."""
+    from .operators.graph import co_mentions, label_propagation
+
+    pairs = co_mentions(_materialized_edges(spark, sf_dir)).select("a", "b")
+    return label_propagation(pairs)
+
+
+def _hits_lpa_sql() -> tuple[str, str]:
+    from .operators.graph import hits_oracle_sql, label_propagation_oracle_sql
+
+    pairs_sql = f"SELECT a, b FROM ({SQL_KG_COOCCUR})"
+    return (
+        hits_oracle_sql(SQL_KG_EDGES),
+        label_propagation_oracle_sql(pairs_sql),
+    )
+
+
+SQL_KG_HITS, SQL_KG_COMMUNITIES = _hits_lpa_sql()
+
+
 def q_kg_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot isolation / time travel: bootstrap the warehouse from the
     EVEN half of the corpus, remember the triples HEAD, merge the full
@@ -2500,6 +2535,154 @@ LIMIT 10
 """
 
 
+def q_olap_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: forecast-revenue-change — one fact scan with every
+    predicate (ship year, discount band, quantity cap) pushed into the
+    parquet reader, zero joins, zero shuffles beyond the final 1-row
+    partial-agg merge. The canonical scan-efficiency probe: at 100 TB this
+    query IS the I/O subsystem, so the plan must show PushedFilters and a
+    two-column ReadSchema (asserted in tests/test_plans.py)."""
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    d = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_quantity") < 24)
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.06)
+        )
+        .select(
+            (F.col("l_extendedprice").cast("decimal(18,2)") * d).alias("rev")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("rev").cast("double").alias("revenue"),
+        )
+    )
+
+
+SQL_OLAP_REVENUE_FORECAST = """
+SELECT count(*)::BIGINT AS n_rows,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_quantity < 24
+  AND l_discount >= 0.02 AND l_discount <= 0.06
+"""
+
+
+def q_olap_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: local-supplier volume — revenue per nation where
+    the ordering customer and the line's supplier sit in the SAME nation,
+    restricted to one region and one order year. The join-ordering probe:
+    two fact-sized shuffle joins (lineitem->orders->customer), then the
+    supplier/nation/region dimension chain rides in as BROADCAST joins
+    with the n_regionkey filter applied before shipping — the join graph
+    is a star plus the c_nationkey = s_nationkey equality that makes
+    naive plans quadratic; expressing it as an equi-join key keeps it a
+    hash join."""
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    asia_nations = (
+        nation.join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select("n_nationkey", "n_name")
+    )
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+    )
+    return (
+        lineitem.select("l_orderkey", "l_suppkey", rev.alias("rev"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            customer.select("c_custkey", "c_nationkey"),
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(
+            F.broadcast(asia_nations),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("rev").cast("double").alias("revenue"),
+        )
+    )
+
+
+SQL_OLAP_LOCAL_SUPPLIER = """
+SELECT n_name, count(*)::BIGINT AS n_rows,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1::DECIMAL(18,2) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+JOIN nation ON n_nationkey = s_nationkey
+JOIN region ON r_regionkey = n_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+def q_olap_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter runtime join pruning: the dim side (parts with
+    p_size <= 5, 1/8 of the part table) compresses to a 4096-bit filter
+    evaluated INSIDE the fact scan — only candidate lineitem rows reach
+    the shuffle join. The oracle is the PLAIN join, so the gate verifies
+    the no-false-negative contract value-for-value; false positives cost
+    only wasted shuffle rows and are removed by the exact join."""
+    from .operators.bloom import bloom_pruned_join
+
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    dim = part.filter(F.col("p_size") <= 5).select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    fact = lineitem.select("l_partkey", "l_quantity")
+    return (
+        bloom_pruned_join(fact, dim, "l_partkey")
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+    )
+
+
+SQL_OLAP_BLOOM_JOIN = """
+SELECT p_brand, count(*)::BIGINT AS n_rows,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_size <= 5
+GROUP BY p_brand
+"""
+
+
 def q_web_linkgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperlink graph from RAW page bytes: pages derive with 4 junk
     blocks (deterministic nav trees + promo asides around the article, the
@@ -3395,6 +3578,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_triangles": q_kg_triangles,
     "kg_kcore": q_kg_kcore,
     "kg_neighbor_jaccard": q_kg_neighbor_jaccard,
+    "kg_hits": q_kg_hits,
+    "kg_communities": q_kg_communities,
     "kg_path2": q_kg_path2,
     "kg_negatives": q_kg_negatives,
     "kg_integrity": q_kg_integrity,
@@ -3440,6 +3625,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_quartiles": q_corpus_quartiles,
     "olap_nation_revenue": q_olap_nation_revenue,
     "olap_pricing_summary": q_olap_pricing_summary,
+    "olap_revenue_forecast": q_olap_revenue_forecast,
+    "olap_local_supplier": q_olap_local_supplier,
+    "olap_bloom_join": q_olap_bloom_join,
     "web_crawl_drift": q_web_crawl_drift,
     "text_langid": q_text_langid,
     "text_quality": q_text_quality,
@@ -3476,6 +3664,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # never verified (past the r2 cutoff; locally gate-replica-green), (3)
 # then the twice-driver-verified stable tail in original order.
 _CHANGED_THIS_ROUND = [
+    "kg_hits", "kg_communities",                    # NEW this round
+    "olap_revenue_forecast", "olap_local_supplier",  # NEW this round
+    "olap_bloom_join",                              # NEW this round
     "kg_link_dispatch",                             # NEW: make_linker gate
     "events_sessions", "text_gopher",               # NEW this round
     "olap_shipping_priority", "kg_neighbor_jaccard",  # NEW this round
@@ -3524,6 +3715,8 @@ ORACLES: dict[str, str] = {
     "kg_triangles": SQL_KG_TRIANGLES,
     "kg_kcore": SQL_KG_KCORE,
     "kg_neighbor_jaccard": SQL_KG_NEIGHBOR_JACCARD,
+    "kg_hits": SQL_KG_HITS,
+    "kg_communities": SQL_KG_COMMUNITIES,
     "kg_path2": SQL_KG_PATH2,
     "kg_negatives": SQL_KG_NEGATIVES,
     "kg_integrity": SQL_KG_INTEGRITY,
@@ -3577,6 +3770,9 @@ ORACLES: dict[str, str] = {
     "corpus_quartiles": SQL_CORPUS_QUARTILES,
     "olap_nation_revenue": SQL_OLAP_NATION_REVENUE,
     "olap_pricing_summary": SQL_OLAP_PRICING_SUMMARY,
+    "olap_revenue_forecast": SQL_OLAP_REVENUE_FORECAST,
+    "olap_local_supplier": SQL_OLAP_LOCAL_SUPPLIER,
+    "olap_bloom_join": SQL_OLAP_BLOOM_JOIN,
     "web_crawl_drift": SQL_WEB_CRAWL_DRIFT,
     "text_langid": SQL_TEXT_LANGID,
     "text_quality": SQL_TEXT_QUALITY,

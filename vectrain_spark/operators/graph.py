@@ -571,3 +571,252 @@ def negative_edges(edges: DataFrame, k: int = 2) -> DataFrame:
         .select("src", "dst", "kind", F.col("slot").cast("long").alias("slot"))
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities
+# ---------------------------------------------------------------------------
+
+HITS_ITER = 5
+
+
+def hits(edges: DataFrame, n_iter: int = HITS_ITER) -> DataFrame:
+    """Kleinberg HITS over directed (src, dst[, ...]) edges ->
+    (id, hub, auth) after ``n_iter`` synchronous iterations.
+
+    Per iteration: auth(v) = sum of hub over in-neighbors, then hub(v) =
+    sum of the NEW auth over out-neighbors, each L1-normalized (divide by
+    the global sum) so scores are a probability-like distribution instead
+    of growing as degree^iter. The KG reading: authorities are the
+    entities the corpus keeps asserting facts ABOUT (high-quality
+    canonical targets), hubs are the subjects whose pages aggregate many
+    such assertions — complementary to PageRank's single score, and the
+    classic ranking for a hyperlink graph (the reference's web-page feed,
+    /root/reference/internal/domain/page.go, is exactly the input HITS
+    was designed for).
+
+    Scale design mirrors :func:`pagerank`: the distinct edge list is
+    hash-partitioned ONCE on ``src`` and persisted (both per-iteration
+    joins key on one side of it; the per-target sums are two-phase
+    aggregates with map-side combine, the skew answer for hub fan-in);
+    the L1 total is a 1-row aggregate broadcast back into the projection
+    (never a driver-side collect in the data path); ``localCheckpoint``
+    keeps the plan flat across iterations. Determinism / oracle parity:
+    scores round to ITER_ROUND decimals after every normalization, so
+    both engines iterate on identical doubles (same contract as
+    pagerank's unrolled-CTE oracle).
+    """
+    e = edges.select("src", "dst").distinct()
+    spark = edges.sparkSession
+    n_edges = e.count()
+    parts = max(
+        1, min(spark.sparkContext.defaultParallelism, n_edges // 50_000 + 1)
+    )
+    e = e.repartition(parts, "src").persist()
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionAll(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .persist()
+    )
+    hubs = nodes.select("id", F.lit(1.0).alias("hub"))
+    auths = None
+    for _ in range(n_iter):
+        a_raw = (
+            nodes.join(
+                e.join(hubs.withColumnRenamed("id", "src"), "src")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.sum("hub").alias("s")),
+                "id",
+                "left",
+            )
+            .select("id", F.coalesce("s", F.lit(0.0)).alias("raw"))
+        )
+        a_tot = a_raw.agg(F.sum("raw").alias("tot"))
+        auths = (
+            a_raw.crossJoin(F.broadcast(a_tot))
+            .select(
+                "id", F.round(F.col("raw") / F.col("tot"), ITER_ROUND).alias("auth")
+            )
+            .localCheckpoint()
+        )
+        h_raw = (
+            nodes.join(
+                e.join(auths.withColumnRenamed("id", "dst"), "dst")
+                .groupBy(F.col("src").alias("id"))
+                .agg(F.sum("auth").alias("s")),
+                "id",
+                "left",
+            )
+            .select("id", F.coalesce("s", F.lit(0.0)).alias("raw"))
+        )
+        h_tot = h_raw.agg(F.sum("raw").alias("tot"))
+        hubs = (
+            h_raw.crossJoin(F.broadcast(h_tot))
+            .select(
+                "id", F.round(F.col("raw") / F.col("tot"), ITER_ROUND).alias("hub")
+            )
+            .localCheckpoint()
+        )
+    out = (
+        hubs.join(auths, "id")
+        .select(
+            "id",
+            F.round("hub", OUT_ROUND).alias("hub"),
+            F.round("auth", OUT_ROUND).alias("auth"),
+        )
+    )
+    e.unpersist()
+    nodes.unpersist()
+    return out
+
+
+def hits_oracle_sql(edges_sql: str, n_iter: int = HITS_ITER) -> str:
+    """Unrolled-CTE DuckDB reconstruction of :func:`hits` — identical
+    per-iteration L1 normalization and rounding."""
+    # every multiply-referenced CTE is MATERIALIZED: DuckDB inlines plain
+    # CTEs per reference, and the scalar normalization subquery references
+    # each level twice — unmaterialized that doubles the plan per
+    # iteration (exponential in n_iter)
+    parts = [
+        f"e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({edges_sql}))",
+        "nodes AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e)",
+        "h0 AS (SELECT id, 1.0::DOUBLE AS hub FROM nodes)",
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f"""ar{i} AS MATERIALIZED (
+  SELECT n.id, coalesce(c.s, 0.0) AS raw
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS id, sum(h.hub) AS s
+    FROM e JOIN h{i-1} h ON h.id = e.src GROUP BY e.dst
+  ) c ON c.id = n.id
+)"""
+        )
+        parts.append(
+            f"a{i} AS MATERIALIZED (SELECT id, round(raw / (SELECT sum(raw) FROM ar{i}),"
+            f" {ITER_ROUND}) AS auth FROM ar{i})"
+        )
+        parts.append(
+            f"""hr{i} AS MATERIALIZED (
+  SELECT n.id, coalesce(c.s, 0.0) AS raw
+  FROM nodes n LEFT JOIN (
+    SELECT e.src AS id, sum(a.auth) AS s
+    FROM e JOIN a{i} a ON a.id = e.dst GROUP BY e.src
+  ) c ON c.id = n.id
+)"""
+        )
+        parts.append(
+            f"h{i} AS MATERIALIZED (SELECT id, round(raw / (SELECT sum(raw) FROM hr{i}),"
+            f" {ITER_ROUND}) AS hub FROM hr{i})"
+        )
+    body = ",\n".join(parts)
+    return (
+        f"WITH {body}\n"
+        f"SELECT h.id, round(h.hub, {OUT_ROUND}) AS hub,"
+        f" round(a.auth, {OUT_ROUND}) AS auth\n"
+        f"FROM h{n_iter} h JOIN a{n_iter} a ON a.id = h.id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Label-propagation communities
+# ---------------------------------------------------------------------------
+
+LPA_ROUNDS = 4
+
+
+def label_propagation(pairs: DataFrame, rounds: int = LPA_ROUNDS) -> DataFrame:
+    """Deterministic synchronous label propagation over an undirected
+    (a, b) edge list -> (id, label, community_size).
+
+    Every node starts labeled with its own id; each round it adopts the
+    most frequent label among its neighbors, ties broken by the smallest
+    label (a total tie-break, so the synchronous schedule is fully
+    deterministic — no RNG, unlike classic async LPA). Bounded at
+    ``rounds`` rounds rather than run to convergence: synchronous LPA can
+    two-cycle on bipartite-ish structure, and a fixed round count is what
+    an unrolled SQL oracle can replay exactly. The KG reading: coarse
+    entity communities (topical clusters of the co-mention graph) for
+    partition-aware placement and as candidate blocks for coreference
+    review — finer than connected components, which this corpus's CC
+    collapses into giant blobs.
+
+    Scale design: the symmetrized edge list is hash-partitioned ONCE on
+    the neighbor column and persisted; each round is one join (labels are
+    node-sized) + a two-phase (node, label) count whose map-side combine
+    collapses hub fan-in, then a per-node top-1 pick. That pick is a
+    window, but partitioned BY NODE over per-label counts (cardinality <=
+    degree), which Spark >= 3.5 executes as a WindowGroupLimit — never a
+    global sort. ``localCheckpoint`` keeps the iterated plan flat.
+    """
+    e = pairs.select("a", "b").distinct()
+    sym = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    spark = pairs.sparkSession
+    n_edges = sym.count()
+    parts = max(
+        1, min(spark.sparkContext.defaultParallelism, n_edges // 50_000 + 1)
+    )
+    # (node v, neighbor u): label flows u -> v
+    sym = sym.select(F.col("a").alias("v"), F.col("b").alias("u")).repartition(
+        parts, "u"
+    ).persist()
+    nodes = sym.select(F.col("v").alias("id")).distinct().persist()
+    labels = nodes.select("id", F.col("id").alias("label"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("v").orderBy(F.desc("cnt"), F.asc("label"))
+    for _ in range(rounds):
+        counts = (
+            sym.join(labels.withColumnRenamed("id", "u"), "u")
+            .groupBy("v", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("v").alias("id"), "label")
+            .localCheckpoint()
+        )
+    size = labels.groupBy("label").agg(F.count(F.lit(1)).alias("community_size"))
+    out = labels.join(F.broadcast(size), "label").select(
+        "id", "label", "community_size"
+    )
+    sym.unpersist()
+    nodes.unpersist()
+    return out
+
+
+def label_propagation_oracle_sql(pairs_sql: str, rounds: int = LPA_ROUNDS) -> str:
+    """Unrolled-CTE DuckDB reconstruction of :func:`label_propagation` —
+    identical most-frequent-then-smallest tie-break per round."""
+    parts = [
+        f"e AS MATERIALIZED (SELECT DISTINCT a, b FROM ({pairs_sql}))",
+        "sym AS (SELECT a AS v, b AS u FROM e UNION ALL SELECT b, a FROM e)",
+        "nodes AS (SELECT DISTINCT v AS id FROM sym)",
+        "l0 AS (SELECT id, id AS label FROM nodes)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""c{i} AS (
+  SELECT s.v, l.label, count(*) AS cnt
+  FROM sym s JOIN l{i-1} l ON l.id = s.u GROUP BY s.v, l.label
+)"""
+        )
+        parts.append(
+            f"""l{i} AS (
+  SELECT v AS id, label FROM (
+    SELECT v, label,
+           row_number() OVER (PARTITION BY v ORDER BY cnt DESC, label ASC) AS rn
+    FROM c{i}
+  ) WHERE rn = 1
+)"""
+        )
+    body = ",\n".join(parts)
+    return (
+        f"WITH {body}\n"
+        f"SELECT l.id, l.label, s.community_size FROM l{rounds} l JOIN (\n"
+        f"  SELECT label, count(*)::BIGINT AS community_size\n"
+        f"  FROM l{rounds} GROUP BY label\n"
+        f") s ON s.label = l.label"
+    )
