@@ -304,3 +304,57 @@ for i in range(n):
     for tag in ("A", "B"):
         for i in range(n):
             assert any(f"w-{tag}-{i}" in d for d in final_dirs)
+
+
+def test_merge_into_upsert(spark, tmp_path):
+    cat = Catalog(str(tmp_path))
+    base = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 2, 3], "v": ["a", "b", "c"]})
+    )
+    cat.write("t", base)
+    src = spark.createDataFrame(
+        pd.DataFrame({"k": [2, 4], "v": ["B", "d"]})
+    )
+    cat.merge_into(spark, "t", src, ["k"])
+    got = {r["k"]: r["v"] for r in cat.read(spark, "t").collect()}
+    assert got == {1: "a", 2: "B", 3: "c", 4: "d"}
+    # old snapshot untouched (copy-on-write)
+    old = {r["k"]: r["v"] for r in cat.read(spark, "t", snapshot_id=1).collect()}
+    assert old == {1: "a", 2: "b", 3: "c"}
+
+
+def test_merge_into_delete_mode_and_validation(spark, tmp_path):
+    cat = Catalog(str(tmp_path))
+    base = spark.createDataFrame(pd.DataFrame({"k": [1, 2], "v": ["a", "b"]}))
+    cat.write("t", base)
+    src = spark.createDataFrame(pd.DataFrame({"k": [2, 9], "v": ["x", "y"]}))
+    cat.merge_into(spark, "t", src, ["k"], when_matched="delete")
+    got = {r["k"]: r["v"] for r in cat.read(spark, "t").collect()}
+    # matched key 2 removed; unmatched source key 9 inserted
+    assert got == {1: "a", 9: "y"}
+    with pytest.raises(ValueError):
+        cat.merge_into(spark, "t", src.drop("v"), ["k"])
+    with pytest.raises(ValueError):
+        cat.merge_into(spark, "t", src, ["k"], when_matched="upsert")
+
+
+def test_snapshot_cdc_classes(spark, tmp_path):
+    cat = Catalog(str(tmp_path))
+    a = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 2, 3], "v": ["a", "b", None]})
+    )
+    s1 = cat.write("t", a)
+    b = spark.createDataFrame(
+        pd.DataFrame({"k": [2, 3, 4], "v": ["B", None, "d"]})
+    )
+    s2 = cat.write("t", b, mode="replace")
+    cdc = cat.snapshot_cdc(spark, "t", s1, s2, ["k"]).collect()
+    by_op = {}
+    for r in cdc:
+        by_op.setdefault(r["_op"], []).append((r["k"], r["v"]))
+    assert by_op["insert"] == [(4, "d")]
+    assert by_op["delete"] == [(1, "a")]
+    assert by_op["update_pre"] == [(2, "b")]
+    assert by_op["update_post"] == [(2, "B")]
+    # key 3: NULL value unchanged -> no change rows (NULL-tagged fingerprint)
+    assert all(k != 3 for rows in by_op.values() for k, _ in rows)

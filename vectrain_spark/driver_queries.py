@@ -2683,6 +2683,94 @@ GROUP BY p_brand
 """
 
 
+def q_catalog_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (upsert) through the catalog: bootstrap a table from
+    the EVEN half of the corpus, merge a source carrying updates (every
+    doc_id % 3 == 0 row gets text_len + 1000) and inserts (the odd
+    % 3 == 0 rows are new keys), read back HEAD. The oracle reconstructs
+    the post-merge state arithmetically from the documents table, so key
+    matching, row replacement, and the atomic replace commit are all
+    value-checked."""
+    import shutil
+
+    from .catalog import Catalog
+
+    root = "/tmp/vectrain_merge_gate"
+    shutil.rmtree(root, ignore_errors=True)
+    cat = Catalog(root)
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "lang", F.length("text").cast("long").alias("text_len")
+    )
+    cat.write("docs", docs.filter(F.col("doc_id") % 2 == 0))
+    source = docs.filter(F.col("doc_id") % 3 == 0).withColumn(
+        "text_len", F.col("text_len") + 1000
+    )
+    cat.merge_into(spark, "docs", source, ["doc_id"])
+    return cat.read(spark, "docs")
+
+
+SQL_CATALOG_MERGE = """
+SELECT doc_id, lang,
+       (length(text) + CASE WHEN doc_id % 3 = 0 THEN 1000 ELSE 0 END)::BIGINT
+         AS text_len
+FROM documents
+WHERE doc_id % 2 = 0 OR doc_id % 3 = 0
+"""
+
+
+def q_catalog_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture between two snapshots: snapshot A is the even
+    half of the corpus, snapshot B deletes the doc_id % 10 == 0 rows,
+    updates the remaining % 3 == 0 rows (+1000 text_len), and inserts
+    the % 10 == 1 odd rows. snapshot_cdc(A, B) must emit exactly the
+    insert / delete / update_pre / update_post rows the oracle derives
+    arithmetically — the replayable changelog an incremental consumer
+    applies to catch up without rescanning the table."""
+    import shutil
+
+    from .catalog import Catalog
+
+    root = "/tmp/vectrain_cdc_gate"
+    shutil.rmtree(root, ignore_errors=True)
+    cat = Catalog(root)
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "lang", F.length("text").cast("long").alias("text_len")
+    )
+    snap_a = cat.write("docs", docs.filter(F.col("doc_id") % 2 == 0))
+    b = (
+        docs.filter(
+            ((F.col("doc_id") % 2 == 0) & (F.col("doc_id") % 10 != 0))
+            | (F.col("doc_id") % 10 == 1)
+        )
+        .withColumn(
+            "text_len",
+            F.col("text_len")
+            + F.when(F.col("doc_id") % 3 == 0, F.lit(1000)).otherwise(F.lit(0)),
+        )
+    )
+    snap_b = cat.write("docs", b, mode="replace")
+    return cat.snapshot_cdc(spark, "docs", snap_a, snap_b, ["doc_id"])
+
+
+SQL_CATALOG_CDC = """
+WITH base AS (
+  SELECT doc_id, lang, length(text)::BIGINT AS text_len FROM documents
+)
+SELECT 'insert' AS _op, doc_id, lang,
+       text_len + CASE WHEN doc_id % 3 = 0 THEN 1000 ELSE 0 END AS text_len
+FROM base WHERE doc_id % 10 = 1
+UNION ALL
+SELECT 'delete', doc_id, lang, text_len
+FROM base WHERE doc_id % 10 = 0
+UNION ALL
+SELECT 'update_pre', doc_id, lang, text_len
+FROM base WHERE doc_id % 2 = 0 AND doc_id % 10 != 0 AND doc_id % 3 = 0
+UNION ALL
+SELECT 'update_post', doc_id, lang, text_len + 1000
+FROM base WHERE doc_id % 2 = 0 AND doc_id % 10 != 0 AND doc_id % 3 = 0
+"""
+
+
 def q_web_linkgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperlink graph from RAW page bytes: pages derive with 4 junk
     blocks (deterministic nav trees + promo asides around the article, the
@@ -3628,6 +3716,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "olap_revenue_forecast": q_olap_revenue_forecast,
     "olap_local_supplier": q_olap_local_supplier,
     "olap_bloom_join": q_olap_bloom_join,
+    "catalog_merge": q_catalog_merge,
+    "catalog_cdc": q_catalog_cdc,
     "web_crawl_drift": q_web_crawl_drift,
     "text_langid": q_text_langid,
     "text_quality": q_text_quality,
@@ -3667,6 +3757,7 @@ _CHANGED_THIS_ROUND = [
     "kg_hits", "kg_communities",                    # NEW this round
     "olap_revenue_forecast", "olap_local_supplier",  # NEW this round
     "olap_bloom_join",                              # NEW this round
+    "catalog_merge", "catalog_cdc",                 # NEW this round
     "kg_link_dispatch",                             # NEW: make_linker gate
     "events_sessions", "text_gopher",               # NEW this round
     "olap_shipping_priority", "kg_neighbor_jaccard",  # NEW this round
@@ -3773,6 +3864,8 @@ ORACLES: dict[str, str] = {
     "olap_revenue_forecast": SQL_OLAP_REVENUE_FORECAST,
     "olap_local_supplier": SQL_OLAP_LOCAL_SUPPLIER,
     "olap_bloom_join": SQL_OLAP_BLOOM_JOIN,
+    "catalog_merge": SQL_CATALOG_MERGE,
+    "catalog_cdc": SQL_CATALOG_CDC,
     "web_crawl_drift": SQL_WEB_CRAWL_DRIFT,
     "text_langid": SQL_TEXT_LANGID,
     "text_quality": SQL_TEXT_QUALITY,
