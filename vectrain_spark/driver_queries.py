@@ -3405,6 +3405,43 @@ SELECT media_id,
 FROM m
 """
 
+def q_multimodal_png_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-image decode: one deterministic RGB8 PNG per documents
+    row, decoded through the real chunk-walk + CRC + zlib-inflate +
+    unfilter path. The oracle reconstructs width/height AND the exact
+    pixel-byte sum arithmetically from doc_id, so a single flipped bit
+    anywhere in compression, filtering, or reconstruction fails the gate
+    (the compressed byte size is zlib-version-dependent and deliberately
+    excluded from the contract)."""
+    from .operators.multimodal import image_pixel_stats, media_from_docs
+
+    return image_pixel_stats(media_from_docs(_docs(spark, sf_dir), "png"))
+
+
+SQL_MULTIMODAL_PNG = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         (16 + (doc_id * 7919) % 48)::INTEGER AS w,
+         (16 + (doc_id * 104729) % 48)::INTEGER AS h
+  FROM documents
+),
+good AS (
+  -- dims cap at 63x63 so a fixed series covers every row; the j < w*h*3
+  -- join bound replaces the lateral generate_series DuckDB lacks
+  SELECT media_id, w, h,
+         sum((media_id * 31 + j * 7) % 256)::BIGINT AS px_sum
+  FROM m JOIN generate_series(0, 63 * 63 * 3 - 1) t(j) ON j < w * h * 3
+  WHERE media_id % 13 != 5
+  GROUP BY media_id, w, h
+)
+SELECT media_id, w AS width, h AS height, px_sum, NULL::VARCHAR AS error
+FROM good
+UNION ALL
+SELECT media_id, 0::INTEGER, 0::INTEGER, 0::BIGINT, 'undecodable image'
+FROM m WHERE media_id % 13 = 5
+"""
+
+
 SQL_MULTIMODAL_AUDIO = """
 WITH m AS (
   SELECT doc_id AS media_id,
@@ -3734,6 +3771,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "multimodal_image_features": q_multimodal_image_features,
     "multimodal_audio_frames": q_multimodal_audio_frames,
+    "multimodal_png_pixels": q_multimodal_png_pixels,
     "payload_coerce": q_payload_coerce,
     "events_asof": q_events_asof,
     "events_json": q_events_json,
@@ -3758,6 +3796,7 @@ _CHANGED_THIS_ROUND = [
     "olap_revenue_forecast", "olap_local_supplier",  # NEW this round
     "olap_bloom_join",                              # NEW this round
     "catalog_merge", "catalog_cdc",                 # NEW this round
+    "multimodal_png_pixels",                        # NEW this round
     "kg_link_dispatch",                             # NEW: make_linker gate
     "events_sessions", "text_gopher",               # NEW this round
     "olap_shipping_priority", "kg_neighbor_jaccard",  # NEW this round
@@ -3887,6 +3926,7 @@ ORACLES: dict[str, str] = {
     "dedup_embedding_lsh": SQL_DEDUP_EMBEDDING_EXACT,
     "multimodal_image_features": SQL_MULTIMODAL_IMAGE,
     "multimodal_audio_frames": SQL_MULTIMODAL_AUDIO,
+    "multimodal_png_pixels": SQL_MULTIMODAL_PNG,
     "payload_coerce": SQL_PAYLOAD_COERCE,
     "events_asof": SQL_EVENTS_ASOF,
     "events_json": SQL_EVENTS_JSON,

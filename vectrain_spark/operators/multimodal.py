@@ -66,11 +66,120 @@ def encode_wav(seed: int, sample_rate: int, n_samples: int) -> bytes:
     return hdr + samples.tobytes()
 
 
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(seed: int, width: int, height: int) -> bytes:
+    """Deterministic RGB8 PNG (zlib, stdlib only): IHDR + one IDAT of
+    filter-0 rows + IEND, CRC32 per chunk. Pixel bytes use the same
+    (seed, index) arithmetic as :func:`encode_bmp` in top-down row-major
+    order, so an oracle can reconstruct the pixel SUM without parsing —
+    the compressed n_bytes is zlib-dependent and deliberately not part
+    of any oracle contract."""
+    import zlib
+
+    px = (
+        (seed * 31 + np.arange(width * height * 3, dtype=np.int64) * 7) % 256
+    ).astype(np.uint8).reshape(height, width * 3)
+    raw = b"".join(b"\x00" + row.tobytes() for row in px)
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _decode_png(blob: bytes) -> tuple[int, int, np.ndarray]:
+    """Real PNG decode for 8-bit RGB non-interlaced images: chunk walk
+    with CRC32 verification, zlib inflate, and full filter reconstruction
+    (None/Sub/Up/Average/Paeth — foreign encoders pick per-row filters
+    even though :func:`encode_png` always writes 0). Raises ValueError on
+    anything malformed (-> quarantine)."""
+    import zlib
+
+    if blob is None or len(blob) < 8 or blob[:8] != PNG_MAGIC:
+        raise ValueError("undecodable image")
+    pos, w, h, idat = 8, None, None, b""
+    while pos + 12 <= len(blob):
+        ln, tag = struct.unpack(">I4s", blob[pos : pos + 8])
+        body = blob[pos + 8 : pos + 8 + ln]
+        crc = blob[pos + 8 + ln : pos + 12 + ln]
+        if len(body) < ln or len(crc) < 4:
+            raise ValueError("undecodable image")
+        if struct.unpack(">I", crc)[0] != (zlib.crc32(tag + body) & 0xFFFFFFFF):
+            raise ValueError("undecodable image")
+        if tag == b"IHDR":
+            if ln != 13:
+                raise ValueError("undecodable image")
+            w, h, depth, ctype, comp, filt, ilace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or ctype != 2 or comp or filt or ilace:
+                raise ValueError("undecodable image")
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if not w or not h or not idat:
+        raise ValueError("undecodable image")
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error:
+        raise ValueError("undecodable image") from None
+    stride = w * 3
+    if len(raw) != h * (stride + 1):
+        raise ValueError("undecodable image")
+    arr = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    filters, data = arr[:, 0], arr[:, 1:].astype(np.int32)
+    recon = np.zeros((h, stride), np.int32)
+    prev = np.zeros(stride, np.int32)
+    bpp = 3
+    for y in range(h):
+        f, line = int(filters[y]), data[y]
+        if f == 0:
+            cur = line.copy()
+        elif f == 2:  # Up — vectorized
+            cur = (line + prev) & 255
+        elif f in (1, 3, 4):  # Sub/Average/Paeth — sequential by spec
+            cur = np.empty(stride, np.int32)
+            for i in range(stride):
+                a = int(cur[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + b) >> 1
+                else:
+                    c = int(prev[i - bpp]) if i >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                cur[i] = (line[i] + pred) & 255
+        else:
+            raise ValueError("undecodable image")
+        recon[y] = cur
+        prev = cur
+    return w, h, recon.reshape(-1).astype(np.uint8)
+
+
 def _decode_image(blob: bytes) -> tuple[int, int, np.ndarray]:
-    """Real BMP decode (struct + numpy): validates magic, header sizes,
-    bpp/compression, and payload length; returns (width, height, pixel
-    bytes with row padding stripped). Raises ValueError on anything
-    malformed (-> quarantine), like any codec would."""
+    """Container-sniffing image decode: PNG (magic) or 24bpp BMP ('BM');
+    validates magic, header sizes, bpp/compression, and payload length;
+    returns (width, height, pixel bytes with row padding stripped).
+    Raises ValueError on anything malformed (-> quarantine), like any
+    codec would."""
+    if blob is not None and len(blob) >= 8 and blob[:8] == PNG_MAGIC:
+        return _decode_png(blob)
     if blob is None or len(blob) < 54 or blob[:2] != b"BM":
         raise ValueError("undecodable image")
     _, _, _, _, px_off = struct.unpack("<2sIHHI", blob[:14])
@@ -155,6 +264,44 @@ def image_features(media: DataFrame, feat_dim: int = 64) -> DataFrame:
     )
 
 
+PIXEL_STATS_SCHEMA = (
+    "media_id long, width int, height int, px_sum long, error string"
+)
+
+
+def image_pixel_stats(media: DataFrame) -> DataFrame:
+    """(media_id, content: binary) -> (width, height, px_sum, error) with
+    px_sum the exact sum of every decoded pixel byte. For the PNG path
+    this value-checks the full inflate + unfilter round-trip (the
+    compressed byte length is zlib-dependent, so unlike the BMP gate the
+    pixel SUM is the arithmetic the oracle reconstructs). Same Arrow
+    mapInPandas shape and quarantine contract as image_features."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": pdf["media_id"],
+                "width": np.zeros(len(pdf), dtype=np.int32),
+                "height": np.zeros(len(pdf), dtype=np.int32),
+                "px_sum": np.zeros(len(pdf), dtype=np.int64),
+                "error": [None] * len(pdf),
+            }
+            for i, blob in enumerate(pdf["content"]):
+                try:
+                    w, h, px = _decode_image(blob)
+                except ValueError as e:
+                    out["error"][i] = str(e)
+                    continue
+                out["width"][i] = w
+                out["height"][i] = h
+                out["px_sum"][i] = int(px.astype(np.int64).sum())
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "content").mapInPandas(
+        _run, schema=PIXEL_STATS_SCHEMA
+    )
+
+
 AUDIO_META_SCHEMA = (
     "media_id long, sample_rate int, n_samples long, n_bytes long, "
     "frames array<long>, error string"
@@ -208,7 +355,7 @@ def media_dims(k: int, kind: str = "image") -> tuple[int, int]:
     Spark decode path recovers exactly these values from the actual bytes.
     Dims are kept small (<=63 px, <=10k samples) so real uncompressed
     BMP/WAV fixtures stay a few KB per row."""
-    if kind == "image":
+    if kind in ("image", "png"):
         return 16 + (k * 7919) % 48, 16 + (k * 104729) % 48
     return 16000, 1000 + (k * 7919) % 9000
 
@@ -218,7 +365,11 @@ def media_blob(k: int, kind: str = "image") -> bytes:
     if k % 13 == 5:
         return b"\x00corrupt"
     a, b = media_dims(k, kind)
-    return encode_bmp(k, a, b) if kind == "image" else encode_wav(k, a, b)
+    if kind == "image":
+        return encode_bmp(k, a, b)
+    if kind == "png":
+        return encode_png(k, a, b)
+    return encode_wav(k, a, b)
 
 
 def _gen_factory(kind: str):
