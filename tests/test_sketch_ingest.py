@@ -153,3 +153,35 @@ def test_jsonl_malformed_lines_quarantine(spark, tmp_path):
     good = back.filter(F.col("doc_id").isNotNull())
     bad = back.filter(F.col("doc_id").isNull())
     assert good.count() == 2 and bad.count() == 1
+
+
+def test_hll_estimate_accuracy_and_registers(spark):
+    from vectrain_spark.operators.sketch import hll_distinct, hll_registers
+
+    n = 5000
+    df = spark.range(n).selectExpr("'g' AS g", "concat('v', id) AS v")
+    out = hll_distinct(df, "g", "v").collect()[0]
+    # raw HLL with m=64: ~13% std error; accept 3 sigma
+    assert abs(out["est_distinct"] - n) < 0.4 * n
+    assert out["n_registers"] == 64  # 5000 values fill all 64 buckets
+    regs = hll_registers(df, "g", "v").collect()
+    assert all(1 <= r["max_rank"] <= 55 for r in regs)
+
+
+def test_hll_registers_merge_across_corpora(spark):
+    from pyspark.sql import functions as F
+    from vectrain_spark.operators.sketch import hll_registers
+
+    a = spark.range(0, 400).selectExpr("'g' AS g", "concat('v', id) AS v")
+    b = spark.range(200, 600).selectExpr("'g' AS g", "concat('v', id) AS v")
+    both = a.unionAll(b)
+    merged = (
+        hll_registers(a, "g", "v")
+        .unionAll(hll_registers(b, "g", "v"))
+        .groupBy("g", "bucket")
+        .agg(F.max("max_rank").alias("max_rank"))
+    )
+    direct = hll_registers(both, "g", "v")
+    got = {(r["bucket"]): r["max_rank"] for r in merged.collect()}
+    want = {(r["bucket"]): r["max_rank"] for r in direct.collect()}
+    assert got == want

@@ -2147,8 +2147,8 @@ def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV distinct-text sketch per language: the k=16 smallest md5-derived
     60-bit hashes per group drive the (k-1)/R_k cardinality estimator —
     mergeable, one narrow shuffle, value-checked against an identical
-    DuckDB reconstruction (see operators/sketch.py for why KMV and not
-    HLL: the sketch itself must be oracle-reproducible)."""
+    DuckDB reconstruction (sketch_hll is the fixed-64-register HLL twin
+    over the same hash — both sketches are oracle-reproducible)."""
     from .operators.sketch import kmv_distinct
 
     return kmv_distinct(_docs(spark, sf_dir), "lang", "text")
@@ -2161,6 +2161,27 @@ def _sketch_sql() -> str:
 
 
 SQL_SKETCH_DISTINCT = _sketch_sql()
+
+
+def q_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-text estimate per language with a REGISTER-
+    exact oracle: 64 registers over the shared md5 hash, harmonic mean
+    computed in integer space (sum of 2^(55-rank) in int64) so no
+    order-dependent float summation exists anywhere — the estimates match
+    DuckDB bit-for-bit, not approximately. Complements sketch_distinct
+    (KMV): fixed 512-byte state per group vs KMV's k-row state."""
+    from .operators.sketch import hll_distinct
+
+    return hll_distinct(_docs(spark, sf_dir), "lang", "text")
+
+
+def _hll_sql() -> str:
+    from .operators.sketch import hll_oracle_sql
+
+    return hll_oracle_sql("SELECT lang, text FROM documents", "lang", "text")
+
+
+SQL_SKETCH_HLL = _hll_sql()
 
 
 def q_sketch_cms_words(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3741,6 +3762,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_cube": q_corpus_cube,
     "sketch_distinct": q_sketch_distinct,
     "sketch_cms_words": q_sketch_cms_words,
+    "sketch_hll": q_sketch_hll,
     "ingest_jsonl": q_ingest_jsonl,
     "ingest_csv": q_ingest_csv,
     "text_vocab": q_text_vocab,
@@ -3796,7 +3818,7 @@ _CHANGED_THIS_ROUND = [
     "olap_revenue_forecast", "olap_local_supplier",  # NEW this round
     "olap_bloom_join",                              # NEW this round
     "catalog_merge", "catalog_cdc",                 # NEW this round
-    "multimodal_png_pixels",                        # NEW this round
+    "multimodal_png_pixels", "sketch_hll",          # NEW this round
     "kg_link_dispatch",                             # NEW: make_linker gate
     "events_sessions", "text_gopher",               # NEW this round
     "olap_shipping_priority", "kg_neighbor_jaccard",  # NEW this round
@@ -3889,6 +3911,7 @@ ORACLES: dict[str, str] = {
     "corpus_cube": SQL_CORPUS_CUBE,
     "sketch_distinct": SQL_SKETCH_DISTINCT,
     "sketch_cms_words": SQL_SKETCH_CMS_WORDS,
+    "sketch_hll": SQL_SKETCH_HLL,
     "ingest_jsonl": SQL_INGEST_JSONL,
     # the CSV round-trip must converge to the same per-lang checksums as
     # the JSONL one — both compare against the ORIGINAL parquet

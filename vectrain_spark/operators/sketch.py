@@ -216,3 +216,118 @@ SELECT e.{value_col}, e.exact_cnt, est.cms_est,
        (est.cms_est - e.exact_cnt)::BIGINT AS overcount
 FROM exact e JOIN est ON est.{value_col} = e.{value_col}
 """
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog: register-exact cardinality sketch
+# ---------------------------------------------------------------------------
+
+HLL_P = 6  # 2^6 = 64 registers
+
+# alpha_m * m^2 for m = 64 (Flajolet et al. 2007: alpha_64 = 0.709)
+_HLL_ALPHA_M2 = 0.709 * 64 * 64
+_TWO55 = float(1 << 55)
+
+
+def hll_registers(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Per-group HyperLogLog registers -> (group, bucket, max_rank).
+
+    Spark's own approx_count_distinct is HLL++ with an engine-private
+    register layout no independent oracle can replay; this is the same
+    algorithm over the shared md5-derived 60-bit hash: bucket = top
+    HLL_P bits, rank = leading zeros of the remaining 54 bits + 1
+    (computed as 55 - length(bin(rest)) — Spark and DuckDB print
+    identical minimal binary strings, verified in the oracle contract).
+
+    Scale shape: ONE two-phase aggregate with map-side combine on a key
+    space of at most 64 * groups — the register table, not the corpus,
+    crosses the wire, and register tables from disjoint corpora merge by
+    GROUP BY bucket: max(max_rank) (the mergeability that makes HLL the
+    planet-scale distinct-counter)."""
+    h = _hash60(F.col(value_col))
+    bucket = F.floor(h / F.lit(1 << 54)).cast("int")
+    rest = h % F.lit(1 << 54)
+    rank = (
+        F.when(rest == 0, F.lit(55))
+        .otherwise(F.lit(55) - F.length(F.bin(rest)))
+        .cast("int")
+    )
+    return (
+        df.select(
+            F.col(group_col), bucket.alias("bucket"), rank.alias("rank")
+        )
+        .groupBy(group_col, "bucket")
+        .agg(F.max("rank").alias("max_rank"))
+    )
+
+
+def hll_distinct(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """-> (group, n_registers, est_distinct) from :func:`hll_registers`.
+
+    The harmonic mean runs in INTEGER space so both engines agree to the
+    bit: S_int = sum(2^(55 - max_rank)) per group (64 terms <= 2^54 each
+    — exact int64, order-free), then
+    S = (64 - n_registers) + S_int / 2^55 and
+    est = floor(alpha_64 * 64^2 / S) — two deterministic double ops, no
+    order-dependent float summation anywhere. Raw HLL estimator only
+    (the ln-based small-range correction is libm-dependent across
+    engines and deliberately out of contract; with m = 64 the raw
+    estimate is the documented ±13 % even at small n)."""
+    regs = hll_registers(df, group_col, value_col)
+    s_int = F.sum(
+        F.call_function(
+            "shiftleft", F.lit(1).cast("long"), F.lit(55) - F.col("max_rank")
+        )
+    )
+    return (
+        regs.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_registers"),
+            s_int.alias("s_int"),
+        )
+        .select(
+            group_col,
+            "n_registers",
+            F.floor(
+                F.lit(_HLL_ALPHA_M2)
+                / (
+                    (F.lit(64) - F.col("n_registers")).cast("double")
+                    + F.col("s_int").cast("double") / F.lit(_TWO55)
+                )
+            )
+            .cast("long")
+            .alias("est_distinct"),
+        )
+    )
+
+
+def hll_oracle_sql(source_sql: str, group_col: str, value_col: str) -> str:
+    """DuckDB reconstruction of :func:`hll_distinct` over ``source_sql``."""
+    return f"""
+WITH src AS ({source_sql}),
+h AS (
+  SELECT {group_col},
+         ('0x' || substr(md5({value_col}), 1, 15))::BIGINT AS hv
+  FROM src
+),
+b AS (
+  SELECT {group_col}, (hv // {1 << 54})::INT AS bucket,
+         CASE WHEN hv % {1 << 54} = 0 THEN 55
+              ELSE 55 - length(bin(hv % {1 << 54})) END AS rank
+  FROM h
+),
+regs AS (
+  SELECT {group_col}, bucket, max(rank) AS max_rank
+  FROM b GROUP BY {group_col}, bucket
+),
+g AS (
+  SELECT {group_col}, count(*)::BIGINT AS n_registers,
+         sum(1::BIGINT << (55 - max_rank))::BIGINT AS s_int
+  FROM regs GROUP BY {group_col}
+)
+SELECT {group_col}, n_registers,
+       floor({_HLL_ALPHA_M2!r} /
+             ((64 - n_registers)::DOUBLE + s_int::DOUBLE / {_TWO55!r}))::BIGINT
+         AS est_distinct
+FROM g
+"""
