@@ -222,3 +222,37 @@ def test_bloom_no_false_negatives_property(spark):
     # every inserted key must test positive, even in a crowded filter
     hits = dim.filter(bloom_filter_col(F.col("k"), bitmap, m_bits=512, k=4))
     assert hits.count() == 50
+
+
+def test_shortest_paths_unweighted_equals_hops(spark):
+    from vectrain_spark.operators.graph import shortest_paths
+
+    edges = spark.createDataFrame(
+        pd.DataFrame(
+            {"src": ["s", "s", "a", "b", "c"], "dst": ["a", "b", "c", "c", "d"]}
+        )
+    )
+    seeds = spark.createDataFrame(pd.DataFrame({"seed": ["s"]}))
+    out = shortest_paths(edges, seeds, rounds=4).toPandas().set_index("id")
+    assert out.loc["s"].dist == 0.0
+    assert out.loc["a"].dist == 1.0 and out.loc["b"].dist == 1.0
+    assert out.loc["c"].dist == 2.0
+    assert out.loc["d"].dist == 3.0
+
+
+def test_shortest_paths_weighted_prefers_strong_edges(spark):
+    from vectrain_spark.operators.graph import shortest_paths
+
+    # s->a (cnt 10, cost .1) -> t (cnt 10, cost .1)  beats  s->t (cnt 1, cost 1)
+    edges = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "src": ["s", "a", "s"],
+                "dst": ["a", "t", "t"],
+                "cnt": [10, 10, 1],
+            }
+        )
+    )
+    seeds = spark.createDataFrame(pd.DataFrame({"seed": ["s"]}))
+    out = shortest_paths(edges, seeds, rounds=3, weight="cnt").toPandas().set_index("id")
+    assert abs(out.loc["t"].dist - 0.2) < 1e-9

@@ -1216,6 +1216,34 @@ def q_kg_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(pairs)
 
 
+def q_kg_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted shortest paths (4-round Bellman-Ford) from the 3 smallest
+    source entities, edge cost = round(1/triple_count, 6) so
+    heavily-attested edges are shorter — multi-hop entity affinity. The
+    per-node combine is MIN (order-free over doubles), path costs
+    accumulate with per-hop rounding, so the unrolled-CTE oracle matches
+    bit-for-bit."""
+    from .operators.graph import shortest_paths
+
+    edges = _materialized_edges(spark, sf_dir)
+    seeds = (
+        edges.select(F.col("src").alias("seed")).distinct().orderBy("seed").limit(3)
+    )
+    return shortest_paths(edges, seeds, weight="cnt")
+
+
+def _sssp_sql() -> str:
+    from .operators.graph import shortest_paths_oracle_sql
+
+    seeds_sql = (
+        f"SELECT DISTINCT src AS seed FROM ({SQL_KG_EDGES}) ORDER BY seed LIMIT 3"
+    )
+    return shortest_paths_oracle_sql(SQL_KG_EDGES, seeds_sql, weight_sql="cnt")
+
+
+SQL_KG_SSSP = _sssp_sql()
+
+
 def _hits_lpa_sql() -> tuple[str, str]:
     from .operators.graph import hits_oracle_sql, label_propagation_oracle_sql
 
@@ -3726,6 +3754,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_neighbor_jaccard": q_kg_neighbor_jaccard,
     "kg_hits": q_kg_hits,
     "kg_communities": q_kg_communities,
+    "kg_sssp": q_kg_sssp,
     "kg_path2": q_kg_path2,
     "kg_negatives": q_kg_negatives,
     "kg_integrity": q_kg_integrity,
@@ -3814,7 +3843,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # never verified (past the r2 cutoff; locally gate-replica-green), (3)
 # then the twice-driver-verified stable tail in original order.
 _CHANGED_THIS_ROUND = [
-    "kg_hits", "kg_communities",                    # NEW this round
+    "kg_hits", "kg_communities", "kg_sssp",         # NEW this round
     "olap_revenue_forecast", "olap_local_supplier",  # NEW this round
     "olap_bloom_join",                              # NEW this round
     "catalog_merge", "catalog_cdc",                 # NEW this round
@@ -3869,6 +3898,7 @@ ORACLES: dict[str, str] = {
     "kg_neighbor_jaccard": SQL_KG_NEIGHBOR_JACCARD,
     "kg_hits": SQL_KG_HITS,
     "kg_communities": SQL_KG_COMMUNITIES,
+    "kg_sssp": SQL_KG_SSSP,
     "kg_path2": SQL_KG_PATH2,
     "kg_negatives": SQL_KG_NEGATIVES,
     "kg_integrity": SQL_KG_INTEGRITY,
