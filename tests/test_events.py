@@ -78,3 +78,64 @@ def test_asof_join_null_attribute_on_matched_row(spark):
     row = asof_join(left, right, key="user_id", ts="ts").collect()[0]
     # matched row is ts=9: r_val NULL, r_tag 'b' — no mixing with ts=5
     assert row["r_val"] is None and row["r_tag"] == "b"
+
+
+def test_interval_join_bounds_and_bucket_spans(spark):
+    import datetime as dt
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from vectrain_spark.operators.events import interval_join
+
+    t0 = dt.datetime(2024, 1, 10, 0, 0, 0)
+    ev = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "user_id": [1, 1, 1, 1, 2],
+                "ts": [
+                    t0,                                  # == start (inclusive)
+                    t0 + dt.timedelta(days=2, hours=23),  # inside, 3rd bucket
+                    t0 + dt.timedelta(days=3),            # == end (inclusive)
+                    t0 + dt.timedelta(days=3, seconds=1),  # past end
+                    t0 + dt.timedelta(days=1),            # other user
+                ],
+                "v": [1.0, 2.0, 3.0, 4.0, 5.0],
+            }
+        )
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    iv = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "user_id": [1],
+                "win_id": [100],
+                "start_ts": [t0],
+                "end_ts": [t0 + dt.timedelta(days=3)],
+            }
+        )
+    ).withColumn("start_ts", F.col("start_ts").cast("timestamp")).withColumn(
+        "end_ts", F.col("end_ts").cast("timestamp")
+    )
+    out = interval_join(ev, iv).toPandas()
+    assert sorted(out.v) == [1.0, 2.0, 3.0]
+    assert "_b" not in out.columns
+    # overlapping windows each match independently, no duplicates within one
+    iv2 = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "user_id": [1, 1],
+                "win_id": [100, 200],
+                "start_ts": [t0, t0 + dt.timedelta(days=1)],
+                "end_ts": [
+                    t0 + dt.timedelta(days=3),
+                    t0 + dt.timedelta(days=4),
+                ],
+            }
+        )
+    ).withColumn("start_ts", F.col("start_ts").cast("timestamp")).withColumn(
+        "end_ts", F.col("end_ts").cast("timestamp")
+    )
+    out2 = interval_join(ev, iv2).toPandas()
+    counts = out2.groupby(["win_id"]).size().to_dict()
+    assert counts == {100: 3, 200: 3}
+    assert len(out2) == len(out2.drop_duplicates(["win_id", "ts", "v"]))

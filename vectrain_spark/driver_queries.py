@@ -2966,6 +2966,55 @@ FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts
 """
 
 
+def q_events_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join: every purchase inside a same-user 3-day
+    window opened by each signup, aggregated per window. Spark side runs
+    the time-bucketed equi-join plan (operators/events.py interval_join —
+    bounded fanout, no per-key cross product); the oracle is DuckDB's
+    native inequality join, a genuinely independent implementation of
+    the same semantics. Money sums in DECIMAL so both engines agree
+    order-insensitively."""
+    from .operators.events import interval_join
+
+    ev = _events(spark, sf_dir).withColumn("ts", F.col("ts").cast("timestamp"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").cast("decimal(18,2)").alias("value")
+    )
+    windows = ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("event_id").alias("signup_event_id"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 3 DAYS")).alias("end_ts"),
+    )
+    return (
+        interval_join(purchases, windows)
+        .groupBy("user_id", "signup_event_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("value").cast("double").alias("total_value"),
+        )
+    )
+
+
+SQL_EVENTS_INTERVAL = """
+WITH p AS (
+  SELECT user_id, ts, CAST(value AS DECIMAL(18,2)) AS value
+  FROM events WHERE event_type = 'purchase'
+),
+s AS (
+  SELECT user_id, event_id AS signup_event_id, ts AS start_ts,
+         ts + INTERVAL 3 DAY AS end_ts
+  FROM events WHERE event_type = 'signup'
+)
+SELECT s.user_id, s.signup_event_id,
+       count(*)::BIGINT AS n_purchases,
+       CAST(sum(p.value) AS DOUBLE) AS total_value
+FROM p JOIN s ON s.user_id = p.user_id
+            AND p.ts >= s.start_ts AND p.ts <= s.end_ts
+GROUP BY s.user_id, s.signup_event_id
+"""
+
+
 def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON property promotion (the open-schema cousin of payload_coerce):
     props['k'] -> typed column, pure JVM get_json_object."""
@@ -3825,6 +3874,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_png_pixels": q_multimodal_png_pixels,
     "payload_coerce": q_payload_coerce,
     "events_asof": q_events_asof,
+    "events_interval": q_events_interval,
     "events_json": q_events_json,
     "events_funnel": q_events_funnel,
     "events_rolling": q_events_rolling,
@@ -3848,6 +3898,7 @@ _CHANGED_THIS_ROUND = [
     "olap_bloom_join",                              # NEW this round
     "catalog_merge", "catalog_cdc",                 # NEW this round
     "multimodal_png_pixels", "sketch_hll",          # NEW this round
+    "events_interval",                              # NEW this round
     "kg_link_dispatch",                             # NEW: make_linker gate
     "events_sessions", "text_gopher",               # NEW this round
     "olap_shipping_priority", "kg_neighbor_jaccard",  # NEW this round
@@ -3982,6 +4033,7 @@ ORACLES: dict[str, str] = {
     "multimodal_png_pixels": SQL_MULTIMODAL_PNG,
     "payload_coerce": SQL_PAYLOAD_COERCE,
     "events_asof": SQL_EVENTS_ASOF,
+    "events_interval": SQL_EVENTS_INTERVAL,
     "events_json": SQL_EVENTS_JSON,
     "events_funnel": SQL_EVENTS_FUNNEL,
     "events_rolling": SQL_EVENTS_ROLLING,

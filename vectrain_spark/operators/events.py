@@ -132,3 +132,46 @@ def extract_event_props(events: DataFrame, fields: dict[str, str]) -> DataFrame:
             for k, t in fields.items()
         ],
     )
+
+
+def interval_join(
+    events: DataFrame,
+    intervals: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    start: str = "start_ts",
+    end: str = "end_ts",
+    bucket_sec: int = 86_400,
+) -> DataFrame:
+    """Join each event to every interval of the same ``key`` that contains
+    its timestamp (inclusive bounds) — campaign attribution, maintenance
+    windows, exposure periods. Spark has no native range join; the naive
+    `ON e.ts BETWEEN i.start AND i.end` is a per-key cross product.
+
+    Scale shape — time bucketing: each interval explodes to the
+    ``bucket_sec`` buckets it overlaps (fanout bounded by interval length
+    / bucket width, a constant for bounded windows), each event maps to
+    exactly ONE bucket, and the join runs as an equi-join on
+    (key, bucket) followed by the exact containment filter. An event's
+    single bucket meets at most one exploded copy of an interval, so no
+    dedup pass is needed. The shuffle key gains time locality —
+    per-entity hot keys spread across their active days instead of one
+    reducer. This is the standard distributed interval-join plan (the
+    same bucketing Spark's own OSS range-join hints implement).
+    """
+    w_us = F.lit(bucket_sec * 1_000_000)
+    ev = events.withColumn("_b", F.floor(F.unix_micros(F.col(ts)) / w_us))
+    iv = intervals.withColumn(
+        "_b",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_micros(F.col(start)) / w_us),
+                F.floor(F.unix_micros(F.col(end)) / w_us),
+            )
+        ),
+    )
+    return (
+        ev.join(iv, [key, "_b"])
+        .filter((F.col(ts) >= F.col(start)) & (F.col(ts) <= F.col(end)))
+        .drop("_b")
+    )
