@@ -105,3 +105,36 @@ def test_corpus_stats_vs_pandas(spark):
         assert g["p50_tokens"] == round(float(np.percentile(toks, 50)), 6)
         assert g["p90_tokens"] == round(float(np.percentile(toks, 90)), 6)
         assert g["p99_tokens"] == round(float(np.percentile(toks, 99)), 6)
+
+
+def test_pack_sequences_contiguous_and_partition_invariant(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from vectrain_spark.operators.corpus import pack_sequences
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": list(range(20)),
+                "lang": ["en" if i % 2 == 0 else "de" for i in range(20)],
+                "text": ["w " * (i * 7 % 30 + 1) for i in range(20)],
+            }
+        )
+    )
+    out = pack_sequences(docs, capacity=16).toPandas()
+    for lang, grp in out.groupby("lang"):
+        g = grp.sort_values("doc_id").reset_index(drop=True)
+        # offsets are the exact prefix sums in doc_id order, starting at 0
+        assert g.start_offset.iloc[0] == 0
+        expect = g.n_tokens.cumsum().shift(1, fill_value=0)
+        assert list(g.start_offset) == list(expect)
+        # windows: floor arithmetic, and straddling docs span >1 bin
+        assert (g.first_bin == g.start_offset // 16).all()
+        assert (g.last_bin == (g.start_offset + g.n_tokens - 1) // 16).all()
+    assert (out.n_bins >= 1).all() and (out.n_bins > 1).any()
+    # identical results under a different input partitioning
+    out2 = pack_sequences(docs.repartition(7), capacity=16).toPandas()
+    a = out.sort_values(["lang", "doc_id"]).reset_index(drop=True)
+    b = out2.sort_values(["lang", "doc_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)

@@ -1977,6 +1977,40 @@ SQL_TEXT_PII = _pii_sql()
 SAMPLE_RATES = {"en": 0.5, "es": 0.25, "de": 0.75, "zh": 0.1}
 
 
+def q_corpus_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk context packing: per-language token offsets and
+    512-token training-window assignments for every document, computed
+    with the two-phase prefix sum (range partitions + driver-side offset
+    cumsum — no per-shard global window; a language is corpus-sized at
+    10^12 docs). Oracle is the plain SQL window prefix sum."""
+    from .operators.corpus import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), capacity=512)
+
+
+SQL_CORPUS_PACK = """
+WITH d AS (
+  SELECT lang, doc_id,
+         len(string_split(text, ' '))::BIGINT AS n_tokens
+  FROM documents
+),
+p AS (
+  SELECT lang, doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+           PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+           AS start_offset
+  FROM d
+)
+SELECT lang, doc_id, n_tokens, start_offset,
+       (start_offset // 512)::BIGINT AS first_bin,
+       ((start_offset + n_tokens - 1) // 512)::BIGINT AS last_bin,
+       ((start_offset + n_tokens - 1) // 512 - start_offset // 512 + 1)::BIGINT
+         AS n_bins
+FROM p
+"""
+
+
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-deterministic stratified sampling: per-lang keep rates applied
     via md5(doc_id) buckets — reproducible across engines/cluster sizes,
@@ -3832,6 +3866,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_url": q_dedup_url,
     "web_domains": q_web_domains,
     "web_linkgraph": q_web_linkgraph,
+    "corpus_pack": q_corpus_pack,
     "sample_stratified": q_sample_stratified,
     "sample_fixed_k": q_sample_fixed_k,
     "sample_split": q_sample_split,
@@ -3898,7 +3933,7 @@ _CHANGED_THIS_ROUND = [
     "olap_bloom_join",                              # NEW this round
     "catalog_merge", "catalog_cdc",                 # NEW this round
     "multimodal_png_pixels", "sketch_hll",          # NEW this round
-    "events_interval",                              # NEW this round
+    "events_interval", "corpus_pack",               # NEW this round
     "kg_link_dispatch",                             # NEW: make_linker gate
     "events_sessions", "text_gopher",               # NEW this round
     "olap_shipping_priority", "kg_neighbor_jaccard",  # NEW this round
@@ -3984,6 +4019,7 @@ ORACLES: dict[str, str] = {
     "dedup_url": SQL_DEDUP_URL,
     "web_domains": SQL_WEB_DOMAINS,
     "web_linkgraph": SQL_WEB_LINKGRAPH,
+    "corpus_pack": SQL_CORPUS_PACK,
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
     "sample_fixed_k": SQL_SAMPLE_FIXED_K,
     "sample_split": SQL_SAMPLE_SPLIT,

@@ -197,3 +197,87 @@ def corpus_stats(docs: DataFrame, stratum_col: str = "lang") -> DataFrame:
         F.round(F.percentile("toks", F.lit(0.9)), 6).alias("p90_tokens"),
         F.round(F.percentile("toks", F.lit(0.99)), 6).alias("p99_tokens"),
     )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    capacity: int = 512,
+    shard_col: str = "lang",
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Concat-and-chunk context packing — the LLM-pretraining step that
+    concatenates documents in a deterministic order and slices the token
+    stream into fixed-``capacity`` training windows. Per shard (language
+    here; data source in a real mix), each doc gets its global token
+    offset and the window range it lands in:
+    (shard, key, n_tokens, start_offset, first_bin, last_bin, n_bins).
+    Tokens are single-space splits (the engine's cheap tokenizer contract,
+    identical in DuckDB: len(string_split(text, ' '))).
+
+    Scale design — a per-shard prefix sum WITHOUT a per-shard global
+    window (a language is corpus-sized; Window.partitionBy(lang) would
+    sort 10^12 docs in a handful of tasks). Same two-phase shape as
+    graph._global_sorted_rank: repartitionByRange on (shard, key) and
+    persist (pinning the sampled range boundaries), per-(partition,
+    shard) token totals to the driver (<= P x shards rows —
+    maintenance-scale), prefix-sum those into offsets, broadcast back,
+    and each task window-sums only its own range. localCheckpoint lets
+    the staging cache release without recompute ever resampling
+    boundaries.
+    """
+    from pyspark.sql import Window
+
+    spark = docs.sparkSession
+    d = docs.select(
+        F.col(shard_col),
+        F.col(key_col),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
+    )
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    parted = (
+        d.repartitionByRange(n_part, F.col(shard_col), F.col(key_col))
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    try:
+        totals = parted.groupBy("_pid", shard_col).agg(
+            F.sum("n_tokens").alias("t")
+        ).collect()
+        totals.sort(key=lambda r: (r[shard_col], r["_pid"]))
+        offsets, acc, cur = [], 0, object()
+        for r in totals:
+            if r[shard_col] != cur:
+                cur, acc = r[shard_col], 0
+            offsets.append((r["_pid"], r[shard_col], acc))
+            acc += r["t"]
+        off = F.broadcast(
+            spark.createDataFrame(
+                offsets or [(0, "", 0)], f"_pid int, {shard_col} string, _off long"
+            )
+        )
+        w = (
+            Window.partitionBy("_pid", shard_col)
+            .orderBy(key_col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        pre = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        first = F.floor(F.col("start_offset") / capacity)
+        last = F.floor((F.col("start_offset") + F.col("n_tokens") - 1) / capacity)
+        out = (
+            parted.join(off, ["_pid", shard_col])
+            .withColumn("start_offset", F.col("_off") + pre)
+            .select(
+                shard_col,
+                key_col,
+                "n_tokens",
+                "start_offset",
+                first.cast("long").alias("first_bin"),
+                last.cast("long").alias("last_bin"),
+                (last - first + 1).cast("long").alias("n_bins"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        parted.unpersist()
+    return out
