@@ -256,3 +256,21 @@ def test_shortest_paths_weighted_prefers_strong_edges(spark):
     seeds = spark.createDataFrame(pd.DataFrame({"seed": ["s"]}))
     out = shortest_paths(edges, seeds, rounds=3, weight="cnt").toPandas().set_index("id")
     assert abs(out.loc["t"].dist - 0.2) < 1e-9
+
+
+def test_personalized_pagerank_concentrates_on_seeds(spark):
+    from vectrain_spark.operators.graph import pagerank, personalized_pagerank
+
+    # chain a -> b -> c -> d plus back-edge d -> a
+    edges = spark.createDataFrame(
+        pd.DataFrame({"src": ["a", "b", "c", "d"], "dst": ["b", "c", "d", "a"]})
+    )
+    seeds = spark.createDataFrame(pd.DataFrame({"seed": ["a"]}))
+    out = personalized_pagerank(edges, seeds, n_iter=5).toPandas().set_index("id")
+    # seed and its immediate successor dominate; mass decays with distance
+    assert out.loc["a"]["rank"] > out.loc["c"]["rank"]
+    assert out.loc["b"]["rank"] > out.loc["c"]["rank"]
+    # global pagerank on this symmetric cycle is uniform — PPR is not
+    g = pagerank(edges, n_iter=5).toPandas().set_index("id")
+    assert g["rank"].nunique() == 1
+    assert out["rank"].nunique() > 1

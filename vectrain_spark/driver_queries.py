@@ -1232,6 +1232,32 @@ def q_kg_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shortest_paths(edges, seeds, weight="cnt")
 
 
+def q_kg_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank: teleport mass restricted to the 3 smallest
+    source entities — seed-conditioned relevance ranking over the KG
+    (the 'related to THESE entities' complement of global kg_pagerank),
+    matched value-for-value by an unrolled-CTE oracle."""
+    from .operators.graph import personalized_pagerank
+
+    edges = _materialized_edges(spark, sf_dir)
+    seeds = (
+        edges.select(F.col("src").alias("seed")).distinct().orderBy("seed").limit(3)
+    )
+    return personalized_pagerank(edges, seeds)
+
+
+def _ppr_sql() -> str:
+    from .operators.graph import personalized_pagerank_oracle_sql
+
+    seeds_sql = (
+        f"SELECT DISTINCT src AS seed FROM ({SQL_KG_EDGES}) ORDER BY seed LIMIT 3"
+    )
+    return personalized_pagerank_oracle_sql(SQL_KG_EDGES, seeds_sql)
+
+
+SQL_KG_PPR = _ppr_sql()
+
+
 def _sssp_sql() -> str:
     from .operators.graph import shortest_paths_oracle_sql
 
@@ -3838,6 +3864,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_hits": q_kg_hits,
     "kg_communities": q_kg_communities,
     "kg_sssp": q_kg_sssp,
+    "kg_ppr": q_kg_ppr,
     "kg_path2": q_kg_path2,
     "kg_negatives": q_kg_negatives,
     "kg_integrity": q_kg_integrity,
@@ -3928,7 +3955,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # never verified (past the r2 cutoff; locally gate-replica-green), (3)
 # then the twice-driver-verified stable tail in original order.
 _CHANGED_THIS_ROUND = [
-    "kg_hits", "kg_communities", "kg_sssp",         # NEW this round
+    "kg_hits", "kg_communities", "kg_sssp", "kg_ppr",  # NEW this round
     "olap_revenue_forecast", "olap_local_supplier",  # NEW this round
     "olap_bloom_join",                              # NEW this round
     "catalog_merge", "catalog_cdc",                 # NEW this round
@@ -3985,6 +4012,7 @@ ORACLES: dict[str, str] = {
     "kg_hits": SQL_KG_HITS,
     "kg_communities": SQL_KG_COMMUNITIES,
     "kg_sssp": SQL_KG_SSSP,
+    "kg_ppr": SQL_KG_PPR,
     "kg_path2": SQL_KG_PATH2,
     "kg_negatives": SQL_KG_NEGATIVES,
     "kg_integrity": SQL_KG_INTEGRITY,

@@ -926,3 +926,123 @@ def shortest_paths_oracle_sql(
         f"WITH {body}\n"
         f"SELECT seed, id, round(dist, {OUT_ROUND}) AS dist FROM d{rounds}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank
+# ---------------------------------------------------------------------------
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_iter: int = N_ITER,
+    damping: float = DAMPING,
+) -> DataFrame:
+    """PageRank with teleport restricted to a seed set -> (id, rank):
+    rank(v) = (1-d) * b(v) + d * sum(rank(u)/outdeg(u)) with b(v) = 1/|S|
+    for seeds, 0 otherwise — scores concentrate around the seeds, which
+    is the standard relevance ranking for "entities related to THESE"
+    (query-biased recommendations over the KG; the seed-conditioned
+    complement of the global pagerank score).
+
+    Same dataflow, determinism contract, and scale shape as
+    :func:`pagerank` (edge table partitioned once on src, two-phase
+    per-dst sums, per-iteration rounding, localCheckpoint); the base
+    vector is one broadcast left-join onto the node table. |S| is a
+    driver-side count of the seed frame — control-plane, seeds are a
+    handful of entities.
+    """
+    e = edges.select("src", "dst").distinct().withColumn("w", F.lit(1.0))
+    spark = edges.sparkSession
+    n_edges = e.count()
+    parts = max(
+        1, min(spark.sparkContext.defaultParallelism, n_edges // 50_000 + 1)
+    )
+    e = e.repartition(parts, "src").persist()
+    outdeg = e.groupBy("src").agg(F.sum("w").alias("outw")).persist()
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionAll(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .persist()
+    )
+    n_seeds = seeds.select("seed").distinct().count()
+    base_mass = (1.0 - damping) / n_seeds
+    base = nodes.join(
+        F.broadcast(seeds.select(F.col("seed").alias("id")).distinct()
+                    .withColumn("_s", F.lit(True))),
+        "id",
+        "left",
+    ).select(
+        "id",
+        F.when(F.col("_s"), F.lit(base_mass)).otherwise(F.lit(0.0)).alias("b"),
+    ).persist()
+    ranks = base.select("id", F.col("b").alias("rank"))
+    for _ in range(n_iter):
+        contribs = (
+            e.join(ranks.withColumnRenamed("id", "src"), "src")
+            .join(outdeg, "src")
+            .select("dst", (F.col("rank") * F.col("w") / F.col("outw")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            base.join(contribs.withColumnRenamed("dst", "id"), "id", "left")
+            .select(
+                "id",
+                F.round(
+                    F.col("b") + F.lit(damping) * F.coalesce("s", F.lit(0.0)),
+                    ITER_ROUND,
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    out = ranks.select("id", F.round("rank", OUT_ROUND).alias("rank"))
+    e.unpersist()
+    outdeg.unpersist()
+    nodes.unpersist()
+    base.unpersist()
+    return out
+
+
+def personalized_pagerank_oracle_sql(
+    edges_sql: str,
+    seeds_sql: str,
+    n_iter: int = N_ITER,
+    damping: float = DAMPING,
+) -> str:
+    """Unrolled-CTE DuckDB reconstruction of
+    :func:`personalized_pagerank` — the seed-count normalization happens
+    via a scalar subquery over the MATERIALIZED seed CTE."""
+    parts = [
+        f"e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({edges_sql}))",
+        "nodes AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e)",
+        "od AS MATERIALIZED (SELECT src, count(*)::DOUBLE AS outw FROM e GROUP BY src)",
+        f"s AS MATERIALIZED (SELECT DISTINCT seed FROM ({seeds_sql}))",
+        f"""b AS MATERIALIZED (
+  SELECT n.id,
+         CASE WHEN s.seed IS NOT NULL
+              THEN {1.0 - damping} / (SELECT count(*) FROM s)
+              ELSE 0.0 END AS b
+  FROM nodes n LEFT JOIN s ON s.seed = n.id
+)""",
+        "r0 AS (SELECT id, b AS rank FROM b)",
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f"""r{i} AS MATERIALIZED (
+  SELECT b.id,
+         round(b.b + {damping} * coalesce(c.s, 0.0), {ITER_ROUND}) AS rank
+  FROM b LEFT JOIN (
+    SELECT e.dst, sum(r.rank / od.outw) AS s
+    FROM e JOIN r{i-1} r ON r.id = e.src JOIN od ON od.src = e.src
+    GROUP BY e.dst
+  ) c ON c.dst = b.id
+)"""
+        )
+    body = ",\n".join(parts)
+    return (
+        f"WITH {body}\n"
+        f"SELECT id, round(rank, {OUT_ROUND}) AS rank FROM r{n_iter}"
+    )
