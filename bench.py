@@ -83,6 +83,19 @@ HEADLINE_QUERIES = [
     "kg_link_dispatch",
     "sketch_cms_words",
     "web_linkgraph",
+    "kg_hits",
+    "kg_communities",
+    "kg_sssp",
+    "kg_ppr",
+    "olap_revenue_forecast",
+    "olap_local_supplier",
+    "olap_bloom_join",
+    "sketch_hll",
+    "events_interval",
+    "corpus_pack",
+    "catalog_merge",
+    "catalog_cdc",
+    "multimodal_png_pixels",
 ]
 
 
