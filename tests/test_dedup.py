@@ -208,3 +208,29 @@ def test_incremental_minhash_precomputed_index_parity(spark):
     finally:
         hashed.unpersist()
         sigs.unpersist()
+
+
+def test_sentence_dup_profile(spark):
+    import pandas as pd
+
+    from vectrain_spark.operators.dedup import sentence_dup_profile
+
+    shared = "this sentence appears in two documents verbatim"
+    uniq = "a perfectly unique sentence lives only here %d"
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2],
+                "text": [
+                    f"{shared}. {uniq % 0}. short",          # short gets filtered
+                    f"{shared}. {uniq % 1}",
+                    f"{uniq % 2}. {uniq % 2}",                # self-duplicate
+                ],
+            }
+        )
+    )
+    out = sentence_dup_profile(docs).toPandas().set_index("doc_id")
+    assert out.loc[0].n_sentences == 2 and out.loc[0].n_dup == 1
+    assert out.loc[1].n_dup == 1
+    assert out.loc[2].n_sentences == 2 and out.loc[2].n_dup == 2
+    assert out.loc[2].dup_ratio == 1.0

@@ -349,3 +349,43 @@ def test_kafka_json_parse_parity_with_file_source(spark, pages_df):
         map(tuple, pages_df.select("url", "warc_ts", "html", "lang").collect())
     )
     assert got == want and len(got) == 400
+
+
+def test_topk_per_window_ranks_and_tiebreaks(spark):
+    import datetime as dt
+
+    import pandas as pd
+
+    from vectrain_spark.streaming import topk_per_window, windowed_host_counts
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # window 0: a x3, b x2, c x2, d x1 -> top3 = a, b, c (tie b/c broken by name)
+    for host, n in [("a", 3), ("b", 2), ("c", 2), ("d", 1)]:
+        rows += [(f"u{len(rows)}{i}", t0, b"<html>", "en", host) for i in range(n)]
+    # window 1: only d
+    rows.append(("w1", t0 + dt.timedelta(minutes=1), b"<html>", "en", "d"))
+    pages = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["url", "warc_ts", "html", "lang", "host"])
+    )
+    out = (
+        topk_per_window(windowed_host_counts(pages), k=3)
+        .toPandas()
+        .sort_values(["window_start", "rank"])
+        .reset_index(drop=True)
+    )
+    w0 = out[out.window_start == t0]
+    assert list(w0.host) == ["a", "b", "c"]
+    assert list(w0.pages) == [3, 2, 2]
+    assert list(w0["rank"]) == [1, 2, 3]
+    w1 = out[out.window_start == t0 + dt.timedelta(minutes=1)]
+    assert list(w1.host) == ["d"] and list(w1["rank"]) == [1]
+    # the rank window must be partitioned (no global-sort WindowExec)
+    plan = (
+        topk_per_window(windowed_host_counts(pages), k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" in plan
+    assert "partitionBy=[]" not in plan.replace(" ", "")

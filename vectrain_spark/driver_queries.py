@@ -395,6 +395,77 @@ FROM w GROUP BY 1, 2
 """
 
 
+def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed heavy hitters through a REAL stream: pages (warc_ts spread
+    over 3 one-minute windows, a deterministic 23-host crawl fan-out
+    derived from the url) flow through a watermarked streaming count per
+    (window, host); the closed windows are then ranked per-window (batch
+    side — rank is not a streaming op) and the top-5 hosts of each minute
+    are value-checked against the batch row_number oracle. The unbounded
+    work (counting pages) stays incremental with bounded state; the rank
+    touches only the tiny (window, host) aggregate."""
+    import os
+    import shutil
+
+    from .streaming import pages_stream, topk_per_window, windowed_host_counts
+
+    base = "/tmp/vectrain_topk_gate"
+    shutil.rmtree(base, ignore_errors=True)
+    pages = pages_from_documents(_docs(spark, sf_dir)).withColumn(
+        "warc_ts",
+        F.expr(
+            "warc_ts + make_interval(0, 0, 0, 0, 0, 0,"
+            " cast(regexp_extract(url, '([0-9]+)$', 1) AS int) % 180)"
+        ),
+    )
+    pdir = os.path.join(base, "pages")
+    pages.repartition(4).write.parquet(pdir)
+    stream = pages_stream(spark, pdir, 2).withColumn(
+        "host",
+        F.concat(
+            F.lit("site"),
+            F.regexp_extract("url", r"([0-9]+)$", 1).cast("int") % 23,
+            F.lit(".example"),
+        ),
+    )
+    q = (
+        windowed_host_counts(stream)
+        .writeStream.format("memory")
+        .queryName("gate_topk")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return topk_per_window(spark.table("gate_topk"), k=5).select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "rank",
+        "host",
+        "pages",
+    )
+
+
+SQL_STREAM_TOPK = """
+WITH t AS (
+  SELECT 'site' || (doc_id % 23) || '.example' AS host,
+         date_trunc('minute',
+           TIMESTAMP '2024-01-01 00:00:00' + (doc_id % 180) * INTERVAL 1 SECOND
+         ) AS ws
+  FROM documents
+),
+c AS (SELECT ws, host, count(*)::BIGINT AS pages FROM t GROUP BY 1, 2),
+r AS (
+  SELECT ws, host, pages,
+         row_number() OVER (PARTITION BY ws ORDER BY pages DESC, host ASC)
+           AS rank
+  FROM c
+)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+       rank::INT AS rank, host, pages
+FROM r WHERE rank <= 5
+"""
+
+
 def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-window burst detection through a REAL stream: pages get
     deterministic warc_ts bursts (10 events 5 s apart, bursts 120 s apart),
@@ -1737,6 +1808,36 @@ SELECT a2.doc_id,
        CASE WHEN coalesce(n3, 0) > 0 THEN round(d3 * 1.0 / n3, 6)
             ELSE 0.0 END AS dup3_frac
 FROM a2 LEFT JOIN a3 USING (doc_id)
+"""
+
+
+def q_dedup_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-level duplication profile: per-document count and ratio
+    of sentences that occur more than once corpus-wide — the
+    sub-document dedup granularity (RefinedWeb/Gopher line dedup) that
+    catches templated pages document-level signatures miss. Sentences
+    travel as 8-byte md5-prefix hashes; the oracle reconstructs the
+    identical hashes in DuckDB."""
+    from .operators.dedup import sentence_dup_profile
+
+    return sentence_dup_profile(_docs(spark, sf_dir))
+
+
+SQL_DEDUP_SENTENCES = f"""
+WITH sent AS (
+  SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+  FROM (
+    SELECT doc_id, unnest(string_split({NORM_SQL}, '. ')) AS s
+    FROM documents
+  ) WHERE length(s) >= 20
+),
+freq AS (SELECT h, count(*) AS freq FROM sent GROUP BY h)
+SELECT doc_id, count(*)::BIGINT AS n_sentences,
+       sum(CASE WHEN freq > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup,
+       round(sum(CASE WHEN freq > 1 THEN 1 ELSE 0 END) / count(*)::DOUBLE, 6)
+         AS dup_ratio
+FROM sent JOIN freq USING (h)
+GROUP BY doc_id
 """
 
 
@@ -3875,6 +3976,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_window_rates": q_stream_window_rates,
     "stream_sliding_rates": q_stream_sliding_rates,
     "stream_sessions": q_stream_sessions,
+    "stream_topk": q_stream_topk,
     "stream_dedup": q_stream_dedup,
     "stream_join_attribution": q_stream_join_attribution,
     "dedup_exact": q_dedup_exact,
@@ -3890,6 +3992,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_boilerplate": q_text_boilerplate,
     "text_tfidf": q_text_tfidf,
     "text_inverted_index": q_text_inverted_index,
+    "dedup_sentences": q_dedup_sentences,
     "dedup_url": q_dedup_url,
     "web_domains": q_web_domains,
     "web_linkgraph": q_web_linkgraph,
@@ -3961,6 +4064,7 @@ _CHANGED_THIS_ROUND = [
     "catalog_merge", "catalog_cdc",                 # NEW this round
     "multimodal_png_pixels", "sketch_hll",          # NEW this round
     "events_interval", "corpus_pack",               # NEW this round
+    "dedup_sentences", "stream_topk",               # NEW this round
     "kg_link_dispatch",                             # NEW: make_linker gate
     "events_sessions", "text_gopher",               # NEW this round
     "olap_shipping_priority", "kg_neighbor_jaccard",  # NEW this round
@@ -4025,6 +4129,7 @@ ORACLES: dict[str, str] = {
     "stream_window_rates": SQL_STREAM_WINDOW_RATES,
     "stream_sliding_rates": SQL_STREAM_SLIDING_RATES,
     "stream_sessions": SQL_STREAM_SESSIONS,
+    "stream_topk": SQL_STREAM_TOPK,
     "stream_dedup": SQL_STREAM_DEDUP,
     "stream_join_attribution": SQL_STREAM_JOIN_ATTRIBUTION,
     "dedup_exact": SQL_DEDUP_EXACT,
@@ -4044,6 +4149,7 @@ ORACLES: dict[str, str] = {
     "text_boilerplate": SQL_TEXT_BOILERPLATE,
     "text_tfidf": SQL_TEXT_TFIDF,
     "text_inverted_index": SQL_TEXT_INVERTED_INDEX,
+    "dedup_sentences": SQL_DEDUP_SENTENCES,
     "dedup_url": SQL_DEDUP_URL,
     "web_domains": SQL_WEB_DOMAINS,
     "web_linkgraph": SQL_WEB_LINKGRAPH,

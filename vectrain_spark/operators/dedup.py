@@ -592,3 +592,50 @@ def simhash_pairs(corpus: DataFrame, max_hamming: int = MAX_HAMMING) -> DataFram
         .filter(F.col("hamming") <= max_hamming)
     )
     return pairs
+
+
+def sentence_dup_profile(docs: DataFrame, min_chars: int = 20) -> DataFrame:
+    """Sub-document duplication profile -> (doc_id, n_sentences, n_dup,
+    dup_ratio): how much of each document is made of sentences that occur
+    elsewhere in the corpus (or twice in the same document). The
+    sentence-granular complement of document-level MinHash — the signal
+    behind line/sentence-level dedup (Gopher, RefinedWeb) that catches
+    templated pages whose full-document signatures all differ.
+
+    Scale shape: sentences reduce to 8-byte md5-prefix hashes at the
+    scan (the shared _hash60 convention so DuckDB reproduces them); the
+    global frequency table is ONE two-phase count on the hash, and the
+    per-document join carries (doc_id, hash) pairs — no sentence text
+    ever crosses a shuffle. Sentences split on '. ' and shorter than
+    ``min_chars`` chars are ignored (boilerplate fragments).
+    """
+    sent = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(normalized_text(), r"\. ")).alias("s"),
+        )
+        .filter(F.length("s") >= min_chars)
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5(F.col("s")), 1, 15), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+    )
+    freq = sent.groupBy("h").agg(F.count(F.lit(1)).alias("freq"))
+    return (
+        sent.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sentences"),
+            F.sum(F.when(F.col("freq") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup"),
+        )
+        .select(
+            "doc_id",
+            "n_sentences",
+            "n_dup",
+            F.round(F.col("n_dup") / F.col("n_sentences"), 6).alias("dup_ratio"),
+        )
+    )

@@ -351,3 +351,54 @@ def stream_attribution_join(
         & (F.col("ts") >= F.col("signup_ts"))
         & (F.col("ts") <= F.col("signup_ts") + F.expr(f"interval {max_delay}")),
     ).select("event_id", "user_id", "ts", "value", "signup_event_id", "signup_ts")
+
+
+def windowed_host_counts(
+    pages: DataFrame,
+    key_col: str = "host",
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Per-(window, key) page counts — the streaming half of windowed
+    heavy-hitter detection (which crawl hosts dominate each minute).
+
+    Top-k itself cannot run inside the stream (rank-over-window is not a
+    streaming-supported operation in Structured Streaming), so the
+    operator is split the way a production monitor would split it: the
+    stream maintains the BOUNDED windowed count state (watermark closes
+    windows; state is (watermark/window) * |hosts| keys), and
+    :func:`topk_per_window` ranks the closed windows as a batch view.
+    The expensive, unbounded part — counting 10^12 pages — stays
+    incremental; the rank runs over the tiny (window, host) aggregate.
+    """
+    return (
+        pages.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"), key_col)
+        .agg(F.count(F.lit(1)).alias("pages"))
+        .select(F.col("w.start").alias("window_start"), key_col, "pages")
+    )
+
+
+def topk_per_window(
+    counts: DataFrame, k: int = 5, key_col: str = "host"
+) -> DataFrame:
+    """Heavy hitters per closed window: rank (window, key) counts and keep
+    the top ``k`` keys of each window, deterministic tie-break on key.
+
+    The rank window is PARTITIONED by window_start — each window ranks
+    independently on its own reducer, so the operation scales with the
+    number of windows, never with the page count; no partition-less
+    WindowExec appears in the plan (asserted in tests/test_plans.py
+    conventions)."""
+    from pyspark.sql.window import Window as W
+
+    rank = F.row_number().over(
+        W.partitionBy("window_start").orderBy(
+            F.col("pages").desc(), F.col(key_col).asc()
+        )
+    )
+    return (
+        counts.withColumn("rank", rank)
+        .filter(F.col("rank") <= k)
+        .select("window_start", "rank", key_col, "pages")
+    )
