@@ -278,3 +278,51 @@ def test_negative_edges_plan_has_no_global_window(spark):
     out = negative_edges(e, k=2)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
+
+
+def test_transitive_closure_cycle_diamond_fixpoint(spark):
+    from vectrain_spark.operators.graph import transitive_closure
+
+    # diamond a->{b,c}->d->e plus a 3-cycle x->y->z->x
+    e = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("d", "e"),
+         ("x", "y"), ("y", "z"), ("z", "x")],
+        "src string, dst string",
+    )
+    out = {(r.src, r.dst): r.hops for r in transitive_closure(e).collect()}
+    assert out[("a", "d")] == 2          # min over the two diamond paths
+    assert out[("a", "e")] == 3
+    assert out[("x", "y")] == 1 and out[("x", "z")] == 2
+    # cycle: every distinct ordered pair among {x,y,z}, never (x,x)
+    assert ("x", "x") not in out and ("y", "y") not in out
+    assert len([k for k in out if k[0] in "xyz"]) == 6
+    assert len(out) == 6 + 9  # diamond pairs: ab ac ad ae bd be cd ce de
+
+
+def test_transitive_closure_hop_cap(spark):
+    from vectrain_spark.operators.graph import transitive_closure
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "src long, dst long"
+    )
+    capped = transitive_closure(chain, max_hops=3)
+    assert capped.agg({"hops": "max"}).first()[0] == 3
+    full = transitive_closure(chain)  # fixpoint before the default cap
+    assert full.count() == 6 * 7 // 2
+
+
+def test_star_join_binding_combinations(spark):
+    from vectrain_spark.operators.graph import star_join
+
+    e = spark.createDataFrame(
+        [("x", "a1", "acq", 2), ("x", "a2", "acq", 1), ("x", "p1", "part", 3),
+         ("y", "a3", "acq", 1),                      # no part leg -> dropped
+         ("z", "p2", "part", 1)],                    # no acq leg -> dropped
+        "src string, dst string, pred string, cnt long",
+    )
+    out = star_join(e, ["acq", "part"]).toPandas()
+    assert set(out.columns) == {
+        "subj", "obj_acq", "cnt_acq", "obj_part", "cnt_part"
+    }
+    assert set(out.subj) == {"x"} and len(out) == 2  # 2 acq x 1 part
+    assert set(out.obj_acq) == {"a1", "a2"} and set(out.obj_part) == {"p1"}

@@ -956,6 +956,48 @@ def q_kg_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_hop(edges, seeds, k=2).withColumn("hops", F.col("hops").cast("int"))
 
 
+def q_kg_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full transitive closure of the materialized KG edge table via
+    semi-naive Datalog iteration (frontier-only joins, early fixpoint
+    exit): every reachable ordered entity pair with its minimum hop
+    count, value-checked against DuckDB's recursive CTE."""
+    from .operators.graph import transitive_closure
+
+    return transitive_closure(_materialized_edges(spark, sf_dir))
+
+
+def _closure_sql() -> str:
+    from .operators.graph import transitive_closure_oracle_sql
+
+    return transitive_closure_oracle_sql(SQL_KG_EDGES)
+
+
+SQL_KG_CLOSURE = _closure_sql()
+
+
+def q_kg_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive star-pattern query: subjects that BOTH acquired
+    someone and partnered with someone — `?x acquired ?a . ?x
+    partnered_with ?p` — one row per binding combination, each leg a
+    pred-filtered scan of the materialized edge table chain-joined on
+    subj."""
+    from .operators.graph import star_join
+
+    return star_join(
+        _materialized_edges(spark, sf_dir), ["acquired", "partnered_with"]
+    )
+
+
+SQL_KG_STAR = f"""
+WITH e AS MATERIALIZED ({{edges}})
+SELECT a.src AS subj,
+       a.dst AS obj_acquired, a.cnt AS cnt_acquired,
+       p.dst AS obj_partnered_with, p.cnt AS cnt_partnered_with
+FROM e a JOIN e p ON p.src = a.src
+WHERE a.pred = 'acquired' AND p.pred = 'partnered_with'
+"""
+
+
 def q_kg_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-citation similarity over the materialized edge table: object
     entities sharing a subject, with shared-source count and in-neighbor
@@ -1476,6 +1518,7 @@ FROM walks WHERE seed <> node GROUP BY seed, node
 """
 
 SQL_KG_TOP_PREDS = SQL_KG_TOP_PREDS.format(edges=SQL_KG_EDGES)
+SQL_KG_STAR = SQL_KG_STAR.format(edges=SQL_KG_EDGES)
 
 
 # ---------------------------------------------------------------------------
@@ -3957,6 +4000,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_pagerank": q_kg_pagerank,
     "kg_pagerank_weighted": q_kg_pagerank_weighted,
     "kg_khop": q_kg_khop,
+    "kg_closure": q_kg_closure,
+    "kg_star": q_kg_star,
     "kg_top_preds": q_kg_top_preds,
     "kg_cooccur": q_kg_cooccur,
     "kg_triangles": q_kg_triangles,
@@ -4059,6 +4104,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # then the twice-driver-verified stable tail in original order.
 _CHANGED_THIS_ROUND = [
     "kg_hits", "kg_communities", "kg_sssp", "kg_ppr",  # NEW this round
+    "kg_closure", "kg_star",                        # NEW this round
     "olap_revenue_forecast", "olap_local_supplier",  # NEW this round
     "olap_bloom_join",                              # NEW this round
     "catalog_merge", "catalog_cdc",                 # NEW this round
@@ -4108,6 +4154,8 @@ ORACLES: dict[str, str] = {
     "kg_pagerank": SQL_KG_PAGERANK,
     "kg_pagerank_weighted": SQL_KG_PAGERANK_WEIGHTED,
     "kg_khop": SQL_KG_KHOP,
+    "kg_closure": SQL_KG_CLOSURE,
+    "kg_star": SQL_KG_STAR,
     "kg_top_preds": SQL_KG_TOP_PREDS,
     "kg_cooccur": SQL_KG_COOCCUR,
     "kg_triangles": SQL_KG_TRIANGLES,

@@ -1046,3 +1046,120 @@ def personalized_pagerank_oracle_sql(
         f"WITH {body}\n"
         f"SELECT id, round(rank, {OUT_ROUND}) AS rank FROM r{n_iter}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Transitive closure (semi-naive reachability)
+# ---------------------------------------------------------------------------
+
+CLOSURE_MAX_HOPS = 12
+
+
+def transitive_closure(edges: DataFrame, max_hops: int = CLOSURE_MAX_HOPS) -> DataFrame:
+    """Semi-naive transitive closure -> (src, dst, hops): every ordered
+    entity pair connected by a directed path, with the minimum hop count —
+    the Datalog `reach(x,y) :- edge(x,y); reach(x,y) :- reach(x,z),
+    edge(z,y)` fixpoint, the materialization behind "is A transitively
+    related to B" KG queries.
+
+    Semi-naive means each round joins ONLY the frontier (pairs first
+    discovered last round) against the edge table, never the whole
+    closure — the classic optimization that turns O(rounds * |closure|)
+    join work into O(|closure|) total. A left_anti join against the
+    accumulated closure drops re-derivations (cycles, diamonds), so the
+    frontier empties exactly at the fixpoint and the loop exits early;
+    ``max_hops`` is the Bellman-Ford-style safety bound for adversarial
+    diameters. BFS layering makes `hops` the minimum by construction —
+    a pair is discovered in round k iff its shortest path has k hops.
+
+    Scale shape: the deduped edge table is hash-partitioned once on src
+    and persisted (reused by every round); each round is one
+    frontier-edge join + distinct + anti-join, all partitioned on the
+    pair key; localCheckpoint keeps the iterated plan flat. The output
+    is O(|V|^2) in the worst case — at web scale you'd restrict src to a
+    seed set (see k_hop) or a predicate slice; the dataflow per round is
+    unchanged.
+    """
+    spark = edges.sparkSession
+    e = edges.select("src", "dst").distinct()
+    n_edges = e.count()
+    parts = max(
+        1, min(spark.sparkContext.defaultParallelism, n_edges // 50_000 + 1)
+    )
+    e = e.repartition(parts, "src").persist()
+    closure = e.withColumn("hops", F.lit(1)).localCheckpoint()
+    frontier = closure
+    hop = 1
+    while hop < max_hops:
+        hop += 1
+        grown = (
+            frontier.withColumnRenamed("dst", "mid")
+            .join(e.withColumnRenamed("src", "mid"), "mid")
+            .select("src", "dst")
+            .distinct()
+        )
+        new = (
+            grown.join(closure.select("src", "dst"), ["src", "dst"], "left_anti")
+            .withColumn("hops", F.lit(hop))
+            .localCheckpoint()
+        )
+        if not new.take(1):
+            break
+        closure = closure.unionByName(new).localCheckpoint()
+        frontier = new
+    e.unpersist()
+    return closure.filter(F.col("src") != F.col("dst"))
+
+
+def transitive_closure_oracle_sql(
+    edges_sql: str, max_hops: int = CLOSURE_MAX_HOPS
+) -> str:
+    """DuckDB recursive-CTE reconstruction of :func:`transitive_closure`.
+    UNION (distinct) over (src, dst, hops) terminates on cycles because
+    hops is capped; min(hops) per pair equals the BFS discovery round."""
+    return f"""
+WITH RECURSIVE e_closure AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM ({edges_sql})
+),
+r AS (
+  SELECT src, dst, 1 AS hops FROM e_closure
+  UNION
+  SELECT r.src, e.dst, r.hops + 1 AS hops
+  FROM r JOIN e_closure e ON e.src = r.dst
+  WHERE r.hops < {max_hops}
+)
+SELECT src, dst, min(hops)::INTEGER AS hops
+FROM r WHERE src <> dst GROUP BY src, dst
+"""
+
+
+# ---------------------------------------------------------------------------
+# Star join (conjunctive pattern query)
+# ---------------------------------------------------------------------------
+
+
+def star_join(edges: DataFrame, preds: list[str]) -> DataFrame:
+    """SPARQL-style star pattern: subjects matching EVERY predicate in
+    ``preds`` simultaneously — `?x p1 ?o1 . ?x p2 ?o2 . ...` — with one
+    row per binding combination -> (subj, obj_<p1>, cnt_<p1>, obj_<p2>,
+    ...). The bread-and-butter KG query shape ("companies that acquired
+    someone AND partnered with someone").
+
+    Plan shape: each pattern leg is a FILTERED scan of the same edge
+    table (`pred = ...` pushes to the parquet scan of a materialized
+    edge table), and the legs chain-join on subj — all shuffles share
+    the subj key, so with the edge table bucketed by src the joins are
+    co-located. Hub subjects multiply bindings across legs (the classic
+    star-join blowup a worst-case-optimal join would bound); at web
+    scale you cap bindings per leg (top-cnt per subj) before joining —
+    the dataflow is unchanged.
+    """
+    out = None
+    for p in preds:
+        leg = edges.filter(F.col("pred") == p).select(
+            F.col("src").alias("subj"),
+            F.col("dst").alias(f"obj_{p}"),
+            F.col("cnt").alias(f"cnt_{p}"),
+        )
+        out = leg if out is None else out.join(leg, "subj")
+    return out
