@@ -167,3 +167,38 @@ def test_kmeans_refine_improves_balance_not_recall_regression(spark, emb):
         hits += len(e & set(approx.loc[approx.q_id == q, "n_id"]))
         tot += len(e)
     assert hits / tot >= 0.5, hits / tot
+
+
+def test_semantic_dedup_within_cluster_only(spark, emb):
+    from pyspark.sql import functions as F
+
+    from vectrain_spark.operators.similarity import (
+        assign_cells,
+        centroids_df,
+        kmeans_refine,
+        neardup_embedding_corpus,
+        semantic_dedup,
+        _vecs,
+    )
+
+    corpus = neardup_embedding_corpus(emb)
+    out = semantic_dedup(corpus).cache()
+    rows = out.collect()
+    # every exact copy (vec_id + 100000) lands in the same cluster as its
+    # original (identical vector -> identical argbest) and scores 1.0
+    exact = {
+        (r.a, r.b): r.score
+        for r in rows
+        if r.a < 100000 and r.b == r.a + 100000
+    }
+    n_base = corpus.filter(F.col("vec_id") < 100000).count()
+    assert len(exact) == n_base and all(s == 1.0 for s in exact.values())
+    # pairs never cross clusters: recompute assignment and check
+    vecs = _vecs(corpus)
+    cents = kmeans_refine(vecs, centroids_df(corpus), iters=2)
+    cell_of = {r.vec_id: r.cell for r in assign_cells(vecs, cents).collect()}
+    assert all(cell_of[r.a] == cell_of[r.b] == r.cell for r in rows)
+    # cheaper than all-pairs: pair count strictly below the n^2 bound
+    n = vecs.count()
+    assert out.count() < n * (n - 1) // 2
+    out.unpersist()

@@ -3835,13 +3835,12 @@ _COS6 = (
     " * sqrt(list_dot_product({b}, {b}))), 6)"
 )
 
-def _ann_ivf_sql(expr_tpl: str, order: str, kmeans_iters: int = 2) -> str:
-    """IVF oracle parametrized by metric expression and rank direction
-    (DESC for cosine/dot similarity, ASC for euclid distance), with the
-    Spark side's seeded k-means centroid refinement unrolled as CTE chains
-    (one score/argbest/scaled-integer-mean round per iteration — the
-    floor(sum(floor(x*1e6))/count)/1e6 arithmetic matches kmeans_refine
-    bit-for-bit, see operators/similarity.py)."""
+def _kmeans_ctes(expr_tpl: str, order: str, kmeans_iters: int) -> str:
+    """Unrolled Lloyd-iteration CTE chain over a corpus CTE named ``v``
+    and seed centroids ``c0`` — one score/argbest/scaled-integer-mean
+    round per iteration; the floor(sum(floor(x*1e6))/count)/1e6
+    arithmetic matches kmeans_refine bit-for-bit (operators/
+    similarity.py). Shared by the IVF and SemDeDup oracles."""
     kmeans = ""
     for it in range(1, kmeans_iters + 1):
         prev = "c0" if it == 1 else f"c{it - 1}"
@@ -3872,6 +3871,15 @@ c{it} AS (
   SELECT c.cell, coalesce(r.r_emb, c.c_emb) AS c_emb
   FROM {prev} c LEFT JOIN r{it} r USING (cell)
 ),"""
+    return kmeans
+
+
+def _ann_ivf_sql(expr_tpl: str, order: str, kmeans_iters: int = 2) -> str:
+    """IVF oracle parametrized by metric expression and rank direction
+    (DESC for cosine/dot similarity, ASC for euclid distance), with the
+    Spark side's seeded k-means centroid refinement unrolled via
+    :func:`_kmeans_ctes`."""
+    kmeans = _kmeans_ctes(expr_tpl, order, kmeans_iters)
     final_c = f"c{kmeans_iters}" if kmeans_iters else "c0"
     return f"""
 WITH v AS (
@@ -3919,6 +3927,44 @@ SELECT q_id, n_id, score, rank FROM r WHERE rank <= 5
 
 SQL_SIM_ANN_IVF = _ann_ivf_sql(_COS6, "DESC")
 SQL_SIM_ANN_IVF_EUCLID = _ann_ivf_sql(_EUC6, "ASC")
+
+
+def q_sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: k-means-cluster the dup-bearing embedding corpus (seeded
+    init + 2 oracle-exact Lloyd rounds), then cosine-compare pairs only
+    WITHIN a cluster — O(n^2/n_cells) semantic redundancy detection; the
+    oracle reconstructs clustering and pairs bit-for-bit."""
+    from .operators.similarity import semantic_dedup
+
+    return semantic_dedup(neardup_embedding_corpus(_emb(spark, sf_dir)))
+
+
+def _semdedup_sql(kmeans_iters: int = 2, threshold: float = 0.9) -> str:
+    pair_score = _COS6.format(a="a.emb", b="b.emb")
+    return f"""
+WITH {NEARDUP_CORPUS_SQL},
+c0 AS (SELECT vec_id::INTEGER AS cell, emb AS c_emb FROM v WHERE vec_id < 16),
+{_kmeans_ctes(_COS6, "DESC", kmeans_iters)}
+c AS (SELECT cell, c_emb FROM c{kmeans_iters}),
+scored AS (
+  SELECT v.vec_id, c.cell,
+         {_COS6.format(a='v.emb', b='c.c_emb')} AS score
+  FROM v, c
+),
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell ASC) AS rn
+    FROM scored) WHERE rn = 1
+),
+m AS (SELECT a.cell, v.vec_id, v.emb FROM assigned a JOIN v USING (vec_id))
+SELECT a.cell, a.vec_id AS a, b.vec_id AS b, {pair_score} AS score
+FROM m a JOIN m b ON a.cell = b.cell AND a.vec_id < b.vec_id
+WHERE {pair_score} >= {threshold}
+"""
+
+
+SQL_SIM_SEMANTIC_DEDUP = _semdedup_sql()
 
 
 def q_sim_ann_ivf_euclid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4077,6 +4123,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_ann_ivf_euclid": q_sim_ann_ivf_euclid,
     "sim_maxsim": q_sim_maxsim,
     "dedup_embedding_exact": q_dedup_embedding_exact,
+    "sim_semantic_dedup": q_sim_semantic_dedup,
     "dedup_embedding_euclid": q_dedup_embedding_euclid,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "multimodal_image_features": q_multimodal_image_features,
@@ -4104,7 +4151,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # then the twice-driver-verified stable tail in original order.
 _CHANGED_THIS_ROUND = [
     "kg_hits", "kg_communities", "kg_sssp", "kg_ppr",  # NEW this round
-    "kg_closure", "kg_star",                        # NEW this round
+    "kg_closure", "kg_star", "sim_semantic_dedup",  # NEW this round
     "olap_revenue_forecast", "olap_local_supplier",  # NEW this round
     "olap_bloom_join",                              # NEW this round
     "catalog_merge", "catalog_cdc",                 # NEW this round
@@ -4239,6 +4286,7 @@ ORACLES: dict[str, str] = {
     "sim_ann_ivf_euclid": SQL_SIM_ANN_IVF_EUCLID,
     "sim_maxsim": SQL_SIM_MAXSIM,
     "dedup_embedding_exact": SQL_DEDUP_EMBEDDING_EXACT,
+    "sim_semantic_dedup": SQL_SIM_SEMANTIC_DEDUP,
     "dedup_embedding_euclid": SQL_DEDUP_EMBEDDING_EUCLID,
     # The LSH variant is deterministic (seeded hyperplanes, exact-cosine
     # verification) and achieves recall 1.0 on this corpus — verified

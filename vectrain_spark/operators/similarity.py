@@ -463,3 +463,49 @@ def maxsim_topk(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    kmeans_iters: int = 2,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs -> (cell, a, b,
+    score): cluster the embedding space with the seeded, oracle-exact
+    k-means (:func:`centroids_df` + :func:`kmeans_refine`), then compare
+    pairs ONLY within a cluster and keep cosine >= threshold. The
+    training-data curation pattern (Abbas et al., SemDeDup) that finds
+    semantically redundant documents exact/MinHash dedup cannot see,
+    at O(n^2 / n_cells) instead of the all-pairs O(n^2) of
+    :func:`embedding_near_dups_exact`.
+
+    Scale shape: centroid training + assignment are the IVF stages (one
+    broadcast score, one two-phase argbest); the pair stage is a
+    self-join ON CELL — each cluster's pairs compute on that cell's
+    reducer, so cost scales with the largest cell (k-means balancing,
+    or a per-cell size cap, is the skew lever), never with the corpus.
+    Every stage is JVM Catalyst on rounded float64, reproduced
+    bit-for-bit by the DuckDB oracle."""
+    vecs = _vecs(embeddings)
+    cents = centroids_df(embeddings, n_cells)
+    if kmeans_iters:
+        cents = kmeans_refine(vecs, cents, iters=kmeans_iters)
+    assigned = vecs.join(assign_cells(vecs, cents), "vec_id")
+    a = assigned.select(
+        "cell", F.col("vec_id").alias("a"), F.col("emb").alias("ea")
+    )
+    b = assigned.select(
+        "cell", F.col("vec_id").alias("b"), F.col("emb").alias("eb")
+    )
+    return (
+        a.join(b, "cell")
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            "cell",
+            "a",
+            "b",
+            F.round(cosine_expr("ea", "eb"), 6).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )
