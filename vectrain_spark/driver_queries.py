@@ -2899,6 +2899,103 @@ GROUP BY n_name
 """
 
 
+def q_olap_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: share of one ship-month's revenue from PROMO
+    parts. The scan-dominant probe: the date filter prunes the fact scan
+    (PushedFilters on l_shipdate), the part dimension broadcasts, and the
+    conditional aggregate folds both sums into ONE pass — exact
+    DECIMAL(18,2) sums, one final double division (both engines divide
+    the same two exact decimals, so the ratio is bit-identical)."""
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+    )
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp"))
+        )
+        .select("l_partkey", rev.alias("rev"))
+        .join(
+            F.broadcast(part.select("p_partkey", "p_type")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", F.col("rev"))).alias("pr"),
+            F.sum("rev").alias("tr"),
+        )
+        .select(
+            F.col("pr").cast("double").alias("promo_revenue"),
+            F.col("tr").cast("double").alias("total_revenue"),
+            (F.lit(100.0) * F.col("pr").cast("double") / F.col("tr").cast("double"))
+            .alias("promo_pct"),
+        )
+    )
+
+
+SQL_OLAP_PROMO_REVENUE = """
+WITH s AS (
+  SELECT sum(CASE WHEN p_type = 'PROMO'
+             THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (1::DECIMAL(18,2) - CAST(l_discount AS DECIMAL(18,2))) END)
+           AS pr,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (1::DECIMAL(18,2) - CAST(l_discount AS DECIMAL(18,2)))) AS tr
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-02-01'
+)
+SELECT CAST(pr AS DOUBLE) AS promo_revenue, CAST(tr AS DOUBLE) AS total_revenue,
+       100.0 * CAST(pr AS DOUBLE) / CAST(tr AS DOUBLE) AS promo_pct
+FROM s
+"""
+
+
+def q_olap_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume orders — the group-then-semi-join
+    probe. Phase 1 aggregates the fact table per order (two-phase sum,
+    map-side combine) and keeps the HAVING survivors (a tiny set); phase
+    2 joins that survivor set BROADCAST back onto orders and customer, so
+    the second pass never reshuffles the fact table."""
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    return (
+        orders.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            F.col("sum_qty").cast("double").alias("sum_qty"),
+        )
+    )
+
+
+SQL_OLAP_BIG_ORDERS = """
+WITH big AS (
+  SELECT l_orderkey, sum(l_quantity) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+)
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+       CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+       CAST(sum_qty AS DOUBLE) AS sum_qty
+FROM orders
+JOIN big ON l_orderkey = o_orderkey
+JOIN customer ON c_custkey = o_custkey
+"""
+
+
 def q_olap_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter runtime join pruning: the dim side (parts with
     p_size <= 5, 1/8 of the part table) compresses to a 4096-bit filter
@@ -4109,6 +4206,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "olap_revenue_forecast": q_olap_revenue_forecast,
     "olap_local_supplier": q_olap_local_supplier,
     "olap_bloom_join": q_olap_bloom_join,
+    "olap_promo_revenue": q_olap_promo_revenue,
+    "olap_big_orders": q_olap_big_orders,
     "catalog_merge": q_catalog_merge,
     "catalog_cdc": q_catalog_cdc,
     "web_crawl_drift": q_web_crawl_drift,
@@ -4154,6 +4253,7 @@ _CHANGED_THIS_ROUND = [
     "kg_closure", "kg_star", "sim_semantic_dedup",  # NEW this round
     "olap_revenue_forecast", "olap_local_supplier",  # NEW this round
     "olap_bloom_join",                              # NEW this round
+    "olap_promo_revenue", "olap_big_orders",        # NEW this round
     "catalog_merge", "catalog_cdc",                 # NEW this round
     "multimodal_png_pixels", "sketch_hll",          # NEW this round
     "events_interval", "corpus_pack",               # NEW this round
@@ -4272,6 +4372,8 @@ ORACLES: dict[str, str] = {
     "olap_revenue_forecast": SQL_OLAP_REVENUE_FORECAST,
     "olap_local_supplier": SQL_OLAP_LOCAL_SUPPLIER,
     "olap_bloom_join": SQL_OLAP_BLOOM_JOIN,
+    "olap_promo_revenue": SQL_OLAP_PROMO_REVENUE,
+    "olap_big_orders": SQL_OLAP_BIG_ORDERS,
     "catalog_merge": SQL_CATALOG_MERGE,
     "catalog_cdc": SQL_CATALOG_CDC,
     "web_crawl_drift": SQL_WEB_CRAWL_DRIFT,
