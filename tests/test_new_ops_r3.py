@@ -274,3 +274,24 @@ def test_personalized_pagerank_concentrates_on_seeds(spark):
     g = pagerank(edges, n_iter=5).toPandas().set_index("id")
     assert g["rank"].nunique() == 1
     assert out["rank"].nunique() > 1
+
+
+def test_pmi_pairs_window_semantics(spark):
+    from vectrain_spark.operators.textstats import pmi_pairs
+
+    # "a b c a b c ..." x6: distance-1 pairs ab/bc/ac(c..a wrap), distance-2
+    docs = spark.createDataFrame(
+        [(0, "a b c " * 6), (1, "a b c " * 6)], "doc_id long, text string"
+    )
+    out = {(r.wa, r.wb): r for r in pmi_pairs(docs, min_pair=5).collect()}
+    # each doc: tokens a,b,c x6 = 18; d1 pairs: (a,b)x6 (b,c)x6 (a,c)x5;
+    # d2: (a,c)x6 (a,b)x5 (b,c)x5  -> over 2 docs
+    assert out[("a", "b")].c_ab == 22 and out[("b", "c")].c_ab == 22
+    assert out[("a", "c")].c_ab == 22
+    assert out[("a", "b")].c_a == 12  # 'a' appears 6x per doc
+    # uniform corpus: all ratios equal and > 1 (co-occurrence enriched)
+    ratios = {r.pmi_ratio for r in out.values()}
+    assert len(ratios) == 1 and ratios.pop() > 1.0
+    # pure JVM path
+    plan = pmi_pairs(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan

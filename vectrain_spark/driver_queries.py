@@ -2480,6 +2480,43 @@ def q_ingest_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return csv_roundtrip_stats(spark, _docs(spark, sf_dir), stage)
 
 
+def q_text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram PMI collocations (+/-2 token window): pair generation is
+    in-row via zip_with over sliced token arrays (no self-join), one
+    two-phase count per pair and word, probability-ratio scored with the
+    oracle-identical IEEE expression shape."""
+    from .operators.textstats import pmi_pairs
+
+    return pmi_pairs(_docs(spark, sf_dir))
+
+
+SQL_TEXT_PMI = f"""
+WITH w AS (SELECT doc_id, string_split({NORM_SQL}, ' ') AS words FROM documents),
+tok AS (
+  SELECT doc_id, generate_subscripts(words, 1) AS pos, unnest(words) AS word
+  FROM w
+),
+pr AS (
+  SELECT least(a.word, b.word) AS wa, greatest(a.word, b.word) AS wb
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND (b.pos - a.pos) IN (1, 2)
+),
+pc AS (SELECT wa, wb, count(*)::BIGINT AS c_ab FROM pr GROUP BY 1, 2),
+uni AS (SELECT word, count(*)::BIGINT AS c FROM tok GROUP BY 1),
+tot AS (
+  SELECT (SELECT sum(c_ab) FROM pc)::BIGINT AS n_pairs,
+         (SELECT sum(c) FROM uni)::BIGINT AS n_tok
+)
+SELECT wa, wb, c_ab, ua.c AS c_a, ub.c AS c_b,
+       round((c_ab::DOUBLE * n_tok * n_tok)
+             / (n_pairs::DOUBLE * ua.c * ub.c), 6) AS pmi_ratio
+FROM pc
+JOIN uni ua ON ua.word = pc.wa
+JOIN uni ub ON ub.word = pc.wb
+CROSS JOIN tot
+WHERE c_ab >= 5
+"""
+
+
 def q_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary: top-100 tokens by frequency (ties broken by
     token) — the classic wordcount, one explode + one map-side-combining
@@ -4197,6 +4234,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ingest_jsonl": q_ingest_jsonl,
     "ingest_csv": q_ingest_csv,
     "text_vocab": q_text_vocab,
+    "text_pmi": q_text_pmi,
     "text_bigram_lm": q_text_bigram_lm,
     "text_lm_score": q_text_lm_score,
     "corpus_histogram": q_corpus_histogram,
@@ -4259,7 +4297,7 @@ _CHANGED_THIS_ROUND = [
     "events_interval", "corpus_pack",               # NEW this round
     "dedup_sentences", "stream_topk",               # NEW this round
     "kg_link_dispatch",                             # NEW: make_linker gate
-    "events_sessions", "text_gopher",               # NEW this round
+    "events_sessions", "text_gopher", "text_pmi",   # NEW this round
     "olap_shipping_priority", "kg_neighbor_jaccard",  # NEW this round
     "sketch_cms_words", "web_linkgraph",            # NEW this round
     "sim_ann_ivf", "sim_ann_ivf_euclid",            # k-means refinement
@@ -4363,6 +4401,7 @@ ORACLES: dict[str, str] = {
     # the JSONL one — both compare against the ORIGINAL parquet
     "ingest_csv": SQL_INGEST_JSONL,
     "text_vocab": SQL_TEXT_VOCAB,
+    "text_pmi": SQL_TEXT_PMI,
     "text_bigram_lm": SQL_TEXT_BIGRAM_LM,
     "text_lm_score": SQL_TEXT_LM_SCORE,
     "corpus_histogram": SQL_CORPUS_HISTOGRAM,

@@ -295,3 +295,66 @@ def lm_quality_score(docs: DataFrame, min_count: int = 5) -> DataFrame:
             ).alias("avg_p"),
         )
     )
+
+
+def pmi_pairs(docs: DataFrame, min_pair: int = 5) -> DataFrame:
+    """Skip-gram PMI collocations -> (wa, wb, c_ab, c_a, c_b, pmi_ratio):
+    unordered word pairs co-occurring within a +/-2 token window, scored
+    by p(a,b) / (p(a) p(b)) — the association measure behind phrase
+    mining and tokenizer-vocabulary induction over a training corpus.
+    pmi_ratio is the raw probability ratio (log-free: ln() is not
+    bit-reproducible across libm implementations, the monotone ratio
+    carries the identical ranking), with the exact parenthesization
+    (c_ab * n_tok * n_tok) / (n_pairs * c_a * c_b) mirrored by the SQL
+    oracle so each IEEE op rounds identically on both engines.
+
+    Scale shape: pair generation is IN-ROW — distance-1 and distance-2
+    pairs come from zip_with over sliced token arrays (whole-stage
+    codegen, no self-join, no shuffle), then ONE two-phase count per
+    pair and per word; the corpus-total counts ride in as a broadcast
+    single-row frame. min_pair prunes the heavy tail BEFORE the unigram
+    joins, so the joined set is the collocation shortlist, not the
+    pair universe."""
+    toks = docs.select(
+        "doc_id", F.split(normalized_text(), " ").alias("w")
+    )
+    pair_arr = F.expr(
+        "flatten(transform(array(1, 2), g ->"
+        " zip_with(slice(w, 1, greatest(size(w) - g, 0)),"
+        "          slice(w, g + 1, greatest(size(w) - g, 0)),"
+        "          (x, y) -> struct(least(x, y) AS wa, greatest(x, y) AS wb))))"
+    )
+    pairs = (
+        toks.select(F.explode(pair_arr).alias("p"))
+        .select("p.wa", "p.wb")
+        .groupBy("wa", "wb")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    uni = (
+        toks.select(F.explode("w").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = pairs.agg(F.sum("c_ab").alias("n_pairs")).crossJoin(
+        uni.agg(F.sum("c").alias("n_tok"))
+    )
+    shortlist = pairs.filter(F.col("c_ab") >= min_pair)
+    return (
+        shortlist.join(
+            uni.select(F.col("word").alias("wa"), F.col("c").alias("c_a")), "wa"
+        )
+        .join(uni.select(F.col("word").alias("wb"), F.col("c").alias("c_b")), "wb")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "wa",
+            "wb",
+            "c_ab",
+            "c_a",
+            "c_b",
+            F.round(
+                (F.col("c_ab").cast("double") * F.col("n_tok") * F.col("n_tok"))
+                / (F.col("n_pairs").cast("double") * F.col("c_a") * F.col("c_b")),
+                6,
+            ).alias("pmi_ratio"),
+        )
+    )
