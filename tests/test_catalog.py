@@ -358,3 +358,44 @@ def test_snapshot_cdc_classes(spark, tmp_path):
     assert by_op["update_post"] == [(2, "B")]
     # key 3: NULL value unchanged -> no change rows (NULL-tagged fingerprint)
     assert all(k != 3 for rows in by_op.values() for k, _ in rows)
+
+
+def test_wap_branch_isolation_publish_and_drop(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    cat = Catalog(str(tmp_path / "wh"))
+    base = spark.range(0, 10).select(F.col("id").alias("k"))
+    cat.write("t", base)
+    bt = cat.create_branch("t", "audit")
+    cat.write(bt, spark.range(100, 105).select(F.col("id").alias("k")), mode="append")
+    # isolation: branch sees 15, main still 10
+    assert cat.read(spark, bt).count() == 15
+    assert cat.read(spark, "t").count() == 10
+    snap = cat.publish_branch("t", "audit")
+    assert snap == 2
+    cat.drop_branch("t", "audit")
+    # published rows survive the branch drop (hardlinked under main)
+    got = sorted(r.k for r in cat.read(spark, "t").collect())
+    assert got == list(range(10)) + list(range(100, 105))
+
+
+def test_wap_fast_forward_refuses_diverged_main(spark, tmp_path):
+    import pytest
+    from pyspark.sql import functions as F
+
+    cat = Catalog(str(tmp_path / "wh"))
+    cat.write("t", spark.range(0, 5).select(F.col("id").alias("k")))
+    bt = cat.create_branch("t", "audit")
+    cat.write(bt, spark.range(10, 12).select(F.col("id").alias("k")), mode="append")
+    # main moves underneath the audit
+    cat.write("t", spark.range(20, 22).select(F.col("id").alias("k")), mode="append")
+    with pytest.raises(ValueError, match="moved since branch"):
+        cat.publish_branch("t", "audit")
+    # explicit opt-out appends the delta onto the new head
+    cat.publish_branch("t", "audit", require_fast_forward=False)
+    assert cat.read(spark, "t").count() == 9
+    # duplicate branch names are rejected while the branch exists
+    with pytest.raises(ValueError, match="already exists"):
+        cat.create_branch("t", "audit")
+    with pytest.raises(ValueError, match="invalid branch"):
+        cat.create_branch("t", "bad/name")

@@ -570,6 +570,109 @@ class Catalog:
             )
             return len(expired)
 
+    # -- branches: write-audit-publish ---------------------------------
+    def _branch_table(self, table: str, branch: str) -> str:
+        if not branch or any(c in branch for c in "/\\@") or branch != branch.strip():
+            raise ValueError(f"invalid branch name {branch!r}")
+        return f"{table}@{branch}"
+
+    def create_branch(self, table: str, branch: str) -> str:
+        """Open a WAP (write-audit-publish) branch: an isolated snapshot
+        chain seeded zero-copy from the main head (the branch's first
+        manifest references the SAME data dirs — no bytes move). Writers
+        append to the branch with the normal :meth:`write` on the
+        returned branch-table name; main readers never see those commits
+        until :meth:`publish_branch`. The Iceberg audit-branch workflow
+        (spark.wap.branch) re-expressed on this manifest store.
+
+        Branches are short-lived audit artifacts: don't run
+        :meth:`expire_snapshots` on the main table while a branch that
+        predates the retained window is still open (the branch's seed
+        manifest references main's data dirs)."""
+        bt = self._branch_table(table, branch)
+        if self.exists(bt):
+            raise ValueError(f"branch {branch!r} of {table!r} already exists")
+        head = self._head(table)
+        dirs = self._manifest(table, head)["data_dirs"] if head is not None else []
+
+        def build(parent: int | None) -> dict:
+            return {
+                "op": "replace",
+                "data_dirs": dirs,
+                "meta": {"branch_of": table, "base_snapshot": head},
+            }
+
+        with self._commit_lock:
+            self._commit_manifest(bt, build)
+        return bt
+
+    def _link_tree(self, src: str, dst: str) -> None:
+        """Hardlink-copy a staged data dir (fallback to byte copy across
+        devices) — publish stays O(#files), not O(bytes)."""
+        for dirpath, _dirs, files in os.walk(src):
+            rel = os.path.relpath(dirpath, src)
+            tgt = dst if rel == "." else os.path.join(dst, rel)
+            os.makedirs(tgt, exist_ok=True)
+            for fn in files:
+                s, d = os.path.join(dirpath, fn), os.path.join(tgt, fn)
+                try:
+                    os.link(s, d)
+                except OSError:
+                    shutil.copy2(s, d)
+
+    def publish_branch(
+        self, table: str, branch: str, require_fast_forward: bool = True
+    ) -> int:
+        """Publish an audited branch onto main: the branch's DELTA (data
+        dirs added since the seed) is hardlinked under the main table and
+        committed as one atomic append — after which the branch dir is
+        disposable (:meth:`drop_branch`). With ``require_fast_forward``
+        (the Iceberg fast-forward contract) the publish refuses if main
+        moved since the branch was created, so a concurrent writer's
+        commits are never silently interleaved; pass False to append the
+        delta onto whatever main head exists now."""
+        bt = self._branch_table(table, branch)
+        head = self._head(bt)
+        if head is None:
+            raise FileNotFoundError(f"branch {branch!r} of {table!r} does not exist")
+        seed = self._manifest(bt, 1)
+        base_dirs = set(seed["data_dirs"])
+        base_snap = seed["meta"].get("base_snapshot")
+        if require_fast_forward and self._head(table) != base_snap:
+            raise ValueError(
+                f"main table {table!r} moved since branch {branch!r} was created "
+                f"(base {base_snap}, head {self._head(table)}); rebase the audit "
+                "or publish with require_fast_forward=False"
+            )
+        delta = [
+            d for d in self._manifest(bt, head)["data_dirs"] if d not in base_dirs
+        ]
+        linked = []
+        for d in delta:
+            nd = os.path.join(self._tdir(table), "data", f"wap-{uuid.uuid4().hex}")
+            self._link_tree(d, nd)
+            linked.append(nd)
+
+        def build(parent: int | None) -> dict:
+            prev = (
+                self._manifest(table, parent)["data_dirs"]
+                if parent is not None
+                else []
+            )
+            return {
+                "op": "append" if parent is not None else "replace",
+                "data_dirs": prev + linked,
+                "meta": {"wap_published": branch, "base_snapshot": base_snap},
+            }
+
+        with self._commit_lock:
+            return self._commit_manifest(table, build)
+
+    def drop_branch(self, table: str, branch: str) -> None:
+        """Delete a branch's chain and staged data. Safe after publish
+        (published files are hardlinks under the main table)."""
+        shutil.rmtree(self._tdir(self._branch_table(table, branch)), ignore_errors=True)
+
     def drop(self, table: str) -> None:
         shutil.rmtree(self._tdir(table), ignore_errors=True)
 

@@ -3105,6 +3105,46 @@ WHERE doc_id % 2 = 0 OR doc_id % 3 = 0
 """
 
 
+def q_catalog_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish through a catalog branch: bootstrap main from
+    the even half, append the odd %3==0 rows on an isolated branch,
+    AUDIT the branch delta (non-negative lengths, no key collisions with
+    main — both checked here), fast-forward-publish, drop the branch,
+    read main HEAD. Main must show base + audited delta and nothing of
+    the branch machinery; the dropped branch proves published files
+    survive (hardlinked, not referenced)."""
+    import shutil
+
+    from .catalog import Catalog
+
+    root = "/tmp/vectrain_wap_gate"
+    shutil.rmtree(root, ignore_errors=True)
+    cat = Catalog(root)
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "lang", F.length("text").cast("long").alias("text_len")
+    )
+    cat.write("docs", docs.filter(F.col("doc_id") % 2 == 0))
+    bt = cat.create_branch("docs", "audit1")
+    delta = docs.filter((F.col("doc_id") % 2 == 1) & (F.col("doc_id") % 3 == 0))
+    cat.write(bt, delta, mode="append")
+    # audit: branch-only rows are clean and collide with no main key
+    staged = cat.read(spark, bt)
+    main = cat.read(spark, "docs")
+    assert staged.filter(F.col("text_len") < 0).count() == 0
+    new_keys = staged.join(main, "doc_id", "left_anti")
+    assert new_keys.count() == staged.count() - main.count()
+    cat.publish_branch("docs", "audit1")
+    cat.drop_branch("docs", "audit1")
+    return cat.read(spark, "docs")
+
+
+SQL_CATALOG_WAP = """
+SELECT doc_id, lang, length(text)::BIGINT AS text_len
+FROM documents
+WHERE doc_id % 2 = 0 OR (doc_id % 2 = 1 AND doc_id % 3 = 0)
+"""
+
+
 def q_catalog_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change-data-capture between two snapshots: snapshot A is the even
     half of the corpus, snapshot B deletes the doc_id % 10 == 0 rows,
@@ -4247,6 +4287,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "olap_promo_revenue": q_olap_promo_revenue,
     "olap_big_orders": q_olap_big_orders,
     "catalog_merge": q_catalog_merge,
+    "catalog_wap": q_catalog_wap,
     "catalog_cdc": q_catalog_cdc,
     "web_crawl_drift": q_web_crawl_drift,
     "text_langid": q_text_langid,
@@ -4292,7 +4333,7 @@ _CHANGED_THIS_ROUND = [
     "olap_revenue_forecast", "olap_local_supplier",  # NEW this round
     "olap_bloom_join",                              # NEW this round
     "olap_promo_revenue", "olap_big_orders",        # NEW this round
-    "catalog_merge", "catalog_cdc",                 # NEW this round
+    "catalog_merge", "catalog_cdc", "catalog_wap",  # NEW this round
     "multimodal_png_pixels", "sketch_hll",          # NEW this round
     "events_interval", "corpus_pack",               # NEW this round
     "dedup_sentences", "stream_topk",               # NEW this round
@@ -4414,6 +4455,7 @@ ORACLES: dict[str, str] = {
     "olap_promo_revenue": SQL_OLAP_PROMO_REVENUE,
     "olap_big_orders": SQL_OLAP_BIG_ORDERS,
     "catalog_merge": SQL_CATALOG_MERGE,
+    "catalog_wap": SQL_CATALOG_WAP,
     "catalog_cdc": SQL_CATALOG_CDC,
     "web_crawl_drift": SQL_WEB_CRAWL_DRIFT,
     "text_langid": SQL_TEXT_LANGID,
