@@ -207,3 +207,35 @@ def test_inverted_index_postings_cap_and_totals(spark):
     assert out.loc["tok", "total_tf"] == 10  # doc 100 has it twice
     assert out.loc["tok", "postings"] == "0,1,2,3,4"  # capped, ascending
     assert out.loc["rare", "postings"] == "100"
+
+
+def test_crawl_frontier_excludes_fetched_and_caps_per_shard(spark):
+    import pandas as pd
+
+    from vectrain_spark.operators.webcorpus import crawl_frontier
+
+    html = (
+        '<a href="/cat/1/0">x</a><a href="/cat/1/0">y</a>'
+        '<a href="/cat/2/0">z</a><a href="https://docs.example/p0">self</a>'
+        '<a href="/ad/1/1">w</a>'
+    ).encode()
+    pages = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "url": ["https://docs.example/p0", "https://docs.example/p1"],
+                "warc_ts": pd.Timestamp("2024-01-01"),
+                "html": [html, html],
+                "lang": "en",
+            }
+        )
+    )
+    out = crawl_frontier(pages, per_shard_cap=1).toPandas()
+    # already-fetched p0 never re-enters the frontier
+    assert "https://docs.example/p0" not in set(out.url)
+    # cap=1 keeps only the top in-link url per shard; /cat/1/0 has 4 refs
+    cat = out[out.shard == "docs.example/cat"]
+    assert list(cat.url) == ["https://docs.example/cat/1/0"]
+    assert cat.iloc[0].n_refs == 4 and cat.iloc[0].n_pages == 2
+    assert list(out[out.shard == "docs.example/ad"].url) == [
+        "https://docs.example/ad/1/1"
+    ]

@@ -3235,6 +3235,56 @@ FROM links GROUP BY href
 """
 
 
+def q_web_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier scheduling from raw page bytes: extract out-links,
+    resolve to absolute urls, drop already-fetched ones with a left_anti
+    join, rank by in-link count inside each politeness shard (host +
+    first path segment) and cap per shard — the next-wave queue. The
+    oracle reconstructs links arithmetically from doc_id, so extraction,
+    resolution, sharding and the per-shard rank are all value-checked."""
+    from .operators.webcorpus import crawl_frontier
+
+    pages = pages_from_documents(_docs(spark, sf_dir), junk_blocks=4)
+    return crawl_frontier(pages)
+
+
+SQL_WEB_FRONTIER = """
+WITH good AS (SELECT doc_id FROM documents WHERE doc_id % 97 != 3),
+cat AS (
+  SELECT 'https://docs.example/' || doc_id AS src,
+         '/cat/' || ((doc_id + j) % 50) || '/' || i AS href
+  FROM good, generate_series(0, 3) b(i), generate_series(0, 24) t(j)
+  WHERE (doc_id + i) % 4 = 2
+),
+ad AS (
+  SELECT 'https://docs.example/' || doc_id AS src,
+         '/ad/' || i || '/' || j AS href
+  FROM good, generate_series(0, 3) b(i), generate_series(0, 19) t(j)
+  WHERE (doc_id + i) % 4 = 3
+),
+links AS (SELECT * FROM cat UNION ALL SELECT * FROM ad),
+cand AS (
+  SELECT 'https://docs.example' || href AS url,
+         count(*)::BIGINT AS n_refs, count(DISTINCT src)::BIGINT AS n_pages
+  FROM links GROUP BY 1
+),
+fresh AS (
+  SELECT * FROM cand
+  WHERE url NOT IN (SELECT 'https://docs.example/' || doc_id FROM documents)
+),
+r AS (
+  SELECT 'docs.example/' || split_part(url, '/', 4) AS shard,
+         url, n_refs, n_pages,
+         row_number() OVER (
+           PARTITION BY split_part(url, '/', 4)
+           ORDER BY n_refs DESC, url ASC
+         )::INTEGER AS rank
+  FROM fresh
+)
+SELECT shard, rank, url, n_refs, n_pages FROM r WHERE rank <= 50
+"""
+
+
 def q_web_crawl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Versioned-corpus diff: run the REAL extraction over two crawl
     snapshots of the same url space (second crawl: every 11th url gone,
@@ -4261,6 +4311,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_url": q_dedup_url,
     "web_domains": q_web_domains,
     "web_linkgraph": q_web_linkgraph,
+    "web_frontier": q_web_frontier,
     "corpus_pack": q_corpus_pack,
     "sample_stratified": q_sample_stratified,
     "sample_fixed_k": q_sample_fixed_k,
@@ -4341,6 +4392,7 @@ _CHANGED_THIS_ROUND = [
     "events_sessions", "text_gopher", "text_pmi",   # NEW this round
     "olap_shipping_priority", "kg_neighbor_jaccard",  # NEW this round
     "sketch_cms_words", "web_linkgraph",            # NEW this round
+    "web_frontier",                                 # NEW this round
     "sim_ann_ivf", "sim_ann_ivf_euclid",            # k-means refinement
     "multimodal_image_features", "multimodal_audio_frames",  # real codecs
     "events_cumulative", "events_rolling",          # window rewrites
@@ -4427,6 +4479,7 @@ ORACLES: dict[str, str] = {
     "dedup_url": SQL_DEDUP_URL,
     "web_domains": SQL_WEB_DOMAINS,
     "web_linkgraph": SQL_WEB_LINKGRAPH,
+    "web_frontier": SQL_WEB_FRONTIER,
     "corpus_pack": SQL_CORPUS_PACK,
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
     "sample_fixed_k": SQL_SAMPLE_FIXED_K,

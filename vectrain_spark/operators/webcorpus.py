@@ -238,3 +238,63 @@ def link_graph(pages: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_refs"),
         F.count_distinct("src").alias("n_pages"),
     )
+
+
+def crawl_frontier(pages: DataFrame, per_shard_cap: int = 50) -> DataFrame:
+    """Next-wave crawl frontier -> (shard, rank, url, n_refs, n_pages):
+    extracted out-links that are NOT already fetched, resolved to
+    absolute urls, ranked by in-link count inside each politeness shard
+    (host + first path segment — the key large-host frontiers shard
+    their queues by), capped at ``per_shard_cap`` per shard. The
+    scheduling table a Common-Crawl-style wave derives from the previous
+    wave's pages.
+
+    Scale shape: link extraction is the same fused JVM scan as
+    :func:`link_graph`; "already crawled" is ONE left_anti hash join of
+    the candidate set against the fetched url set (the only
+    corpus-sized shuffle); the rank window is partitioned per shard, so
+    no global sort exists anywhere — frontier cost scales with the
+    candidate count per shard, never the crawl."""
+    from pyspark.sql.window import Window as W
+
+    hrefs = pages.select(
+        F.col("url").alias("src"),
+        F.explode(
+            F.regexp_extract_all(
+                F.col("html").cast("string"), F.lit('href="([^"]+)"'), 1
+            )
+        ).alias("href"),
+    )
+    cand = (
+        hrefs.select(
+            F.when(
+                F.col("href").startswith("/"),
+                F.concat(F.lit("https://docs.example"), F.col("href")),
+            )
+            .otherwise(F.col("href"))
+            .alias("url"),
+            "src",
+        )
+        .groupBy("url")
+        .agg(
+            F.count(F.lit(1)).alias("n_refs"),
+            F.count_distinct("src").alias("n_pages"),
+        )
+        .join(pages.select("url"), "url", "left_anti")
+    )
+    shard = F.concat_ws(
+        "/",
+        F.parse_url("url", F.lit("HOST")),
+        F.split(F.parse_url("url", F.lit("PATH")), "/").getItem(1),
+    )
+    rank = F.row_number().over(
+        W.partitionBy("shard").orderBy(
+            F.col("n_refs").desc(), F.col("url").asc()
+        )
+    )
+    return (
+        cand.withColumn("shard", shard)
+        .withColumn("rank", rank)
+        .filter(F.col("rank") <= per_shard_cap)
+        .select("shard", "rank", "url", "n_refs", "n_pages")
+    )
