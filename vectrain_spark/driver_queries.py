@@ -4059,41 +4059,45 @@ _COS6 = (
     " * sqrt(list_dot_product({b}, {b}))), 6)"
 )
 
-def _kmeans_ctes(expr_tpl: str, order: str, kmeans_iters: int) -> str:
+def _kmeans_ctes(
+    expr_tpl: str, order: str, kmeans_iters: int, p: str = "", v: str = "v"
+) -> str:
     """Unrolled Lloyd-iteration CTE chain over a corpus CTE named ``v``
-    and seed centroids ``c0`` — one score/argbest/scaled-integer-mean
+    and seed centroids ``{p}c0`` — one score/argbest/scaled-integer-mean
     round per iteration; the floor(sum(floor(x*1e6))/count)/1e6
     arithmetic matches kmeans_refine bit-for-bit (operators/
-    similarity.py). Shared by the IVF and SemDeDup oracles."""
+    similarity.py). Shared by the IVF, SemDeDup and PQ oracles; ``p``
+    prefixes every generated CTE name so several chains (PQ trains one
+    codebook per subspace) can coexist in one statement."""
     kmeans = ""
     for it in range(1, kmeans_iters + 1):
-        prev = "c0" if it == 1 else f"c{it - 1}"
+        prev = f"{p}c0" if it == 1 else f"{p}c{it - 1}"
         kmeans += f"""
-s{it} AS (
+{p}s{it} AS (
   SELECT v.vec_id, c.cell,
          {expr_tpl.format(a='v.emb', b='c.c_emb')} AS score
-  FROM v, {prev} c
+  FROM {v} v, {prev} c
 ),
-a{it} AS (
+{p}a{it} AS (
   SELECT vec_id, cell FROM (
     SELECT vec_id, cell,
            row_number() OVER (PARTITION BY vec_id ORDER BY score {order}, cell ASC) AS rn
-    FROM s{it}) WHERE rn = 1
+    FROM {p}s{it}) WHERE rn = 1
 ),
-x{it} AS (
+{p}x{it} AS (
   SELECT a.cell, generate_subscripts(v.emb, 1) AS i, unnest(v.emb) AS x
-  FROM a{it} a JOIN v USING (vec_id)
+  FROM {p}a{it} a JOIN {v} v USING (vec_id)
 ),
-m{it} AS (
+{p}m{it} AS (
   SELECT cell, i, floor(sum(floor(x * 1000000.0)) / count(*)) AS ms
-  FROM x{it} GROUP BY cell, i
+  FROM {p}x{it} GROUP BY cell, i
 ),
-r{it} AS (
-  SELECT cell, list(ms / 1000000.0 ORDER BY i) AS r_emb FROM m{it} GROUP BY cell
+{p}r{it} AS (
+  SELECT cell, list(ms / 1000000.0 ORDER BY i) AS r_emb FROM {p}m{it} GROUP BY cell
 ),
-c{it} AS (
+{p}c{it} AS (
   SELECT c.cell, coalesce(r.r_emb, c.c_emb) AS c_emb
-  FROM {prev} c LEFT JOIN r{it} r USING (cell)
+  FROM {prev} c LEFT JOIN {p}r{it} r USING (cell)
 ),"""
     return kmeans
 
@@ -4197,6 +4201,89 @@ def q_sim_ann_ivf_euclid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivf(spark, _emb(spark, sf_dir), metric="euclid").withColumn(
         "rank", F.col("rank").cast("long")
     )
+
+
+def q_sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jegou et al.): 4x16-dim subspace
+    codebooks (seeded k-means, euclid), m-byte codes per vector, and a
+    LUT-based asymmetric-distance scan — the billion-scale memory path
+    where raw vectors never touch the query join. Deterministic end to
+    end (rounded LUT distances, fixed summation order), so the oracle
+    reproduces codebooks, codes, and the final ranking bit-for-bit."""
+    from .operators.similarity import pq_topk
+
+    return pq_topk(spark, _emb(spark, sf_dir)).withColumn(
+        "rank", F.col("rank").cast("long")
+    )
+
+
+def _pq_sql(
+    m: int = 4,
+    n_codes: int = 16,
+    kmeans_iters: int = 1,
+    n_queries: int = 10,
+    k: int = 5,
+    dims: int = 64,
+) -> str:
+    """PQ oracle: one prefixed k-means CTE chain per subspace (slice ->
+    seed -> Lloyd -> assign -> per-query LUT), then the ADC scan as a
+    codes x queries join summing rounded per-subspace distances in the
+    Spark side's fixed left-assoc order."""
+    dsub = dims // m
+    parts = []
+    for s in range(m):
+        lo, hi = s * dsub + 1, (s + 1) * dsub
+        p = f"p{s}"
+        parts.append(f"""
+v{s} AS (SELECT vec_id, emb[{lo}:{hi}] AS emb FROM v),
+{p}c0 AS (SELECT vec_id::INTEGER AS cell, emb AS c_emb FROM v{s} WHERE vec_id < {n_codes}),{_kmeans_ctes(_EUC6, "ASC", kmeans_iters, p=p, v=f"v{s}")}
+{p}cc AS (SELECT cell, c_emb FROM {p}c{kmeans_iters}),
+{p}sc AS (
+  SELECT v.vec_id, c.cell, {_EUC6.format(a='v.emb', b='c.c_emb')} AS score
+  FROM v{s} v, {p}cc c
+),
+{p}asg AS (
+  SELECT vec_id, cell AS c{s} FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY score ASC, cell ASC) AS rn
+    FROM {p}sc) WHERE rn = 1
+),
+{p}lut AS (
+  SELECT q.vec_id AS q_id, c.cell AS c{s},
+         {_EUC6.format(a='q.emb', b='c.c_emb')} AS d{s}
+  FROM v{s} q, {p}cc c WHERE q.vec_id < {n_queries}
+),""")
+    subs = "".join(parts)
+    code_joins = " ".join(f"JOIN p{s}asg a{s} USING (vec_id)" for s in range(1, m))
+    lut_joins = " ".join(
+        f"JOIN p{s}lut l{s} ON l{s}.q_id = q.q_id AND l{s}.c{s} = codes.c{s}"
+        for s in range(m)
+    )
+    d2 = " + ".join(f"l{s}.d{s} * l{s}.d{s}" for s in range(m))
+    code_cols = ", ".join(f"a{s}.c{s}" for s in range(m))
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+),{subs}
+codes AS (SELECT a0.vec_id, {code_cols} FROM p0asg a0 {code_joins}),
+q AS (SELECT vec_id AS q_id FROM v WHERE vec_id < {n_queries}),
+cand AS (
+  SELECT q.q_id, codes.vec_id AS n_id,
+         round(sqrt({d2}), 6) AS score
+  FROM codes CROSS JOIN q {lut_joins}
+  WHERE codes.vec_id <> q.q_id
+),
+r AS (
+  SELECT q_id, n_id, score,
+         row_number() OVER (PARTITION BY q_id ORDER BY score ASC, n_id ASC) AS rank
+  FROM cand
+)
+SELECT q_id, n_id, score, rank FROM r WHERE rank <= {k}
+"""
+
+
+SQL_SIM_PQ = _pq_sql()
 
 
 def q_sim_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4350,6 +4437,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_knn_dot": q_sim_knn_dot,
     "sim_ann_ivf": q_sim_ann_ivf,
     "sim_ann_ivf_euclid": q_sim_ann_ivf_euclid,
+    "sim_pq": q_sim_pq,
     "sim_maxsim": q_sim_maxsim,
     "dedup_embedding_exact": q_dedup_embedding_exact,
     "sim_semantic_dedup": q_sim_semantic_dedup,
@@ -4379,6 +4467,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # never verified (past the r2 cutoff; locally gate-replica-green), (3)
 # then the twice-driver-verified stable tail in original order.
 _CHANGED_THIS_ROUND = [
+    "sim_pq",                                       # NEW this round
     "kg_hits", "kg_communities", "kg_sssp", "kg_ppr",  # NEW this round
     "kg_closure", "kg_star", "sim_semantic_dedup",  # NEW this round
     "olap_revenue_forecast", "olap_local_supplier",  # NEW this round
@@ -4519,6 +4608,7 @@ ORACLES: dict[str, str] = {
     "sim_knn_euclid": SQL_SIM_KNN_EUCLID,
     "sim_knn_dot": SQL_SIM_KNN_DOT,
     "sim_ann_ivf": SQL_SIM_ANN_IVF,
+    "sim_pq": SQL_SIM_PQ,
     "sim_ann_ivf_euclid": SQL_SIM_ANN_IVF_EUCLID,
     "sim_maxsim": SQL_SIM_MAXSIM,
     "dedup_embedding_exact": SQL_DEDUP_EMBEDDING_EXACT,

@@ -509,3 +509,84 @@ def semantic_dedup(
         )
         .filter(F.col("score") >= threshold)
     )
+
+
+def pq_topk(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    m: int = 4,
+    n_codes: int = 16,
+    kmeans_iters: int = 1,
+    n_queries: int = 10,
+    k: int = 5,
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation —
+    the billion-scale memory-compression path (Jégou et al., PQ): split
+    the d dims into ``m`` subspaces, train a ``n_codes``-entry codebook
+    per subspace (the same seeded, oracle-exact Lloyd machinery as IVF,
+    under euclid), encode every vector as m small codes (m bytes at
+    n_codes<=256 — a 64-dim float corpus compresses 64x), then answer
+    queries by looking distances up in per-query LUTs instead of
+    touching raw vectors.
+
+    Dataflow: per-subspace codebooks and code assignment reuse
+    :func:`kmeans_refine` / :func:`assign_cells` on sliced arrays; the
+    encoded table is m tiny joins on vec_id (one row per vector, one
+    code column per subspace); each query's LUT (n_codes x m distances)
+    and the query list ride in as BROADCASTs onto the code scan, so the
+    ADC pass is one shuffle-free scan of the code table per batch of
+    queries. Scores sum the per-subspace rounded euclid distances in a
+    FIXED expression order (d0^2+d1^2+...+sqrt+round), so the DuckDB
+    oracle reproduces the ranking bit-for-bit. Approximate by design —
+    recall vs :func:`knn_bruteforce` is measured in tests."""
+    vecs = _vecs(embeddings)
+    dims = vecs.select(F.size("emb").alias("d")).first()["d"]
+    if dims % m != 0:
+        raise ValueError(f"dim {dims} not divisible by m={m}")
+    dsub = dims // m
+    codes = None
+    luts = []
+    q_ids = vecs.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id")
+    )
+    for s in range(m):
+        sub = vecs.select(
+            "vec_id", F.slice("emb", s * dsub + 1, dsub).alias("emb")
+        )
+        seed = sub.filter(F.col("vec_id") < n_codes).select(
+            F.col("vec_id").cast("int").alias("cell"), F.col("emb").alias("c_emb")
+        )
+        cents = kmeans_refine(sub, seed, iters=kmeans_iters, metric="euclid")
+        enc = assign_cells(sub, cents, metric="euclid").select(
+            "vec_id", F.col("cell").alias(f"c{s}")
+        )
+        codes = enc if codes is None else codes.join(enc, "vec_id")
+        qsub = sub.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+        )
+        lut = qsub.join(F.broadcast(cents)).select(
+            "q_id",
+            F.col("cell").alias(f"c{s}"),
+            F.round(metric_expr("euclid", "q_emb", "c_emb"), 6).alias(f"d{s}"),
+        )
+        luts.append(lut)
+    cand = codes.crossJoin(F.broadcast(q_ids)).filter(
+        F.col("vec_id") != F.col("q_id")
+    )
+    for s in range(m):
+        cand = cand.join(F.broadcast(luts[s]), ["q_id", f"c{s}"])
+    from functools import reduce as _reduce
+
+    d2 = _reduce(
+        lambda acc, s: acc + F.col(f"d{s}") * F.col(f"d{s}"),
+        range(1, m),
+        F.col("d0") * F.col("d0"),
+    )
+    score = F.round(F.sqrt(d2), 6)
+    w = Window.partitionBy("q_id").orderBy(F.asc("score"), F.asc("n_id"))
+    return (
+        cand.select("q_id", F.col("vec_id").alias("n_id"), score.alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "score", "rank")
+    )
