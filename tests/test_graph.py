@@ -326,3 +326,61 @@ def test_star_join_binding_combinations(spark):
     }
     assert set(out.subj) == {"x"} and len(out) == 2  # 2 acq x 1 part
     assert set(out.obj_acq) == {"a1", "a2"} and set(out.obj_part) == {"p1"}
+
+
+def test_transe_scores_matches_numpy_oracle(spark):
+    """TransE energy: rebuild the md5-keyed lookup and the expanded
+    quadratic form in numpy/hashlib and compare scores + per-pred ranks."""
+    import hashlib
+
+    import numpy as np
+
+    from vectrain_spark.operators.graph import transe_scores
+
+    rng = np.random.default_rng(7)
+    emb = [(i, rng.standard_normal(8).round(3).tolist()) for i in range(20)]
+    embdf = spark.createDataFrame(emb, "vec_id: long, embedding: array<double>")
+    edges = [
+        ("A", "supplies", "B", 1), ("B", "supplies", "C", 2),
+        ("C", "partners", "A", 1), ("A", "partners", "D", 3),
+        ("D", "supplies", "A", 1), ("B", "partners", "C", 1),
+    ]
+    edf = spark.createDataFrame(edges, "src: string, pred: string, dst: string, cnt: long")
+    got = transe_scores(edf, embdf, k=2).toPandas()
+
+    def vid(name, salt):
+        return int(hashlib.md5((name + salt).encode()).hexdigest()[:15], 16) % 20
+
+    mat = {i: np.asarray(v, dtype=np.float64) for i, v in emb}
+    want = {}
+    for s, p, o, _ in edges:
+        h, r, t = mat[vid(s, "|e")], mat[vid(p, "|r")], mat[vid(o, "|e")]
+        d2 = (h @ h) + (r @ r) + (t @ t) + 2 * (h @ r) - 2 * (h @ t) - 2 * (r @ t)
+        want[(s, p, o)] = _round_half_up(-float(np.sqrt(d2)), 6)
+    for _, row in got.iterrows():
+        assert want[(row.src, row.pred, row.dst)] == pytest.approx(row.score, abs=1e-9)
+    # per-pred ranks: contiguous from 1, ordered by score desc
+    for p, grp in got.groupby("pred"):
+        grp = grp.sort_values("rank")
+        assert grp["rank"].tolist() == list(range(1, len(grp) + 1))
+        assert (grp["score"].diff().dropna() <= 1e-12).all()
+
+
+def test_transe_two_phase_topk_equals_single_partition_topk(spark):
+    """The bucketed local-prune must be invisible: one bucket (no prune)
+    and 64 buckets give identical finalists."""
+    import numpy as np
+
+    from vectrain_spark.operators.graph import transe_scores
+
+    rng = np.random.default_rng(11)
+    emb = [(i, rng.standard_normal(8).round(3).tolist()) for i in range(30)]
+    embdf = spark.createDataFrame(emb, "vec_id: long, embedding: array<double>")
+    edges = [
+        (f"E{i}", "rel", f"E{(i * 7) % 23}", 1) for i in range(40) if i != (i * 7) % 23
+    ]
+    edf = spark.createDataFrame(edges, "src: string, pred: string, dst: string, cnt: long")
+    a = transe_scores(edf, embdf, k=5, buckets=1).toPandas().sort_values("rank")
+    b = transe_scores(edf, embdf, k=5, buckets=64).toPandas().sort_values("rank")
+    assert a[["src", "pred", "dst", "rank"]].values.tolist() == \
+        b[["src", "pred", "dst", "rank"]].values.tolist()

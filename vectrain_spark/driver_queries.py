@@ -1307,6 +1307,52 @@ SQL_KG_TRIANGLES, SQL_KG_KCORE, SQL_KG_NEIGHBOR_JACCARD = _graph_pairs_sql()
 SQL_KG_NEGATIVES = SQL_KG_NEGATIVES_TPL.format(edges=SQL_KG_EDGES)
 
 
+def q_kg_transe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TransE link-prediction scoring over the materialized edge table:
+    every canonical triple gets the translation-embedding energy
+    -||h + r - t|| from a pretrained (hash-keyed) embedding matrix, and
+    the top-5 most plausible triples per predicate come back ranked —
+    the KG-completion read path that consumes kg_negatives' training
+    output."""
+    from .operators.graph import transe_scores
+
+    return transe_scores(_materialized_edges(spark, sf_dir), _emb(spark, sf_dir))
+
+
+SQL_KG_TRANSE_TPL = """
+WITH e0 AS MATERIALIZED (SELECT DISTINCT src, pred, dst FROM ({edges})),
+v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings),
+nv AS (SELECT count(*) AS n FROM v),
+ids AS (
+  SELECT src, pred, dst,
+         ('0x' || substr(md5(src || '|e'), 1, 15))::BIGINT % (SELECT n FROM nv) AS h_id,
+         ('0x' || substr(md5(pred || '|r'), 1, 15))::BIGINT % (SELECT n FROM nv) AS r_id,
+         ('0x' || substr(md5(dst || '|e'), 1, 15))::BIGINT % (SELECT n FROM nv) AS t_id
+  FROM e0
+),
+s AS (
+  SELECT i.src, i.pred, i.dst,
+         round(-sqrt(
+           list_dot_product(vh.emb, vh.emb) + list_dot_product(vr.emb, vr.emb)
+           + list_dot_product(vt.emb, vt.emb)
+           + 2.0 * list_dot_product(vh.emb, vr.emb)
+           - 2.0 * list_dot_product(vh.emb, vt.emb)
+           - 2.0 * list_dot_product(vr.emb, vt.emb)), 6) AS score
+  FROM ids i
+  JOIN v vh ON vh.vec_id = i.h_id
+  JOIN v vr ON vr.vec_id = i.r_id
+  JOIN v vt ON vt.vec_id = i.t_id
+)
+SELECT src, pred, dst, score, rank FROM (
+  SELECT src, pred, dst, score,
+         row_number() OVER (PARTITION BY pred ORDER BY score DESC, src ASC, dst ASC) AS rank
+  FROM s
+) WHERE rank <= 5
+"""
+SQL_KG_TRANSE = SQL_KG_TRANSE_TPL.format(edges=SQL_KG_EDGES)
+
+
 def q_kg_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kleinberg HITS over the materialized edge table: 5 synchronous
     hub/authority iterations with per-iteration L1 normalization, checked
@@ -4370,6 +4416,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_ppr": q_kg_ppr,
     "kg_path2": q_kg_path2,
     "kg_negatives": q_kg_negatives,
+    "kg_transe": q_kg_transe,
     "kg_integrity": q_kg_integrity,
     "kg_incremental": q_kg_incremental,
     "kg_time_travel": q_kg_time_travel,
@@ -4467,7 +4514,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # never verified (past the r2 cutoff; locally gate-replica-green), (3)
 # then the twice-driver-verified stable tail in original order.
 _CHANGED_THIS_ROUND = [
-    "sim_pq",                                       # NEW this round
+    "sim_pq", "kg_transe",                          # NEW this round
     "kg_hits", "kg_communities", "kg_sssp", "kg_ppr",  # NEW this round
     "kg_closure", "kg_star", "sim_semantic_dedup",  # NEW this round
     "olap_revenue_forecast", "olap_local_supplier",  # NEW this round
@@ -4534,6 +4581,7 @@ ORACLES: dict[str, str] = {
     "kg_ppr": SQL_KG_PPR,
     "kg_path2": SQL_KG_PATH2,
     "kg_negatives": SQL_KG_NEGATIVES,
+    "kg_transe": SQL_KG_TRANSE,
     "kg_integrity": SQL_KG_INTEGRITY,
     # streamed output must equal the batch extraction exactly
     "kg_stream_triples": SQL_KG_TRIPLES,

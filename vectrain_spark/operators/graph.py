@@ -1163,3 +1163,91 @@ def star_join(edges: DataFrame, preds: list[str]) -> DataFrame:
         )
         out = leg if out is None else out.join(leg, "subj")
     return out
+
+
+def transe_scores(
+    edges: DataFrame, embeddings: DataFrame, k: int = 5, buckets: int = 64
+) -> DataFrame:
+    """TransE plausibility scoring (Bordes et al. 2013) of materialized
+    KG edges: score(h, r, t) = -||h + r - t||_2, the energy a trained
+    translation-embedding model assigns a triple — the ranking signal a
+    KG-completion / link-prediction pass runs over candidate edges. This
+    is the downstream consumer of :func:`negative_edges`' training pairs
+    (reference analogy: vectrain's embed stage feeding a scored vector
+    sink, internal/app/pipeline/pipeline.go:259-263).
+
+    Entity/relation vectors are looked up from a pretrained embedding
+    MATRIX (here: the embeddings table) keyed by a cross-engine md5 hash
+    of the name ('|e' / '|r' salted), so the whole operator — lookup,
+    energy, per-predicate top-k — is bit-reproducible by the DuckDB
+    oracle. The L2 energy uses the EXPANDED quadratic form
+    hh + rr + tt + 2hr - 2ht - 2rt (six left-fold dot products in fixed
+    order) so both engines execute identical IEEE op sequences.
+
+    Scale shape: three hash-joins of the (distinct) edge table against
+    the embedding matrix on vec_id — at 10^12 edges each is an ordinary
+    co-partitioned shuffle join; scoring is whole-stage-codegen JVM.
+    The per-predicate top-k avoids the predicate-hub window (few
+    predicates x many edges = one straggler task) with a TWO-PHASE
+    rank: local top-k inside (pred, hash-bucket) partitions first, then
+    the global window only sees <= buckets*k finalists per predicate.
+    """
+    from .similarity import _dot, _vecs
+
+    vecs = _vecs(embeddings)
+    n = vecs.groupBy().agg(F.count(F.lit(1)).alias("n"))
+
+    def _vid(col, salt):
+        h = F.conv(
+            F.substring(F.md5(F.concat(col, F.lit(salt))), 1, 15), 16, 10
+        ).cast("long")
+        return F.pmod(h, F.col("n"))
+
+    e = (
+        edges.select("src", "pred", "dst")
+        .distinct()
+        .crossJoin(F.broadcast(n))
+        .select(
+            "src",
+            "pred",
+            "dst",
+            _vid(F.col("src"), "|e").alias("h_id"),
+            _vid(F.col("pred"), "|r").alias("r_id"),
+            _vid(F.col("dst"), "|e").alias("t_id"),
+        )
+    )
+    for idc, out in (("h_id", "h"), ("r_id", "r"), ("t_id", "t")):
+        e = e.join(
+            vecs.select(F.col("vec_id").alias(idc), F.col("emb").alias(out)), idc
+        )
+    d2 = (
+        _dot("h", "h")
+        + _dot("r", "r")
+        + _dot("t", "t")
+        + F.lit(2.0) * _dot("h", "r")
+        - F.lit(2.0) * _dot("h", "t")
+        - F.lit(2.0) * _dot("r", "t")
+    )
+    scored = e.select(
+        "src", "pred", "dst", F.round(-F.sqrt(d2), 6).alias("score")
+    )
+    from pyspark.sql import Window
+
+    bkt = F.pmod(F.xxhash64("src", "dst"), F.lit(buckets))
+    wl = Window.partitionBy("pred", "_b").orderBy(
+        F.desc("score"), F.asc("src"), F.asc("dst")
+    )
+    local = (
+        scored.withColumn("_b", bkt)
+        .withColumn("_lr", F.row_number().over(wl))
+        .filter(F.col("_lr") <= k)
+        .drop("_b", "_lr")
+    )
+    wg = Window.partitionBy("pred").orderBy(
+        F.desc("score"), F.asc("src"), F.asc("dst")
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(wg).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("src", "pred", "dst", "score", "rank")
+    )
