@@ -295,3 +295,51 @@ def test_pmi_pairs_window_semantics(spark):
     # pure JVM path
     plan = pmi_pairs(docs)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_bpe_pair_counts_hand_corpus(spark):
+    """'aaab aaab ab' -> word freqs {aaab:2, ab:1}; pairs: aa×2/word,
+    ab×1/word -> aa:4, ab:3."""
+    from vectrain_spark.operators.textstats import bpe_pair_counts
+
+    docs = spark.createDataFrame(
+        [(1, "aaab aaab"), (2, "ab"), (3, "x")], "doc_id: long, text: string"
+    )
+    got = {r["pair"]: r["cnt"] for r in bpe_pair_counts(docs).collect()}
+    assert got == {"aa": 4, "ab": 3}
+
+
+def test_bpe_pair_counts_weights_by_occurrence(spark):
+    """The same word in many docs counts once per occurrence (wordcount
+    weighting), and 1-char words contribute no pairs."""
+    from vectrain_spark.operators.textstats import bpe_pair_counts
+
+    docs = spark.createDataFrame(
+        [(i, "zq a") for i in range(5)], "doc_id: long, text: string"
+    )
+    got = {r["pair"]: r["cnt"] for r in bpe_pair_counts(docs).collect()}
+    assert got == {"zq": 5}
+
+
+def test_degree_histogram_log2_buckets(spark):
+    """Degrees 1,2,3,4,8 -> buckets 0,1,1,2,3."""
+    from vectrain_spark.operators.graph import degree_histogram
+
+    rows = []
+    for src, deg in (("a", 1), ("b", 2), ("c", 3), ("d", 4), ("e", 8)):
+        rows += [(src, f"n{i}", "p") for i in range(deg)]
+    edges = spark.createDataFrame(rows, "src: string, dst: string, pred: string")
+    got = {r["bucket"]: r["n_nodes"] for r in degree_histogram(edges).collect()}
+    assert got == {0: 1, 1: 2, 2: 1, 3: 1}
+
+
+def test_degree_histogram_distincts_parallel_edges(spark):
+    """Duplicate (src,dst,pred) rows collapse before counting."""
+    from vectrain_spark.operators.graph import degree_histogram
+
+    edges = spark.createDataFrame(
+        [("a", "b", "p")] * 4 + [("a", "c", "p")],
+        "src: string, dst: string, pred: string",
+    )
+    got = {r["bucket"]: r["n_nodes"] for r in degree_histogram(edges).collect()}
+    assert got == {1: 1}

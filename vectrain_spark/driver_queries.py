@@ -1353,6 +1353,98 @@ SELECT src, pred, dst, score, rank FROM (
 SQL_KG_TRANSE = SQL_KG_TRANSE_TPL.format(edges=SQL_KG_EDGES)
 
 
+def q_kg_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed out-degree histogram over the KG edge table UNIONed
+    with the doc->entity mention bipartite graph — the skew profile that
+    decides whether a salting pass is needed before the big joins. The
+    mention side makes the fixture's distribution real: docs sit in the
+    low buckets (2 mentions each) while mirror-direction entity hubs
+    (each Vendor is mentioned by ~n/7 docs) land many buckets up."""
+    from .operators.graph import degree_histogram
+
+    docs = _docs(spark, sf_dir).filter(F.expr(_KG_PAGE_FILTER))
+    mentions = (
+        docs.select(
+            F.col("doc_id").cast("string").alias("src"),
+            F.lit("mentions").alias("pred"),
+            F.concat(F.lit("Vendor"), F.col("doc_id") % 7).alias("dst"),
+        )
+        .unionByName(
+            docs.select(
+                F.col("doc_id").cast("string").alias("src"),
+                F.lit("mentions").alias("pred"),
+                F.concat(F.lit("Client"), F.col("doc_id") % 13).alias("dst"),
+            )
+        )
+    )
+    hubs = mentions.select(
+        F.col("dst").alias("src"), F.lit("mentioned_by").alias("pred"),
+        F.col("src").alias("dst"),
+    )
+    edges = (
+        _materialized_edges(spark, sf_dir)
+        .select(
+            F.col("src").cast("string").alias("src"),
+            "pred",
+            F.col("dst").cast("string").alias("dst"),
+        )
+        .unionByName(mentions)
+        .unionByName(hubs)
+    )
+    return degree_histogram(edges)
+
+
+SQL_KG_DEGREE_HIST_TPL = """
+WITH kge AS MATERIALIZED (SELECT src::VARCHAR AS src, dst::VARCHAR AS dst, pred FROM ({edges})),
+m AS (
+  SELECT doc_id::VARCHAR AS src, 'mentions' AS pred,
+         'Vendor' || (doc_id % 7) AS dst
+  FROM documents WHERE doc_id % 97 <> 3
+  UNION ALL
+  SELECT doc_id::VARCHAR, 'mentions', 'Client' || (doc_id % 13)
+  FROM documents WHERE doc_id % 97 <> 3
+),
+e0 AS (
+  SELECT DISTINCT src, dst, pred FROM (
+    SELECT src, dst, pred FROM kge
+    UNION ALL SELECT src, dst, pred FROM m
+    UNION ALL SELECT dst, src, 'mentioned_by' FROM m
+  )
+),
+deg AS (SELECT src, count(*) AS deg FROM e0 GROUP BY src)
+SELECT (length(bin(deg)) - 1)::INTEGER AS bucket, count(*)::BIGINT AS n_nodes
+FROM deg GROUP BY 1
+"""
+SQL_KG_DEGREE_HIST = SQL_KG_DEGREE_HIST_TPL.format(edges=SQL_KG_EDGES)
+
+
+def q_text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE merge round: top-50 adjacent character pairs inside
+    corpus words, weighted by word frequency — the tokenizer-training
+    primitive (re-run after each merge = full BPE training)."""
+    from .operators.textstats import bpe_pair_counts
+
+    return bpe_pair_counts(_docs(spark, sf_dir))
+
+
+SQL_TEXT_BPE_PAIRS = f"""
+WITH toks AS (
+  SELECT unnest(string_split({NORM_SQL}, ' ')) AS w FROM documents
+),
+wf AS (
+  SELECT w, count(*) AS f FROM toks
+  WHERE w <> '' AND length(w) >= 2 GROUP BY w
+),
+idx AS (
+  SELECT w, f, unnest(generate_series(1, length(w) - 1)) AS i FROM wf
+)
+SELECT substr(w, i, 2) AS pair, sum(f)::BIGINT AS cnt
+FROM idx GROUP BY 1
+ORDER BY cnt DESC, pair ASC
+LIMIT 50
+"""
+
+
 def q_kg_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kleinberg HITS over the materialized edge table: 5 synchronous
     hub/authority iterations with per-iteration L1 normalization, checked
@@ -4417,6 +4509,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_path2": q_kg_path2,
     "kg_negatives": q_kg_negatives,
     "kg_transe": q_kg_transe,
+    "kg_degree_hist": q_kg_degree_hist,
+    "text_bpe_pairs": q_text_bpe_pairs,
     "kg_integrity": q_kg_integrity,
     "kg_incremental": q_kg_incremental,
     "kg_time_travel": q_kg_time_travel,
@@ -4515,6 +4609,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # then the twice-driver-verified stable tail in original order.
 _CHANGED_THIS_ROUND = [
     "sim_pq", "kg_transe",                          # NEW this round
+    "kg_degree_hist", "text_bpe_pairs",             # NEW this round
     "kg_hits", "kg_communities", "kg_sssp", "kg_ppr",  # NEW this round
     "kg_closure", "kg_star", "sim_semantic_dedup",  # NEW this round
     "olap_revenue_forecast", "olap_local_supplier",  # NEW this round
@@ -4582,6 +4677,8 @@ ORACLES: dict[str, str] = {
     "kg_path2": SQL_KG_PATH2,
     "kg_negatives": SQL_KG_NEGATIVES,
     "kg_transe": SQL_KG_TRANSE,
+    "kg_degree_hist": SQL_KG_DEGREE_HIST,
+    "text_bpe_pairs": SQL_TEXT_BPE_PAIRS,
     "kg_integrity": SQL_KG_INTEGRITY,
     # streamed output must equal the batch extraction exactly
     "kg_stream_triples": SQL_KG_TRIPLES,

@@ -1251,3 +1251,28 @@ def transe_scores(
         .filter(F.col("rank") <= k)
         .select("src", "pred", "dst", "score", "rank")
     )
+
+
+def degree_histogram(edges: DataFrame) -> DataFrame:
+    """Log2-bucketed out-degree distribution of the edge table — the
+    one-page skew profile that tells you whether linking/canonicalization
+    needs salting before you run it (hub entities live in the top
+    buckets). bucket = floor(log2(degree)) computed as
+    length(bin(degree)) - 1: integer string arithmetic, so the bucketing
+    is exact in both engines (no float log edge cases at powers of two).
+
+    Two two-phase aggregates (degree count, then bucket count) — the
+    histogram output is at most 64 rows regardless of corpus size.
+    """
+    deg = (
+        edges.select("src", "dst", "pred")
+        .distinct()
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    return (
+        deg.select((F.length(F.bin("deg")) - 1).cast("int").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .select("bucket", "n_nodes")
+    )

@@ -358,3 +358,42 @@ def pmi_pairs(docs: DataFrame, min_pair: int = 5) -> DataFrame:
             ).alias("pmi_ratio"),
         )
     )
+
+
+def bpe_pair_counts(docs: DataFrame, top_n: int = 50) -> DataFrame:
+    """First-round byte-pair-encoding merge statistics: frequency of
+    every ADJACENT character pair inside corpus words, weighted by word
+    frequency — the argmax of this table is exactly the first merge a
+    BPE tokenizer trainer would pick (Sennrich et al. 2016), and re-running
+    it after each merge is the full training loop.
+
+    Plan shape: wordcount first (one map-side-combining shuffle collapses
+    the corpus to its vocabulary — pair generation then touches each
+    DISTINCT word once, not each occurrence), pair explode via a JVM
+    transform over substring indices (no Python), second two-phase
+    aggregate, and a top-N TakeOrderedAndProject (never a full sort).
+    """
+    from .dedup import normalized_text, spread
+
+    words = (
+        spread(docs)
+        .select(F.explode(F.split(normalized_text(), " ")).alias("w"))
+        .filter((F.col("w") != "") & (F.length("w") >= 2))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "f",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("f").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(top_n)
+    )
