@@ -343,3 +343,54 @@ def test_degree_histogram_distincts_parallel_edges(spark):
     )
     got = {r["bucket"]: r["n_nodes"] for r in degree_histogram(edges).collect()}
     assert got == {1: 1}
+
+
+def test_random_walks_matches_python_oracle(spark):
+    """Replay the md5-choice walk in pure Python on a hand graph."""
+    import hashlib
+
+    from vectrain_spark.operators.graph import random_walks
+
+    edges = [
+        ("a", "b", "p"), ("a", "c", "p"), ("b", "c", "p"),
+        ("c", "a", "p"), ("c", "d", "p"),  # d is a sink
+    ]
+    edf = spark.createDataFrame(edges, "src: string, dst: string, pred: string")
+    got = {
+        (r["start"], r["step"]): r["node"]
+        for r in random_walks(edf, length=3).collect()
+    }
+    adj = {"a": ["b", "c"], "b": ["c"], "c": ["a", "d"]}
+    for start in adj:
+        node = start
+        assert got[(start, 0)] == start
+        for t in (1, 2, 3):
+            if node not in adj:
+                assert (start, t) not in got
+                continue
+            nbrs = adj[node]
+            h = int(hashlib.md5(f"{start}|{node}|{t}".encode()).hexdigest()[:15], 16)
+            node = nbrs[h % len(nbrs)]
+            assert got[(start, t)] == node, (start, t)
+
+
+def test_random_walks_stop_at_sinks(spark):
+    """A pure chain into a sink: every walk is a prefix, no rows invented
+    past the sink, and walks are deterministic across partitionings."""
+    from vectrain_spark.operators.graph import random_walks
+
+    edf = spark.createDataFrame(
+        [("a", "b", "p"), ("b", "c", "p")], "src: string, dst: string, pred: string"
+    )
+    a = random_walks(edf, length=3).toPandas()
+    b = random_walks(edf.repartition(7), length=3).toPandas()
+    key = ["start", "step"]
+    assert (
+        a.sort_values(key).values.tolist() == b.sort_values(key).values.tolist()
+    )
+    # a: a->b->c stop (deg(c)=0); b: b->c stop
+    got = {(r.start, r.step): r.node for r in a.itertuples()}
+    assert got == {
+        ("a", 0): "a", ("a", 1): "b", ("a", 2): "c",
+        ("b", 0): "b", ("b", 1): "c",
+    }

@@ -1418,6 +1418,50 @@ FROM deg GROUP BY 1
 SQL_KG_DEGREE_HIST = SQL_KG_DEGREE_HIST_TPL.format(edges=SQL_KG_EDGES)
 
 
+def q_kg_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic random-walk corpus (DeepWalk input) over the
+    materialized edge table: 3-step hash-driven walks from every
+    non-sink node, bit-reproducible across engines and cluster sizes."""
+    from .operators.graph import random_walks
+
+    return random_walks(_materialized_edges(spark, sf_dir), length=3)
+
+
+def _kg_walks_sql(length: int = 3) -> str:
+    steps = []
+    selects = ["SELECT start, 0::BIGINT AS step, node FROM w0"]
+    for t in range(1, length + 1):
+        steps.append(f"""
+w{t} AS (
+  SELECT w.start, a.dst AS node
+  FROM w{t-1} w
+  JOIN deg d ON d.src = w.node
+  JOIN adj a ON a.src = w.node
+   AND a.idx = ('0x' || substr(md5(w.start || '|' || w.node || '|{t}'), 1, 15))::BIGINT % d.deg
+),""")
+        selects.append(f"SELECT start, {t}::BIGINT, node FROM w{t}")
+    body = "".join(steps)
+    union = "\nUNION ALL ".join(selects)
+    return f"""
+WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT src::VARCHAR AS src, dst::VARCHAR AS dst FROM ({{edges}})
+),
+adj AS (
+  SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx
+  FROM e0
+),
+deg AS (SELECT src, count(*) AS deg FROM e0 GROUP BY src),
+w0 AS (
+  SELECT src AS start, src AS node FROM (SELECT DISTINCT src FROM e0)
+),{body}
+dummy AS (SELECT 1)
+{union}
+"""
+
+
+SQL_KG_WALKS = _kg_walks_sql().format(edges=SQL_KG_EDGES)
+
+
 def q_text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First BPE merge round: top-50 adjacent character pairs inside
     corpus words, weighted by word frequency — the tokenizer-training
@@ -4511,6 +4555,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_transe": q_kg_transe,
     "kg_degree_hist": q_kg_degree_hist,
     "text_bpe_pairs": q_text_bpe_pairs,
+    "kg_walks": q_kg_walks,
     "kg_integrity": q_kg_integrity,
     "kg_incremental": q_kg_incremental,
     "kg_time_travel": q_kg_time_travel,
@@ -4610,6 +4655,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 _CHANGED_THIS_ROUND = [
     "sim_pq", "kg_transe",                          # NEW this round
     "kg_degree_hist", "text_bpe_pairs",             # NEW this round
+    "kg_walks",                                     # NEW this round
     "kg_hits", "kg_communities", "kg_sssp", "kg_ppr",  # NEW this round
     "kg_closure", "kg_star", "sim_semantic_dedup",  # NEW this round
     "olap_revenue_forecast", "olap_local_supplier",  # NEW this round
@@ -4679,6 +4725,7 @@ ORACLES: dict[str, str] = {
     "kg_transe": SQL_KG_TRANSE,
     "kg_degree_hist": SQL_KG_DEGREE_HIST,
     "text_bpe_pairs": SQL_TEXT_BPE_PAIRS,
+    "kg_walks": SQL_KG_WALKS,
     "kg_integrity": SQL_KG_INTEGRITY,
     # streamed output must equal the batch extraction exactly
     "kg_stream_triples": SQL_KG_TRIPLES,

@@ -1276,3 +1276,81 @@ def degree_histogram(edges: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_nodes"))
         .select("bucket", "n_nodes")
     )
+
+
+def random_walks(edges: DataFrame, length: int = 3) -> DataFrame:
+    """Deterministic DeepWalk-style random-walk corpus over the edge
+    table: one walk of up to ``length`` steps starts at every node with
+    out-edges; step t moves from ``cur`` to the neighbor whose per-source
+    rank equals md5(start|cur|t) % out_degree(cur). The hash-driven
+    "randomness" makes the walk corpus bit-reproducible across engines
+    and cluster sizes — the property a resumable 10^12-edge embedding
+    job needs (re-running a failed partition regenerates identical
+    walks). Walks stop early at sink nodes (no out-edges), exactly like
+    a real walker.
+
+    Returns (start, step, node) rows, step 0 = the start node itself —
+    the skip-gram windowing that trains node embeddings consumes this
+    directly.
+
+    Scale shape: the neighbor ranking is a per-source window (bounded by
+    max out-degree — cap hub adjacency lists upstream if a node exceeds
+    memory); each step is ONE join of the walker frontier against the
+    ranked adjacency on the current-node key, so ``length`` steps are
+    ``length`` co-partitioned shuffle joins, no iteration-to-driver.
+    """
+    from pyspark.sql import Window
+
+    # localCheckpoint (not persist): adj/deg/frontier and every step all
+    # re-read the distinct edge set, and an un-unpersisted cache would
+    # outlive the call (the leak ADVICE r2 flagged in dedup); checkpoint
+    # blocks are freed with the DataFrame.
+    e0 = (
+        edges.select(
+            F.col("src").cast("string").alias("src"),
+            F.col("dst").cast("string").alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    wsrc = Window.partitionBy("src").orderBy("dst")
+    adj = e0.withColumn("idx", F.row_number().over(wsrc) - 1)
+    deg = e0.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    frontier = (
+        e0.select("src").distinct().select(
+            F.col("src").alias("start"), F.col("src").alias("node")
+        )
+    )
+    out = frontier.select("start", F.lit(0).cast("long").alias("step"), "node")
+    for t in range(1, length + 1):
+        choice = F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws("|", F.col("start"), F.col("node"), F.lit(str(t)))
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.col("deg"),
+        )
+        frontier = (
+            frontier.join(deg, deg["src"] == frontier["node"])
+            .withColumn("c", choice)
+            .join(
+                adj.select(
+                    F.col("src").alias("a_src"),
+                    F.col("dst").alias("a_dst"),
+                    "idx",
+                ),
+                (F.col("a_src") == F.col("node")) & (F.col("idx") == F.col("c")),
+            )
+            .select("start", F.col("a_dst").alias("node"))
+        )
+        out = out.unionByName(
+            frontier.select("start", F.lit(t).cast("long").alias("step"), "node")
+        )
+    return out
