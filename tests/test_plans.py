@@ -335,3 +335,62 @@ def test_bloom_filter_is_jvm_and_prunes_before_join(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # the `*(n)` prefix is the whole-stage-codegen marker in plan toString
     assert "*(1) Filter" in plan
+
+
+def test_pq_topk_jvm_only_with_broadcast_luts(spark):
+    """The PQ ADC scan must stay whole-stage-codegen JVM (no Python eval
+    anywhere) and probe the per-subspace LUTs via broadcast joins — the
+    code table is the only large side at scale."""
+    from vectrain_spark.operators.similarity import pq_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = _plan(pq_topk(spark, emb))
+    assert "EvalPython" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_transe_global_window_only_sees_bucket_finalists(spark):
+    """transe_scores' per-predicate rank must be two-phase: the physical
+    plan has a window partitioned by (pred, _b) BEFORE the pred-only
+    window, so the global sort never ingests the full edge table."""
+    from vectrain_spark.operators.graph import transe_scores
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    edges = spark.createDataFrame(
+        [(f"E{i}", "rel", f"E{(i * 3) % 17}", 1) for i in range(30)],
+        "src: string, pred: string, dst: string, cnt: long",
+    )
+    plan = _plan(transe_scores(edges, emb))
+    assert "EvalPython" not in plan
+    assert plan.count("Window [") == 2, plan.count("Window [")
+    assert "_b#" in plan, "bucketed local-prune window missing"
+    # both windows carry a partition spec that includes pred
+    for seg in plan.split("Window [")[1:]:
+        head = seg.split("\n", 1)[0]
+        assert "pred#" in head, head
+
+
+def test_degree_histogram_two_phase_aggregates_no_window(spark):
+    """Histogram = two hash aggregates with map-side partials; no window,
+    no Python, no sort of the node set."""
+    from vectrain_spark.operators.graph import degree_histogram
+
+    edges = spark.createDataFrame(
+        [(f"n{i}", f"n{(i * 5) % 23}", "p") for i in range(40)],
+        "src: string, dst: string, pred: string",
+    )
+    plan = _plan(degree_histogram(edges))
+    assert "EvalPython" not in plan
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final x 2 aggregates
+
+
+def test_bpe_pairs_topk_avoids_full_sort(spark):
+    """Top-50 merge pairs must plan as TakeOrderedAndProject over the
+    pair aggregate — never a global Sort of the pair table."""
+    from vectrain_spark.operators.textstats import bpe_pair_counts
+
+    docs = spark.read.parquet(DOCS)
+    plan = _plan(bpe_pair_counts(docs))
+    assert "TakeOrderedAndProject" in plan
+    assert "EvalPython" not in plan
