@@ -394,3 +394,24 @@ def test_random_walks_stop_at_sinks(spark):
         ("a", 0): "a", ("a", 1): "b", ("a", 2): "c",
         ("b", 0): "b", ("b", 1): "c",
     }
+
+
+def test_walk_skipgrams_window_and_multiplicity(spark):
+    """Two walks sharing a (b,c) transition: window-2 pairs from walk
+    [a,b,c] are (a,b),(b,a),(b,c),(c,b),(a,c),(c,a); multiplicity adds
+    across walks."""
+    from vectrain_spark.operators.graph import walk_skipgrams
+
+    walks = spark.createDataFrame(
+        [
+            ("w1", 0, "a"), ("w1", 1, "b"), ("w1", 2, "c"),
+            ("w2", 0, "b"), ("w2", 1, "c"),
+        ],
+        "start: string, step: long, node: string",
+    )
+    got = {(r.center, r.context): r.cnt for r in walk_skipgrams(walks).collect()}
+    assert got == {
+        ("a", "b"): 1, ("b", "a"): 1,
+        ("b", "c"): 2, ("c", "b"): 2,
+        ("a", "c"): 1, ("c", "a"): 1,
+    }

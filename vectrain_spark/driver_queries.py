@@ -1462,6 +1462,28 @@ dummy AS (SELECT 1)
 SQL_KG_WALKS = _kg_walks_sql().format(edges=SQL_KG_EDGES)
 
 
+def q_kg_walk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram (center, context, cnt) pairs from the deterministic walk
+    corpus (window=2) — the SGNS training input that closes the loop
+    walks -> pairs -> negatives -> TransE scoring."""
+    from .operators.graph import random_walks, walk_skipgrams
+
+    return walk_skipgrams(
+        random_walks(_materialized_edges(spark, sf_dir), length=3)
+    )
+
+
+SQL_KG_WALK_PAIRS = f"""
+WITH walks AS ({SQL_KG_WALKS}),
+a AS (SELECT start AS wid, step AS i, node AS center FROM walks),
+b AS (SELECT start AS wid, step AS j, node AS context FROM walks)
+SELECT a.center, b.context, count(*)::BIGINT AS cnt
+FROM a JOIN b USING (wid)
+WHERE abs(a.i - b.j) BETWEEN 1 AND 2
+GROUP BY 1, 2
+"""
+
+
 def q_text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First BPE merge round: top-50 adjacent character pairs inside
     corpus words, weighted by word frequency — the tokenizer-training
@@ -4556,6 +4578,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_degree_hist": q_kg_degree_hist,
     "text_bpe_pairs": q_text_bpe_pairs,
     "kg_walks": q_kg_walks,
+    "kg_walk_pairs": q_kg_walk_pairs,
     "kg_integrity": q_kg_integrity,
     "kg_incremental": q_kg_incremental,
     "kg_time_travel": q_kg_time_travel,
@@ -4655,7 +4678,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 _CHANGED_THIS_ROUND = [
     "sim_pq", "kg_transe",                          # NEW this round
     "kg_degree_hist", "text_bpe_pairs",             # NEW this round
-    "kg_walks",                                     # NEW this round
+    "kg_walks", "kg_walk_pairs",                    # NEW this round
     "kg_hits", "kg_communities", "kg_sssp", "kg_ppr",  # NEW this round
     "kg_closure", "kg_star", "sim_semantic_dedup",  # NEW this round
     "olap_revenue_forecast", "olap_local_supplier",  # NEW this round
@@ -4726,6 +4749,7 @@ ORACLES: dict[str, str] = {
     "kg_degree_hist": SQL_KG_DEGREE_HIST,
     "text_bpe_pairs": SQL_TEXT_BPE_PAIRS,
     "kg_walks": SQL_KG_WALKS,
+    "kg_walk_pairs": SQL_KG_WALK_PAIRS,
     "kg_integrity": SQL_KG_INTEGRITY,
     # streamed output must equal the batch extraction exactly
     "kg_stream_triples": SQL_KG_TRIPLES,

@@ -1349,8 +1349,44 @@ def random_walks(edges: DataFrame, length: int = 3) -> DataFrame:
                 (F.col("a_src") == F.col("node")) & (F.col("idx") == F.col("c")),
             )
             .select("start", F.col("a_dst").alias("node"))
+            # eager checkpoint: each frontier is read TWICE (the output
+            # union and the next step's join) and its lineage is a chain
+            # of joins — without truncation step t recomputes steps 1..t-1
+            # and the self-joining consumers multiply that again.
+            .localCheckpoint()
         )
         out = out.unionByName(
             frontier.select("start", F.lit(t).cast("long").alias("step"), "node")
         )
     return out
+
+
+def walk_skipgrams(walks: DataFrame, window: int = 2) -> DataFrame:
+    """Skip-gram training pairs from a random-walk corpus: for each walk
+    (grouped by ``start``), emit (center, context) for every pair of
+    positions at distance 1..window — the node2vec/DeepWalk corpus ->
+    SGNS-input transform that feeds :func:`negative_edges` and
+    :func:`transe_scores` to round out the embedding-training loop.
+
+    One self-equi-join on the walk id with a bounded band predicate on
+    step distance: at scale the join key (start) co-partitions both
+    sides, and per-walk fanout is <= length * window (a constant), so
+    output stays linear in corpus size. Pair multiplicity is REAL signal
+    (the same pair seen in more walks trains harder) — aggregated to
+    (center, context, cnt).
+    """
+    a = walks.select(
+        F.col("start").alias("wid"), F.col("step").alias("i"),
+        F.col("node").alias("center"),
+    )
+    b = walks.select(
+        F.col("start").alias("wid"), F.col("step").alias("j"),
+        F.col("node").alias("context"),
+    )
+    d = F.abs(F.col("i") - F.col("j"))
+    return (
+        a.join(b, "wid")
+        .filter((d >= 1) & (d <= window))
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
