@@ -97,6 +97,9 @@ HEADLINE_QUERIES = [
     "catalog_cdc",
     "multimodal_png_pixels",
     "sim_pq",
+    "kg_transe",
+    "text_bpe_pairs",
+    "kg_walk_pairs",
 ]
 
 
