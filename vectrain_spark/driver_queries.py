@@ -3194,6 +3194,51 @@ FROM s
 """
 
 
+def q_olap_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape, reinterpreted for this schema: count Q1-1995
+    orders per priority having AT LEAST ONE lineitem shipped more than
+    90 days after the order date. The semi-join probe: the quarter
+    filter prunes the orders scan, the existence check plans as
+    LeftSemi (each order contributes once no matter how many late
+    lines), and the priority rollup is a tiny two-phase aggregate."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-04-01").cast("timestamp"))
+    )
+    late = o.join(
+        lineitem.select("l_orderkey", "l_shipdate"),
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        ),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+SQL_OLAP_LATE_ORDERS = """
+SELECT o_orderpriority, count(*)::BIGINT AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o.o_orderdate < TIMESTAMP '1995-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+
 def q_olap_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: large-volume orders — the group-then-semi-join
     probe. Phase 1 aggregates the fact table per order (two-phase sum,
@@ -4632,6 +4677,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "olap_local_supplier": q_olap_local_supplier,
     "olap_bloom_join": q_olap_bloom_join,
     "olap_promo_revenue": q_olap_promo_revenue,
+    "olap_late_orders": q_olap_late_orders,
     "olap_big_orders": q_olap_big_orders,
     "catalog_merge": q_catalog_merge,
     "catalog_wap": q_catalog_wap,
@@ -4679,6 +4725,7 @@ _CHANGED_THIS_ROUND = [
     "sim_pq", "kg_transe",                          # NEW this round
     "kg_degree_hist", "text_bpe_pairs",             # NEW this round
     "kg_walks", "kg_walk_pairs",                    # NEW this round
+    "olap_late_orders",                             # NEW this round
     "kg_hits", "kg_communities", "kg_sssp", "kg_ppr",  # NEW this round
     "kg_closure", "kg_star", "sim_semantic_dedup",  # NEW this round
     "olap_revenue_forecast", "olap_local_supplier",  # NEW this round
@@ -4811,6 +4858,7 @@ ORACLES: dict[str, str] = {
     "olap_local_supplier": SQL_OLAP_LOCAL_SUPPLIER,
     "olap_bloom_join": SQL_OLAP_BLOOM_JOIN,
     "olap_promo_revenue": SQL_OLAP_PROMO_REVENUE,
+    "olap_late_orders": SQL_OLAP_LATE_ORDERS,
     "olap_big_orders": SQL_OLAP_BIG_ORDERS,
     "catalog_merge": SQL_CATALOG_MERGE,
     "catalog_wap": SQL_CATALOG_WAP,
