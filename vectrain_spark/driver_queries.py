@@ -3194,6 +3194,43 @@ FROM s
 """
 
 
+def q_olap_cust_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of orders-per-customer INCLUDING
+    zero-order customers (left outer join, count of the nullable side),
+    then the histogram over that count. Two chained two-phase
+    aggregates; the second one's input is at most |distinct counts|
+    rows, so the tail aggregate is trivially small at any scale."""
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    per_cust = (
+        customer.select("c_custkey")
+        .join(
+            orders.select(F.col("o_custkey").alias("c_custkey"), "o_orderkey"),
+            "c_custkey",
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+SQL_OLAP_CUST_DIST = """
+SELECT c_count, count(*)::BIGINT AS custdist
+FROM (
+  SELECT c.c_custkey, count(o.o_orderkey)::BIGINT AS c_count
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
 def q_olap_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape, reinterpreted for this schema: count Q1-1995
     orders per priority having AT LEAST ONE lineitem shipped more than
@@ -4678,6 +4715,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "olap_bloom_join": q_olap_bloom_join,
     "olap_promo_revenue": q_olap_promo_revenue,
     "olap_late_orders": q_olap_late_orders,
+    "olap_cust_dist": q_olap_cust_dist,
     "olap_big_orders": q_olap_big_orders,
     "catalog_merge": q_catalog_merge,
     "catalog_wap": q_catalog_wap,
@@ -4725,7 +4763,7 @@ _CHANGED_THIS_ROUND = [
     "sim_pq", "kg_transe",                          # NEW this round
     "kg_degree_hist", "text_bpe_pairs",             # NEW this round
     "kg_walks", "kg_walk_pairs",                    # NEW this round
-    "olap_late_orders",                             # NEW this round
+    "olap_late_orders", "olap_cust_dist",           # NEW this round
     "kg_hits", "kg_communities", "kg_sssp", "kg_ppr",  # NEW this round
     "kg_closure", "kg_star", "sim_semantic_dedup",  # NEW this round
     "olap_revenue_forecast", "olap_local_supplier",  # NEW this round
@@ -4859,6 +4897,7 @@ ORACLES: dict[str, str] = {
     "olap_bloom_join": SQL_OLAP_BLOOM_JOIN,
     "olap_promo_revenue": SQL_OLAP_PROMO_REVENUE,
     "olap_late_orders": SQL_OLAP_LATE_ORDERS,
+    "olap_cust_dist": SQL_OLAP_CUST_DIST,
     "olap_big_orders": SQL_OLAP_BIG_ORDERS,
     "catalog_merge": SQL_CATALOG_MERGE,
     "catalog_wap": SQL_CATALOG_WAP,
