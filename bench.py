@@ -18,6 +18,16 @@ shuffle-partitions-per-core ratio; identical trial counts per leg, median
 throughput) and writes BENCH/BASELINE.md with throughput at every level,
 E = (thr_4N / thr_N) / 4 for both pairs, and a no-Spark host-capacity
 control (sandbox proxy for the north_rule's two-cluster-size criterion).
+The measurement window is CONTROL-GATED: the burn control must itself
+scale >= 0.9 across the primary pair before any Spark leg runs.
+
+--gen-corpus mode (internal): generate the bench corpus and exit — both
+other modes call this in a subprocess + os.sync() so generation never
+shares a process, JVM heap, or dirty page cache with a measured window.
+
+Self-adjudication keys in the default-mode JSON: host controls stamped
+immediately before/after the timed kg window, throughput per control
+unit, the per-stage wall breakdown, and the corpus-settle time.
 """
 
 from __future__ import annotations
@@ -100,6 +110,8 @@ HEADLINE_QUERIES = [
     "kg_transe",
     "text_bpe_pairs",
     "kg_walk_pairs",
+    "kg_transe_train",
+    "kg_walks_node2vec",
 ]
 
 
@@ -159,10 +171,64 @@ def ensure_corpus(spark, n_pages: int) -> tuple[str, str]:
     return corpus_dir, alias_path
 
 
-def run_kg_pipeline(spark, n_pages: int, out_root: str) -> dict:
-    """Synthetic-corpus KG pipeline run; returns timing + triple counts."""
+def _gen_corpus_isolated(n_pages: int) -> float:
+    """Generate (or confirm) the bench corpus in an ISOLATED subprocess,
+    then os.sync().
+
+    Round-3 postmortem (VERDICT r3 'What's wrong #1'): in a fresh sandbox
+    the corpus was generated inside the SAME Spark session immediately
+    before the timed window — 8 GB of dirty-page writeback and a hot,
+    fragmented JVM heap bled into the measurement, which is the prime
+    suspect for the driver-observed 4-6x kg_pipeline gap vs the builder's
+    A/B (whose children read a long-settled corpus). Generation now runs
+    in its own process; sync() drains writeback before the measured
+    session even starts. Idempotent: a cached corpus returns in ~2 s.
+    """
+    t0 = time.time()
+    env = dict(os.environ)
+    env["SPARK_GRAFT_BENCH_PAGES"] = str(n_pages)
+    subprocess.run(
+        [sys.executable, __file__, "--gen-corpus"],
+        env=env,
+        check=True,
+        capture_output=True,
+        text=True,
+    )
+    os.sync()
+    return time.time() - t0
+
+
+def run_gen_corpus() -> None:
+    """--gen-corpus entry: build the corpus in this (throwaway) process."""
+    from vectrain_spark.session import get_spark
+
+    spark = get_spark(app_name="bench-gen", cores=CPUS)
+    try:
+        ensure_corpus(spark, _n_pages(_sf_of(SF_DIR)))
+    finally:
+        spark.stop()
+
+
+def _stage_breakdown(events) -> dict[str, float]:
+    """Aggregate pipeline PROF_EVENTS into a per-stage seconds dict
+    (group numbers folded together)."""
+    import re
+
+    out: dict[str, float] = {}
+    for msg, dt in events:
+        key = re.sub(r"group \d+ ", "", msg).replace(" ", "_")
+        out[key] = out.get(key, 0.0) + dt
+    return {k: round(v, 3) for k, v in out.items()}
+
+
+def run_kg_pipeline(spark, n_pages: int, out_root: str, ctrl_cores: int) -> dict:
+    """Synthetic-corpus KG pipeline run; returns timing + triple counts +
+    the self-adjudication evidence: host controls stamped immediately
+    BEFORE and AFTER the timed window (not just at process start) and the
+    per-stage wall breakdown, all of which land in the bench JSON."""
     import pandas as pd
 
+    from vectrain_spark import pipeline as _pl
     from vectrain_spark.pipeline import PipelineConfig, run_pipeline
 
     shutil.rmtree(out_root, ignore_errors=True)
@@ -179,11 +245,14 @@ def run_kg_pipeline(spark, n_pages: int, out_root: str) -> dict:
         lambda it: it, schema="id long"
     ).count()
 
+    _pl.PROF_EVENTS.clear()
+    host_pre = round(_machine_capacity(ctrl_cores), 1)
     t0 = time.time()
     stats = run_pipeline(
         spark, pages_df, aliases_df, out_root, PipelineConfig(n_groups=4)
     )
     wall = time.time() - t0
+    host_post = round(_machine_capacity(ctrl_cores), 1)
     n_triples = stats["total_triples"]
     return {
         "wall_sec": wall,
@@ -192,6 +261,9 @@ def run_kg_pipeline(spark, n_pages: int, out_root: str) -> dict:
         "canonical_triples": stats["canonical_triples"],
         "triples_per_sec": n_triples / wall if wall > 0 else 0.0,
         "pages_per_sec": n_pages / wall if wall > 0 else 0.0,
+        "host_pre": host_pre,
+        "host_post": host_post,
+        "stages": _stage_breakdown(_pl.PROF_EVENTS),
     }
 
 
@@ -200,6 +272,9 @@ def run_default(cores: int = CPUS, kg_only: bool = False) -> dict:
     from vectrain_spark.session import get_spark
 
     sf = _sf_of(SF_DIR)
+    # settle the corpus OUTSIDE the measured process (see
+    # _gen_corpus_isolated's docstring for the round-3 postmortem)
+    gen_sec = _gen_corpus_isolated(_n_pages(sf))
     # sandbox-VM capacity drifts by >2x between rounds (observed 122 -> 50
     # units/s at 32 procs); stamping the no-Spark control into every bench
     # JSON makes absolute numbers comparable across measurement windows
@@ -207,7 +282,7 @@ def run_default(cores: int = CPUS, kg_only: bool = False) -> dict:
     spark = get_spark(app_name="bench", cores=cores)
     timings: dict[str, float] = {}
     try:
-        kg = run_kg_pipeline(spark, _n_pages(sf), BENCH_OUT)
+        kg = run_kg_pipeline(spark, _n_pages(sf), BENCH_OUT, cores)
         timings["kg_pipeline"] = round(kg["wall_sec"], 3)
         if not kg_only:
             # graph analytics over the pipeline's OWN materialized edge
@@ -229,6 +304,13 @@ def run_default(cores: int = CPUS, kg_only: bool = False) -> dict:
     finally:
         spark.stop()
     total = round(sum(timings.values()), 3)
+    # self-adjudication: throughput normalized by the mean of the two
+    # controls that bracket the timed window. The builder A/B's healthy
+    # figure is ~1,100-1,500 triples/s per control unit; a driver run far
+    # below that WITH matching pre/post controls means the code got
+    # slower, mismatched controls mean the host window was degraded —
+    # the artifact now distinguishes the two by itself.
+    ctrl_mean = (kg["host_pre"] + kg["host_post"]) / 2
     return {
         "metric": "bench_total_sec",
         "value": total,
@@ -242,6 +324,15 @@ def run_default(cores: int = CPUS, kg_only: bool = False) -> dict:
         "triples_per_sec": round(kg["triples_per_sec"], 1),
         "pages_per_sec": round(kg["pages_per_sec"], 1),
         "host_control_units_per_sec": host_control,
+        "host_control_pre_kg": kg["host_pre"],
+        "host_control_post_kg": kg["host_post"],
+        "triples_per_sec_per_control_unit": round(
+            kg["triples_per_sec"] / ctrl_mean, 1
+        )
+        if ctrl_mean
+        else None,
+        "kg_stage_sec": kg["stages"],
+        "corpus_gen_or_check_sec": round(gen_sec, 3),
     }
 
 
@@ -307,7 +398,31 @@ def run_scaling() -> None:
     pairs = [(4, 16), (8, 32)] if SCALE_N == 4 else [(SCALE_N, 4 * SCALE_N)]
     legs = sorted({c for p in pairs for c in p})
     trials = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "2"))
-    caps = {n: _machine_capacity(n) for n in legs}
+    # settle the scaling corpus before ANY leg runs (same round-3 fix as
+    # the default bench: generation never shares a process or a dirty
+    # page cache with a measured window)
+    _gen_corpus_isolated(SCALE_PAGES)
+    # CONTROL GATE (VERDICT r3 next-round #2): the measurement window is
+    # only interpretable if the HOST itself scales across the primary
+    # pair. Probe the no-Spark burn control first; if its own efficiency
+    # is < 0.9, wait and retry (bounded) instead of recording a table
+    # whose E reflects the VM's contention, not the engine's plan.
+    gate_attempts = int(os.environ.get("SPARK_GRAFT_SCALE_GATE_ATTEMPTS", "4"))
+    gate_ok = False
+    caps: dict[int, float] = {}
+    for attempt in range(gate_attempts):
+        caps = {n: _machine_capacity(n) for n in legs}
+        a, b = pairs[0]
+        gate_eff = (caps[b] / caps[a]) / (b // a)
+        if gate_eff >= 0.9:
+            gate_ok = True
+            break
+        print(
+            f"control gate attempt {attempt + 1}/{gate_attempts}: host "
+            f"burn E({a}->{b}) = {gate_eff:.3f} < 0.9; retrying",
+            file=sys.stderr,
+        )
+        time.sleep(min(300, 60 * (attempt + 1)))
     # INTERLEAVED trial rounds (ABCD ABCD, not AA BB CC DD): the host's
     # capacity drifts over tens of minutes, so grouping a leg's trials
     # together would correlate one leg with one host window
@@ -335,7 +450,12 @@ def run_scaling() -> None:
         + ", ".join(f"{r['queries']['kg_pipeline']}" for r in runs[c])
         + " | "
         + ", ".join(f"{r['triples_per_sec']}" for r in runs[c])
-        + f" | **{thr[c]:.1f}** | {caps[c]:.1f} |"
+        + f" | **{thr[c]:.1f}** | {caps[c]:.1f} | "
+        + ", ".join(
+            f"{r.get('host_control_pre_kg', '?')}/{r.get('host_control_post_kg', '?')}"
+            for r in runs[c]
+        )
+        + " |"
         for c in legs
     )
     pair_rows = "\n".join(
@@ -360,10 +480,17 @@ outliers cannot bias E in either direction. The no-Spark multiprocessing
 control (pure-python CPU burn) measures what the HOST can sustain at each
 level, independent of the engine.
 
-Per-leg measurements (all trials shown):
+Control gate: the primary pair's burn control must scale at E >= 0.9
+before any Spark leg runs — this window {"PASSED" if gate_ok else
+ "FAILED after all retries (table recorded anyway; treat E as a lower"
+ " bound set by the VM, not the engine)"} the gate.
 
-| parallelism | wall sec (trials) | triples/sec (trials) | median thr | host control units/s |
-|---|---|---|---|---|
+Per-leg measurements (all trials shown; the last column is each trial's
+own pre/post window controls, stamped immediately around its timed
+kg window):
+
+| parallelism | wall sec (trials) | triples/sec (trials) | median thr | host control units/s | per-trial pre/post controls |
+|---|---|---|---|---|---|
 {leg_rows}
 
 Scaling efficiency E = (thr_4N / thr_N) / 4, per level pair:
@@ -394,6 +521,7 @@ Determinism: {"every trial at every level emitted the same triple count"
                 "trials": trials,
                 "deterministic": deterministic,
                 "triple_counts": all_counts,
+                "control_gate_passed": gate_ok,
             }
         )
     )
@@ -402,5 +530,7 @@ Determinism: {"every trial at every level emitted the same triple count"
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         run_scaling()
+    elif "--gen-corpus" in sys.argv:
+        run_gen_corpus()
     else:
         print(json.dumps(run_default(kg_only="--kg-only" in sys.argv)))

@@ -399,3 +399,64 @@ def test_wap_fast_forward_refuses_diverged_main(spark, tmp_path):
         cat.create_branch("t", "audit")
     with pytest.raises(ValueError, match="invalid branch"):
         cat.create_branch("t", "bad/name")
+
+
+def test_merge_into_rejects_duplicate_source_keys(spark, tmp_path):
+    cat = Catalog(str(tmp_path))
+    cat.write("t", spark.createDataFrame(pd.DataFrame({"k": [1], "v": ["a"]})))
+    dup = spark.createDataFrame(pd.DataFrame({"k": [2, 2], "v": ["x", "y"]}))
+    with pytest.raises(ValueError, match="duplicate keys"):
+        cat.merge_into(spark, "t", dup, ["k"])
+
+
+def test_snapshot_cdc_null_key_rows_are_not_lost(spark, tmp_path):
+    # rows whose key column is NULL must still classify (presence markers,
+    # not key-nullness) — ADVICE r3 finding
+    cat = Catalog(str(tmp_path))
+    a = spark.createDataFrame(
+        pd.DataFrame({"k": pd.array([None, 1], dtype="Int64"), "v": ["a", "x"]})
+    )
+    s1 = cat.write("t", a)
+    b = spark.createDataFrame(
+        pd.DataFrame({"k": pd.array([None, 2], dtype="Int64"), "v": ["A", "y"]})
+    )
+    s2 = cat.write("t", b, mode="replace")
+    cdc = cat.snapshot_cdc(spark, "t", s1, s2, ["k"]).collect()
+    by_op = {}
+    for r in cdc:
+        by_op.setdefault(r["_op"], []).append((r["k"], r["v"]))
+    # NULL-key row changed value: update pair, never dropped
+    assert (None, "a") in by_op["update_pre"]
+    assert (None, "A") in by_op["update_post"]
+    assert by_op["delete"] == [(1, "x")]
+    assert by_op["insert"] == [(2, "y")]
+
+
+def test_wap_publish_rechecks_fast_forward_under_commit_lock(spark, tmp_path):
+    # the in-lock build() re-check: simulate a racer that lands a commit
+    # AFTER publish_branch's early precondition check by moving main and
+    # verifying the commit-time parent check (parent != base) also raises
+    from pyspark.sql import functions as F
+
+    cat = Catalog(str(tmp_path / "wh"))
+    cat.write("t", spark.range(0, 5).select(F.col("id").alias("k")))
+    bt = cat.create_branch("t", "audit")
+    cat.write(bt, spark.range(10, 12).select(F.col("id").alias("k")), mode="append")
+    orig_head = cat._head
+
+    def racing_head(table):
+        h = orig_head(table)
+        if table == "t" and not getattr(racing_head, "raced", False):
+            # sneak a concurrent commit in AFTER the early check reads head
+            racing_head.raced = True
+            cat.write("t", spark.range(20, 21).select(F.col("id").alias("k")),
+                      mode="append")
+            return h  # early check still sees the pre-race head
+        return h
+
+    cat._head = racing_head
+    try:
+        with pytest.raises(ValueError, match="moved since branch"):
+            cat.publish_branch("t", "audit")
+    finally:
+        cat._head = orig_head

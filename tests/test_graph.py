@@ -384,3 +384,105 @@ def test_transe_two_phase_topk_equals_single_partition_topk(spark):
     b = transe_scores(edf, embdf, k=5, buckets=64).toPandas().sort_values("rank")
     assert a[["src", "pred", "dst", "rank"]].values.tolist() == \
         b[["src", "pred", "dst", "rank"]].values.tolist()
+
+
+def _neighbor_jaccard_py(edges):
+    es = {tuple(sorted(e)) for e in edges}
+    nbrs = {}
+    for a, b in es:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    out = {}
+    for a, b in es:
+        common = len(nbrs[a] & nbrs[b])
+        union = len(nbrs[a] | nbrs[b]) - 2  # a,b themselves aren't neighbors-of-self
+        # inclusion-exclusion on raw neighbor sets like the operator:
+        union = len(nbrs[a]) + len(nbrs[b]) - common
+        out[(a, b)] = (common, round(common / union, 6))
+    return out
+
+
+def test_neighbor_jaccard_matches_python_oracle(spark):
+    from vectrain_spark.operators.graph import neighbor_jaccard
+
+    e = spark.createDataFrame(UEDGES, "a long, b long")
+    got = {
+        (r["a"], r["b"]): (r["common"], r["jaccard"])
+        for r in neighbor_jaccard(e).collect()
+    }
+    assert got == _neighbor_jaccard_py(UEDGES)
+
+
+def test_neighbor_jaccard_hub_wedges_are_degree_capped(spark):
+    """Adversarial hub: star of 400 leaves + a few leaf-leaf edges. The
+    r3 symmetric self-join enumerated C(400,2) ~ 80k wedge rows at the
+    hub pivot; the oriented enumeration emits wedges only at LOW-degree
+    pivots, so the wedge row count stays edge-sized — and the answer is
+    still exact."""
+    from vectrain_spark.operators.graph import _oriented_wedges, neighbor_jaccard
+
+    edges = [(0, i) for i in range(1, 401)] + [(1, 2), (3, 4), (5, 6)]
+    e = spark.createDataFrame(edges, "a long, b long")
+    # wedge rows bounded: every wedge pivots at a leaf (deg <= 3), never
+    # at the hub (deg 400) — far below the ~80k an unoriented join emits
+    n_wedges = _oriented_wedges(e.select("a", "b").distinct()).count()
+    assert n_wedges <= 3 * len(edges)
+    got = {
+        (r["a"], r["b"]): (r["common"], r["jaccard"])
+        for r in neighbor_jaccard(e).collect()
+    }
+    assert got == _neighbor_jaccard_py(edges)
+
+
+def test_node2vec_walks_match_python_oracle(spark):
+    """Re-implements the biased-walk rule in pure python (md5 choice,
+    integer cumulative weights) and checks every (start, step, node) row."""
+    import hashlib
+
+    from vectrain_spark.operators.graph import random_walks_node2vec
+
+    edges = [(1, 2), (2, 1), (2, 3), (3, 1), (3, 4), (4, 2), (1, 3)]
+    W_RET, W_NBR, W_FAR = 1, 2, 4
+
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    es = {(str(a), str(b)) for a, b in edges}
+    adj = {}
+    for a, b in sorted(es):
+        adj.setdefault(a, []).append(b)
+    want = set()
+    for start in sorted({a for a, _ in es}):
+        walk = [start]
+        want.add((start, 0, start))
+        # step 1: uniform
+        node = start
+        if node in adj:
+            nbrs = sorted(adj[node])
+            node = nbrs[h(f"{start}|{node}|1") % len(nbrs)]
+            want.add((start, 1, node))
+            walk.append(node)
+        for t in (2, 3):
+            prev, cur = walk[-2], walk[-1]
+            if cur not in adj:
+                break
+            cands = sorted(adj[cur])
+            ws = [
+                W_RET if d == prev else (W_NBR if (prev, d) in es else W_FAR)
+                for d in cands
+            ]
+            r = h(f"{start}|{prev}|{cur}|{t}") % sum(ws)
+            cw = 0
+            for d, w in zip(cands, ws):
+                cw += w
+                if r < cw:
+                    nxt = d
+                    break
+            want.add((start, t, nxt))
+            walk.append(nxt)
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        (r.start, r.step, r.node)
+        for r in random_walks_node2vec(e, length=3).collect()
+    }
+    assert got == want

@@ -394,3 +394,27 @@ def test_bpe_pairs_topk_avoids_full_sort(spark):
     plan = _plan(bpe_pair_counts(docs))
     assert "TakeOrderedAndProject" in plan
     assert "EvalPython" not in plan
+
+
+def test_link_fuzzy_is_hash_join_not_nested_loop(spark):
+    """Fuzzy linking blocks on a length-bucket equi-key: the candidate
+    join must plan as a (broadcast) HASH join — a
+    BroadcastNestedLoopJoin would compare every mention against the
+    whole dictionary (VERDICT r3 wrong #4)."""
+    from vectrain_spark.driver_queries import QUERIES
+
+    plan = _plan(QUERIES["kg_link_fuzzy"](spark, "/root/testdata/sf0.001"))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_neighbor_jaccard_wedges_are_degree_oriented(spark):
+    """The common-neighbor stage must ride the oriented wedge join (two
+    broadcast degree joins feeding the orientation), never a symmetric
+    self-join on the raw pivot."""
+    from vectrain_spark.operators.graph import neighbor_jaccard
+
+    e = spark.createDataFrame([(1, 2), (1, 3), (2, 3)], "a long, b long")
+    plan = _optimized(neighbor_jaccard(e))
+    # the orientation's CASE WHEN on (deg, id) is present in the plan
+    assert "deg_a" in plan and "deg_b" in plan

@@ -239,3 +239,26 @@ def test_crawl_frontier_excludes_fetched_and_caps_per_shard(spark):
     assert list(out[out.shard == "docs.example/ad"].url) == [
         "https://docs.example/ad/1/1"
     ]
+
+
+def test_crawl_frontier_absolutizes_against_source_host(spark):
+    # relative hrefs resolve against EACH page's own scheme+host, not a
+    # fixture literal (ADVICE r3 finding)
+    import pandas as pd
+
+    from vectrain_spark.operators.webcorpus import crawl_frontier
+
+    html = b'<a href="/x/1">r</a>'
+    pages = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "url": ["https://a.example/p", "http://b.example/q"],
+                "warc_ts": pd.Timestamp("2024-01-01"),
+                "html": [html, html],
+                "lang": "en",
+            }
+        )
+    )
+    out = crawl_frontier(pages).toPandas()
+    assert set(out.url) == {"https://a.example/x/1", "http://b.example/x/1"}
+    assert set(out.shard) == {"a.example/x", "b.example/x"}

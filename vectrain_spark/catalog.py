@@ -377,6 +377,18 @@ class Catalog:
                 f"merge_into: source columns {sorted(source.columns)} != "
                 f"table columns {sorted(target.columns)}"
             )
+        # Iceberg/Delta MERGE raises when several source rows match one
+        # target row; a duplicate-keyed source here would silently leave
+        # duplicate keys in the table. One map-side-combinable aggregate.
+        k = source.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(*[F.col(c) for c in key_cols]).alias("d"),
+        ).first()
+        if k["n"] != k["d"]:
+            raise ValueError(
+                f"merge_into: source has duplicate keys on {key_cols} "
+                f"({k['n']} rows, {k['d']} distinct keys)"
+            )
         keys = source.select(*key_cols).distinct()
         kept = target.join(keys, key_cols, "left_anti")
         merged = (
@@ -434,27 +446,33 @@ class Catalog:
             )
             return df.withColumn("_fp", fingerprint)
 
+        # explicit presence markers, NOT key-nullness: the full-outer join
+        # matches NULL keys via eqNullSafe, so a row whose (first) key
+        # column is legitimately NULL would otherwise fail every class
+        # filter and silently vanish from the changelog
         o = fp(old).select(
-            *[F.col(c).alias(f"o_{c}") for c in cols], F.col("_fp").alias("o_fp")
+            *[F.col(c).alias(f"o_{c}") for c in cols],
+            F.col("_fp").alias("o_fp"),
+            F.lit(True).alias("o_present"),
         )
         n = fp(new).select(
-            *[F.col(c).alias(f"n_{c}") for c in cols], F.col("_fp").alias("n_fp")
+            *[F.col(c).alias(f"n_{c}") for c in cols],
+            F.col("_fp").alias("n_fp"),
+            F.lit(True).alias("n_present"),
         )
         cond = [o[f"o_{k}"].eqNullSafe(n[f"n_{k}"]) for k in key_cols]
         j = o.join(n, cond, "full_outer")
         old_row = [F.col(f"o_{c}").alias(c) for c in cols]
         new_row = [F.col(f"n_{c}").alias(c) for c in cols]
-        inserts = j.filter(F.col(f"o_{key_cols[0]}").isNull() & F.col(f"n_{key_cols[0]}").isNotNull()).select(
+        o_here = F.col("o_present").eqNullSafe(F.lit(True))
+        n_here = F.col("n_present").eqNullSafe(F.lit(True))
+        inserts = j.filter(~o_here & n_here).select(
             F.lit("insert").alias("_op"), *new_row
         )
-        deletes = j.filter(F.col(f"n_{key_cols[0]}").isNull() & F.col(f"o_{key_cols[0]}").isNotNull()).select(
+        deletes = j.filter(o_here & ~n_here).select(
             F.lit("delete").alias("_op"), *old_row
         )
-        changed = j.filter(
-            F.col(f"o_{key_cols[0]}").isNotNull()
-            & F.col(f"n_{key_cols[0]}").isNotNull()
-            & (F.col("o_fp") != F.col("n_fp"))
-        )
+        changed = j.filter(o_here & n_here & (F.col("o_fp") != F.col("n_fp")))
         pre = changed.select(F.lit("update_pre").alias("_op"), *old_row)
         post = changed.select(F.lit("update_post").alias("_op"), *new_row)
         return inserts.unionByName(deletes).unionByName(pre).unionByName(post)
@@ -654,6 +672,17 @@ class Catalog:
             linked.append(nd)
 
         def build(parent: int | None) -> dict:
+            # authoritative fast-forward check: build() runs under
+            # _commit_lock, so re-verifying here closes the TOCTOU window
+            # between the early precondition check above and the commit —
+            # a concurrent commit landing in between raises instead of
+            # being silently interleaved
+            if require_fast_forward and parent != base_snap:
+                raise ValueError(
+                    f"main table {table!r} moved since branch {branch!r} was "
+                    f"created (base {base_snap}, head {parent}); rebase the "
+                    "audit or publish with require_fast_forward=False"
+                )
             prev = (
                 self._manifest(table, parent)["data_dirs"]
                 if parent is not None

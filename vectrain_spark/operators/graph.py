@@ -225,20 +225,14 @@ def k_hop(edges: DataFrame, seeds: DataFrame, k: int = 2) -> DataFrame:
     )
 
 
-def triangle_counts(pairs: DataFrame) -> DataFrame:
-    """Undirected edge list (a, b) with a < b -> per-node triangle
-    participation counts (id, triangles), exact.
-
-    Scale design (Suri & Vassilvitskii, "Counting Triangles and the Curse
-    of the Last Reducer", WWW'11): every edge is oriented from its
-    lower-(degree, id) endpoint to the higher one, so each wedge is
-    enumerated exactly once AT ITS LOWEST-DEGREE VERTEX — the self-join
-    fan-out per vertex is bounded by its *oriented* out-degree, which the
-    orientation caps at O(sqrt(|E|)) even for hub nodes. The degree table
-    is node-sized and broadcast onto the edge list; the wedge->edge
-    existence probe is a shuffle join on the (lo, hi) edge key.
-    """
-    e = pairs.select("a", "b").distinct()
+def _oriented_wedges(e: DataFrame) -> DataFrame:
+    """Degree-oriented wedge enumeration (Suri & Vassilvitskii WWW'11)
+    over a distinct undirected (a, b) edge list -> (u, a, b) wedges
+    a-u-b with a < b, each wedge emitted exactly once AT ITS
+    LOWEST-(degree, id) PIVOT. The self-join fan-out per pivot is
+    bounded by the *oriented* out-degree — O(sqrt(|E|)) even for hub
+    nodes — which is the exact-answer hub cap triangle counting and
+    per-edge common-neighbor counting both ride on."""
     deg = (
         e.select(F.col("a").alias("id"))
         .unionAll(e.select(F.col("b").alias("id")))
@@ -262,15 +256,31 @@ def triangle_counts(pairs: DataFrame) -> DataFrame:
         )
         .select("o.u", "o.v")
     )
-    # wedges at the low-degree pivot; close them against the undirected set
+    # wedges at the low-degree pivot
     w1 = oriented.select(F.col("u"), F.col("v").alias("x"))
     w2 = oriented.select(F.col("u"), F.col("v").alias("y"))
-    wedges = (
+    return (
         w1.join(w2, "u")
         .filter(F.col("x") < F.col("y"))
         .select("u", F.col("x").alias("a"), F.col("y").alias("b"))
     )
-    triangles = wedges.join(e, ["a", "b"])
+
+
+def triangle_counts(pairs: DataFrame) -> DataFrame:
+    """Undirected edge list (a, b) with a < b -> per-node triangle
+    participation counts (id, triangles), exact.
+
+    Scale design (Suri & Vassilvitskii, "Counting Triangles and the Curse
+    of the Last Reducer", WWW'11): every edge is oriented from its
+    lower-(degree, id) endpoint to the higher one, so each wedge is
+    enumerated exactly once AT ITS LOWEST-DEGREE VERTEX — the self-join
+    fan-out per vertex is bounded by its *oriented* out-degree, which the
+    orientation caps at O(sqrt(|E|)) even for hub nodes. The degree table
+    is node-sized and broadcast onto the edge list; the wedge->edge
+    existence probe is a shuffle join on the (lo, hi) edge key.
+    """
+    e = pairs.select("a", "b").distinct()
+    triangles = _oriented_wedges(e).join(e, ["a", "b"])
     per_node = (
         triangles.select(F.col("u").alias("id"))
         .unionAll(triangles.select(F.col("a").alias("id")))
@@ -312,21 +322,38 @@ def neighbor_jaccard(pairs: DataFrame) -> DataFrame:
     inclusion-exclusion deg_a + deg_b - common, so neighbor sets are
     never materialized per pair).
 
-    Scale design: common-neighbor counting is ONE self-join of the
-    symmetrized edge list on the shared-neighbor pivot — the same
-    wedge shuffle triangle counting pays, and the same skew answer
-    applies (AQE skew-join splits hub pivots; for adversarial hubs,
-    pre-cap pivot out-degree like triangle_counts' orientation does).
-    The degree table is node-sized and broadcast.
+    Scale design: for CONNECTED pairs, |N(a) ∩ N(b)| is exactly the
+    number of triangles containing edge (a, b) — so common-neighbor
+    counting rides the same degree-ORIENTED wedge enumeration as
+    :func:`triangle_counts` (:func:`_oriented_wedges`): every wedge is
+    emitted once at its lowest-degree pivot, bounding the per-pivot
+    fan-out at O(sqrt(|E|)) even for a degree-10^6 hub (the naive
+    symmetric self-join would emit 10^12 wedge rows at such a pivot).
+    Each closed wedge (u, a, b) credits one common neighbor to all
+    three of its edges. Exact — no cap/sample approximation. The
+    degree table is node-sized and broadcast.
     """
     e = pairs.select("a", "b").distinct()
-    sym = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg")).withColumnRenamed("a", "id")
+    deg = (
+        e.select(F.col("a").alias("id"))
+        .unionAll(e.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    tri = _oriented_wedges(e).join(e, ["a", "b"])
     common = (
-        sym.alias("e1")
-        .join(sym.alias("e2"), F.col("e1.a") == F.col("e2.a"))
-        .filter(F.col("e1.b") < F.col("e2.b"))
-        .groupBy(F.col("e1.b").alias("a"), F.col("e2.b").alias("b"))
+        tri.select("a", "b")
+        .unionAll(
+            tri.select(
+                F.least("u", "a").alias("a"), F.greatest("u", "a").alias("b")
+            )
+        )
+        .unionAll(
+            tri.select(
+                F.least("u", "b").alias("a"), F.greatest("u", "b").alias("b")
+            )
+        )
+        .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("common"))
     )
     da = F.broadcast(deg).withColumnsRenamed({"id": "a", "deg": "deg_a"})
@@ -1228,8 +1255,12 @@ def transe_scores(
         - F.lit(2.0) * _dot("h", "t")
         - F.lit(2.0) * _dot("r", "t")
     )
+    # the expanded quadratic can cancel to a tiny negative near zero;
+    # clamp before the root or sqrt yields NaN, which sorts ABOVE every
+    # real score in DESC order in both engines (oracle clamps identically)
     scored = e.select(
-        "src", "pred", "dst", F.round(-F.sqrt(d2), 6).alias("score")
+        "src", "pred", "dst",
+        F.round(-F.sqrt(F.greatest(d2, F.lit(0.0))), 6).alias("score"),
     )
     from pyspark.sql import Window
 
@@ -1250,6 +1281,134 @@ def transe_scores(
         local.withColumn("rank", F.row_number().over(wg).cast("long"))
         .filter(F.col("rank") <= k)
         .select("src", "pred", "dst", "score", "rank")
+    )
+
+
+def transe_train_epoch(
+    edges: DataFrame,
+    embeddings: DataFrame,
+    gamma: float = 1.0,
+    lr: float = 0.01,
+) -> DataFrame:
+    """One deterministic TransE SGD epoch as a pure DataFrame program ->
+    the updated embedding rows, flattened to (vec_id, i, val). Closes the
+    KG-embedding training loop: :func:`negative_edges`-style corrupted
+    tails provide the contrast, margin loss gates which triples
+    contribute, per-entity gradients aggregate algebraically, and the
+    update is applied with the same per-iteration rounding discipline as
+    pagerank — the whole epoch is reproduced bit-for-bit by an unrolled
+    DuckDB oracle (reference analogy: the embed stage's training-side
+    counterpart, internal/app/pipeline/pipeline.go:259-263).
+
+    Math (squared-distance TransE, margin loss):
+      L = max(0, gamma + ||h+r-t||^2 - ||h+r-t'||^2), t' a deterministic
+      hash-corrupted tail. Active-pair subgradients:
+        dL/dh = dL/dr = 2(t' - t);  dL/dt = -2(h+r-t);  dL/dt' = 2(h+r-t')
+
+    Cross-engine determinism: energies use the expanded-quadratic dot
+    products rounded to 1e-6 before the margin test; per-(vector, dim)
+    gradient sums are SCALED-INTEGER (floor(g*1e6) summed as BIGINT) so
+    the float reduction order can't diverge between engines; the update
+    rounds to 1e-6.
+
+    Scale shape: four hash-joins edge-table vs embedding matrix (the
+    same co-partitioned shuffles transe_scores pays), a dim-times
+    posexplode (row count = active_pairs x dim, all JVM codegen), and
+    one map-side-combinable aggregation on (vec_id, dim). No windows,
+    no driver loops — an epoch over 10^12 edges is exactly these
+    shuffles.
+    """
+    from .similarity import _dot, _vecs
+
+    vecs = _vecs(embeddings)
+    n = vecs.groupBy().agg(F.count(F.lit(1)).alias("n"))
+
+    def _vid(col, salt):
+        h = F.conv(
+            F.substring(F.md5(F.concat(col, F.lit(salt))), 1, 15), 16, 10
+        ).cast("long")
+        return F.pmod(h, F.col("n"))
+
+    e = (
+        edges.select("src", "pred", "dst")
+        .distinct()
+        .crossJoin(F.broadcast(n))
+        .select(
+            _vid(F.col("src"), "|e").alias("h_id"),
+            _vid(F.col("pred"), "|r").alias("r_id"),
+            _vid(F.col("dst"), "|e").alias("t_id"),
+            # deterministic corrupted tail: hash of the whole triple
+            _vid(
+                F.concat(
+                    F.col("src"), F.lit("|"), F.col("pred"), F.lit("|"),
+                    F.col("dst"), F.lit("|n"),
+                ),
+                "",
+            ).alias("n_id"),
+        )
+    )
+    for idc, out in (("h_id", "h"), ("r_id", "r"), ("t_id", "t"), ("n_id", "c")):
+        e = e.join(
+            vecs.select(F.col("vec_id").alias(idc), F.col("emb").alias(out)), idc
+        )
+    d2 = lambda tail: F.round(  # noqa: E731 — shared expanded quadratic
+        _dot("h", "h")
+        + _dot("r", "r")
+        + _dot(tail, tail)
+        + F.lit(2.0) * _dot("h", "r")
+        - F.lit(2.0) * _dot("h", tail)
+        - F.lit(2.0) * _dot("r", tail),
+        6,
+    )
+    act = (
+        e.withColumn("d2p", d2("t"))
+        .withColumn("d2n", d2("c"))
+        .filter(F.lit(gamma) + F.col("d2p") - F.col("d2n") > 0)
+    )
+    fl = act.select(
+        "h_id",
+        "r_id",
+        "t_id",
+        "n_id",
+        F.posexplode("h").alias("i", "hv"),
+        F.col("r"),
+        F.col("t"),
+        F.col("c"),
+    ).select(
+        "h_id",
+        "r_id",
+        "t_id",
+        "n_id",
+        "i",
+        "hv",
+        F.element_at("r", F.col("i") + 1).alias("rv"),
+        F.element_at("t", F.col("i") + 1).alias("tv"),
+        F.element_at("c", F.col("i") + 1).alias("cv"),
+    )
+    g_hr = F.lit(2.0) * (F.col("cv") - F.col("tv"))
+    g_t = F.lit(-2.0) * (F.col("hv") + F.col("rv") - F.col("tv"))
+    g_c = F.lit(2.0) * (F.col("hv") + F.col("rv") - F.col("cv"))
+    contrib = (
+        fl.select(F.col("h_id").alias("vid"), "i", g_hr.alias("g"))
+        .unionAll(fl.select(F.col("r_id").alias("vid"), "i", g_hr.alias("g")))
+        .unionAll(fl.select(F.col("t_id").alias("vid"), "i", g_t.alias("g")))
+        .unionAll(fl.select(F.col("n_id").alias("vid"), "i", g_c.alias("g")))
+    )
+    grads = contrib.groupBy("vid", "i").agg(
+        F.sum(F.floor(F.col("g") * F.lit(1000000.0)).cast("long")).alias("gs")
+    )
+    vflat = vecs.select(
+        "vec_id", F.posexplode("emb").alias("i", "val")
+    )
+    return vflat.join(
+        grads,
+        (vflat["vec_id"] == grads["vid"]) & (vflat["i"] == grads["i"]),
+    ).select(
+        "vec_id",
+        vflat["i"].cast("long").alias("i"),
+        F.round(
+            F.col("val") - F.lit(lr) * (F.col("gs") / F.lit(1000000.0)), 6
+        ).alias("val"),
     )
 
 
@@ -1357,6 +1516,139 @@ def random_walks(edges: DataFrame, length: int = 3) -> DataFrame:
         )
         out = out.unionByName(
             frontier.select("start", F.lit(t).cast("long").alias("step"), "node")
+        )
+    return out
+
+
+def random_walks_node2vec(
+    edges: DataFrame,
+    length: int = 3,
+    w_ret: int = 1,
+    w_nbr: int = 2,
+    w_far: int = 4,
+) -> DataFrame:
+    """node2vec-style biased walks (Grover & Leskovec 2016) with the same
+    md5-choice determinism as :func:`random_walks`: step t >= 2 weights
+    each candidate neighbor by its relation to the PREVIOUS node —
+    ``w_ret`` to return to it, ``w_nbr`` if it is also a (directed)
+    neighbor of it, ``w_far`` otherwise. The defaults (1, 2, 4) are the
+    2x-scaled (1/p, 1, 1/q) of node2vec p=2, q=0.5 — INTEGER weights, so
+    the cumulative-weight selection r = md5(start|prev|cur|t) % total,
+    pick the neighbor whose [cw-w, cw) interval contains r, is exact
+    integer arithmetic both engines reproduce bit-for-bit (no float
+    quantiles). Step 1 has no previous node and is uniform (identical
+    rule to random_walks). Output (start, step, node) feeds
+    :func:`walk_skipgrams` unchanged.
+
+    Scale shape: one extra key column (prev) rides the same
+    co-partitioned frontier-vs-adjacency joins as random_walks, plus a
+    left join against the edge set on (prev, dst) for the distance-1
+    test; the cumulative window partitions per walker (<= out-degree
+    rows). localCheckpoint truncates each step's join-chain lineage.
+    """
+    from pyspark.sql import Window
+
+    def _h(col):
+        return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+    e0 = (
+        edges.select(
+            F.col("src").cast("string").alias("src"),
+            F.col("dst").cast("string").alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    wsrc = Window.partitionBy("src").orderBy("dst")
+    adj = e0.withColumn("idx", F.row_number().over(wsrc) - 1)
+    deg = e0.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    starts = e0.select("src").distinct().select(
+        F.col("src").alias("start"), F.col("src").alias("node")
+    )
+    out = starts.select("start", F.lit(0).cast("long").alias("step"), "node")
+    if length < 1:
+        return out
+    # step 1: uniform, exactly random_walks' rule
+    c1 = F.pmod(
+        _h(F.concat_ws("|", F.col("start"), F.col("node"), F.lit("1"))),
+        F.col("deg"),
+    )
+    frontier = (
+        starts.join(deg, deg["src"] == starts["node"])
+        .withColumn("c", c1)
+        .join(
+            adj.select(
+                F.col("src").alias("a_src"), F.col("dst").alias("a_dst"), "idx"
+            ),
+            (F.col("a_src") == F.col("node")) & (F.col("idx") == F.col("c")),
+        )
+        .select(
+            "start", F.col("node").alias("prev"), F.col("a_dst").alias("node")
+        )
+        .localCheckpoint()
+    )
+    out = out.unionByName(
+        frontier.select("start", F.lit(1).cast("long").alias("step"), "node")
+    )
+    pe = e0.select(F.col("src").alias("p_src"), F.col("dst").alias("p_dst"))
+    wcum = (
+        Window.partitionBy("start")
+        .orderBy("dst")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("start")
+    for t in range(2, length + 1):
+        cand = (
+            frontier.join(
+                adj.select(
+                    F.col("src").alias("a_src"), F.col("dst").alias("a_dst")
+                ),
+                F.col("a_src") == F.col("node"),
+            )
+            .join(
+                pe,
+                (F.col("p_src") == F.col("prev"))
+                & (F.col("p_dst") == F.col("a_dst")),
+                "left",
+            )
+            .select(
+                "start",
+                "prev",
+                "node",
+                F.col("a_dst").alias("dst"),
+                F.when(F.col("a_dst") == F.col("prev"), F.lit(w_ret))
+                .when(F.col("p_dst").isNotNull(), F.lit(w_nbr))
+                .otherwise(F.lit(w_far))
+                .cast("long")
+                .alias("w"),
+            )
+        )
+        r = F.pmod(
+            _h(
+                F.concat_ws(
+                    "|", F.col("start"), F.col("prev"), F.col("node"),
+                    F.lit(str(t)),
+                )
+            ),
+            F.col("tot"),
+        )
+        frontier = (
+            cand.withColumn("cw", F.sum("w").over(wcum))
+            .withColumn("tot", F.sum("w").over(wtot))
+            .withColumn("r", r)
+            .filter(
+                (F.col("r") >= F.col("cw") - F.col("w"))
+                & (F.col("r") < F.col("cw"))
+            )
+            .select(
+                "start", F.col("node").alias("prev"), F.col("dst").alias("node")
+            )
+            .localCheckpoint()
+        )
+        out = out.unionByName(
+            frontier.select(
+                "start", F.lit(t).cast("long").alias("step"), "node"
+            )
         )
     return out
 

@@ -465,11 +465,64 @@ def maxsim_topk(
     )
 
 
+def _blocked_cell_pairs(assigned: DataFrame, cell_cap: int) -> DataFrame:
+    """Exact within-cell pair enumeration with a per-task size cap:
+    cells above ``cell_cap`` rows are hash-sliced into S = ceil(n/cap)
+    slices and the cell's pair work decomposes into the S*(S+1)/2 slice
+    blocks (fragment-replicate / "triangle" self-join partitioning) —
+    same O(c^2) total work, but the largest single task compares
+    ~cap^2 pairs instead of the whole hot cell on one reducer. Every
+    unordered pair appears exactly once: cross-slice pairs land in
+    their one (i < j) block; same-slice pairs take the a < b filter.
+    Emits (cell, a, b, ea, eb) with a < b. Replication factor per row
+    is S + 1 — O(n^2/cap) shuffled rows, the price of bounding the
+    reducer, and 2 copies when the cell fits the cap."""
+    counts = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("_n"))
+    r = (
+        assigned.join(F.broadcast(counts), "cell")
+        .withColumn(
+            "_nsl",
+            F.greatest(
+                F.lit(1), F.ceil(F.col("_n") / F.lit(cell_cap))
+            ).cast("int"),
+        )
+        .withColumn("_sl", F.pmod(F.xxhash64("vec_id"), F.col("_nsl")).cast("int"))
+    )
+    left = r.select(
+        "cell",
+        F.col("_sl").alias("_i"),
+        F.explode(F.sequence(F.col("_sl"), F.col("_nsl") - 1)).alias("_j"),
+        F.col("vec_id").alias("a"),
+        F.col("emb").alias("ea"),
+    )
+    right = r.select(
+        "cell",
+        F.explode(F.sequence(F.lit(0), F.col("_sl"))).alias("_i"),
+        F.col("_sl").alias("_j"),
+        F.col("vec_id").alias("b"),
+        F.col("emb").alias("eb"),
+    )
+    return (
+        left.join(right, ["cell", "_i", "_j"])
+        .filter((F.col("_i") < F.col("_j")) | (F.col("a") < F.col("b")))
+        .select(
+            "cell",
+            F.least("a", "b").alias("a"),
+            F.greatest("a", "b").alias("b"),
+            # cosine is symmetric bit-for-bit (elementwise mul + same
+            # fold order), so ea/eb need not follow the a/b swap
+            "ea",
+            "eb",
+        )
+    )
+
+
 def semantic_dedup(
     embeddings: DataFrame,
     n_cells: int = 16,
     kmeans_iters: int = 2,
     threshold: float = 0.9,
+    cell_cap: int = 4096,
 ) -> DataFrame:
     """SemDeDup-style semantic near-duplicate pairs -> (cell, a, b,
     score): cluster the embedding space with the seeded, oracle-exact
@@ -482,25 +535,20 @@ def semantic_dedup(
 
     Scale shape: centroid training + assignment are the IVF stages (one
     broadcast score, one two-phase argbest); the pair stage is a
-    self-join ON CELL — each cluster's pairs compute on that cell's
-    reducer, so cost scales with the largest cell (k-means balancing,
-    or a per-cell size cap, is the skew lever), never with the corpus.
-    Every stage is JVM Catalyst on rounded float64, reproduced
-    bit-for-bit by the DuckDB oracle."""
+    self-join ON CELL, with cells above ``cell_cap`` rows hash-sliced
+    into block-matrix sub-joins (:func:`_blocked_cell_pairs`) so a
+    degenerate hot cell — exactly what a near-duplicate-heavy corpus
+    produces — spreads over ceil(n/cap)^2/2 tasks instead of one
+    O(c^2) reducer. Exact: the slicing repartitions the pair work, it
+    never drops pairs. Every stage is JVM Catalyst on rounded float64,
+    reproduced bit-for-bit by the DuckDB oracle."""
     vecs = _vecs(embeddings)
     cents = centroids_df(embeddings, n_cells)
     if kmeans_iters:
         cents = kmeans_refine(vecs, cents, iters=kmeans_iters)
     assigned = vecs.join(assign_cells(vecs, cents), "vec_id")
-    a = assigned.select(
-        "cell", F.col("vec_id").alias("a"), F.col("emb").alias("ea")
-    )
-    b = assigned.select(
-        "cell", F.col("vec_id").alias("b"), F.col("emb").alias("eb")
-    )
     return (
-        a.join(b, "cell")
-        .filter(F.col("a") < F.col("b"))
+        _blocked_cell_pairs(assigned, cell_cap)
         .select(
             "cell",
             "a",

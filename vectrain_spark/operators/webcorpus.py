@@ -265,11 +265,14 @@ def crawl_frontier(pages: DataFrame, per_shard_cap: int = 50) -> DataFrame:
             )
         ).alias("href"),
     )
+    # relative hrefs absolutize against the SOURCE page's scheme+host
+    # (never a fixed literal): pages from any host resolve correctly
+    base = F.regexp_extract(F.col("src"), r"^(\w+://[^/]+)", 1)
     cand = (
         hrefs.select(
             F.when(
                 F.col("href").startswith("/"),
-                F.concat(F.lit("https://docs.example"), F.col("href")),
+                F.concat(base, F.col("href")),
             )
             .otherwise(F.col("href"))
             .alias("url"),

@@ -35,10 +35,19 @@ from dataclasses import asdict, dataclass
 
 _PROF = os.environ.get("VECTRAIN_PROFILE", "") == "1"
 
+# Every _prof call appends (label, seconds) here unconditionally (a list
+# append is GIL-atomic, so concurrent groups are safe). bench.py drains it
+# to put the per-stage breakdown INSIDE the bench JSON — the driver-side
+# artifact must be able to name where kg_pipeline time went without the
+# builder re-running anything (VERDICT r3 'Next round' #1).
+PROF_EVENTS: list[tuple[str, float]] = []
+
 
 def _prof(msg: str, t0: float) -> None:
+    dt = time.time() - t0
+    PROF_EVENTS.append((msg, dt))
     if _PROF:
-        print(f"[prof] {msg}: {time.time() - t0:.1f}s", flush=True)
+        print(f"[prof] {msg}: {dt:.1f}s", flush=True)
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F

@@ -72,17 +72,36 @@ def parse_pages_json(raw: DataFrame) -> DataFrame:
     return parsed.select("p.url", "p.warc_ts", "p.html", "p.lang")
 
 
-def kafka_pages_stream(spark: SparkSession, bootstrap: str, topic: str) -> DataFrame:
-    """Kafka-source variant (requires spark-sql-kafka jar; untested in this
-    sandbox — the JSON decode it shares with batch IS tested, see
-    :func:`parse_pages_json`)."""
-    raw = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap)
-        .option("subscribe", topic)
-        .load()
-    )
-    return parse_pages_json(raw)
+def kafka_reader_config(bootstrap: str, topic: str) -> dict:
+    """The exact (format, options) the Kafka builder wires onto the
+    reader — factored out so the wiring is assertable without a broker
+    or connector jar (the seam test in tests/test_streaming.py). Mirrors
+    the reference consumer's constructor config
+    (/root/reference/internal/app/sources/kafka/client.go:49-92)."""
+    return {
+        "format": "kafka",
+        "options": {
+            "kafka.bootstrap.servers": bootstrap,
+            "subscribe": topic,
+        },
+    }
+
+
+def kafka_pages_stream(
+    spark: SparkSession, bootstrap: str, topic: str, _reader=None
+) -> DataFrame:
+    """Kafka-source variant. ``_reader`` is the seam: tests inject a fake
+    recording reader whose .load() returns a value-column frame, so every
+    line of this builder executes under pytest — the spark-sql-kafka
+    connector jar (absent in this sandbox) is the only unexercised
+    piece; against a real cluster pass nothing and the session's
+    readStream is used."""
+    cfg = kafka_reader_config(bootstrap, topic)
+    reader = spark.readStream if _reader is None else _reader
+    reader = reader.format(cfg["format"])
+    for k, v in cfg["options"].items():
+        reader = reader.option(k, v)
+    return parse_pages_json(reader.load())
 
 
 def _committed_batches(cat: Catalog, table: str) -> set:
