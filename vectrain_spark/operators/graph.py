@@ -279,8 +279,10 @@ def triangle_counts(pairs: DataFrame) -> DataFrame:
     is node-sized and broadcast onto the edge list; the wedge->edge
     existence probe is a shuffle join on the (lo, hi) edge key.
     """
-    e = pairs.select("a", "b").distinct()
-    triangles = _oriented_wedges(e).join(e, ["a", "b"])
+    # localCheckpoint the edge list (consumed by degrees, orientation and
+    # the wedge close) and the triangle set (three union branches below)
+    e = pairs.select("a", "b").distinct().localCheckpoint()
+    triangles = _oriented_wedges(e).join(e, ["a", "b"]).localCheckpoint()
     per_node = (
         triangles.select(F.col("u").alias("id"))
         .unionAll(triangles.select(F.col("a").alias("id")))
@@ -333,14 +335,21 @@ def neighbor_jaccard(pairs: DataFrame) -> DataFrame:
     three of its edges. Exact — no cap/sample approximation. The
     degree table is node-sized and broadcast.
     """
-    e = pairs.select("a", "b").distinct()
+    # localCheckpoint the distinct edge list FIRST: degrees, orientation,
+    # the wedge close and the final joins all scan it — without
+    # truncation each consumer re-runs the caller's upstream plan
+    # (co_mentions in the gate: ~10 s x 6 evaluations, measured)
+    e = pairs.select("a", "b").distinct().localCheckpoint()
     deg = (
         e.select(F.col("a").alias("id"))
         .unionAll(e.select(F.col("b").alias("id")))
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
-    tri = _oriented_wedges(e).join(e, ["a", "b"])
+    # localCheckpoint: tri feeds THREE union branches below — without
+    # truncation each branch re-runs the whole wedge join (measured 4x
+    # wall on the bench graph). Checkpoint blocks free with the frame.
+    tri = _oriented_wedges(e).join(e, ["a", "b"]).localCheckpoint()
     common = (
         tri.select("a", "b")
         .unionAll(
