@@ -112,6 +112,12 @@ HEADLINE_QUERIES = [
     "kg_walk_pairs",
     "kg_transe_train",
     "kg_walks_node2vec",
+    # round 4 (curated: only plan shapes not already timed above —
+    # the other r4 gates are near-variants of existing headline plans)
+    "kg_adamic_adar",
+    "olap_volume_shipping",
+    "olap_top_supplier",
+    "corpus_mixture",
 ]
 
 

@@ -138,3 +138,29 @@ def test_pack_sequences_contiguous_and_partition_invariant(spark):
     a = out.sort_values(["lang", "doc_id"]).reset_index(drop=True)
     b = out2.sort_values(["lang", "doc_id"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_mixture_weights_sqrt_temperature(spark):
+    from vectrain_spark.operators.corpus import mixture_weights
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d", "en", "web"),
+            (2, "a b c d e f g h i j k l m n o p", "en", "web"),
+            (3, "a b c d", "en", "books"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    rows = {r["domain"]: r for r in mixture_weights(docs).collect()}
+    assert rows["web"]["n_docs"] == 2 and rows["web"]["n_tokens"] == 20
+    assert rows["books"]["n_tokens"] == 4
+    # raw share 20/24 vs 4/24; sqrt temper: sqrt(20)/(sqrt(20)+sqrt(4))
+    import math
+
+    w_web = round(math.sqrt(20), 9)
+    w_books = round(math.sqrt(4), 9)
+    assert rows["web"]["token_share"] == round(20 / 24, 6)
+    assert rows["web"]["mix_weight"] == round(w_web / (w_web + w_books), 6)
+    assert rows["books"]["mix_weight"] == round(w_books / (w_web + w_books), 6)
+    # tempering moves weight toward the minority domain
+    assert rows["books"]["mix_weight"] > 4 / 24

@@ -486,3 +486,54 @@ def test_node2vec_walks_match_python_oracle(spark):
         for r in random_walks_node2vec(e, length=3).collect()
     }
     assert got == want
+
+
+def _adamic_adar_py(edges):
+    import math
+
+    nbrs = {}
+    for a, b in edges:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    out = {}
+    for a, b in edges:
+        zs = nbrs[a] & nbrs[b]
+        aa = sum(round(1.0 / math.log(len(nbrs[z])), 9) for z in zs)
+        ra = sum(round(1.0 / len(nbrs[z]), 9) for z in zs)
+        out[(a, b)] = (len(zs), round(aa, 6), round(ra, 6))
+    return out
+
+
+def test_adamic_adar_matches_python_oracle(spark):
+    from vectrain_spark.operators.graph import adamic_adar
+
+    e = spark.createDataFrame(UEDGES, "a long, b long")
+    got = {
+        (r["a"], r["b"]): (r["common"], r["adamic_adar"], r["resource_alloc"])
+        for r in adamic_adar(e).collect()
+    }
+    assert got == _adamic_adar_py(UEDGES)
+
+
+def test_adamic_adar_hub_graph_exact_and_capped(spark):
+    """Same adversarial star as the jaccard cap test: the AA/RA credits
+    ride the oriented wedge enumeration, so the hub never pivots a
+    wedge join — and the weighted indices stay exact."""
+    from vectrain_spark.operators.graph import adamic_adar
+
+    edges = [(0, i) for i in range(1, 201)] + [(1, 2), (3, 4)]
+    e = spark.createDataFrame(edges, "a long, b long")
+    got = {
+        (r["a"], r["b"]): (r["common"], r["adamic_adar"], r["resource_alloc"])
+        for r in adamic_adar(e).collect()
+    }
+    assert got == _adamic_adar_py(edges)
+    # spot-check one weighted value: edge (1,2) shares only the hub
+    # (deg 200) -> AA = 1/ln(200), RA = 1/200
+    import math
+
+    assert got[(1, 2)] == (
+        1,
+        round(round(1.0 / math.log(200), 9), 6),
+        round(round(1.0 / 200, 9), 6),
+    )

@@ -1053,8 +1053,22 @@ def q_kg_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neighbor_jaccard(pairs)
 
 
-def _graph_pairs_sql() -> tuple[str, str, str]:
+def q_kg_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-prediction ranking for co-mention pairs: common-neighbor
+    count plus Adamic-Adar and resource-allocation indices (shared
+    neighbors weighted inversely by their promiscuity — the tie-breaker
+    for entity-merge candidates neighbor-Jaccard cannot separate).
+    Degree-oriented wedge enumeration + broadcast degree weights on the
+    Spark side vs a brute symmetric self-join oracle."""
+    from .operators.graph import adamic_adar, co_mentions
+
+    pairs = co_mentions(_materialized_edges(spark, sf_dir)).select("a", "b")
+    return adamic_adar(pairs)
+
+
+def _graph_pairs_sql() -> tuple[str, str, str, str]:
     from .operators.graph import (
+        adamic_adar_oracle_sql,
         k_core_oracle_sql,
         neighbor_jaccard_oracle_sql,
         triangle_counts_oracle_sql,
@@ -1065,6 +1079,7 @@ def _graph_pairs_sql() -> tuple[str, str, str]:
         triangle_counts_oracle_sql(pairs_sql),
         k_core_oracle_sql(pairs_sql, k=3, rounds=6),
         neighbor_jaccard_oracle_sql(pairs_sql),
+        adamic_adar_oracle_sql(pairs_sql),
     )
 
 
@@ -1315,7 +1330,12 @@ def _pagerank_sql(weight_sql: str | None = None) -> str:
 
 SQL_KG_PAGERANK = _pagerank_sql()
 SQL_KG_PAGERANK_WEIGHTED = _pagerank_sql(weight_sql="cnt")
-SQL_KG_TRIANGLES, SQL_KG_KCORE, SQL_KG_NEIGHBOR_JACCARD = _graph_pairs_sql()
+(
+    SQL_KG_TRIANGLES,
+    SQL_KG_KCORE,
+    SQL_KG_NEIGHBOR_JACCARD,
+    SQL_KG_ADAMIC_ADAR,
+) = _graph_pairs_sql()
 SQL_KG_NEGATIVES = SQL_KG_NEGATIVES_TPL.format(edges=SQL_KG_EDGES)
 
 
@@ -2681,6 +2701,31 @@ FROM w GROUP BY lang
 """
 
 
+def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixing weights for pretraining assembly: per-source token
+    counts, raw token share, and tau=0.5 temperature-scaled sampling
+    weight (the concave renormalization that keeps a dominant domain
+    from swamping the mixture). One corpus scan, domain-sized output."""
+    from .operators.corpus import mixture_weights
+
+    return mixture_weights(_docs(spark, sf_dir))
+
+
+SQL_CORPUS_MIXTURE = f"""
+WITH per AS (
+  SELECT source AS domain, count(*)::BIGINT AS n_docs,
+         sum(len(string_split({NORM_SQL}, ' ')))::BIGINT AS n_tokens
+  FROM documents GROUP BY source
+),
+w AS (SELECT *, round(sqrt(n_tokens), 9) AS wgt FROM per),
+tot AS (SELECT sum(n_tokens) AS tot_tokens, sum(wgt) AS tot_w FROM w)
+SELECT domain, n_docs, n_tokens,
+       round(n_tokens / tot_tokens, 6) AS token_share,
+       round(wgt / tot_w, 6) AS mix_weight
+FROM w CROSS JOIN tot
+"""
+
+
 def q_corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OLAP rollup over (lang, source): per-combination, per-lang subtotal,
     and grand-total doc/char counts in one pass (partial aggregation
@@ -3483,6 +3528,399 @@ SELECT c_name, c_custkey, o_orderkey,
 FROM orders
 JOIN big ON l_orderkey = o_orderkey
 JOIN customer ON c_custkey = o_custkey
+"""
+
+
+def q_olap_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returned
+    items in one quarter. The fact scan keeps only R-flag lines (filter
+    pushed to parquet), the quarter predicate prunes orders BEFORE the
+    fact shuffle, nation rides in broadcast, and the top-20 cut is a
+    deterministic (revenue desc, custkey asc) TakeOrdered — no global
+    sort materializes. Money in DECIMAL(18,2), double only at output."""
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    l = lineitem.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey",
+        (
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (
+                F.lit(1).cast("decimal(18,2)")
+                - F.col("l_discount").cast("decimal(18,2)")
+            )
+        ).alias("rev"),
+    )
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum("rev").cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("c_acctbal").cast("double").alias("c_acctbal"),
+            "n_name",
+            "revenue",
+        )
+    )
+
+
+SQL_OLAP_RETURNED_ITEMS = """
+SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS c_acctbal, n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS revenue
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation ON n_nationkey = c_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q_olap_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: average yearly revenue lost if small-quantity
+    orders (line quantity below 20% of the part's mean order quantity)
+    stopped being taken, for one brand's small parts. The correlated
+    AVG subquery becomes a per-part two-phase aggregate joined back on
+    partkey; the 20%-of-mean predicate is algebraically cleared of
+    division (5 * qty * cnt < sum_qty, all DECIMAL) so both engines
+    compare exact integers-scaled values instead of engine-specific
+    division rounding."""
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    small_parts = part.filter(
+        (F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 10)
+    ).select("p_partkey")
+    l = lineitem.join(
+        F.broadcast(small_parts),
+        F.col("l_partkey") == F.col("p_partkey"),
+        "left_semi",
+    ).select(
+        "l_partkey",
+        F.col("l_quantity").cast("decimal(18,2)").alias("qty"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+    )
+    per_part = l.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum("qty").alias("sum_qty"), F.count(F.lit(1)).alias("cnt")
+    )
+    kept = l.join(per_part, F.col("l_partkey") == F.col("pk")).filter(
+        F.col("qty") * 5 * F.col("cnt") < F.col("sum_qty")
+    )
+    return kept.agg(
+        F.round(F.sum("price").cast("double") / 7.0, 2).alias("avg_yearly")
+    )
+
+
+SQL_OLAP_SMALL_QTY_REVENUE = """
+WITH l AS (
+  SELECT l_partkey, CAST(l_quantity AS DECIMAL(18,2)) AS qty,
+         CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+  FROM lineitem
+  WHERE l_partkey IN (
+    SELECT p_partkey FROM part WHERE p_brand = 'Brand#1' AND p_size <= 10
+  )
+),
+per_part AS (
+  SELECT l_partkey AS pk, sum(qty) AS sum_qty, count(*) AS cnt
+  FROM l GROUP BY l_partkey
+)
+SELECT round(CAST(sum(price) AS DOUBLE) / 7.0, 2) AS avg_yearly
+FROM l JOIN per_part ON pk = l_partkey
+WHERE qty * 5 * cnt < sum_qty
+"""
+
+
+def q_olap_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue from three OR-ed brand/size/quantity
+    bands. The join stays a single partkey equi-join (the equi-key is
+    extracted from the OR so Catalyst plans a hash join, not a nested
+    loop); the residual OR-of-ANDs evaluates post-join, and each band's
+    part-side filters land in the dim scan via the union of bounds."""
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    l = lineitem.select(
+        "l_partkey",
+        F.col("l_quantity").cast("decimal(18,2)").alias("qty"),
+        (
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (
+                F.lit(1).cast("decimal(18,2)")
+                - F.col("l_discount").cast("decimal(18,2)")
+            )
+        ).alias("rev"),
+    )
+    p = F.broadcast(
+        part.filter(F.col("p_size") <= 15).select(
+            "p_partkey", "p_brand", "p_size"
+        )
+    )
+    band = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & (F.col("p_size").between(1, 5))
+            & (F.col("qty").between(1, 11))
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & (F.col("p_size").between(1, 10))
+            & (F.col("qty").between(10, 20))
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & (F.col("p_size").between(1, 15))
+            & (F.col("qty").between(20, 30))
+        )
+    )
+    return (
+        l.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .filter(band)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("rev").cast("double").alias("revenue"),
+        )
+    )
+
+
+SQL_OLAP_DISCOUNT_REVENUE = """
+SELECT count(*)::BIGINT AS n_lines,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+        AND CAST(l_quantity AS DECIMAL(18,2)) BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+        AND CAST(l_quantity AS DECIMAL(18,2)) BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+        AND CAST(l_quantity AS DECIMAL(18,2)) BETWEEN 20 AND 30)
+"""
+
+
+def q_olap_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: per-nation count + balance of above-average-
+    balance customers with no RECENT order (lapsed accounts — none at
+    all would be vacuous on this corpus where nearly every customer has
+    ordered). The scalar AVG-of-positives subquery is division-cleared
+    (acctbal * n_pos > sum_pos, DECIMAL) so both engines compare
+    exactly; the lapsed probe is a LeftAnti join against the recent
+    orders keys (date filter pushed to the orders scan, no EXISTS
+    per-row loop); nation is broadcast. The aggregate is nation-sized."""
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    c = customer.select(
+        "c_custkey",
+        "c_nationkey",
+        F.col("c_acctbal").cast("decimal(18,2)").alias("bal"),
+    )
+    pos = c.filter(F.col("bal") > 0).agg(
+        F.sum("bal").alias("sum_pos"), F.count(F.lit(1)).alias("n_pos")
+    )
+    rich = c.crossJoin(F.broadcast(pos)).filter(
+        F.col("bal") * F.col("n_pos") > F.col("sum_pos")
+    )
+    never_ordered = rich.join(
+        orders.filter(
+            F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+        ).select(F.col("o_custkey").alias("c_custkey")),
+        "c_custkey",
+        "left_anti",
+    )
+    return (
+        never_ordered.join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum("bal").cast("double").alias("totacctbal"),
+        )
+    )
+
+
+SQL_OLAP_GLOBAL_SALES = """
+WITH c AS (
+  SELECT c_custkey, c_nationkey, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+  FROM customer
+),
+pos AS (
+  SELECT sum(bal) AS sum_pos, count(*) AS n_pos FROM c WHERE bal > 0
+)
+SELECT n_name, count(*)::BIGINT AS numcust,
+       CAST(sum(bal) AS DOUBLE) AS totacctbal
+FROM c
+CROSS JOIN pos
+JOIN nation ON n_nationkey = c_nationkey
+WHERE bal * n_pos > sum_pos
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey
+      AND o_orderdate >= TIMESTAMP '2000-01-01'
+  )
+GROUP BY n_name
+"""
+
+
+def q_olap_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) achieving the maximum revenue
+    in one quarter. The revenue view is a two-phase per-supplier
+    DECIMAL aggregate; the argmax is a single-row broadcast of max(rev)
+    joined back by exact DECIMAL equality (no global sort, no window
+    over an unpartitioned frame); supplier is broadcast for the name."""
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    rev = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (
+                    F.lit(1).cast("decimal(18,2)")
+                    - F.col("l_discount").cast("decimal(18,2)")
+                )
+            ).alias("total_rev")
+        )
+    )
+    mx = rev.agg(F.max("total_rev").alias("max_rev"))
+    return (
+        rev.join(F.broadcast(mx), F.col("total_rev") == F.col("max_rev"))
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_rev").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+SQL_OLAP_TOP_SUPPLIER = """
+WITH rev AS (
+  SELECT l_suppkey,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+FROM rev JOIN supplier ON s_suppkey = l_suppkey
+WHERE total_rev = (SELECT max(total_rev) FROM rev)
+"""
+
+
+def q_olap_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between two nations per year, in
+    both directions. Supplier-nation and customer-nation both resolve
+    through BROADCAST dim joins (nation and supplier are tiny; customer
+    joins on the orders shuffle key it already has); the two-year
+    predicate prunes the fact scan; the final rollup is
+    (supp_nation, cust_nation, year)-sized."""
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    l = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        F.year("l_shipdate").cast("int").alias("l_year"),
+        (
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (
+                F.lit(1).cast("decimal(18,2)")
+                - F.col("l_discount").cast("decimal(18,2)")
+            )
+        ).alias("rev"),
+    )
+    joined = (
+        l.join(
+            F.broadcast(
+                supplier.select("s_suppkey", "s_nationkey").join(
+                    F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk")
+                )
+            ),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            customer.select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    return joined.groupBy("supp_nation", "cust_nation", "l_year").agg(
+        F.sum("rev").cast("double").alias("revenue")
+    )
+
+
+SQL_OLAP_VOLUME_SHIPPING = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(sum(rev) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+         CAST(l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l_discount AS DECIMAL(18,2))) AS rev
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON n1.n_nationkey = s_nationkey
+  JOIN nation n2 ON n2.n_nationkey = c_nationkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+) GROUP BY supp_nation, cust_nation, l_year
 """
 
 
@@ -4817,6 +5255,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_triangles": q_kg_triangles,
     "kg_kcore": q_kg_kcore,
     "kg_neighbor_jaccard": q_kg_neighbor_jaccard,
+    "kg_adamic_adar": q_kg_adamic_adar,
     "kg_hits": q_kg_hits,
     "kg_communities": q_kg_communities,
     "kg_sssp": q_kg_sssp,
@@ -4865,6 +5304,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_split": q_sample_split,
     "corpus_stats": q_corpus_stats,
     "corpus_rollup": q_corpus_rollup,
+    "corpus_mixture": q_corpus_mixture,
     "corpus_cube": q_corpus_cube,
     "sketch_distinct": q_sketch_distinct,
     "sketch_cms_words": q_sketch_cms_words,
@@ -4886,6 +5326,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "olap_late_orders": q_olap_late_orders,
     "olap_cust_dist": q_olap_cust_dist,
     "olap_big_orders": q_olap_big_orders,
+    "olap_returned_items": q_olap_returned_items,
+    "olap_small_qty_revenue": q_olap_small_qty_revenue,
+    "olap_discount_revenue": q_olap_discount_revenue,
+    "olap_global_sales": q_olap_global_sales,
+    "olap_top_supplier": q_olap_top_supplier,
+    "olap_volume_shipping": q_olap_volume_shipping,
     "catalog_merge": q_catalog_merge,
     "catalog_wap": q_catalog_wap,
     "catalog_cdc": q_catalog_cdc,
@@ -4932,6 +5378,14 @@ _CHANGED_THIS_ROUND = [
     # --- round 4: NEW operators ---
     "kg_transe_train",       # NEW: TransE SGD epoch (margin loss, grads)
     "kg_walks_node2vec",     # NEW: biased walks (integer p/q weights)
+    "kg_adamic_adar",        # NEW: AA/RA link-prediction indices
+    "olap_returned_items",   # NEW: TPC-H Q10 shape
+    "olap_small_qty_revenue",  # NEW: TPC-H Q17 shape
+    "olap_discount_revenue",  # NEW: TPC-H Q19 shape
+    "olap_global_sales",     # NEW: TPC-H Q22 shape
+    "olap_top_supplier",     # NEW: TPC-H Q15 shape
+    "olap_volume_shipping",  # NEW: TPC-H Q7 shape
+    "corpus_mixture",        # NEW: temperature-scaled domain mixing
     # --- round 4: behavior/plan changes needing driver re-verification ---
     "kg_transe",             # sqrt clamp (ADVICE r3) — both engines
     "web_frontier",          # base derived from src host (ADVICE r3)
@@ -4999,6 +5453,7 @@ ORACLES: dict[str, str] = {
     "kg_triangles": SQL_KG_TRIANGLES,
     "kg_kcore": SQL_KG_KCORE,
     "kg_neighbor_jaccard": SQL_KG_NEIGHBOR_JACCARD,
+    "kg_adamic_adar": SQL_KG_ADAMIC_ADAR,
     "kg_hits": SQL_KG_HITS,
     "kg_communities": SQL_KG_COMMUNITIES,
     "kg_sssp": SQL_KG_SSSP,
@@ -5053,6 +5508,7 @@ ORACLES: dict[str, str] = {
     "sample_split": SQL_SAMPLE_SPLIT,
     "corpus_stats": SQL_CORPUS_STATS,
     "corpus_rollup": SQL_CORPUS_ROLLUP,
+    "corpus_mixture": SQL_CORPUS_MIXTURE,
     "corpus_cube": SQL_CORPUS_CUBE,
     "sketch_distinct": SQL_SKETCH_DISTINCT,
     "sketch_cms_words": SQL_SKETCH_CMS_WORDS,
@@ -5076,6 +5532,12 @@ ORACLES: dict[str, str] = {
     "olap_late_orders": SQL_OLAP_LATE_ORDERS,
     "olap_cust_dist": SQL_OLAP_CUST_DIST,
     "olap_big_orders": SQL_OLAP_BIG_ORDERS,
+    "olap_returned_items": SQL_OLAP_RETURNED_ITEMS,
+    "olap_small_qty_revenue": SQL_OLAP_SMALL_QTY_REVENUE,
+    "olap_discount_revenue": SQL_OLAP_DISCOUNT_REVENUE,
+    "olap_global_sales": SQL_OLAP_GLOBAL_SALES,
+    "olap_top_supplier": SQL_OLAP_TOP_SUPPLIER,
+    "olap_volume_shipping": SQL_OLAP_VOLUME_SHIPPING,
     "catalog_merge": SQL_CATALOG_MERGE,
     "catalog_wap": SQL_CATALOG_WAP,
     "catalog_cdc": SQL_CATALOG_CDC,

@@ -281,3 +281,54 @@ def pack_sequences(
     finally:
         parted.unpersist()
     return out
+
+
+def mixture_weights(docs: DataFrame, domain_col: str = "source") -> DataFrame:
+    """Temperature-scaled domain-mixing weights for pretraining-corpus
+    assembly -> (domain, n_docs, n_tokens, token_share, mix_weight).
+
+    The data-mixing step every large-scale training pipeline runs
+    between curation and packing: raw token share over-samples the
+    dominant domain, so the sampling weight is the share pushed through
+    a concave temperature map and renormalized (the tau = 0.5 special
+    case of w_d = share_d^tau / sum share^tau — multilingual-sampling
+    practice from mBERT/XLM-R; DoReMi learns these weights, this is the
+    deterministic baseline it is initialized from).
+
+    tau is FIXED at 0.5 because sqrt is correctly-rounded IEEE in both
+    engines while pow(x, 0.7) may differ by an ulp between the JVM and
+    DuckDB's libm — determinism beats tunability in an oracle-gated op.
+
+    Scale shape: one two-phase aggregate over the corpus (map-side
+    partial sums collapse before the domain-keyed exchange); the
+    normalizing totals ride back onto the domain-sized frame as a
+    single-row broadcast cross join — the corpus is scanned once and
+    nothing domain-level ever shuffles again.
+    """
+    from .dedup import normalized_text
+
+    toks = F.size(F.split(normalized_text(), " ")).cast("long")
+    per_domain = (
+        docs.select(F.col(domain_col).alias("domain"), toks.alias("toks"))
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("toks").alias("n_tokens"),
+        )
+        .withColumn("w", F.round(F.sqrt(F.col("n_tokens")), 9))
+    )
+    totals = per_domain.agg(
+        F.sum("n_tokens").alias("tot_tokens"), F.sum("w").alias("tot_w")
+    )
+    return (
+        per_domain.crossJoin(F.broadcast(totals))
+        .select(
+            "domain",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_tokens") / F.col("tot_tokens"), 6).alias(
+                "token_share"
+            ),
+            F.round(F.col("w") / F.col("tot_w"), 6).alias("mix_weight"),
+        )
+    )
