@@ -1066,10 +1066,23 @@ def q_kg_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return adamic_adar(pairs)
 
 
-def _graph_pairs_sql() -> tuple[str, str, str, str]:
+def q_kg_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-truss backbone of the co-mention graph (3 peeling rounds):
+    surviving edges with their in-subgraph triangle support — the
+    edge-level community core that star-shaped hub noise cannot enter.
+    Degree-oriented wedge rounds on the Spark side vs an unrolled brute
+    wedge-join CTE chain in DuckDB."""
+    from .operators.graph import co_mentions, k_truss
+
+    pairs = co_mentions(_materialized_edges(spark, sf_dir)).select("a", "b")
+    return k_truss(pairs, k=4, rounds=3)
+
+
+def _graph_pairs_sql() -> tuple[str, str, str, str, str]:
     from .operators.graph import (
         adamic_adar_oracle_sql,
         k_core_oracle_sql,
+        k_truss_oracle_sql,
         neighbor_jaccard_oracle_sql,
         triangle_counts_oracle_sql,
     )
@@ -1080,6 +1093,7 @@ def _graph_pairs_sql() -> tuple[str, str, str, str]:
         k_core_oracle_sql(pairs_sql, k=3, rounds=6),
         neighbor_jaccard_oracle_sql(pairs_sql),
         adamic_adar_oracle_sql(pairs_sql),
+        k_truss_oracle_sql(pairs_sql, k=4, rounds=3),
     )
 
 
@@ -1335,6 +1349,7 @@ SQL_KG_PAGERANK_WEIGHTED = _pagerank_sql(weight_sql="cnt")
     SQL_KG_KCORE,
     SQL_KG_NEIGHBOR_JACCARD,
     SQL_KG_ADAMIC_ADAR,
+    SQL_KG_TRUSS,
 ) = _graph_pairs_sql()
 SQL_KG_NEGATIVES = SQL_KG_NEGATIVES_TPL.format(edges=SQL_KG_EDGES)
 
@@ -1908,6 +1923,80 @@ SELECT seed, node, min(hops)::INTEGER AS hops
 FROM walks WHERE seed <> node GROUP BY seed, node
 """
 
+def q_kg_pred_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining over the KG, subjects as baskets and
+    predicates as items: for every predicate pair carried by a shared
+    subject, support, confidence P(b|a), and lift. Surfaces schema-level
+    structure (which relations co-occur on the same entity far above
+    chance) that single-edge queries cannot see — the market-basket
+    analytics shape (Apriori's scoring stage) on the graph.
+
+    Scale shape: baskets = distinct (src, pred) — one exchange; the
+    pair stage self-joins baskets ON SUBJECT, so per-subject fan-out is
+    bounded by the entity's DISTINCT-predicate count (schema-sized,
+    ~dozens even for hub entities — never the entity's edge count);
+    per-pred supports ride back via broadcast (predicate vocabulary is
+    tiny). Ratios are IEEE double divisions of exact integers, rounded
+    to 6 — bit-identical across engines."""
+    edges = _materialized_edges(spark, sf_dir)
+    baskets = edges.select("src", "pred").distinct()
+    n = baskets.agg(F.countDistinct("src").alias("n_subj"))
+    supp = baskets.groupBy("pred").agg(F.count(F.lit(1)).alias("supp"))
+    l = baskets.withColumnsRenamed({"pred": "pred_a"})
+    r = baskets.withColumnsRenamed({"pred": "pred_b"})
+    pairs = (
+        l.join(r, "src")
+        .filter(F.col("pred_a") < F.col("pred_b"))
+        .groupBy("pred_a", "pred_b")
+        .agg(F.count(F.lit(1)).alias("pair_supp"))
+    )
+    sa = F.broadcast(supp).withColumnsRenamed({"pred": "pred_a", "supp": "supp_a"})
+    sb = F.broadcast(supp).withColumnsRenamed({"pred": "pred_b", "supp": "supp_b"})
+    return (
+        pairs.join(sa, "pred_a")
+        .join(sb, "pred_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "pred_a",
+            "pred_b",
+            F.col("pair_supp").cast("long").alias("pair_supp"),
+            F.round(F.col("pair_supp") / F.col("supp_a"), 6).alias(
+                "conf_a_to_b"
+            ),
+            F.round(F.col("pair_supp") / F.col("supp_b"), 6).alias(
+                "conf_b_to_a"
+            ),
+            F.round(
+                (F.col("pair_supp") * F.col("n_subj"))
+                / (F.col("supp_a") * F.col("supp_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+SQL_KG_PRED_ASSOC_TPL = """
+WITH e AS MATERIALIZED ({edges}),
+baskets AS (SELECT DISTINCT src, pred FROM e),
+n AS (SELECT count(DISTINCT src) AS n_subj FROM baskets),
+supp AS (SELECT pred, count(*) AS s FROM baskets GROUP BY pred),
+pairs AS (
+  SELECT l.pred AS pred_a, r.pred AS pred_b, count(*) AS pair_supp
+  FROM baskets l JOIN baskets r ON l.src = r.src AND l.pred < r.pred
+  GROUP BY l.pred, r.pred
+)
+SELECT pred_a, pred_b, pair_supp::BIGINT AS pair_supp,
+       round(pair_supp / sa.s, 6) AS conf_a_to_b,
+       round(pair_supp / sb.s, 6) AS conf_b_to_a,
+       round((pair_supp * n.n_subj) / (sa.s * sb.s), 6) AS lift
+FROM pairs
+JOIN supp sa ON sa.pred = pred_a
+JOIN supp sb ON sb.pred = pred_b
+CROSS JOIN n
+"""
+
+
+SQL_KG_PRED_ASSOC = SQL_KG_PRED_ASSOC_TPL.format(edges=SQL_KG_EDGES)
 SQL_KG_TOP_PREDS = SQL_KG_TOP_PREDS.format(edges=SQL_KG_EDGES)
 SQL_KG_STAR = SQL_KG_STAR.format(edges=SQL_KG_EDGES)
 
@@ -5177,6 +5266,111 @@ SELECT q_id, n_id, score, rank FROM r WHERE rank <= {k}
 SQL_SIM_PQ = _pq_sql()
 
 
+def q_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (FAISS IVFADC shape): coarse-quantizer probe pruning over
+    product-quantized codes — the billion-vector ANN composition. Every
+    training and scoring stage is seeded/rounded, so the oracle unrolls
+    the identical coarse k-means, per-subspace codebooks, probe lists,
+    and LUT-summed ranking."""
+    from .operators.similarity import ivfpq_topk
+
+    return ivfpq_topk(spark, _emb(spark, sf_dir))
+
+
+def _ivfpq_sql(
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 4,
+    n_codes: int = 16,
+    kmeans_iters: int = 1,
+    n_queries: int = 10,
+    k: int = 5,
+    dims: int = 64,
+) -> str:
+    """IVF-PQ oracle: the coarse chain of :func:`_ann_ivf_sql` (euclid,
+    prefixed ``g``) + the per-subspace codebook chains of
+    :func:`_pq_sql`, with the ADC scan joined through the probe list
+    instead of CROSS JOIN q."""
+    dsub = dims // m
+    coarse_kmeans = _kmeans_ctes(_EUC6, "ASC", kmeans_iters, p="g", v="v")
+    final_g = f"gc{kmeans_iters}" if kmeans_iters else "gc0"
+    parts = []
+    for s in range(m):
+        lo, hi = s * dsub + 1, (s + 1) * dsub
+        p = f"p{s}"
+        parts.append(f"""
+v{s} AS (SELECT vec_id, emb[{lo}:{hi}] AS emb FROM v),
+{p}c0 AS (SELECT vec_id::INTEGER AS cell, emb AS c_emb FROM v{s} WHERE vec_id < {n_codes}),{_kmeans_ctes(_EUC6, "ASC", kmeans_iters, p=p, v=f"v{s}")}
+{p}cc AS (SELECT cell, c_emb FROM {p}c{kmeans_iters}),
+{p}sc AS (
+  SELECT v.vec_id, c.cell, {_EUC6.format(a='v.emb', b='c.c_emb')} AS score
+  FROM v{s} v, {p}cc c
+),
+{p}asg AS (
+  SELECT vec_id, cell AS c{s} FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY score ASC, cell ASC) AS rn
+    FROM {p}sc) WHERE rn = 1
+),
+{p}lut AS (
+  SELECT q.vec_id AS q_id, c.cell AS c{s},
+         {_EUC6.format(a='q.emb', b='c.c_emb')} AS d{s}
+  FROM v{s} q, {p}cc c WHERE q.vec_id < {n_queries}
+),""")
+    subs = "".join(parts)
+    code_joins = " ".join(f"JOIN p{s}asg a{s} USING (vec_id)" for s in range(1, m))
+    lut_joins = " ".join(
+        f"JOIN p{s}lut l{s} ON l{s}.q_id = pr.q_id AND l{s}.c{s} = codes.c{s}"
+        for s in range(m)
+    )
+    d2 = " + ".join(f"l{s}.d{s} * l{s}.d{s}" for s in range(m))
+    code_cols = ", ".join(f"a{s}.c{s}" for s in range(m))
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+),
+gc0 AS (SELECT vec_id::INTEGER AS cell, emb AS c_emb FROM v WHERE vec_id < {n_cells}),
+{coarse_kmeans}
+gcc AS (SELECT cell, c_emb FROM {final_g}),
+gsc AS (
+  SELECT v.vec_id, c.cell, {_EUC6.format(a='v.emb', b='c.c_emb')} AS score
+  FROM v, gcc c
+),
+gasg AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY score ASC, cell ASC) AS rn
+    FROM gsc) WHERE rn = 1
+),
+gprobe AS (
+  SELECT vec_id AS q_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY score ASC, cell ASC) AS rn
+    FROM gsc WHERE vec_id < {n_queries}) WHERE rn <= {n_probe}
+),{subs}
+codes AS (SELECT a0.vec_id, {code_cols} FROM p0asg a0 {code_joins}),
+cand AS (
+  SELECT pr.q_id, codes.vec_id AS n_id,
+         round(sqrt({d2}), 6) AS score
+  FROM codes
+  JOIN gasg g ON g.vec_id = codes.vec_id
+  JOIN gprobe pr ON pr.cell = g.cell
+  {lut_joins}
+  WHERE codes.vec_id <> pr.q_id
+),
+r AS (
+  SELECT q_id, n_id, score,
+         row_number() OVER (PARTITION BY q_id ORDER BY score ASC, n_id ASC) AS rank
+  FROM cand
+)
+SELECT q_id, n_id, score, rank FROM r WHERE rank <= {k}
+"""
+
+
+SQL_SIM_IVFPQ = _ivfpq_sql()
+
+
 def q_sim_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ColBERT-style multi-vector MaxSim retrieval: every 4 consecutive
     vec_ids form one multi-vector doc; queries are the first 3 docs;
@@ -5251,11 +5445,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_closure": q_kg_closure,
     "kg_star": q_kg_star,
     "kg_top_preds": q_kg_top_preds,
+    "kg_pred_assoc": q_kg_pred_assoc,
     "kg_cooccur": q_kg_cooccur,
     "kg_triangles": q_kg_triangles,
     "kg_kcore": q_kg_kcore,
     "kg_neighbor_jaccard": q_kg_neighbor_jaccard,
     "kg_adamic_adar": q_kg_adamic_adar,
+    "kg_truss": q_kg_truss,
     "kg_hits": q_kg_hits,
     "kg_communities": q_kg_communities,
     "kg_sssp": q_kg_sssp,
@@ -5346,6 +5542,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_ann_ivf": q_sim_ann_ivf,
     "sim_ann_ivf_euclid": q_sim_ann_ivf_euclid,
     "sim_pq": q_sim_pq,
+    "sim_ivfpq": q_sim_ivfpq,
     "sim_maxsim": q_sim_maxsim,
     "dedup_embedding_exact": q_dedup_embedding_exact,
     "sim_semantic_dedup": q_sim_semantic_dedup,
@@ -5386,6 +5583,9 @@ _CHANGED_THIS_ROUND = [
     "olap_top_supplier",     # NEW: TPC-H Q15 shape
     "olap_volume_shipping",  # NEW: TPC-H Q7 shape
     "corpus_mixture",        # NEW: temperature-scaled domain mixing
+    "kg_pred_assoc",         # NEW: association rules over (subj, pred)
+    "kg_truss",              # NEW: fixed-round 4-truss peeling
+    "sim_ivfpq",             # NEW: IVF-PQ (coarse probe + ADC codes)
     # --- round 4: behavior/plan changes needing driver re-verification ---
     "kg_transe",             # sqrt clamp (ADVICE r3) — both engines
     "web_frontier",          # base derived from src host (ADVICE r3)
@@ -5449,11 +5649,13 @@ ORACLES: dict[str, str] = {
     "kg_closure": SQL_KG_CLOSURE,
     "kg_star": SQL_KG_STAR,
     "kg_top_preds": SQL_KG_TOP_PREDS,
+    "kg_pred_assoc": SQL_KG_PRED_ASSOC,
     "kg_cooccur": SQL_KG_COOCCUR,
     "kg_triangles": SQL_KG_TRIANGLES,
     "kg_kcore": SQL_KG_KCORE,
     "kg_neighbor_jaccard": SQL_KG_NEIGHBOR_JACCARD,
     "kg_adamic_adar": SQL_KG_ADAMIC_ADAR,
+    "kg_truss": SQL_KG_TRUSS,
     "kg_hits": SQL_KG_HITS,
     "kg_communities": SQL_KG_COMMUNITIES,
     "kg_sssp": SQL_KG_SSSP,
@@ -5551,6 +5753,7 @@ ORACLES: dict[str, str] = {
     "sim_knn_dot": SQL_SIM_KNN_DOT,
     "sim_ann_ivf": SQL_SIM_ANN_IVF,
     "sim_pq": SQL_SIM_PQ,
+    "sim_ivfpq": SQL_SIM_IVFPQ,
     "sim_ann_ivf_euclid": SQL_SIM_ANN_IVF_EUCLID,
     "sim_maxsim": SQL_SIM_MAXSIM,
     "dedup_embedding_exact": SQL_DEDUP_EMBEDDING_EXACT,

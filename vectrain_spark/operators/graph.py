@@ -346,25 +346,10 @@ def neighbor_jaccard(pairs: DataFrame) -> DataFrame:
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
-    # localCheckpoint: tri feeds THREE union branches below — without
-    # truncation each branch re-runs the whole wedge join (measured 4x
-    # wall on the bench graph). Checkpoint blocks free with the frame.
-    tri = _oriented_wedges(e).join(e, ["a", "b"]).localCheckpoint()
-    common = (
-        tri.select("a", "b")
-        .unionAll(
-            tri.select(
-                F.least("u", "a").alias("a"), F.greatest("u", "a").alias("b")
-            )
-        )
-        .unionAll(
-            tri.select(
-                F.least("u", "b").alias("a"), F.greatest("u", "b").alias("b")
-            )
-        )
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
+    # _edge_support localCheckpoints the triangle set internally: it
+    # feeds three union branches, and without truncation each branch
+    # re-runs the whole wedge join (measured 4x wall on the bench graph)
+    common = _edge_support(e).withColumnRenamed("support", "common")
     da = F.broadcast(deg).withColumnsRenamed({"id": "a", "deg": "deg_a"})
     db = F.broadcast(deg).withColumnsRenamed({"id": "b", "deg": "deg_b"})
     return (
@@ -582,6 +567,114 @@ WITH {body}
 SELECT id, count(*)::BIGINT AS core_degree FROM (
   SELECT a AS id FROM e{rounds} UNION ALL SELECT b FROM e{rounds}
 ) GROUP BY id HAVING count(*) >= {k}
+"""
+
+
+def _edge_support(e: DataFrame) -> DataFrame:
+    """Per-edge triangle support over a distinct undirected (a, b) edge
+    list -> (a, b, support): how many triangles contain each edge. Rides
+    the degree-oriented wedge enumeration (:func:`_oriented_wedges`) —
+    each triangle found once, crediting all three of its edges — so a
+    hub never pivots the wedge join."""
+    tri = _oriented_wedges(e).join(e, ["a", "b"]).localCheckpoint()
+    return (
+        tri.select("a", "b")
+        .unionAll(
+            tri.select(
+                F.least("u", "a").alias("a"), F.greatest("u", "a").alias("b")
+            )
+        )
+        .unionAll(
+            tri.select(
+                F.least("u", "b").alias("a"), F.greatest("u", "b").alias("b")
+            )
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+
+
+def k_truss(pairs: DataFrame, k: int = 4, rounds: int = 3) -> DataFrame:
+    """Fixed-round k-truss peeling over an undirected (a, b), a < b edge
+    list: run ``rounds`` synchronous rounds of "drop every edge in fewer
+    than k-2 triangles of the surviving subgraph", then return the
+    survivors with their support inside the final subgraph ->
+    (a, b, support).
+
+    The truss is the edge-analog of the k-core and the standard
+    community-backbone extractor (Cohen 2008): cores count neighbors,
+    trusses count *mutually-connected* neighbors, so a truss survives
+    star-shaped noise that fools the core. Deterministic for a fixed
+    round count — the oracle unrolls the identical rounds, so both
+    engines agree even pre-convergence.
+
+    Scale shape: each round is one degree-ORIENTED wedge enumeration
+    (per-pivot fan-out O(sqrt(|E|)) — :func:`_oriented_wedges`) plus a
+    two-phase per-edge credit aggregate and an edge-keyed filter join.
+    The surviving edge list is localCheckpointed every round: it feeds
+    the next round's degrees, orientation, wedge close and filter, and
+    without truncation the lineage would re-run all prior rounds per
+    consumer. Requires k >= 3 (support >= 1), which lets the filter be
+    an inner join — zero-support edges simply find no partner.
+    """
+    if k < 3:
+        raise ValueError("k_truss requires k >= 3")
+    e = pairs.select("a", "b").distinct().localCheckpoint()
+    for _ in range(rounds):
+        supp = _edge_support(e)
+        e = (
+            e.join(supp, ["a", "b"])
+            .filter(F.col("support") >= k - 2)
+            .select("a", "b")
+            .localCheckpoint()
+        )
+    final = _edge_support(e)
+    return e.join(final, ["a", "b"], "left").select(
+        "a",
+        "b",
+        F.coalesce(F.col("support"), F.lit(0)).cast("long").alias("support"),
+    )
+
+
+def k_truss_oracle_sql(pairs_sql: str, k: int = 4, rounds: int = 3) -> str:
+    """Unrolled-CTE DuckDB reconstruction of :func:`k_truss` (same round
+    count; brute symmetric wedge join per round — the oracle is allowed
+    the plan the Spark side hub-caps away). All CTEs MATERIALIZED for
+    the same re-evaluation reason as :func:`k_core_oracle_sql`."""
+    parts = [f"e0 AS MATERIALIZED (SELECT DISTINCT a, b FROM ({pairs_sql}))"]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""s{i} AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM e{i-1} UNION ALL SELECT b, a FROM e{i-1}
+),
+t{i} AS MATERIALIZED (
+  SELECT w1.dst AS a, w2.dst AS b, count(*) AS c
+  FROM s{i} w1 JOIN s{i} w2 ON w1.src = w2.src AND w1.dst < w2.dst
+  JOIN e{i-1} e ON e.a = w1.dst AND e.b = w2.dst
+  GROUP BY w1.dst, w2.dst
+),
+e{i} AS MATERIALIZED (
+  SELECT e.a, e.b FROM e{i-1} e
+  JOIN t{i} t ON t.a = e.a AND t.b = e.b AND t.c >= {k - 2}
+)"""
+        )
+    r = rounds
+    parts.append(
+        f"""sf AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM e{r} UNION ALL SELECT b, a FROM e{r}
+),
+tf AS MATERIALIZED (
+  SELECT w1.dst AS a, w2.dst AS b, count(*) AS c
+  FROM sf w1 JOIN sf w2 ON w1.src = w2.src AND w1.dst < w2.dst
+  JOIN e{r} e ON e.a = w1.dst AND e.b = w2.dst
+  GROUP BY w1.dst, w2.dst
+)"""
+    )
+    body = ",\n".join(parts)
+    return f"""
+WITH {body}
+SELECT e.a, e.b, coalesce(t.c, 0)::BIGINT AS support
+FROM e{r} e LEFT JOIN tf t ON t.a = e.a AND t.b = e.b
 """
 
 

@@ -638,3 +638,96 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", "score", "rank")
     )
+
+
+def ivfpq_topk(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 4,
+    n_codes: int = 16,
+    kmeans_iters: int = 1,
+    n_queries: int = 10,
+    k: int = 5,
+) -> DataFrame:
+    """IVF-PQ approximate top-k — the composition FAISS ships as its
+    billion-vector default (IVFADC, Jégou et al.): a coarse quantizer
+    prunes the corpus to ``n_probe`` cells per query, and within the
+    survivors distances come from the product-quantized codes via
+    broadcast LUT lookups, never from raw vectors. (Raw-vector PQ, not
+    residual encoding — the simpler book-keeping, same dataflow.)
+
+    Dataflow: the coarse stage is :func:`ann_ivf`'s (seeded Lloyd
+    centroids, argmin cell assignment, per-query probe lists — all
+    node-set-sized broadcasts); the fine stage is :func:`pq_topk`'s
+    (per-subspace codebooks, m-byte codes, per-query LUTs). The scan
+    touches only code rows whose coarse cell is probed — candidate
+    volume drops by ~n_probe/n_cells vs plain PQ while the per-candidate
+    cost stays m LUT adds. Deterministic end-to-end (seeded training,
+    rounded float64, fixed summation order): the DuckDB oracle
+    reproduces the exact ranking.
+    """
+    vecs = _vecs(embeddings)
+    dims = vecs.select(F.size("emb").alias("d")).first()["d"]
+    if dims % m != 0:
+        raise ValueError(f"dim {dims} not divisible by m={m}")
+    dsub = dims // m
+    # coarse quantizer (euclid, to match the PQ distance space)
+    coarse = centroids_df(embeddings, n_cells)
+    if kmeans_iters:
+        coarse = kmeans_refine(vecs, coarse, iters=kmeans_iters, metric="euclid")
+    assigned = assign_cells(vecs, coarse, metric="euclid")
+    qprobe = assign_cells(
+        vecs.filter(F.col("vec_id") < n_queries),
+        coarse,
+        n_probe,
+        metric="euclid",
+    ).select(F.col("vec_id").alias("q_id"), "cell")
+    # PQ codes + per-query LUTs, per subspace
+    codes = None
+    luts = []
+    for s in range(m):
+        sub = vecs.select(
+            "vec_id", F.slice("emb", s * dsub + 1, dsub).alias("emb")
+        )
+        seed = sub.filter(F.col("vec_id") < n_codes).select(
+            F.col("vec_id").cast("int").alias("cell"), F.col("emb").alias("c_emb")
+        )
+        cents = kmeans_refine(sub, seed, iters=kmeans_iters, metric="euclid")
+        enc = assign_cells(sub, cents, metric="euclid").select(
+            "vec_id", F.col("cell").alias(f"c{s}")
+        )
+        codes = enc if codes is None else codes.join(enc, "vec_id")
+        qsub = sub.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+        )
+        lut = qsub.join(F.broadcast(cents)).select(
+            "q_id",
+            F.col("cell").alias(f"c{s}"),
+            F.round(metric_expr("euclid", "q_emb", "c_emb"), 6).alias(f"d{s}"),
+        )
+        luts.append(lut)
+    # probe-pruned ADC scan: only code rows in a probed coarse cell
+    cand = (
+        codes.join(assigned, "vec_id")
+        .join(F.broadcast(qprobe), "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+    )
+    for s in range(m):
+        cand = cand.join(F.broadcast(luts[s]), ["q_id", f"c{s}"])
+    from functools import reduce as _reduce
+
+    d2 = _reduce(
+        lambda acc, s: acc + F.col(f"d{s}") * F.col(f"d{s}"),
+        range(1, m),
+        F.col("d0") * F.col("d0"),
+    )
+    score = F.round(F.sqrt(d2), 6)
+    w = Window.partitionBy("q_id").orderBy(F.asc("score"), F.asc("n_id"))
+    return (
+        cand.select("q_id", F.col("vec_id").alias("n_id"), score.alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "score", "rank")
+    )
