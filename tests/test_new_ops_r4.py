@@ -1,0 +1,199 @@
+"""Round-4 operators: KG schema/rule mining, metapath caps, k-truss,
+TransE evaluation, DSIR importance weights."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from vectrain_spark.operators.graph import k_truss, transe_eval
+from vectrain_spark.operators.rules import (
+    metapath_counts,
+    pred_cardinality,
+    rule_confidence,
+)
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["src", "pred", "dst"])
+    )
+
+
+def test_pred_cardinality_functional_vs_multi(spark):
+    rows = [
+        # born_in: every subject exactly one object -> functionality 1.0
+        ("a", "born_in", "x"),
+        ("b", "born_in", "y"),
+        ("c", "born_in", "x"),
+        # knows: a has two objects -> functionality 2/3
+        ("a", "knows", "b"),
+        ("a", "knows", "c"),
+        ("b", "knows", "c"),
+    ]
+    out = (
+        pred_cardinality(_edges(spark, rows))
+        .toPandas()
+        .set_index("pred")
+    )
+    assert out.loc["born_in"].n_pairs == 3
+    assert out.loc["born_in"].functionality == 1.0
+    # 2 distinct objects over 3 pairs
+    assert out.loc["born_in"].inv_functionality == round(2 / 3, 6)
+    assert out.loc["knows"].functionality == round(2 / 3, 6)
+    assert out.loc["knows"].inv_functionality == round(2 / 3, 6)
+
+
+def test_rule_confidence_direct_and_inverse(spark):
+    rows = [
+        # capital_of(x,y) always implies city_in(x,y): conf 1.0
+        ("paris", "capital_of", "fr"),
+        ("rome", "capital_of", "it"),
+        ("paris", "city_in", "fr"),
+        ("rome", "city_in", "it"),
+        ("lyon", "city_in", "fr"),
+        # has_capital is the inverse of capital_of
+        ("fr", "has_capital", "paris"),
+    ]
+    out = rule_confidence(_edges(spark, rows)).toPandas()
+    d = out.set_index(["pred_body", "pred_head", "kind"])
+    r = d.loc[("capital_of", "city_in", "dir")]
+    assert r.support == 2 and r.confidence == 1.0
+    # city_in => capital_of holds 2 of 3 times
+    r = d.loc[("city_in", "capital_of", "dir")]
+    assert r.support == 2 and r.confidence == round(2 / 3, 6)
+    # inverse rule: capital_of(x,y) => has_capital(y,x), 1 of 2 bodies
+    r = d.loc[("capital_of", "has_capital", "inv")]
+    assert r.support == 1 and r.confidence == 0.5
+    r = d.loc[("has_capital", "capital_of", "inv")]
+    assert r.support == 1 and r.confidence == 1.0
+    # a predicate is trivially its own 'dir' head -> must be excluded
+    assert ("city_in", "city_in", "dir") not in d.index
+
+
+def test_metapath_counts_and_hub_cap(spark):
+    rows = [
+        ("a", "p", "m"),
+        ("b", "p", "m"),
+        ("m", "q", "x"),
+        ("m", "q", "y"),
+        # a second, low-degree mid
+        ("c", "p", "n"),
+        ("n", "q", "z"),
+    ]
+    out = metapath_counts(_edges(spark, rows)).toPandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    # paths through m: 2 in x 2 out = 4; through n: 1 -> 5 total
+    assert (r.pred_a, r.pred_b, r.n_paths, r.n_pairs) == ("p", "q", 5, 5)
+    # cap at degree 3: m has degree 4 (2 in + 2 out) and is excluded as a
+    # mid; only the path through n survives
+    capped = metapath_counts(_edges(spark, rows), max_mid_degree=3).toPandas()
+    assert len(capped) == 1 and capped.iloc[0].n_paths == 1
+    # endpoints are not capped, only mids: a/b/c/x/y/z all still appear
+    assert capped.iloc[0].n_pairs == 1
+
+
+def test_metapath_distinct_pairs_vs_paths(spark):
+    rows = [
+        # two parallel paths a->m1->z and a->m2->z: 2 paths, 1 pair
+        ("a", "p", "m1"),
+        ("a", "p", "m2"),
+        ("m1", "q", "z"),
+        ("m2", "q", "z"),
+    ]
+    out = metapath_counts(_edges(spark, rows)).toPandas()
+    assert out.iloc[0].n_paths == 2 and out.iloc[0].n_pairs == 1
+
+
+def test_k_truss_strips_star_keeps_clique(spark):
+    # a 4-clique (every edge in 2 triangles) + a star hub tail that
+    # touches the clique but forms no triangles
+    clique = [
+        ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")
+    ]
+    star = [("a", "s1"), ("a", "s2"), ("a", "s3")]
+    pairs = spark.createDataFrame(
+        pd.DataFrame(clique + star, columns=["a", "b"])
+    )
+    out = k_truss(pairs, k=4, rounds=3).toPandas()
+    got = {tuple(r) for r in out[["a", "b"]].itertuples(index=False)}
+    assert got == set(clique)
+    assert (out.support == 2).all()
+
+
+def test_k_truss_requires_k3(spark):
+    pairs = spark.createDataFrame(pd.DataFrame([("a", "b")], columns=["a", "b"]))
+    with pytest.raises(ValueError):
+        k_truss(pairs, k=2)
+
+
+def test_transe_eval_metrics_sane_and_deterministic(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    emb_df = spark.createDataFrame(
+        [(i, rng.standard_normal(8).round(3).tolist()) for i in range(20)],
+        "vec_id: long, embedding: array<double>",
+    )
+    rows = [
+        ("a", "p", "x"),
+        ("b", "p", "y"),
+        ("c", "q", "x"),
+        ("d", "q", "z"),
+        ("e", "q", "w"),
+    ]
+    e = _edges(spark, rows)
+    out = transe_eval(e, emb_df, n_neg=4).toPandas().set_index("pred")
+    assert set(out.index) == {"p", "q"}
+    assert out.loc["p"].n_triples == 2 and out.loc["q"].n_triples == 3
+    for _, r in out.iterrows():
+        assert 0.0 < r.mrr <= 1.0
+        assert 0.0 <= r.hits1 <= r.hits3 <= 1.0
+        assert r.mean_rank >= 1.0
+        # rank is bounded by 1 + n_neg
+        assert r.mean_rank <= 5.0
+    again = transe_eval(e, emb_df, n_neg=4).toPandas().set_index("pred")
+    pd.testing.assert_frame_equal(out, again)
+
+
+def test_dsir_prefers_target_like_docs(spark):
+    from vectrain_spark.operators.corpus import dsir_logweights
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3],
+                "lang": ["en", "en", "de", "de"],
+                "text": [
+                    "alpha beta gamma",
+                    "alpha beta delta",
+                    "zeta eta theta",
+                    "alpha beta gamma",  # german doc with target-ish text
+                ],
+            }
+        )
+    )
+    out = (
+        dsir_logweights(docs, F.col("lang") == "en", buckets=32)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert (out.n_tokens == 3).all()
+    # docs made of target-distribution tokens outscore off-target ones,
+    # regardless of their own label (doc 3 shares doc 0's text)
+    assert out.loc[0].logw > out.loc[2].logw
+    assert out.loc[3].logw == out.loc[0].logw
+
+
+def test_dsir_empty_tokens_dropped(spark):
+    from vectrain_spark.operators.corpus import dsir_logweights
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [0, 1], "lang": ["en", "de"], "text": ["  a   b ", "c"]}
+        )
+    )
+    out = dsir_logweights(docs, F.col("lang") == "en").toPandas()
+    assert dict(zip(out.doc_id, out.n_tokens)) == {0: 2, 1: 1}

@@ -1997,6 +1997,184 @@ CROSS JOIN n
 
 
 SQL_KG_PRED_ASSOC = SQL_KG_PRED_ASSOC_TPL.format(edges=SQL_KG_EDGES)
+
+
+def q_kg_pred_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate cardinality-constraint mining (AMIE functionality /
+    inverse-functionality, Galarraga et al. 2013): which relations
+    behave like keys — the schema facts that flag entity-linking errors
+    (a functional predicate with two objects per subject) and tell a
+    rule miner which argument to corrupt."""
+    from .operators.rules import pred_cardinality
+
+    return pred_cardinality(_materialized_edges(spark, sf_dir))
+
+
+def q_kg_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMIE-style length-1 Horn rules p(x,y) => q(x,y) / => q(y,x) with
+    exact support and confidence over the materialized edge table —
+    redundant-predicate and inverse-relation discovery, the
+    relation-canonicalization signal of KG construction."""
+    from .operators.rules import rule_confidence
+
+    return rule_confidence(_materialized_edges(spark, sf_dir))
+
+
+def q_kg_metapath(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop metapath statistics (Path Ranking Algorithm feature space,
+    Lao & Cohen 2010) over the edge table AUGMENTED WITH INVERSE
+    RELATIONS ('~pred', reversed) — PRA's standard path vocabulary, and
+    necessary here because extracted (subj, pred, obj) graphs are
+    near-bipartite, so purely forward 2-hop paths barely exist. The
+    hub-mid degree cap is ENGAGED (mids above degree 128 excluded,
+    identically in the oracle), so the verified plan is the capped one
+    that survives a 10^6-degree hub."""
+    from .operators.rules import metapath_counts
+
+    e = _materialized_edges(spark, sf_dir)
+    aug = e.select("pred", "src", "dst").unionByName(
+        e.select(
+            F.concat(F.lit("~"), F.col("pred")).alias("pred"),
+            F.col("dst").alias("src"),
+            F.col("src").alias("dst"),
+        )
+    )
+    return metapath_counts(aug, max_mid_degree=128)
+
+
+def q_kg_transe_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-prediction evaluation (MRR / Hits@1 / Hits@3 / mean rank
+    per predicate) of the TransE energy against deterministic
+    hash-corrupted tails — the measurement stage that closes the
+    KG-embedding loop (negatives -> train -> score -> EVALUATE),
+    decimal-exact reciprocal-rank sums on both engines."""
+    from .operators.graph import transe_eval
+
+    return transe_eval(
+        _materialized_edges(spark, sf_dir), _emb(spark, sf_dir), n_neg=8
+    )
+
+
+def _rules_sqls() -> tuple[str, str, str]:
+    from .operators.rules import (
+        metapath_oracle_sql,
+        pred_cardinality_oracle_sql,
+        rule_confidence_oracle_sql,
+    )
+
+    aug = (
+        f"WITH base AS MATERIALIZED (SELECT pred, src, dst FROM ({SQL_KG_EDGES})) "
+        f"SELECT pred, src, dst FROM base "
+        f"UNION ALL SELECT '~' || pred, dst, src FROM base"
+    )
+    return (
+        pred_cardinality_oracle_sql(SQL_KG_EDGES),
+        rule_confidence_oracle_sql(SQL_KG_EDGES),
+        metapath_oracle_sql(aug, max_mid_degree=128),
+    )
+
+
+(
+    SQL_KG_PRED_CARDINALITY,
+    SQL_KG_RULES,
+    SQL_KG_METAPATH,
+) = _rules_sqls()
+
+
+def _transe_eval_sql(n_neg: int = 8) -> str:
+    """DuckDB reconstruction of :func:`transe_eval`: identical md5
+    vocabulary corruption, identical expanded-quadratic energies, and a
+    DECIMAL-exact reciprocal-rank sum."""
+    score = """round(-sqrt(greatest(
+           list_dot_product(vh.emb, vh.emb) + list_dot_product(vr.emb, vr.emb)
+           + list_dot_product(vt.emb, vt.emb)
+           + 2.0 * list_dot_product(vh.emb, vr.emb)
+           - 2.0 * list_dot_product(vh.emb, vt.emb)
+           - 2.0 * list_dot_product(vr.emb, vt.emb), 0.0)), 6)"""
+    return f"""
+WITH e0 AS MATERIALIZED (SELECT DISTINCT src, pred, dst FROM ({{edges}})),
+v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings),
+nv AS (SELECT count(*) AS n FROM v),
+vocab AS (
+  SELECT id, row_number() OVER (ORDER BY id) - 1 AS idx
+  FROM (SELECT DISTINCT id FROM
+        (SELECT src AS id FROM e0 UNION ALL SELECT dst FROM e0))
+),
+nvoc AS (SELECT count(*) AS n FROM vocab),
+negs AS MATERIALIZED (
+  SELECT DISTINCT e.src, e.pred, e.dst, vb.id AS cand
+  FROM e0 e
+  CROSS JOIN (SELECT unnest(range({n_neg})) AS slot) s
+  JOIN vocab vb ON vb.idx =
+    ('0x' || substr(md5(e.src || '|' || e.pred || '|' || e.dst || '|'
+                        || s.slot::VARCHAR || '|ev'), 1, 15))::BIGINT
+    % (SELECT n FROM nvoc)
+  WHERE vb.id <> e.dst
+),
+ts AS MATERIALIZED (
+  SELECT e.src, e.pred, e.dst, {score} AS s_true
+  FROM e0 e
+  JOIN v vh ON vh.vec_id =
+    ('0x' || substr(md5(e.src || '|e'), 1, 15))::BIGINT % (SELECT n FROM nv)
+  JOIN v vr ON vr.vec_id =
+    ('0x' || substr(md5(e.pred || '|r'), 1, 15))::BIGINT % (SELECT n FROM nv)
+  JOIN v vt ON vt.vec_id =
+    ('0x' || substr(md5(e.dst || '|e'), 1, 15))::BIGINT % (SELECT n FROM nv)
+),
+ns AS MATERIALIZED (
+  SELECT g.src, g.pred, g.dst, g.cand, {score} AS s_neg
+  FROM negs g
+  JOIN v vh ON vh.vec_id =
+    ('0x' || substr(md5(g.src || '|e'), 1, 15))::BIGINT % (SELECT n FROM nv)
+  JOIN v vr ON vr.vec_id =
+    ('0x' || substr(md5(g.pred || '|r'), 1, 15))::BIGINT % (SELECT n FROM nv)
+  JOIN v vt ON vt.vec_id =
+    ('0x' || substr(md5(g.cand || '|e'), 1, 15))::BIGINT % (SELECT n FROM nv)
+),
+beat AS (
+  SELECT n.src, n.pred, n.dst,
+         sum(CASE WHEN n.s_neg > t.s_true
+                  OR (n.s_neg = t.s_true AND n.cand < n.dst)
+             THEN 1 ELSE 0 END) AS n_beat
+  FROM ns n JOIN ts t USING (src, pred, dst)
+  GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT t.pred, coalesce(b.n_beat, 0) + 1 AS rank
+  FROM ts t LEFT JOIN beat b USING (src, pred, dst)
+)
+SELECT pred, count(*)::BIGINT AS n_triples,
+       round((sum(round(1.0::DOUBLE / rank, 6)::DECIMAL(10,6)))::DOUBLE
+             / count(*), 6) AS mrr,
+       round(sum(CASE WHEN rank <= 1 THEN 1 ELSE 0 END) / count(*), 6) AS hits1,
+       round(sum(CASE WHEN rank <= 3 THEN 1 ELSE 0 END) / count(*), 6) AS hits3,
+       round(sum(rank) / count(*), 6) AS mean_rank
+FROM ranked GROUP BY pred
+"""
+
+
+SQL_KG_TRANSE_EVAL = _transe_eval_sql().format(edges=SQL_KG_EDGES)
+
+
+def q_corpus_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023) over hashed unigram
+    features: every document's log-likelihood ratio between the English
+    subset (the stand-in quality target) and the raw corpus — the score
+    a 100 TB crawl is importance-resampled by. Decimal-exact per-doc
+    sums keep both engines bit-identical."""
+    from .operators.corpus import dsir_logweights
+
+    return dsir_logweights(_docs(spark, sf_dir), F.col("lang") == "en")
+
+
+def _dsir_sql() -> str:
+    from .operators.corpus import dsir_oracle_sql
+
+    return dsir_oracle_sql("lang = 'en'", norm_sql=NORM_SQL)
+
+
+SQL_CORPUS_DSIR = _dsir_sql()
 SQL_KG_TOP_PREDS = SQL_KG_TOP_PREDS.format(edges=SQL_KG_EDGES)
 SQL_KG_STAR = SQL_KG_STAR.format(edges=SQL_KG_EDGES)
 
@@ -5446,6 +5624,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_star": q_kg_star,
     "kg_top_preds": q_kg_top_preds,
     "kg_pred_assoc": q_kg_pred_assoc,
+    "kg_pred_cardinality": q_kg_pred_cardinality,
+    "kg_rules": q_kg_rules,
+    "kg_metapath": q_kg_metapath,
     "kg_cooccur": q_kg_cooccur,
     "kg_triangles": q_kg_triangles,
     "kg_kcore": q_kg_kcore,
@@ -5459,6 +5640,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_path2": q_kg_path2,
     "kg_negatives": q_kg_negatives,
     "kg_transe": q_kg_transe,
+    "kg_transe_eval": q_kg_transe_eval,
     "kg_transe_train": q_kg_transe_train,
     "kg_degree_hist": q_kg_degree_hist,
     "text_bpe_pairs": q_text_bpe_pairs,
@@ -5501,6 +5683,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_stats": q_corpus_stats,
     "corpus_rollup": q_corpus_rollup,
     "corpus_mixture": q_corpus_mixture,
+    "corpus_dsir": q_corpus_dsir,
     "corpus_cube": q_corpus_cube,
     "sketch_distinct": q_sketch_distinct,
     "sketch_cms_words": q_sketch_cms_words,
@@ -5650,6 +5833,9 @@ ORACLES: dict[str, str] = {
     "kg_star": SQL_KG_STAR,
     "kg_top_preds": SQL_KG_TOP_PREDS,
     "kg_pred_assoc": SQL_KG_PRED_ASSOC,
+    "kg_pred_cardinality": SQL_KG_PRED_CARDINALITY,
+    "kg_rules": SQL_KG_RULES,
+    "kg_metapath": SQL_KG_METAPATH,
     "kg_cooccur": SQL_KG_COOCCUR,
     "kg_triangles": SQL_KG_TRIANGLES,
     "kg_kcore": SQL_KG_KCORE,
@@ -5663,6 +5849,7 @@ ORACLES: dict[str, str] = {
     "kg_path2": SQL_KG_PATH2,
     "kg_negatives": SQL_KG_NEGATIVES,
     "kg_transe": SQL_KG_TRANSE,
+    "kg_transe_eval": SQL_KG_TRANSE_EVAL,
     "kg_transe_train": SQL_KG_TRANSE_TRAIN,
     "kg_degree_hist": SQL_KG_DEGREE_HIST,
     "text_bpe_pairs": SQL_TEXT_BPE_PAIRS,
@@ -5711,6 +5898,7 @@ ORACLES: dict[str, str] = {
     "corpus_stats": SQL_CORPUS_STATS,
     "corpus_rollup": SQL_CORPUS_ROLLUP,
     "corpus_mixture": SQL_CORPUS_MIXTURE,
+    "corpus_dsir": SQL_CORPUS_DSIR,
     "corpus_cube": SQL_CORPUS_CUBE,
     "sketch_distinct": SQL_SKETCH_DISTINCT,
     "sketch_cms_words": SQL_SKETCH_CMS_WORDS,

@@ -332,3 +332,121 @@ def mixture_weights(docs: DataFrame, domain_col: str = "source") -> DataFrame:
             F.round(F.col("w") / F.col("tot_w"), 6).alias("mix_weight"),
         )
     )
+
+
+def dsir_logweights(
+    docs: DataFrame,
+    target_filter,
+    buckets: int = 128,
+    text_col: str = "text",
+) -> DataFrame:
+    """Data Selection with Importance Resampling (DSIR, Xie et al. 2023)
+    log importance weights over hashed unigram features ->
+    (doc_id, n_tokens, logw): how much more likely each document is
+    under the TARGET distribution (rows matching ``target_filter``) than
+    under the RAW corpus, the score DSIR resamples by to skew a web
+    crawl toward a quality domain. log w(d) = sum over tokens of
+    log p_target(b(t)) - log p_raw(b(t)), with b() a 60-bit md5 hash
+    into ``buckets`` Laplace-smoothed bag-of-hashed-unigram buckets —
+    the exact featurization the paper uses so the estimator needs no
+    vocabulary, only a fixed-size count table.
+
+    Scale shape: one tokenize+explode map stage feeds (a) two
+    buckets-sized global count tables (map-side-combining aggregates on
+    a key space of 128 — broadcast back), and (b) a per-(doc, bucket)
+    count aggregate whose per-doc fan-out is bounded by ``buckets``.
+    No vocabulary-sized state, no shuffle keyed on a token. Engine
+    parity: per-bucket log-ratios are rounded to 1e-6 and cast to exact
+    DECIMAL(12,6) BEFORE the per-doc sum, so the reduction is integer
+    arithmetic underneath and no float summation order can split Spark
+    from the DuckDB oracle; the final cast back to double is one
+    deterministic conversion.
+    """
+    from .dedup import normalized_text, spread
+    from .sketch import _hash60
+
+    toks = (
+        spread(docs)
+        .select(
+            "doc_id",
+            F.when(target_filter, F.lit(1)).otherwise(F.lit(0)).alias("is_t"),
+            F.explode(F.split(normalized_text(text_col), " ")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .withColumn("bucket", F.pmod(_hash60(F.col("token")), F.lit(buckets)))
+    )
+    counts = toks.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("c_raw"),
+        F.sum("is_t").alias("c_tgt"),
+    )
+    totals = counts.groupBy().agg(
+        F.sum("c_raw").alias("t_raw"), F.sum("c_tgt").alias("t_tgt")
+    )
+    ratios = (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            F.round(
+                F.log((F.col("c_tgt") + 1) / (F.col("t_tgt") + buckets))
+                - F.log((F.col("c_raw") + 1) / (F.col("t_raw") + buckets)),
+                6,
+            )
+            .cast("decimal(12,6)")
+            .alias("lr"),
+        )
+    )
+    per_doc = toks.groupBy("doc_id", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        per_doc.join(F.broadcast(ratios), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("cnt").cast("decimal(12,0)") * F.col("lr")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("logw"),
+        )
+    )
+
+
+def dsir_oracle_sql(
+    target_pred_sql: str, buckets: int = 128, norm_sql: str | None = None
+) -> str:
+    """DuckDB reconstruction of :func:`dsir_logweights` over the
+    ``documents`` view (same md5-prefix bucket hash, same Laplace
+    smoothing, same decimal-exact per-doc sum)."""
+    norm = norm_sql or "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    return f"""
+WITH toks0 AS (
+  SELECT doc_id, CASE WHEN {target_pred_sql} THEN 1 ELSE 0 END AS is_t,
+         unnest(string_split({norm}, ' ')) AS token
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, is_t,
+         ('0x' || substr(md5(token), 1, 15))::BIGINT % {buckets} AS bucket
+  FROM toks0 WHERE token <> ''
+),
+counts AS (
+  SELECT bucket, count(*) AS c_raw, sum(is_t) AS c_tgt
+  FROM toks GROUP BY bucket
+),
+totals AS (SELECT sum(c_raw) AS t_raw, sum(c_tgt) AS t_tgt FROM counts),
+ratios AS (
+  SELECT bucket,
+         round(ln((c_tgt + 1) / (t_tgt + {buckets}))
+               - ln((c_raw + 1) / (t_raw + {buckets})), 6)::DECIMAL(12,6) AS lr
+  FROM counts CROSS JOIN totals
+),
+per_doc AS (
+  SELECT doc_id, bucket, count(*) AS cnt FROM toks GROUP BY doc_id, bucket
+)
+SELECT p.doc_id, sum(p.cnt)::BIGINT AS n_tokens,
+       round((sum(p.cnt::DECIMAL(12,0) * r.lr))::DOUBLE, 6) AS logw
+FROM per_doc p JOIN ratios r USING (bucket)
+GROUP BY p.doc_id
+"""

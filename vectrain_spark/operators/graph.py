@@ -1891,3 +1891,146 @@ def walk_skipgrams(walks: DataFrame, window: int = 2) -> DataFrame:
         .groupBy("center", "context")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def transe_eval(
+    edges: DataFrame, embeddings: DataFrame, n_neg: int = 8
+) -> DataFrame:
+    """Link-prediction evaluation of the TransE energy over the
+    materialized edge table -> per-predicate ranking metrics
+    (pred, n_triples, mrr, hits1, hits3, mean_rank). Completes the
+    KG-embedding loop: :func:`negative_edges` samples the contrast,
+    :func:`transe_train_epoch` updates, :func:`transe_scores` ranks —
+    this operator measures, with the protocol every KG-completion paper
+    reports (Bordes et al. 2013): rank the true tail against corrupted
+    tails, aggregate MRR / Hits@k.
+
+    Protocol ("raw" setting, made fully deterministic): each distinct
+    triple draws ``n_neg`` corrupted tails by hashing
+    (src, pred, dst, slot) into the sorted-rank entity vocabulary;
+    candidates colliding with the triple's own tail are dropped (other
+    true edges are NOT filtered — the raw setting — so the oracle needs
+    no anti-join chain). rank = 1 + #corruptions scoring strictly above
+    the true tail on the 1e-6-rounded energy, ties broken by candidate
+    id < true id. MRR sums per-triple round(1/rank, 6) as exact
+    DECIMALs so no float-reduction order can split the engines; Hits@k
+    and mean_rank are exact integer aggregates with one final double
+    division each.
+
+    Scale shape: corruption is an in-row explode (x n_neg) + one
+    broadcast join against the node-sized vocabulary; scoring is the
+    same three co-partitioned hash-joins against the embedding matrix
+    as :func:`transe_scores`; ranking is a (src, pred, dst)-keyed
+    aggregate — per-key fan-in bounded by n_neg, so no window and no
+    skew pivot anywhere. The vocabulary index is the two-phase
+    :func:`_global_sorted_rank` (never a partition-less sort).
+    """
+    from .similarity import _dot, _vecs
+
+    vecs = _vecs(embeddings)
+    nv = vecs.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    e = edges.select("src", "pred", "dst").distinct()
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionAll(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    vocab, n_vocab = _global_sorted_rank(nodes, "id", "idx")
+
+    slots = F.explode(F.array(*[F.lit(i) for i in range(n_neg)])).alias("slot")
+    negs = (
+        e.select("src", "pred", "dst", slots)
+        .withColumn(
+            "idx",
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                "|", "src", "pred", "dst", "slot", F.lit("ev")
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(n_vocab),
+            ),
+        )
+        .join(F.broadcast(vocab), "idx")
+        .filter(F.col("id") != F.col("dst"))
+        .select("src", "pred", "dst", F.col("id").alias("cand"))
+        .distinct()
+    )
+
+    def _score(df: DataFrame, tail_col: str, out: str) -> DataFrame:
+        def _vid(col, salt):
+            h = F.conv(
+                F.substring(F.md5(F.concat(col, F.lit(salt))), 1, 15), 16, 10
+            ).cast("long")
+            return F.pmod(h, F.col("n"))
+
+        d = df.crossJoin(F.broadcast(nv)).select(
+            "*",
+            _vid(F.col("src"), "|e").alias("h_id"),
+            _vid(F.col("pred"), "|r").alias("r_id"),
+            _vid(F.col(tail_col), "|e").alias("t_id"),
+        )
+        for idc, v in (("h_id", "_h"), ("r_id", "_r"), ("t_id", "_t")):
+            d = d.join(
+                vecs.select(F.col("vec_id").alias(idc), F.col("emb").alias(v)),
+                idc,
+            )
+        d2 = (
+            _dot("_h", "_h")
+            + _dot("_r", "_r")
+            + _dot("_t", "_t")
+            + F.lit(2.0) * _dot("_h", "_r")
+            - F.lit(2.0) * _dot("_h", "_t")
+            - F.lit(2.0) * _dot("_r", "_t")
+        )
+        return d.withColumn(
+            out, F.round(-F.sqrt(F.greatest(d2, F.lit(0.0))), 6)
+        ).drop("h_id", "r_id", "t_id", "_h", "_r", "_t", "n")
+
+    true_s = _score(e, "dst", "s_true").select("src", "pred", "dst", "s_true")
+    neg_s = _score(negs, "cand", "s_neg").select(
+        "src", "pred", "dst", "cand", "s_neg"
+    )
+    better = (
+        neg_s.join(true_s, ["src", "pred", "dst"])
+        .withColumn(
+            "beat",
+            (
+                (F.col("s_neg") > F.col("s_true"))
+                | (
+                    (F.col("s_neg") == F.col("s_true"))
+                    & (F.col("cand") < F.col("dst"))
+                )
+            ).cast("long"),
+        )
+        .groupBy("src", "pred", "dst")
+        .agg(F.sum("beat").alias("n_beat"))
+    )
+    ranked = (
+        true_s.join(better, ["src", "pred", "dst"], "left")
+        .withColumn("rank", F.coalesce(F.col("n_beat"), F.lit(0)) + 1)
+        .withColumn(
+            "rr", F.round(F.lit(1.0) / F.col("rank"), 6).cast("decimal(10,6)")
+        )
+    )
+    return ranked.groupBy("pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triples"),
+        F.round(
+            F.sum("rr").cast("double") / F.count(F.lit(1)), 6
+        ).alias("mrr"),
+        F.round(
+            F.sum((F.col("rank") <= 1).cast("long")) / F.count(F.lit(1)), 6
+        ).alias("hits1"),
+        F.round(
+            F.sum((F.col("rank") <= 3).cast("long")) / F.count(F.lit(1)), 6
+        ).alias("hits3"),
+        F.round(F.sum("rank") / F.count(F.lit(1)), 6).alias("mean_rank"),
+    )

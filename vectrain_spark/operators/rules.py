@@ -1,0 +1,271 @@
+"""KG schema / rule mining over the materialized edge table.
+
+The reference stops at storing vectors (internal/app/pipeline/
+pipeline.go:259-263 embeds and upserts); a knowledge-graph construction
+pipeline additionally has to VALIDATE the graph it built — which
+predicates behave like keys, which relations are inverses of each other,
+which relation paths exist — because those constraints drive both
+downstream cleaning (a "functional" predicate with two objects per
+subject flags a linking error) and link-prediction features. The
+operators here are the standard mining trio:
+
+- :func:`pred_cardinality` — AMIE's functionality / inverse-functionality
+  scores (Galarraga et al. 2013): key-constraint discovery.
+- :func:`rule_confidence` — AMIE-style closed Horn rules of length 1,
+  p(x,y) => q(x,y) and p(x,y) => q(y,x): redundant/inverse relation
+  discovery.
+- :func:`metapath_counts` — 2-hop relation-path statistics (the Path
+  Ranking Algorithm's feature space, Lao & Cohen 2010).
+
+Every operator is a pure DataFrame program over (src, pred, dst) with
+exact integer supports and single-division ratios rounded to 6 — fully
+reproducible by a SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pred_cardinality(edges: DataFrame) -> DataFrame:
+    """Per-predicate cardinality constraints -> (pred, n_pairs, n_subj,
+    n_obj, functionality, inv_functionality).
+
+    functionality(p) = #distinct subjects / #distinct (subject, object)
+    pairs — 1.0 means every subject has exactly one object (p behaves
+    like a key / N:1 relation); inv_functionality mirrors for objects.
+    The AMIE fun/ifun statistics that decide which argument a rule miner
+    should corrupt and which linking errors to flag.
+
+    Scale shape: one distinct on the (src, pred, dst) triple (the edge
+    table is already distinct per canonical triple) and one map-side-
+    combining groupBy(pred) with count + two approx-free count_distincts
+    re-expressed as exact two-phase aggregates: count(distinct x) over a
+    predicate-keyed group would hold the distinct set per reducer, so we
+    pre-distinct (pred, src) / (pred, dst) projections — each a narrow
+    shuffle — and count plain rows. Predicate vocabulary is tiny, so the
+    final joins broadcast.
+    """
+    pairs = edges.select("pred", "src", "dst").distinct()
+    n_pairs = pairs.groupBy("pred").agg(F.count(F.lit(1)).alias("n_pairs"))
+    n_subj = (
+        pairs.select("pred", "src")
+        .distinct()
+        .groupBy("pred")
+        .agg(F.count(F.lit(1)).alias("n_subj"))
+    )
+    n_obj = (
+        pairs.select("pred", "dst")
+        .distinct()
+        .groupBy("pred")
+        .agg(F.count(F.lit(1)).alias("n_obj"))
+    )
+    return (
+        n_pairs.join(F.broadcast(n_subj), "pred")
+        .join(F.broadcast(n_obj), "pred")
+        .select(
+            "pred",
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.col("n_subj").cast("long").alias("n_subj"),
+            F.col("n_obj").cast("long").alias("n_obj"),
+            F.round(F.col("n_subj") / F.col("n_pairs"), 6).alias(
+                "functionality"
+            ),
+            F.round(F.col("n_obj") / F.col("n_pairs"), 6).alias(
+                "inv_functionality"
+            ),
+        )
+    )
+
+
+def pred_cardinality_oracle_sql(edges_sql: str) -> str:
+    return f"""
+WITH e AS MATERIALIZED (SELECT DISTINCT pred, src, dst FROM ({edges_sql}))
+SELECT pred,
+       count(*)::BIGINT AS n_pairs,
+       count(DISTINCT src)::BIGINT AS n_subj,
+       count(DISTINCT dst)::BIGINT AS n_obj,
+       round(count(DISTINCT src) / count(*), 6) AS functionality,
+       round(count(DISTINCT dst) / count(*), 6) AS inv_functionality
+FROM e GROUP BY pred
+"""
+
+
+def rule_confidence(edges: DataFrame, min_support: int = 1) -> DataFrame:
+    """Length-1 closed Horn rules body(x,y) => head(x,y) (kind 'dir')
+    and body(x,y) => head(y,x) (kind 'inv') -> (pred_body, pred_head,
+    kind, n_body, support, confidence).
+
+    support = #entity pairs satisfying both atoms; confidence =
+    support / #pairs satisfying the body (AMIE's standard confidence —
+    no PCA correction, which keeps the oracle exact). High-confidence
+    'dir' rules surface redundant/implied predicates; 'inv' rules
+    surface inverse relations (the schema facts a KG-construction pass
+    uses to canonicalize relation direction).
+
+    Scale shape: both supports are self-joins of the distinct edge list
+    ON THE FULL (x, y) ENTITY-PAIR KEY — co-partitioned hash joins whose
+    key cardinality is the edge count itself, so no hub entity can pivot
+    a blow-up (per-key fan-out is bounded by the predicate vocabulary on
+    each side, never by a node's degree). Body sizes ride back in via a
+    broadcast of the predicate-sized support table.
+    """
+    pairs = edges.select("pred", "src", "dst").distinct()
+    n_body = pairs.groupBy("pred").agg(F.count(F.lit(1)).alias("n_body"))
+    b = pairs.select(
+        F.col("pred").alias("pred_body"), "src", "dst"
+    )
+    h_dir = pairs.select(F.col("pred").alias("pred_head"), "src", "dst")
+    h_inv = pairs.select(
+        F.col("pred").alias("pred_head"),
+        F.col("dst").alias("src"),
+        F.col("src").alias("dst"),
+    )
+    def _supp(head: DataFrame, kind: str) -> DataFrame:
+        return (
+            b.join(head, ["src", "dst"])
+            .filter(
+                (F.col("pred_body") != F.col("pred_head"))
+                if kind == "dir"
+                else F.lit(True)
+            )
+            .groupBy("pred_body", "pred_head")
+            .agg(F.count(F.lit(1)).alias("support"))
+            .withColumn("kind", F.lit(kind))
+        )
+    supp = _supp(h_dir, "dir").unionByName(_supp(h_inv, "inv"))
+    nb = F.broadcast(n_body).withColumnRenamed("pred", "pred_body")
+    return (
+        supp.filter(F.col("support") >= min_support)
+        .join(nb, "pred_body")
+        .select(
+            "pred_body",
+            "pred_head",
+            "kind",
+            F.col("n_body").cast("long").alias("n_body"),
+            F.col("support").cast("long").alias("support"),
+            F.round(F.col("support") / F.col("n_body"), 6).alias(
+                "confidence"
+            ),
+        )
+    )
+
+
+def rule_confidence_oracle_sql(edges_sql: str, min_support: int = 1) -> str:
+    return f"""
+WITH e AS MATERIALIZED (SELECT DISTINCT pred, src, dst FROM ({edges_sql})),
+nb AS (SELECT pred, count(*) AS n_body FROM e GROUP BY pred),
+supp AS (
+  SELECT b.pred AS pred_body, h.pred AS pred_head, 'dir' AS kind,
+         count(*) AS support
+  FROM e b JOIN e h ON h.src = b.src AND h.dst = b.dst AND h.pred <> b.pred
+  GROUP BY 1, 2
+  UNION ALL
+  SELECT b.pred, h.pred, 'inv', count(*)
+  FROM e b JOIN e h ON h.src = b.dst AND h.dst = b.src
+  GROUP BY 1, 2
+)
+SELECT pred_body, pred_head, kind, nb.n_body::BIGINT AS n_body,
+       support::BIGINT AS support,
+       round(support / nb.n_body, 6) AS confidence
+FROM supp JOIN nb ON nb.pred = supp.pred_body
+WHERE support >= {min_support}
+"""
+
+
+def metapath_counts(
+    edges: DataFrame, max_mid_degree: int | None = None
+) -> DataFrame:
+    """2-hop relation-path statistics: for every ordered predicate pair,
+    the number of path instances x -pred_a-> m -pred_b-> y and the
+    number of distinct (x, y) endpoint pairs they connect ->
+    (pred_a, pred_b, n_paths, n_pairs). The feature space of the Path
+    Ranking Algorithm (Lao & Cohen 2010) and the raw material for
+    length-2 rule mining.
+
+    Scale shape: the path join pivots on the MIDDLE entity, so an
+    unbounded hub mid with in-degree d_in and out-degree d_out emits
+    d_in * d_out rows — the same wedge explosion triangle counting
+    caps. ``max_mid_degree`` is that cap, IMPLEMENTED: mids whose total
+    (in + out) distinct-edge degree exceeds it are excluded from path
+    enumeration (the standard PRA practice of dropping ultra-hub
+    intermediates, which contribute no discriminative path evidence).
+    The degree pre-filter is one aggregate + a co-partitioned semi-join;
+    with the cap set, per-mid fan-out is bounded by cap^2. The gate runs
+    with a cap and mirrors the identical filter in its oracle, so the
+    capped path is what correctness verifies. n_pairs uses a two-phase
+    distinct (project-distinct then count) keyed by the pair, never a
+    per-group distinct set.
+    """
+    e = edges.select("pred", "src", "dst").distinct()
+    if max_mid_degree is not None:
+        deg = (
+            e.select(F.col("src").alias("id"))
+            .unionAll(e.select(F.col("dst").alias("id")))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") <= max_mid_degree)
+            .select("id")
+        )
+        a = e.join(deg.withColumnRenamed("id", "dst"), "dst", "left_semi")
+        b = e.join(deg.withColumnRenamed("id", "src"), "src", "left_semi")
+    else:
+        a, b = e, e
+    paths = a.select(
+        F.col("pred").alias("pred_a"),
+        F.col("src").alias("x"),
+        F.col("dst").alias("m"),
+    ).join(
+        b.select(
+            F.col("pred").alias("pred_b"),
+            F.col("src").alias("m"),
+            F.col("dst").alias("y"),
+        ),
+        "m",
+    )
+    n_paths = paths.groupBy("pred_a", "pred_b").agg(
+        F.count(F.lit(1)).alias("n_paths")
+    )
+    n_pairs = (
+        paths.select("pred_a", "pred_b", "x", "y")
+        .distinct()
+        .groupBy("pred_a", "pred_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    return n_paths.join(n_pairs, ["pred_a", "pred_b"]).select(
+        "pred_a",
+        "pred_b",
+        F.col("n_paths").cast("long").alias("n_paths"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+    )
+
+
+def metapath_oracle_sql(
+    edges_sql: str, max_mid_degree: int | None = None
+) -> str:
+    if max_mid_degree is not None:
+        deg = f"""
+deg AS (
+  SELECT id FROM (
+    SELECT id, count(*) AS deg FROM (
+      SELECT src AS id FROM e UNION ALL SELECT dst FROM e
+    ) GROUP BY id
+  ) WHERE deg <= {max_mid_degree}
+),
+a AS (SELECT * FROM e WHERE dst IN (SELECT id FROM deg)),
+b AS (SELECT * FROM e WHERE src IN (SELECT id FROM deg)),"""
+    else:
+        deg = """
+a AS (SELECT * FROM e),
+b AS (SELECT * FROM e),"""
+    return f"""
+WITH e AS MATERIALIZED (SELECT DISTINCT pred, src, dst FROM ({edges_sql})),{deg}
+paths AS MATERIALIZED (
+  SELECT a.pred AS pred_a, b.pred AS pred_b, a.src AS x, b.dst AS y
+  FROM a JOIN b ON b.src = a.dst
+)
+SELECT pred_a, pred_b, count(*)::BIGINT AS n_paths,
+       count(DISTINCT (x, y))::BIGINT AS n_pairs
+FROM paths GROUP BY pred_a, pred_b
+"""
