@@ -197,3 +197,55 @@ def test_dsir_empty_tokens_dropped(spark):
     )
     out = dsir_logweights(docs, F.col("lang") == "en").toPandas()
     assert dict(zip(out.doc_id, out.n_tokens)) == {0: 2, 1: 1}
+
+
+def test_mmr_diversifies_vs_pure_topk(spark):
+    import numpy as np
+
+    # 6 near-identical docs along e1 (most query-relevant), 4 docs along
+    # distinct other axes with lower relevance; query = e1 + small mix
+    rows = []
+    q = [1.0, 0.15, 0.1, 0.05]
+    rows.append((0, q))
+    for i in range(1, 7):
+        rows.append((i, [1.0, 0.001 * i, 0.0, 0.0]))
+    axes = [[0.5, 1.0, 0.0, 0.0], [0.5, 0.0, 1.0, 0.0], [0.5, 0.0, 0.0, 1.0]]
+    for j, a in enumerate(axes):
+        rows.append((7 + j, a))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id: long, embedding: array<double>",
+    )
+    from vectrain_spark.operators.similarity import knn_bruteforce, mmr_rerank
+
+    topk = knn_bruteforce(emb, n_queries=1, k=4).toPandas()
+    mmr = mmr_rerank(emb, n_queries=1, pool=9, k=4, lam=0.5).toPandas()
+    # pure top-k drowns in the near-duplicate cluster
+    assert sum(topk.n_id <= 6) == 4
+    # MMR keeps the best cluster member but swaps redundant ones for
+    # the diverse axes
+    assert sum(mmr.n_id <= 6) < 4
+    assert mmr.pick.tolist() == [1, 2, 3, 4] or set(mmr.pick) == {1, 2, 3, 4}
+    # pick 1 is the pure-relevance winner
+    top1 = topk[topk["rank"] == 1].n_id.iloc[0]
+    assert mmr[mmr.pick == 1].n_id.iloc[0] == top1
+
+
+def test_mmr_deterministic(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    emb = spark.createDataFrame(
+        [(i, rng.standard_normal(6).round(3).tolist()) for i in range(30)],
+        "vec_id: long, embedding: array<double>",
+    )
+    from vectrain_spark.operators.similarity import mmr_rerank
+
+    a = mmr_rerank(emb, n_queries=2, pool=10, k=3).toPandas()
+    b = mmr_rerank(emb, n_queries=2, pool=10, k=3).toPandas()
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        a.sort_values(["q_id", "pick"]).reset_index(drop=True),
+        b.sort_values(["q_id", "pick"]).reset_index(drop=True),
+    )

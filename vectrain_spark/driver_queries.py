@@ -5549,6 +5549,98 @@ SELECT q_id, n_id, score, rank FROM r WHERE rank <= {k}
 SQL_SIM_IVFPQ = _ivfpq_sql()
 
 
+def q_sim_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified retrieval (Carbonell & Goldstein 1998): greedy
+    relevance-vs-redundancy re-ranking of each query's candidate pool —
+    the diversity pass a data curator runs so near-duplicate top hits
+    don't all enter the training mixture. Every greedy round is a
+    struct-max over 1e-6-rounded cosines; the oracle unrolls the
+    identical k selection rounds."""
+    from .operators.similarity import mmr_rerank
+
+    return mmr_rerank(_emb(spark, sf_dir))
+
+
+def _mmr_sql(
+    n_queries: int = 3, pool: int = 20, k: int = 5, lam: float = 0.7
+) -> str:
+    from decimal import Decimal
+
+    lam_d = Decimal(str(lam))
+    # exact decimal coefficients: float products of rounded cosines land
+    # exactly on 7th-decimal rounding midpoints, where java HALF_UP and
+    # C-double rounding disagree — decimal arithmetic sidesteps rounding
+    # entirely until the final 6-decimal output cast
+    lam_s = f"'{lam_d}'::DECIMAL(3,2)"
+    div_s = f"'{Decimal('1') - lam_d}'::DECIMAL(3,2)"
+    parts = [
+        f"""v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+),
+qv AS (SELECT vec_id AS q_id, emb AS q_emb FROM v WHERE vec_id < {n_queries}),
+pool AS MATERIALIZED (
+  SELECT q_id, n_id, rel FROM (
+    SELECT qv.q_id, v.vec_id AS n_id,
+           {_COS6.format(a='qv.q_emb', b='v.emb')}::DECIMAL(10,6) AS rel,
+           row_number() OVER (
+             PARTITION BY qv.q_id
+             ORDER BY {_COS6.format(a='qv.q_emb', b='v.emb')} DESC,
+                      v.vec_id ASC) AS rn
+    FROM v CROSS JOIN qv WHERE v.vec_id <> qv.q_id
+  ) WHERE rn <= {pool}
+),
+sims AS MATERIALIZED (
+  SELECT a.q_id, a.n_id AS d, b.n_id AS s,
+         {_COS6.format(a='va.emb', b='vb.emb')}::DECIMAL(10,6) AS sim
+  FROM pool a JOIN pool b ON b.q_id = a.q_id AND b.n_id <> a.n_id
+  JOIN v va ON va.vec_id = a.n_id
+  JOIN v vb ON vb.vec_id = b.n_id
+),
+sel1 AS (
+  SELECT q_id, n_id, mmr, 1 AS pick FROM (
+    SELECT q_id, n_id, {lam_s} * rel - {div_s} * '0'::DECIMAL(10,6) AS mmr,
+           row_number() OVER (PARTITION BY q_id
+             ORDER BY {lam_s} * rel DESC, n_id ASC) AS rn
+    FROM pool) WHERE rn = 1
+),
+selu1 AS (SELECT * FROM sel1)"""
+    ]
+    for i in range(2, k + 1):
+        parts.append(
+            f"""sc{i} AS (
+  SELECT p.q_id, p.n_id,
+         {lam_s} * p.rel
+           - {div_s} * coalesce(ms.maxsim, '0'::DECIMAL(10,6)) AS mmr
+  FROM pool p
+  LEFT JOIN (
+    SELECT s.q_id, s.d, max(s.sim) AS maxsim
+    FROM sims s JOIN selu{i - 1} u ON u.q_id = s.q_id AND u.n_id = s.s
+    GROUP BY s.q_id, s.d
+  ) ms ON ms.q_id = p.q_id AND ms.d = p.n_id
+  WHERE NOT EXISTS (
+    SELECT 1 FROM selu{i - 1} u WHERE u.q_id = p.q_id AND u.n_id = p.n_id)
+),
+sel{i} AS (
+  SELECT q_id, n_id, mmr, {i} AS pick FROM (
+    SELECT q_id, n_id, mmr,
+           row_number() OVER (PARTITION BY q_id
+             ORDER BY mmr DESC, n_id ASC) AS rn
+    FROM sc{i}) WHERE rn = 1
+),
+selu{i} AS (SELECT * FROM selu{i - 1} UNION ALL SELECT * FROM sel{i})"""
+        )
+    body = ",\n".join(parts)
+    return f"""
+WITH {body}
+SELECT q_id, n_id, round(mmr, 6)::DOUBLE AS mmr, pick::BIGINT AS pick
+FROM selu{k}
+"""
+
+
+SQL_SIM_MMR = _mmr_sql()
+
+
 def q_sim_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ColBERT-style multi-vector MaxSim retrieval: every 4 consecutive
     vec_ids form one multi-vector doc; queries are the first 3 docs;
@@ -5726,6 +5818,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_ann_ivf_euclid": q_sim_ann_ivf_euclid,
     "sim_pq": q_sim_pq,
     "sim_ivfpq": q_sim_ivfpq,
+    "sim_mmr": q_sim_mmr,
     "sim_maxsim": q_sim_maxsim,
     "dedup_embedding_exact": q_dedup_embedding_exact,
     "sim_semantic_dedup": q_sim_semantic_dedup,
@@ -5942,6 +6035,7 @@ ORACLES: dict[str, str] = {
     "sim_ann_ivf": SQL_SIM_ANN_IVF,
     "sim_pq": SQL_SIM_PQ,
     "sim_ivfpq": SQL_SIM_IVFPQ,
+    "sim_mmr": SQL_SIM_MMR,
     "sim_ann_ivf_euclid": SQL_SIM_ANN_IVF_EUCLID,
     "sim_maxsim": SQL_SIM_MAXSIM,
     "dedup_embedding_exact": SQL_DEDUP_EMBEDDING_EXACT,

@@ -731,3 +731,135 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", "score", "rank")
     )
+
+
+def mmr_rerank(
+    embeddings: DataFrame,
+    n_queries: int = 3,
+    pool: int = 20,
+    k: int = 5,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998) -> (q_id, n_id, mmr, pick): greedily select ``k`` results per
+    query that balance relevance against redundancy,
+    mmr(d) = lam * rel(q, d) - (1 - lam) * max_{s in S} sim(d, s) —
+    the diversity-aware retrieval pass a training-data curator runs so
+    k near-identical top hits don't all enter the mixture.
+
+    Determinism / parity: relevance and pairwise similarities are
+    1e-6-rounded cosines cast to EXACT DECIMAL(10,6), and lam / (1-lam)
+    are exact decimals, so every mmr value is exact decimal arithmetic —
+    no float product can land on a rounding midpoint and split the
+    engines (lam * rounded-rel sits exactly on the 7th-decimal midpoint
+    whenever rel has 6 significant decimals, where java HALF_UP and
+    C-double rounding disagree). Each greedy argmax breaks ties on the
+    smaller n_id (a struct-max, no window); the first pick's diversity
+    term is an explicit 0, so one formula covers every round and the
+    DuckDB oracle unrolls the identical k selection rounds; only the
+    final output rounds the exact decimal back to a 6-decimal double.
+
+    Scale shape: the greedy loop runs on the per-query candidate POOL
+    (top-``pool`` by relevance), never the corpus: the pool stage is the
+    brute scan (broadcast queries, corpus-partition parallel), after
+    which every frame touched by the loop is (n_queries x pool) rows —
+    pair similarities are pool^2 per query, selection rounds are
+    pool-sized joins. k and pool are constants, so the iteration depth
+    and per-round volumes are independent of corpus size.
+    """
+    vecs = _vecs(embeddings)
+    q = vecs.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("rel"), F.asc("n_id"))
+    pool_df = (
+        vecs.join(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("n_id"),
+            F.col("emb"),
+            F.round(metric_expr("cosine", "q_emb", "emb"), 6)
+            .cast("decimal(10,6)")
+            .alias("rel"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= pool)
+        .drop("rn")
+        .localCheckpoint()
+    )
+    sims = (
+        pool_df.select("q_id", F.col("n_id").alias("d"), F.col("emb").alias("d_emb"))
+        .join(
+            pool_df.select(
+                "q_id", F.col("n_id").alias("s"), F.col("emb").alias("s_emb")
+            ),
+            "q_id",
+        )
+        .filter(F.col("d") != F.col("s"))
+        .select(
+            "q_id",
+            "d",
+            "s",
+            F.round(metric_expr("cosine", "d_emb", "s_emb"), 6)
+            .cast("decimal(10,6)")
+            .alias("sim"),
+        )
+        .localCheckpoint()
+    )
+    cand = pool_df.select("q_id", "n_id", "rel")
+
+    def _pick(scored: DataFrame, pick_no: int) -> DataFrame:
+        best = scored.groupBy("q_id").agg(
+            F.max(F.struct(F.col("mmr"), (-F.col("n_id")).alias("neg"))).alias("b")
+        )
+        return best.select(
+            "q_id",
+            (-F.col("b.neg")).alias("n_id"),
+            F.col("b.mmr").alias("mmr"),
+            F.lit(pick_no).cast("long").alias("pick"),
+        )
+
+    from decimal import Decimal
+
+    lam_d = Decimal(str(lam))
+    lam_c = F.lit(str(lam_d)).cast("decimal(3,2)")
+    div_c = F.lit(str(Decimal("1") - lam_d)).cast("decimal(3,2)")
+    zero = F.lit("0").cast("decimal(10,6)")
+    selected = _pick(
+        cand.select(
+            "q_id", "n_id", (lam_c * F.col("rel") - div_c * zero).alias("mmr")
+        ),
+        1,
+    )
+    for i in range(2, k + 1):
+        maxsim = (
+            sims.join(
+                selected.select("q_id", F.col("n_id").alias("s")), ["q_id", "s"]
+            )
+            .groupBy("q_id", "d")
+            .agg(F.max("sim").alias("maxsim"))
+        )
+        scored = (
+            cand.join(
+                selected.select("q_id", "n_id"), ["q_id", "n_id"], "left_anti"
+            )
+            .join(
+                maxsim.withColumnRenamed("d", "n_id"), ["q_id", "n_id"], "left"
+            )
+            .select(
+                "q_id",
+                "n_id",
+                (
+                    lam_c * F.col("rel")
+                    - div_c * F.coalesce(F.col("maxsim"), zero)
+                ).alias("mmr"),
+            )
+        )
+        selected = selected.unionByName(_pick(scored, i)).localCheckpoint()
+    return selected.select(
+        "q_id",
+        "n_id",
+        F.round(F.col("mmr"), 6).cast("double").alias("mmr"),
+        "pick",
+    )
