@@ -249,3 +249,54 @@ def test_mmr_deterministic(spark):
         a.sort_values(["q_id", "pick"]).reset_index(drop=True),
         b.sort_values(["q_id", "pick"]).reset_index(drop=True),
     )
+
+
+def _cc_pairs(spark, rows):
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["src", "dst"]))
+
+
+def test_incremental_cc_equals_batch(spark):
+    from vectrain_spark.operators.canonicalize import (
+        connected_components,
+        incremental_components,
+    )
+
+    base = [("b", "a"), ("c", "b"), ("e", "d"), ("g", "f")]
+    # the wave merges two old components (a,b,c)+(d,e), attaches a brand
+    # new node to an old component, and creates a new isolated pair
+    wave = [("c", "e"), ("h", "f"), ("x", "y")]
+    labels = connected_components(_cc_pairs(spark, base))
+    inc = (
+        incremental_components(labels, _cc_pairs(spark, wave))
+        .toPandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    batch = (
+        connected_components(_cc_pairs(spark, base + wave))
+        .toPandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(inc, batch)
+    got = dict(zip(inc.id, inc.canon))
+    assert got["e"] == "a" and got["d"] == "a"  # merged across the wave
+    assert got["h"] == "f" and got["x"] == "x" and got["y"] == "x"
+
+
+def test_incremental_cc_noop_wave(spark):
+    from vectrain_spark.operators.canonicalize import (
+        connected_components,
+        incremental_components,
+    )
+
+    base = [("b", "a"), ("c", "a")]
+    labels = connected_components(_cc_pairs(spark, base))
+    # wave edges entirely inside one existing component: nothing changes
+    inc = (
+        incremental_components(labels, _cc_pairs(spark, [("c", "b")]))
+        .toPandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert dict(zip(inc.id, inc.canon)) == {"a": "a", "b": "a", "c": "a"}

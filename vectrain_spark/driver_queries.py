@@ -1097,6 +1097,41 @@ def _graph_pairs_sql() -> tuple[str, str, str, str, str]:
     )
 
 
+def q_kg_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental connected components over the co-mention graph: a
+    hash-chosen quarter of the edges arrives as a later wave; the old
+    labeling is folded forward by super-node contraction (per-wave cost
+    O(wave), never O(corpus)). The oracle is BATCH CC over the full edge
+    set — passing proves incremental == batch, the property that lets
+    canonicalization resume per wave at 10^12 documents."""
+    from .operators.canonicalize import (
+        connected_components,
+        incremental_components,
+    )
+    from .operators.graph import co_mentions
+
+    pairs = co_mentions(_materialized_edges(spark, sf_dir)).select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    )
+    is_wave = F.pmod(F.xxhash64("src", "dst"), F.lit(4)) == 0
+    labels = connected_components(pairs.filter(~is_wave))
+    return incremental_components(labels, pairs.filter(is_wave))
+
+
+SQL_KG_CC_INCREMENTAL_TPL = """
+WITH RECURSIVE pairs AS MATERIALIZED ({pairs}),
+nodes AS (SELECT a AS id FROM pairs UNION SELECT b FROM pairs),
+sym AS (SELECT a AS src, b AS dst FROM pairs
+        UNION SELECT b, a FROM pairs),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT reach.id, sym.dst FROM reach JOIN sym ON sym.src = reach.r
+)
+SELECT id, min(r) AS canon FROM reach GROUP BY id
+"""
+
+
 def q_kg_link_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typo-tolerant entity linking: mention surfaces with one character
     deleted (derived deterministically from doc_id) matched to the alias
@@ -1351,6 +1386,9 @@ SQL_KG_PAGERANK_WEIGHTED = _pagerank_sql(weight_sql="cnt")
     SQL_KG_ADAMIC_ADAR,
     SQL_KG_TRUSS,
 ) = _graph_pairs_sql()
+SQL_KG_CC_INCREMENTAL = SQL_KG_CC_INCREMENTAL_TPL.format(
+    pairs=f"SELECT a, b FROM ({SQL_KG_COOCCUR})"
+)
 SQL_KG_NEGATIVES = SQL_KG_NEGATIVES_TPL.format(edges=SQL_KG_EDGES)
 
 
@@ -5725,6 +5763,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_neighbor_jaccard": q_kg_neighbor_jaccard,
     "kg_adamic_adar": q_kg_adamic_adar,
     "kg_truss": q_kg_truss,
+    "kg_cc_incremental": q_kg_cc_incremental,
     "kg_hits": q_kg_hits,
     "kg_communities": q_kg_communities,
     "kg_sssp": q_kg_sssp,
@@ -5935,6 +5974,7 @@ ORACLES: dict[str, str] = {
     "kg_neighbor_jaccard": SQL_KG_NEIGHBOR_JACCARD,
     "kg_adamic_adar": SQL_KG_ADAMIC_ADAR,
     "kg_truss": SQL_KG_TRUSS,
+    "kg_cc_incremental": SQL_KG_CC_INCREMENTAL,
     "kg_hits": SQL_KG_HITS,
     "kg_communities": SQL_KG_COMMUNITIES,
     "kg_sssp": SQL_KG_SSSP,

@@ -148,3 +148,66 @@ def dedup_triples(canon_triples: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("cnt"),
         F.min("url").alias("sample_url"),
     )
+
+
+def incremental_components(labels: DataFrame, new_edges: DataFrame) -> DataFrame:
+    """Incremental connected components: fold a wave of NEW edges into an
+    existing (id, canon) labeling WITHOUT re-clustering the old graph ->
+    the updated (id, canon) mapping, provably identical to batch
+    :func:`connected_components` over old ∪ new edges.
+
+    This is the canonicalization shape that actually survives 10^12
+    documents: waves arrive (run_incremental), and re-running CC over the
+    full accumulated entity graph per wave is O(corpus) every time. The
+    super-node contraction trick makes the per-wave cost O(wave):
+
+    1. contract every existing component to its label — map each new
+       edge's endpoints through ``labels`` (endpoints never seen before
+       label themselves);
+    2. run CC on the contracted edge list — a graph with at most
+       2x|wave| nodes, independent of corpus size;
+    3. re-map old labels through the contraction result (one broadcast
+       or co-partitioned join over the label table).
+
+    Equality with batch CC holds because each old canon is the MIN id of
+    its component, so the min over merged super-nodes is the min over
+    the merged components' members — the same label batch CC assigns.
+    No iteration ever touches the full graph; the only corpus-sized
+    frames are the label table joins (hash joins on the label key).
+    """
+    ls = labels.select(
+        F.col("id").alias("src"), F.col("canon").alias("src_lab")
+    )
+    ld = labels.select(
+        F.col("id").alias("dst"), F.col("canon").alias("dst_lab")
+    )
+    contracted = (
+        new_edges.select("src", "dst")
+        .distinct()
+        .join(ls, "src", "left")
+        .join(ld, "dst", "left")
+        .select(
+            F.coalesce("src_lab", "src").alias("src"),
+            F.coalesce("dst_lab", "dst").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+    sup = connected_components(contracted).select(
+        F.col("id").alias("canon"), F.col("canon").alias("merged")
+    )
+    updated = labels.join(sup, "canon", "left").select(
+        "id", F.coalesce("merged", "canon").alias("canon")
+    )
+    known = labels.select("id")
+    new_nodes = (
+        new_edges.select(F.col("src").alias("id"))
+        .unionAll(new_edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .join(known, "id", "left_anti")
+    )
+    new_rows = (
+        new_nodes.withColumn("canon", F.col("id"))
+        .join(sup, "canon", "left")
+        .select("id", F.coalesce("merged", "canon").alias("canon"))
+    )
+    return updated.unionByName(new_rows)
