@@ -118,6 +118,7 @@ HEADLINE_QUERIES = [
     "olap_volume_shipping",
     "olap_top_supplier",
     "corpus_mixture",
+    "events_sequences",
 ]
 
 

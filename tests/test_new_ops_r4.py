@@ -300,3 +300,55 @@ def test_incremental_cc_noop_wave(spark):
         .reset_index(drop=True)
     )
     assert dict(zip(inc.id, inc.canon)) == {"a": "a", "b": "a", "c": "a"}
+
+
+def test_sequence_patterns_counts(spark):
+    from vectrain_spark.operators.events import sequence_patterns
+
+    rows = [
+        # user 1: s v p v v  -> 'svp' x1 at [0:3]? adjacent: s,v,p yes;
+        # 'vv' x1; 'vp' x1 (non-overlapping, leftmost-first)
+        (0, 1, "2024-01-01 00:00:00.000000", "signup"),
+        (1, 1, "2024-01-01 00:00:01.000000", "view"),
+        (2, 1, "2024-01-01 00:00:02.000000", "purchase"),
+        (3, 1, "2024-01-01 00:00:03.000000", "view"),
+        (4, 1, "2024-01-01 00:00:04.000000", "view"),
+        # user 2: v v v v -> 'vv' x2 non-overlapping, no vp/svp
+        (5, 2, "2024-01-01 00:00:00.000000", "view"),
+        (6, 2, "2024-01-01 00:00:01.000000", "view"),
+        (7, 2, "2024-01-01 00:00:02.000000", "view"),
+        (8, 2, "2024-01-01 00:00:03.000000", "view"),
+        # user 3: purchase only; unknown type ignored
+        (9, 3, "2024-01-01 00:00:00.000000", "purchase"),
+        (10, 3, "2024-01-01 00:00:01.000000", "refund"),
+    ]
+    ev = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["event_id", "user_id", "ts", "event_type"])
+    )
+    out = sequence_patterns(
+        ev,
+        {"signup": "s", "view": "v", "purchase": "p"},
+        {"svp": "svp", "vv": "vv", "vp": "vp"},
+    ).toPandas().set_index("pattern")
+    assert out.loc["svp"].n_users == 1 and out.loc["svp"].n_matches == 1
+    assert out.loc["vv"].n_users == 2 and out.loc["vv"].n_matches == 3
+    assert out.loc["vp"].n_users == 1 and out.loc["vp"].n_matches == 1
+
+
+def test_sequence_patterns_tie_order(spark):
+    from vectrain_spark.operators.events import sequence_patterns
+
+    # identical timestamps: event_id breaks the tie -> 'vp', not 'pv'
+    rows = [
+        (1, 7, "2024-01-01 00:00:00.000000", "view"),
+        (2, 7, "2024-01-01 00:00:00.000000", "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["event_id", "user_id", "ts", "event_type"])
+    )
+    out = sequence_patterns(
+        ev,
+        {"view": "v", "purchase": "p"},
+        {"vp": "vp", "pv": "pv"},
+    ).toPandas().set_index("pattern")
+    assert out.loc["vp"].n_matches == 1 and out.loc["pv"].n_matches == 0

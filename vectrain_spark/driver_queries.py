@@ -4657,6 +4657,35 @@ FROM events
 """
 
 
+_SEQ_SYMBOLS = {"signup": "s", "view": "v", "purchase": "p"}
+_SEQ_PATTERNS = {
+    "view_then_buy": "vp",
+    "back_to_back_views": "vv",
+    "signup_view_buy": "svp",
+}
+
+
+def q_events_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-sequence pattern mining (MATCH_RECOGNIZE shape): per-user
+    time-ordered symbol strings, non-overlapping literal occurrence
+    counts — strictly-adjacent semantics complementing the funnel's
+    eventually-followed semantics."""
+    from .operators.events import sequence_patterns
+
+    return sequence_patterns(
+        _events(spark, sf_dir), _SEQ_SYMBOLS, _SEQ_PATTERNS
+    )
+
+
+def _seq_sql() -> str:
+    from .operators.events import sequence_patterns_oracle_sql
+
+    return sequence_patterns_oracle_sql(_SEQ_SYMBOLS, _SEQ_PATTERNS)
+
+
+SQL_EVENTS_SEQUENCES = _seq_sql()
+
+
 def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel signup -> view -> purchase: per stage,
     how many users reached it IN ORDER (first view strictly after first
@@ -5871,6 +5900,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_interval": q_events_interval,
     "events_json": q_events_json,
     "events_funnel": q_events_funnel,
+    "events_sequences": q_events_sequences,
     "events_rolling": q_events_rolling,
     "events_pivot": q_events_pivot,
     "events_retention": q_events_retention,
@@ -5901,6 +5931,14 @@ _CHANGED_THIS_ROUND = [
     "kg_pred_assoc",         # NEW: association rules over (subj, pred)
     "kg_truss",              # NEW: fixed-round 4-truss peeling
     "sim_ivfpq",             # NEW: IVF-PQ (coarse probe + ADC codes)
+    "kg_pred_cardinality",   # NEW: AMIE functionality constraint mining
+    "kg_rules",              # NEW: length-1 Horn rule confidence (dir+inv)
+    "kg_metapath",           # NEW: PRA 2-hop path stats, hub cap engaged
+    "kg_transe_eval",        # NEW: MRR/Hits@k link-prediction eval
+    "corpus_dsir",           # NEW: DSIR hashed-unigram importance weights
+    "sim_mmr",               # NEW: MMR diversified re-ranking
+    "kg_cc_incremental",     # NEW: super-node-contraction incremental CC
+    "events_sequences",      # NEW: adjacent-sequence pattern mining
     # --- round 4: behavior/plan changes needing driver re-verification ---
     "kg_transe",             # sqrt clamp (ADVICE r3) — both engines
     "web_frontier",          # base derived from src host (ADVICE r3)
@@ -6095,6 +6133,7 @@ ORACLES: dict[str, str] = {
     "events_interval": SQL_EVENTS_INTERVAL,
     "events_json": SQL_EVENTS_JSON,
     "events_funnel": SQL_EVENTS_FUNNEL,
+    "events_sequences": SQL_EVENTS_SEQUENCES,
     "events_rolling": SQL_EVENTS_ROLLING,
     "events_pivot": SQL_EVENTS_PIVOT,
     "events_retention": SQL_EVENTS_RETENTION,

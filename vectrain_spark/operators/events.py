@@ -175,3 +175,104 @@ def interval_join(
         .filter((F.col(ts) >= F.col(start)) & (F.col(ts) <= F.col(end)))
         .drop("_b")
     )
+
+
+def sequence_patterns(
+    events: DataFrame,
+    symbols: dict[str, str],
+    patterns: dict[str, str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    order_cols: tuple[str, str] = ("ts", "event_id"),
+) -> DataFrame:
+    """Adjacent-sequence pattern mining (the MATCH_RECOGNIZE shape):
+    map each event type to a one-character symbol, concatenate every
+    user's events in time order into a symbol string, and count
+    NON-OVERLAPPING adjacent occurrences of each literal pattern ->
+    (pattern, n_users, n_matches). Complements the funnel operator
+    (eventually-followed semantics) with strictly-adjacent semantics —
+    'viewed then immediately purchased', 'two views back to back'.
+
+    Determinism / parity: the per-user string is built by array_sort
+    over (order_cols..., symbol) structs — a total order when the
+    second order col is unique — so both engines agree byte-for-byte;
+    occurrence counting is (len(s) - len(replace(s, p, ''))) / len(p),
+    the same left-to-right non-overlapping semantics in Spark and SQL.
+
+    Scale shape: one user-keyed exchange builds all sequences
+    (map-side-combined collect_list); the pattern stage is a tiny
+    broadcast cross of |patterns| literals; counting is pure JVM string
+    arithmetic. Per-user state is that user's event count — the
+    standard sessionized-clickstream assumption (cap upstream if a bot
+    user can emit unbounded events).
+    """
+    sym = None
+    for t, c in symbols.items():
+        cond = F.when(F.col(type_col) == t, F.lit(c))
+        sym = cond if sym is None else sym.when(F.col(type_col) == t, F.lit(c))
+    o1, o2 = order_cols
+    seq = (
+        events.withColumn("_sym", sym)
+        .filter(F.col("_sym").isNotNull())
+        .groupBy(user_col)
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col(o1), F.col(o2), "_sym"))
+                    ),
+                    lambda x: x["_sym"],
+                ),
+            ).alias("_s")
+        )
+    )
+    pats = events.sparkSession.createDataFrame(
+        [(name, lit) for name, lit in patterns.items()], "pattern: string, lit: string"
+    )
+    cnt = (
+        (F.length("_s") - F.length(F.replace(F.col("_s"), F.col("lit"))))
+        / F.length("lit")
+    ).cast("long")
+    return (
+        seq.crossJoin(F.broadcast(pats))
+        .select("pattern", cnt.alias("cnt"))
+        .groupBy("pattern")
+        .agg(
+            F.sum((F.col("cnt") > 0).cast("long")).alias("n_users"),
+            F.sum("cnt").alias("n_matches"),
+        )
+    )
+
+
+def sequence_patterns_oracle_sql(
+    symbols: dict[str, str], patterns: dict[str, str]
+) -> str:
+    """DuckDB mirror of :func:`sequence_patterns` over the ``events``
+    view (same symbol mapping, same ordered string_agg, same
+    replace-based non-overlapping counts)."""
+    case = " ".join(
+        f"WHEN '{t}' THEN '{c}'" for t, c in symbols.items()
+    )
+    types = ", ".join(f"'{t}'" for t in symbols)
+    vals = ", ".join(f"('{n}', '{p}')" for n, p in patterns.items())
+    return f"""
+WITH ev AS (
+  SELECT user_id, ts, event_id,
+         CASE event_type {case} END AS sym
+  FROM events WHERE event_type IN ({types})
+),
+seq AS (
+  SELECT user_id, string_agg(sym, '' ORDER BY ts, event_id) AS s
+  FROM ev GROUP BY user_id
+),
+pat(pattern, lit) AS (VALUES {vals}),
+m AS (
+  SELECT p.pattern,
+         ((length(s.s) - length(replace(s.s, p.lit, ''))) / length(p.lit))::BIGINT AS cnt
+  FROM seq s CROSS JOIN pat p
+)
+SELECT pattern, sum(CASE WHEN cnt > 0 THEN 1 ELSE 0 END)::BIGINT AS n_users,
+       sum(cnt)::BIGINT AS n_matches
+FROM m GROUP BY pattern
+"""
