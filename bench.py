@@ -119,6 +119,10 @@ HEADLINE_QUERIES = [
     "olap_top_supplier",
     "corpus_mixture",
     "events_sequences",
+    "kg_fact_history",
+    "catalog_ivm",
+    "corpus_quality_probe",
+    "kg_link_pr",
 ]
 
 

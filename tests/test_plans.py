@@ -408,6 +408,17 @@ def test_link_fuzzy_is_hash_join_not_nested_loop(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_link_eval_pr_is_hash_join_not_nested_loop(spark):
+    """The P/R eval harness uses the same length-bucket blocking as the
+    fuzzy linker: candidate generation must plan as a broadcast HASH
+    join on the bucket key, never a nested loop over the dictionary."""
+    from vectrain_spark.driver_queries import QUERIES
+
+    plan = _plan(QUERIES["kg_link_pr"](spark, "/root/testdata/sf0.001"))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_neighbor_jaccard_wedges_are_degree_oriented(spark):
     """The common-neighbor stage must ride the oriented wedge join (two
     broadcast degree joins feeding the orientation), never a symmetric

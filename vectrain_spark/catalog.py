@@ -753,3 +753,58 @@ class GroupManifest:
     def reset(self) -> None:
         if os.path.exists(self.path):
             os.remove(self.path)
+
+
+def apply_changelog_agg(
+    base_agg: DataFrame,
+    changelog: DataFrame,
+    key_cols: list[str],
+    count_col: str,
+    sum_cols: dict[str, str],
+) -> DataFrame:
+    """Incremental view maintenance: roll a :meth:`Catalog.snapshot_cdc`
+    changelog into a maintained grouped aggregate WITHOUT rescanning the
+    base table.
+
+    ``base_agg`` is the aggregate state at the changelog's from-snapshot
+    (``key_cols`` + ``count_col`` + the keys of ``sum_cols``);
+    ``sum_cols`` maps each maintained SUM column in ``base_agg`` to the
+    source column it sums over in the changelog rows. Counts and sums
+    are self-maintainable aggregates: insert/update_post rows add with
+    weight +1, delete/update_pre rows retract with weight -1 — exactly
+    the Debezium/Flink retraction-stream algebra. Groups whose
+    maintained count reaches zero are dropped (the group no longer
+    exists in the table).
+
+    This is the consumer half of the CDC contract (the producer half is
+    snapshot_cdc): at 100 TB the base aggregate is never recomputed —
+    maintenance cost scales with the CHANGE volume, one map stage over
+    the changelog plus one grouped aggregate on the key space and a
+    key-space-sized outer join. Deliberate delta vs the reference, which
+    re-upserts full entities per wave (internal/adapter/vector_db/
+    weaviate/repository.go) and recomputes any derived stats from
+    scratch.
+    """
+    sign = F.when(
+        F.col("_op").isin("insert", "update_post"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    delta = (
+        changelog.withColumn("_sign", sign)
+        .groupBy(*key_cols)
+        .agg(
+            F.sum("_sign").cast("long").alias(f"_d_{count_col}"),
+            *[
+                F.sum(F.col("_sign") * F.col(src)).cast("long").alias(f"_d_{dst}")
+                for dst, src in sum_cols.items()
+            ],
+        )
+    )
+    merged = base_agg.join(delta, key_cols, "full_outer")
+    agg_cols = [count_col, *sum_cols]
+    maintained = [
+        (F.coalesce(F.col(c), F.lit(0)) + F.coalesce(F.col(f"_d_{c}"), F.lit(0)))
+        .cast("long")
+        .alias(c)
+        for c in agg_cols
+    ]
+    return merged.select(*key_cols, *maintained).filter(F.col(count_col) > 0)

@@ -213,6 +213,67 @@ def q_kg_canonical_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_entity_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-card materialization — the consumer-facing product of a KG
+    pipeline (the infobox table): one row per canonical entity with its
+    sorted alias list (capped at 5), outgoing/incoming fact masses, and
+    the dominant outgoing predicate. Assembly is pure relational algebra
+    over the canonical triple table + the alias mapping: two grouped
+    aggregates (subject side / object side), one per-entity alias
+    collect with a deterministic sort+cap, one bounded window for the
+    top predicate — every join keyed on the canonical entity id."""
+    canon_tri = q_kg_canonical_triples(spark, sf_dir)
+    aliases = corpus_aliases(spark)
+    mapping = connected_components(edges_from_aliases(aliases))
+    amap = (
+        aliases.join(
+            F.broadcast(mapping.withColumnRenamed("id", "entity_id")),
+            "entity_id",
+            "left",
+        )
+        .select(
+            F.coalesce("canon", "entity_id").alias("entity"), "alias"
+        )
+    )
+    alias_agg = amap.groupBy("entity").agg(
+        F.concat_ws(
+            ",", F.slice(F.array_sort(F.collect_set("alias")), 1, 5)
+        ).alias("aliases")
+    )
+    outs = canon_tri.groupBy(F.col("subj_canon").alias("entity")).agg(
+        F.sum("cnt").cast("long").alias("n_facts_out"),
+        F.count(F.lit(1)).cast("long").alias("n_out_triples"),
+    )
+    ins = canon_tri.groupBy(F.col("obj_canon").alias("entity")).agg(
+        F.sum("cnt").cast("long").alias("n_facts_in"),
+        F.count(F.lit(1)).cast("long").alias("n_in_triples"),
+    )
+    per_pred = canon_tri.groupBy(
+        F.col("subj_canon").alias("entity"), "pred"
+    ).agg(F.sum("cnt").alias("t"))
+    wp = Window.partitionBy("entity").orderBy(F.desc("t"), F.desc("pred"))
+    top = (
+        per_pred.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") == 1)
+        .select("entity", F.col("pred").alias("top_pred"))
+    )
+    z = F.lit(0).cast("long")
+    return (
+        alias_agg.join(outs, "entity", "left")
+        .join(ins, "entity", "left")
+        .join(top, "entity", "left")
+        .select(
+            "entity",
+            "aliases",
+            F.coalesce("n_facts_out", z).alias("n_facts_out"),
+            F.coalesce("n_out_triples", z).alias("n_out_triples"),
+            F.coalesce("n_facts_in", z).alias("n_facts_in"),
+            F.coalesce("n_in_triples", z).alias("n_in_triples"),
+            F.coalesce("top_pred", F.lit("")).alias("top_pred"),
+        )
+    )
+
+
 def q_kg_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-triple provenance: every canonical triple with its distinct
     source-url count and the 3 lexicographically-smallest citing urls as
@@ -843,6 +904,62 @@ SELECT c1.canon AS subj_canon, tri.pred AS pred, c2.canon AS obj_canon,
        count(*) AS cnt, min(tri.url) AS sample_url
 FROM tri JOIN canon c1 ON c1.id = tri.subj_id JOIN canon c2 ON c2.id = tri.obj_id
 GROUP BY 1, 2, 3
+"""
+
+SQL_KG_ENTITY_CARDS = f"""
+WITH RECURSIVE {_CANON_SQL},
+pr(m, pred) AS (VALUES {_PRED_VALUES}),
+linkmap AS (SELECT alias, min(entity_id) AS eid FROM aliases GROUP BY alias),
+tri AS (
+  SELECT 'https://docs.example/' || d.doc_id AS url,
+         lv.eid AS subj_id, pr.pred AS pred, lc.eid AS obj_id
+  FROM documents d
+  JOIN pr ON pr.m = d.doc_id % 8
+  JOIN linkmap lv ON lv.alias = 'Vendor' || (d.doc_id % 7)
+  JOIN linkmap lc ON lc.alias = 'Client' || (d.doc_id % 13)
+  WHERE {_KG_PAGE_FILTER}
+),
+ct AS (
+  SELECT c1.canon AS subj_canon, tri.pred AS pred, c2.canon AS obj_canon,
+         count(*) AS cnt
+  FROM tri JOIN canon c1 ON c1.id = tri.subj_id
+           JOIN canon c2 ON c2.id = tri.obj_id
+  GROUP BY 1, 2, 3
+),
+amap AS (
+  SELECT coalesce(c.canon, a.entity_id) AS entity, a.alias
+  FROM aliases a LEFT JOIN canon c ON c.id = a.entity_id
+),
+al AS (
+  SELECT entity,
+         array_to_string(list_sort(list(DISTINCT alias))[1:5], ',') AS aliases
+  FROM amap GROUP BY entity
+),
+outs AS (
+  SELECT subj_canon AS entity, sum(cnt)::BIGINT AS n_facts_out,
+         count(*)::BIGINT AS n_out_triples
+  FROM ct GROUP BY 1
+),
+ins AS (
+  SELECT obj_canon AS entity, sum(cnt)::BIGINT AS n_facts_in,
+         count(*)::BIGINT AS n_in_triples
+  FROM ct GROUP BY 1
+),
+pp AS (SELECT subj_canon AS entity, pred, sum(cnt) AS t FROM ct GROUP BY 1, 2),
+tp AS (
+  SELECT entity, pred FROM (
+    SELECT entity, pred,
+           row_number() OVER (PARTITION BY entity ORDER BY t DESC, pred DESC) AS rn
+    FROM pp) x WHERE rn = 1
+)
+SELECT al.entity, al.aliases,
+       coalesce(o.n_facts_out, 0)::BIGINT AS n_facts_out,
+       coalesce(o.n_out_triples, 0)::BIGINT AS n_out_triples,
+       coalesce(i.n_facts_in, 0)::BIGINT AS n_facts_in,
+       coalesce(i.n_in_triples, 0)::BIGINT AS n_in_triples,
+       coalesce(tp.pred, '') AS top_pred
+FROM al LEFT JOIN outs o USING (entity) LEFT JOIN ins i USING (entity)
+        LEFT JOIN tp USING (entity)
 """
 
 SQL_KG_PROVENANCE = f"""
@@ -2213,6 +2330,29 @@ def _dsir_sql() -> str:
 
 
 SQL_CORPUS_DSIR = _dsir_sql()
+
+
+def q_corpus_quality_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-classifier training AS a DataFrame program: two exact
+    full-batch gradient steps of a linear probe (squared loss, hashed
+    unigram fractions, English as the quality target) and the resulting
+    per-doc scores — the fastText-style filtering stage of a 100 TB
+    crawl pipeline with the training loop itself running distributed
+    (weights are a 32-row broadcast table, gradients are
+    map-side-combining aggregates; decimal-exact algebra keeps both
+    engines bit-identical)."""
+    from .operators.corpus import quality_probe_scores
+
+    return quality_probe_scores(_docs(spark, sf_dir), F.col("lang") == "en")
+
+
+def _quality_probe_sql() -> str:
+    from .operators.corpus import quality_probe_oracle_sql
+
+    return quality_probe_oracle_sql("lang = 'en'", norm_sql=NORM_SQL)
+
+
+SQL_CORPUS_QUALITY_PROBE = _quality_probe_sql()
 SQL_KG_TOP_PREDS = SQL_KG_TOP_PREDS.format(edges=SQL_KG_EDGES)
 SQL_KG_STAR = SQL_KG_STAR.format(edges=SQL_KG_EDGES)
 
@@ -4394,6 +4534,65 @@ FROM base WHERE doc_id % 2 = 0 AND doc_id % 10 != 0 AND doc_id % 3 = 0
 """
 
 
+def q_catalog_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance — the consumer half of the CDC
+    contract: a per-lang (count, sum) aggregate computed at snapshot A is
+    rolled forward with apply_changelog_agg over snapshot_cdc(A, B)'s
+    retraction stream, never rescanning the base table. The oracle
+    recomputes the aggregate directly from the (arithmetically derived)
+    snapshot B — maintained state must equal recomputed truth, which is
+    exactly the IVM correctness condition. Same A/B fixture as
+    catalog_cdc (deletes %10==0, +1000 updates %3==0, inserts %10==1)."""
+    import shutil
+
+    from .catalog import Catalog, apply_changelog_agg
+
+    root = "/tmp/vectrain_ivm_gate"
+    shutil.rmtree(root, ignore_errors=True)
+    cat = Catalog(root)
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "lang", F.length("text").cast("long").alias("text_len")
+    )
+    snap_a = cat.write("docs", docs.filter(F.col("doc_id") % 2 == 0))
+    b = (
+        docs.filter(
+            ((F.col("doc_id") % 2 == 0) & (F.col("doc_id") % 10 != 0))
+            | (F.col("doc_id") % 10 == 1)
+        )
+        .withColumn(
+            "text_len",
+            F.col("text_len")
+            + F.when(F.col("doc_id") % 3 == 0, F.lit(1000)).otherwise(F.lit(0)),
+        )
+    )
+    snap_b = cat.write("docs", b, mode="replace")
+    base_agg = (
+        cat.read(spark, "docs", snapshot_id=snap_a)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("text_len").cast("long").alias("sum_len"),
+        )
+    )
+    changelog = cat.snapshot_cdc(spark, "docs", snap_a, snap_b, ["doc_id"])
+    return apply_changelog_agg(
+        base_agg, changelog, ["lang"], "n_docs", {"sum_len": "text_len"}
+    )
+
+
+SQL_CATALOG_IVM = """
+WITH b AS (
+  SELECT doc_id, lang,
+         length(text)::BIGINT
+           + CASE WHEN doc_id % 3 = 0 THEN 1000 ELSE 0 END AS text_len
+  FROM documents
+  WHERE (doc_id % 2 = 0 AND doc_id % 10 <> 0) OR doc_id % 10 = 1
+)
+SELECT lang, count(*)::BIGINT AS n_docs, sum(text_len)::BIGINT AS sum_len
+FROM b GROUP BY lang
+"""
+
+
 def q_web_linkgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperlink graph from RAW page bytes: pages derive with 4 junk
     blocks (deterministic nav trees + promo asides around the article, the
@@ -4524,6 +4723,203 @@ SELECT url, n_crawls,
             WHEN first_text <> last_text THEN 'changed'
             ELSE 'unchanged' END AS status
 FROM g
+"""
+
+
+def q_kg_fact_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal KG (SCD2): the REAL extraction runs over three crawl
+    snapshots of the url space (crawl 2 loses the %11==0 urls, crawl 3
+    brings them back and loses %11==5 instead), and fact_history derives
+    validity intervals per (url, subj, pred, obj) — open intervals for
+    facts alive in the newest crawl, closed ones for disappearances, TWO
+    rows for the gap-and-island facts that vanished and returned.
+    History is kept as first-class rows, the deliberate delta vs the
+    reference's overwrite-on-upsert sink (internal/adapter/vector_db/
+    weaviate/repository.go)."""
+    from .operators.temporal import fact_history
+    from .operators.webcorpus import THIRD_CRAWL_TS, third_crawl_documents
+
+    docs = _docs(spark, sf_dir)
+    crawls = [
+        (docs, "2024-01-01 00:00:00"),
+        (second_crawl_documents(docs), SECOND_CRAWL_TS),
+        (third_crawl_documents(docs), THIRD_CRAWL_TS),
+    ]
+    parts = []
+    for d, ts in crawls:
+        good, _ = split_quarantine(
+            extract_pages(pages_from_documents(d, warc_ts=ts))
+        )
+        parts.append(
+            extract_triples_df(good)
+            .select("url", "subj", "pred", "obj")
+            .withColumn("warc_ts", F.to_timestamp(F.lit(ts)))
+        )
+    facts = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    hist = fact_history(facts, ["url", "subj", "pred", "obj"])
+    # format timestamps / booleans for engine-neutral value hashing
+    return hist.select(
+        "url",
+        "subj",
+        "pred",
+        "obj",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        F.col("is_current").cast("int").alias("is_current"),
+    )
+
+
+def _fact_history_sql() -> str:
+    from .operators.webcorpus import THIRD_CRAWL_TS
+
+    return f"""
+WITH pr(m, pred) AS (VALUES {_PRED_VALUES}),
+base AS MATERIALIZED (
+  SELECT d.doc_id,
+         'https://docs.example/' || d.doc_id AS url,
+         'Vendor' || (d.doc_id % 7) AS subj,
+         pr.pred AS pred,
+         'Client' || (d.doc_id % 13) AS obj
+  FROM documents d JOIN pr ON pr.m = d.doc_id % 8
+  WHERE {_KG_PAGE_FILTER}
+),
+obs AS (
+  SELECT url, subj, pred, obj, 0 AS idx,
+         TIMESTAMP '2024-01-01 00:00:00' AS ts FROM base
+  UNION ALL
+  SELECT url, subj, pred, obj, 1, TIMESTAMP '{SECOND_CRAWL_TS}'
+  FROM base WHERE doc_id % 11 <> 0
+  UNION ALL
+  SELECT url, subj, pred, obj, 2, TIMESTAMP '{THIRD_CRAWL_TS}'
+  FROM base WHERE doc_id % 11 <> 5
+),
+runs AS (
+  SELECT url, subj, pred, obj, ts, idx,
+         idx - row_number() OVER (
+           PARTITION BY url, subj, pred, obj ORDER BY idx) AS grp
+  FROM obs
+),
+iv AS (
+  SELECT url, subj, pred, obj, min(ts) AS valid_from, max(idx) AS last_idx
+  FROM runs GROUP BY url, subj, pred, obj, grp
+)
+SELECT url, subj, pred, obj,
+       strftime(valid_from, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       strftime(CASE last_idx WHEN 0 THEN TIMESTAMP '{SECOND_CRAWL_TS}'
+                              WHEN 1 THEN TIMESTAMP '{THIRD_CRAWL_TS}'
+                              ELSE NULL END, '%Y-%m-%d %H:%M:%S') AS valid_to,
+       CASE WHEN last_idx = 2 THEN 1 ELSE 0 END::INTEGER AS is_current
+FROM iv
+"""
+
+
+SQL_KG_FACT_HISTORY = _fact_history_sql()
+
+
+def q_kg_link_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-star metric as an in-engine operator: linking
+    precision/recall/F1 against gold labels across a score-threshold
+    sweep. Gold mentions derive from doc_id with four corruption
+    classes — exact (score 1.0), one-letter deletion (unambiguous,
+    0.857), digit deletion ('Vendor', AMBIGUOUS across all vendors —
+    the precision sink), two-letter deletion (unambiguous, 0.714) — so
+    the P/R tradeoff is real: tightening the threshold trades recall
+    for precision exactly as the oracle reconstructs."""
+    from .operators.linking import link_eval_pr
+
+    base = (
+        _docs(spark, sf_dir)
+        .select(
+            (F.col("doc_id") % 7).alias("g"),
+            (F.col("doc_id") % 4).alias("cls"),
+            ((F.col("doc_id") % 6) + 1).cast("int").alias("p1"),
+            ((F.col("doc_id") % 5) + 1).cast("int").alias("p2"),
+        )
+        .withColumn("m", F.concat(F.lit("Vendor"), F.col("g")))
+    )
+    mention = (
+        F.when(F.col("cls") == 0, F.col("m"))
+        .when(
+            F.col("cls") == 1,
+            F.concat(
+                F.expr("substring(m, 1, p1 - 1)"),
+                F.expr("substring(m, p1 + 1, 10)"),
+            ),
+        )
+        .when(F.col("cls") == 2, F.lit("Vendor"))
+        .otherwise(
+            F.concat(
+                F.expr("substring(m, 1, p2 - 1)"),
+                F.expr("substring(m, p2 + 2, 10)"),
+            )
+        )
+    )
+    inst = base.select(
+        mention.alias("mention"), F.col("g").cast("long").alias("gold_entity")
+    ).distinct()
+    return link_eval_pr(
+        inst, corpus_aliases(spark), [0.99, 0.8, 0.6, 0.0]
+    )
+
+
+SQL_KG_LINK_PR = f"""
+WITH aliases AS ({corpus_aliases_sql()}),
+raw AS (
+  SELECT doc_id % 7 AS g, doc_id % 4 AS cls,
+         (doc_id % 6 + 1)::INT AS p1, (doc_id % 5 + 1)::INT AS p2,
+         'Vendor' || (doc_id % 7) AS m
+  FROM documents
+),
+inst AS (
+  SELECT DISTINCT
+    CASE cls WHEN 0 THEN m
+             WHEN 1 THEN substr(m, 1, p1 - 1) || substr(m, p1 + 1)
+             WHEN 2 THEN 'Vendor'
+             ELSE substr(m, 1, p2 - 1) || substr(m, p2 + 2) END AS mention,
+    g::BIGINT AS gold_entity
+  FROM raw
+),
+scored AS (
+  SELECT i.mention, a.entity_id,
+         round(1.0 - levenshtein(i.mention, a.alias)::DOUBLE
+               / greatest(length(i.mention), length(a.alias)), 6) AS score
+  FROM (SELECT DISTINCT mention FROM inst) i CROSS JOIN aliases a
+  WHERE abs(length(i.mention) - length(a.alias)) <= 2
+    AND levenshtein(i.mention, a.alias) <= 2
+),
+best AS (
+  SELECT mention, entity_id, score FROM (
+    SELECT mention, entity_id, score,
+           row_number() OVER (
+             PARTITION BY mention ORDER BY score DESC, entity_id) AS rn
+    FROM scored) t WHERE rn = 1
+),
+th(threshold) AS (VALUES (0.99), (0.8), (0.6), (0.0)),
+j AS (
+  SELECT t.threshold, i.gold_entity, b.entity_id, b.score
+  FROM inst i LEFT JOIN best b USING (mention) CROSS JOIN th t
+),
+agg AS (
+  SELECT threshold, count(*)::BIGINT AS n_gold,
+         sum(CASE WHEN score IS NOT NULL AND score >= threshold
+                  THEN 1 ELSE 0 END)::BIGINT AS n_pred,
+         sum(CASE WHEN score IS NOT NULL AND score >= threshold
+                       AND entity_id = gold_entity
+                  THEN 1 ELSE 0 END)::BIGINT AS n_correct
+  FROM j GROUP BY threshold
+),
+prf AS (
+  SELECT threshold, n_gold, n_pred, n_correct,
+         CASE WHEN n_pred > 0 THEN n_correct::DOUBLE / n_pred
+              ELSE 0.0 END AS p,
+         n_correct::DOUBLE / n_gold AS r
+  FROM agg
+)
+SELECT threshold, n_gold, n_pred, n_correct,
+       round(p, 6) AS "precision", round(r, 6) AS recall,
+       round(CASE WHEN p + r > 0 THEN 2 * p * r / (p + r)
+                  ELSE 0.0 END, 6) AS f1
+FROM prf
 """
 
 
@@ -5901,6 +6297,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_json": q_events_json,
     "events_funnel": q_events_funnel,
     "events_sequences": q_events_sequences,
+    "kg_fact_history": q_kg_fact_history,
+    "kg_link_pr": q_kg_link_pr,
+    "kg_entity_cards": q_kg_entity_cards,
+    "catalog_ivm": q_catalog_ivm,
+    "corpus_quality_probe": q_corpus_quality_probe,
     "events_rolling": q_events_rolling,
     "events_pivot": q_events_pivot,
     "events_retention": q_events_retention,
@@ -5939,6 +6340,11 @@ _CHANGED_THIS_ROUND = [
     "sim_mmr",               # NEW: MMR diversified re-ranking
     "kg_cc_incremental",     # NEW: super-node-contraction incremental CC
     "events_sequences",      # NEW: adjacent-sequence pattern mining
+    "kg_fact_history",       # NEW: SCD2 validity intervals over 3 crawls
+    "kg_link_pr",            # NEW: linking P/R/F1 threshold sweep vs gold
+    "catalog_ivm",           # NEW: incremental view maintenance from CDC
+    "corpus_quality_probe",  # NEW: in-engine trained linear quality probe
+    "kg_entity_cards",       # NEW: entity-card (infobox) materialization
     # --- round 4: behavior/plan changes needing driver re-verification ---
     "kg_transe",             # sqrt clamp (ADVICE r3) — both engines
     "web_frontier",          # base derived from src host (ADVICE r3)
@@ -5951,15 +6357,21 @@ _CHANGED_THIS_ROUND = [
     "kg_link_fuzzy",         # length-bucket equi-join (no nested loop)
     # --- round 4: driver-verification ROTATION (VERDICT r3 #5) — the 24
     # gates that never had a driver CORRECTNESS row (registry front-loads
-    # new entries and the driver caps at 50; all 24 are replica-green) ---
-    "corpus_cube", "sketch_distinct", "ingest_jsonl", "ingest_csv",
-    "text_vocab", "text_bigram_lm", "text_lm_score",
-    "corpus_histogram", "corpus_quartiles",
-    "olap_nation_revenue", "olap_pricing_summary", "web_crawl_drift",
-    "sim_knn_euclid", "sim_knn_dot", "sim_maxsim",
-    "dedup_embedding_euclid", "dedup_embedding_lsh", "payload_coerce",
-    "events_asof", "events_json", "events_funnel", "events_pivot",
-    "events_retention", "events_anomaly",
+    # new entries and the driver caps at 50; all 24 are replica-green).
+    # 34 entries precede this block, so only the first ~16 here land
+    # inside the cap: DISTINCT plan shapes lead (as-of join, funnel,
+    # pivot, sessionless retention, payload projection, versioned-corpus
+    # diff); pure metric/format variants of already-driver-verified
+    # plans (knn metric swaps, csv-vs-jsonl, lm-score application) sit
+    # last and stay replica-verified if they overflow ---
+    "events_asof", "events_funnel", "events_json", "events_pivot",
+    "events_retention", "events_anomaly", "payload_coerce",
+    "web_crawl_drift", "corpus_cube", "sketch_distinct", "ingest_jsonl",
+    "text_vocab", "text_bigram_lm", "corpus_histogram",
+    "olap_nation_revenue", "olap_pricing_summary",
+    "sim_maxsim", "dedup_embedding_lsh", "corpus_quartiles",
+    "ingest_csv", "text_lm_score", "sim_knn_euclid", "sim_knn_dot",
+    "dedup_embedding_euclid",
     # --- round-3 additions, driver-verified in r03, kept high while young ---
     "sim_pq", "kg_degree_hist", "text_bpe_pairs",
     "kg_walks", "kg_walk_pairs",
@@ -6134,6 +6546,11 @@ ORACLES: dict[str, str] = {
     "events_json": SQL_EVENTS_JSON,
     "events_funnel": SQL_EVENTS_FUNNEL,
     "events_sequences": SQL_EVENTS_SEQUENCES,
+    "kg_fact_history": SQL_KG_FACT_HISTORY,
+    "kg_link_pr": SQL_KG_LINK_PR,
+    "kg_entity_cards": SQL_KG_ENTITY_CARDS,
+    "catalog_ivm": SQL_CATALOG_IVM,
+    "corpus_quality_probe": SQL_CORPUS_QUALITY_PROBE,
     "events_rolling": SQL_EVENTS_ROLLING,
     "events_pivot": SQL_EVENTS_PIVOT,
     "events_retention": SQL_EVENTS_RETENTION,

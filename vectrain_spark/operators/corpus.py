@@ -450,3 +450,173 @@ SELECT p.doc_id, sum(p.cnt)::BIGINT AS n_tokens,
 FROM per_doc p JOIN ratios r USING (bucket)
 GROUP BY p.doc_id
 """
+
+
+def quality_probe_scores(
+    docs: DataFrame,
+    target_filter,
+    buckets: int = 32,
+    text_col: str = "text",
+) -> DataFrame:
+    """Linear quality probe trained IN the engine: two deterministic
+    full-batch gradient steps of a linear-probability model over hashed
+    unigram features -> (doc_id, n_tokens, label, score). The
+    fastText-style quality-classifier stage of a crawl pipeline
+    (CCNet / GPT-3 Wikipedia-vs-crawl filtering), expressed so training
+    itself is a DataFrame program — no sklearn, no driver-side math, no
+    collect.
+
+    Model: features x_db = per-doc hashed-unigram fractions (bucket
+    count / doc token count, rounded to 1e-6 and held as exact DECIMAL);
+    label y_d = 1 where ``target_filter`` holds. Squared loss keeps every
+    step POLYNOMIAL — sums of decimal products are exact integers
+    underneath, so Spark and the DuckDB oracle agree bit-for-bit with no
+    transcendental (sigmoid/exp) parity hazard:
+
+      step 1 (w0 = 0):  w1_j = round(sum_d y_d * x_dj / N, 6)
+      step 2:           z_d  = round(sum_j w1_j * x_dj, 6)
+                        w2_j = round(w1_j - sum_d (z_d - y_d) * x_dj / N, 6)
+      score_d = round(sum_j w2_j * x_dj, 6)
+
+    Scale shape: one tokenize+explode map stage -> per-(doc, bucket)
+    counts (fan-out bounded by ``buckets``); every gradient is a
+    map-side-combining aggregate onto a ``buckets``-row weight table
+    that broadcasts back into the next step. Training cost is
+    O(steps) scans of the feature table; weights never leave the
+    cluster; adding steps or buckets changes no plan shape.
+    """
+    from .dedup import normalized_text, spread
+    from .sketch import _hash60
+
+    toks = (
+        spread(docs)
+        .select(
+            "doc_id",
+            F.when(target_filter, F.lit(1)).otherwise(F.lit(0)).alias("y"),
+            F.explode(F.split(normalized_text(text_col), " ")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .withColumn("bucket", F.pmod(_hash60(F.col("token")), F.lit(buckets)))
+    )
+    per_doc = toks.groupBy("doc_id", "y", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    n_tok = per_doc.groupBy("doc_id").agg(F.sum("cnt").alias("n_tokens"))
+    feats = per_doc.join(n_tok, "doc_id").select(
+        "doc_id",
+        F.col("y").cast("decimal(12,6)").alias("y"),
+        "bucket",
+        F.round(F.col("cnt").cast("double") / F.col("n_tokens"), 6)
+        .cast("decimal(10,6)")
+        .alias("x"),
+    )
+    n_docs = n_tok.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    # step 1: w0 = 0 -> prediction 0 -> gradient is -mean(y*x) per bucket
+    w1 = (
+        feats.groupBy("bucket")
+        .agg(F.sum(F.col("y") * F.col("x")).alias("_s"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "bucket",
+            F.round(F.col("_s").cast("double") / F.col("n"), 6)
+            .cast("decimal(12,6)")
+            .alias("w"),
+        )
+    )
+    # step 2: z = <w1, x> per doc (exact decimal sum), residual gradient
+    z = (
+        feats.join(F.broadcast(w1), "bucket")
+        .groupBy("doc_id", "y")
+        .agg(
+            F.round(F.sum(F.col("w") * F.col("x")).cast("double"), 6)
+            .cast("decimal(12,6)")
+            .alias("z")
+        )
+    )
+    grad2 = (
+        feats.join(
+            F.broadcast(z.select("doc_id", (F.col("z") - F.col("y")).alias("r"))),
+            "doc_id",
+        )
+        .groupBy("bucket")
+        .agg(F.sum(F.col("r") * F.col("x")).alias("_g"))
+        .crossJoin(F.broadcast(n_docs))
+        .select("bucket", (F.col("_g").cast("double") / F.col("n")).alias("g"))
+    )
+    w2 = (
+        w1.join(grad2, "bucket", "left")
+        .select(
+            "bucket",
+            F.round(
+                F.col("w").cast("double") - F.coalesce(F.col("g"), F.lit(0.0)), 6
+            )
+            .cast("decimal(12,6)")
+            .alias("w"),
+        )
+    )
+    return (
+        feats.join(F.broadcast(w2), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.max(F.col("y")).cast("int").alias("label"),
+            F.round(F.sum(F.col("w") * F.col("x")).cast("double"), 6).alias(
+                "score"
+            ),
+        )
+        .join(n_tok, "doc_id")
+        .select("doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
+                "label", "score")
+    )
+
+
+def quality_probe_oracle_sql(
+    target_pred_sql: str, buckets: int = 32, norm_sql: str | None = None
+) -> str:
+    """DuckDB reconstruction of :func:`quality_probe_scores`: identical
+    hash, identical decimal-exact gradient algebra, identical rounding
+    points."""
+    norm = norm_sql or "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    return f"""
+WITH toks0 AS (
+  SELECT doc_id, CASE WHEN {target_pred_sql} THEN 1 ELSE 0 END AS y,
+         unnest(string_split({norm}, ' ')) AS token
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, y,
+         ('0x' || substr(md5(token), 1, 15))::BIGINT % {buckets} AS bucket
+  FROM toks0 WHERE token <> ''
+),
+per_doc AS (
+  SELECT doc_id, y, bucket, count(*) AS cnt FROM toks GROUP BY doc_id, y, bucket
+),
+n_tok AS (SELECT doc_id, sum(cnt) AS n_tokens FROM per_doc GROUP BY doc_id),
+feats AS (
+  SELECT p.doc_id, p.y::DECIMAL(12,6) AS y, p.bucket,
+         round(p.cnt::DOUBLE / t.n_tokens, 6)::DECIMAL(10,6) AS x
+  FROM per_doc p JOIN n_tok t USING (doc_id)
+),
+n_docs AS (SELECT count(*) AS n FROM n_tok),
+w1 AS (
+  SELECT bucket, round((sum(y * x))::DOUBLE / n, 6)::DECIMAL(12,6) AS w
+  FROM feats CROSS JOIN n_docs GROUP BY bucket, n
+),
+z AS (
+  SELECT f.doc_id, f.y, round((sum(w.w * f.x))::DOUBLE, 6)::DECIMAL(12,6) AS z
+  FROM feats f JOIN w1 w USING (bucket) GROUP BY f.doc_id, f.y
+),
+grad2 AS (
+  SELECT f.bucket, (sum((z.z - z.y) * f.x))::DOUBLE / n AS g
+  FROM feats f JOIN z USING (doc_id) CROSS JOIN n_docs GROUP BY f.bucket, n
+),
+w2 AS (
+  SELECT w1.bucket,
+         round(w1.w::DOUBLE - coalesce(g.g, 0.0), 6)::DECIMAL(12,6) AS w
+  FROM w1 LEFT JOIN grad2 g ON g.bucket = w1.bucket
+)
+SELECT f.doc_id, max(t.n_tokens)::BIGINT AS n_tokens,
+       max(f.y)::INTEGER AS label,
+       round((sum(w2.w * f.x))::DOUBLE, 6) AS score
+FROM feats f JOIN w2 USING (bucket) JOIN n_tok t USING (doc_id)
+GROUP BY f.doc_id
+"""

@@ -484,3 +484,92 @@ def cosine_topk_join(
     )
     w = W.partitionBy("surface").orderBy(F.desc("score"), F.asc("entity_id"))
     return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def link_eval_pr(
+    instances: DataFrame,
+    aliases: DataFrame,
+    thresholds: list[float],
+    max_lev: int = 2,
+) -> DataFrame:
+    """Entity-linking evaluation harness: precision / recall / F1 of
+    fuzzy linking against gold labels at a sweep of score thresholds ->
+    (threshold, n_gold, n_pred, n_correct, precision, recall, f1).
+
+    ``instances`` is (mention, gold_entity) — the labeled eval set the
+    north-star metric (triple P/R >= 0.95 vs reference) is scored on,
+    expressed as an in-engine operator so the pipeline can gate its own
+    releases on linking quality instead of shipping blind. Each distinct
+    mention links once: length-band blocked Levenshtein candidates
+    (same equi-join blocking as the production fuzzy linker — never a
+    nested-loop over the dictionary), score = 1 - lev/max(len), best =
+    (max score, min entity_id). A prediction is EMITTED at threshold t
+    when its score >= t; precision counts emitted-and-gold-equal,
+    recall divides by all gold instances.
+
+    Scale shape: one distinct over mentions, one broadcast hash join
+    against the dictionary (band-bucketed), one window per mention over
+    its bounded candidate set, then a |thresholds|-way broadcast cross
+    and a |thresholds|-row aggregate. Eval cost scales with the mention
+    set, never mentions x dictionary.
+    """
+    from pyspark.sql import Window as W
+
+    mentions = instances.select("mention").distinct()
+    mb = F.floor(F.length("mention") / 3).cast("int")
+    m3 = mentions.select(
+        "mention", F.explode(F.array(mb - 1, mb, mb + 1)).alias("lb")
+    )
+    ab = aliases.withColumn("lb", F.floor(F.length("alias") / 3).cast("int"))
+    scored = (
+        m3.join(F.broadcast(ab), "lb")
+        .filter(F.abs(F.length("mention") - F.length("alias")) <= max_lev)
+        .select(
+            "mention",
+            "entity_id",
+            F.levenshtein("mention", "alias").alias("lev"),
+            F.greatest(F.length("mention"), F.length("alias")).alias("_ml"),
+        )
+        .filter(F.col("lev") <= max_lev)
+        .select(
+            "mention",
+            "entity_id",
+            F.round(
+                F.lit(1.0) - F.col("lev").cast("double") / F.col("_ml"), 6
+            ).alias("score"),
+        )
+    )
+    w = W.partitionBy("mention").orderBy(F.desc("score"), F.asc("entity_id"))
+    best = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("mention", "entity_id", "score")
+    )
+    # threshold sweep via a literal-array explode (a projection, not a
+    # join — the plan stays free of nested-loop operators entirely)
+    joined = instances.join(best, "mention", "left").withColumn(
+        "threshold",
+        F.explode(F.array(*[F.lit(float(t)) for t in thresholds])),
+    )
+    emitted = F.col("score").isNotNull() & (F.col("score") >= F.col("threshold"))
+    agg = joined.groupBy("threshold").agg(
+        F.count(F.lit(1)).alias("n_gold"),
+        F.sum(emitted.cast("long")).alias("n_pred"),
+        F.sum(
+            (emitted & (F.col("entity_id") == F.col("gold_entity"))).cast("long")
+        ).alias("n_correct"),
+    )
+    p = F.when(F.col("n_pred") > 0, F.col("n_correct") / F.col("n_pred")).otherwise(
+        F.lit(0.0)
+    )
+    r = F.col("n_correct") / F.col("n_gold")
+    f1 = F.when(p + r > 0, 2 * p * r / (p + r)).otherwise(F.lit(0.0))
+    return agg.select(
+        "threshold",
+        "n_gold",
+        "n_pred",
+        "n_correct",
+        F.round(p, 6).alias("precision"),
+        F.round(r, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    )

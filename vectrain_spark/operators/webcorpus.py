@@ -142,6 +142,20 @@ def second_crawl_documents(docs: DataFrame) -> DataFrame:
     )
 
 
+THIRD_CRAWL_TS = "2024-05-01 00:00:00"
+
+
+def third_crawl_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic third crawl snapshot two months after the second:
+    the doc_id % 11 == 0 urls that dropped out of crawl 2 are BACK on the
+    web (recovered hosts), while a different slice (doc_id % 11 == 5) has
+    now disappeared — so per-url fact presence across the three crawls
+    forms gaps AND islands ([1,0,1] and [1,1,0] patterns), the shapes
+    SCD2 interval derivation must get right. Same doc_id arithmetic as
+    :func:`second_crawl_documents`, so the SQL oracle reconstructs it."""
+    return docs.filter(F.col("doc_id") % 11 != 5)
+
+
 def crawl_drift(good_pages: DataFrame) -> DataFrame:
     """Extracted pages across crawl snapshots (url, warc_ts, text) ->
     per-url change status: (url, n_crawls, status) with status in
