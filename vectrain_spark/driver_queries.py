@@ -6159,6 +6159,382 @@ WHERE {_EUC6.format(a='a.emb', b='b.emb')} <= 0.5
 """
 
 
+def q_kg_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-predicate reciprocity / symmetry profile over the
+    materialized edge table — the schema statistic that tells relation
+    canonicalization which predicates to fold into one direction and
+    KG-embedding model selection whether the graph favors a symmetric
+    (DistMult) or antisymmetric (TransE) scorer. Reverse-existence is
+    two LEFT SEMI equi-joins on both endpoints (co-partitioned, no
+    wedge explosion possible)."""
+    from .operators.rules import pred_reciprocity
+
+    return pred_reciprocity(_materialized_edges(spark, sf_dir))
+
+
+def q_kg_distmult(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DistMult bilinear-diagonal scoring (Yang et al. 2015) of the
+    materialized edges — the symmetric-relation complement of
+    q_kg_transe, same salted-md5 embedding lookup, trilinear form as
+    one left fold so both engines run identical IEEE op sequences,
+    two-phase per-predicate top-k (no predicate-hub window)."""
+    from .operators.graph import distmult_scores
+
+    return distmult_scores(
+        _materialized_edges(spark, sf_dir), _emb(spark, sf_dir)
+    )
+
+
+SQL_KG_DISTMULT_TPL = """
+WITH e0 AS MATERIALIZED (SELECT DISTINCT src, pred, dst FROM ({edges})),
+v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings),
+nv AS (SELECT count(*) AS n FROM v),
+ids AS (
+  SELECT src, pred, dst,
+    ('0x' || substr(md5(src || '|e'), 1, 15))::BIGINT % (SELECT n FROM nv) AS h_id,
+    ('0x' || substr(md5(pred || '|r'), 1, 15))::BIGINT % (SELECT n FROM nv) AS r_id,
+    ('0x' || substr(md5(dst || '|e'), 1, 15))::BIGINT % (SELECT n FROM nv) AS t_id
+  FROM e0
+),
+scored AS (
+  SELECT i.src, i.pred, i.dst,
+         round(list_reduce(
+             list_transform(vh.emb, (x, ix) -> x * vr.emb[ix] * vt.emb[ix]),
+             (a, b) -> a + b), 6) AS score
+  FROM ids i
+  JOIN v vh ON vh.vec_id = i.h_id
+  JOIN v vr ON vr.vec_id = i.r_id
+  JOIN v vt ON vt.vec_id = i.t_id
+),
+ranked AS (
+  SELECT src, pred, dst, score,
+         row_number() OVER (PARTITION BY pred
+                            ORDER BY score DESC, src, dst) AS rnk
+  FROM scored
+)
+SELECT src, pred, dst, score, rnk::BIGINT AS rank FROM ranked WHERE rnk <= 5
+"""
+
+
+def q_kg_ntriples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-Triples serialization of the canonical edge table (W3C RDF 1.1
+    interop — the bulk-load format of every triple store): map-only JVM
+    string concat + IRIREF percent-encode replace chain, no UDF; the
+    materialize stage's export surface."""
+    from .operators.rdf import to_ntriples
+
+    return to_ntriples(_materialized_edges(spark, sf_dir))
+
+
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional document sampling via priority sampling
+    (Duffield-Lund-Thorup 2007): q_i = w_i / u_i with a deterministic
+    md5 uniform — IPPS inclusion probabilities with NO transcendental
+    math, so the Spark and DuckDB doubles are bit-identical. Top-k is
+    a TakeOrdered (bounded per-partition state, no global sort)."""
+    from .operators.corpus import priority_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return priority_sample(docs, k=200)
+
+
+def q_olap_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_7's market share of ECONOMY-part revenue
+    among EUROPE-region customers, per order year. Two dimension chains
+    meet on the fact table: part (type filter BEFORE the fact join,
+    broadcast) and customer->nation->region (region filter prunes the
+    probe side), while the supplier->nation chain only TAGS each line
+    with its supply nation — the share is one conditional aggregate
+    (sum(case)/sum), so the fact table shuffles exactly once, on the
+    year grouping. Money in DECIMAL(18,2); the share divides as double
+    (identical IEEE op in the oracle), rounded to 6."""
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    eco_parts = part.filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    eur_cust = (
+        customer.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                ).select("n_nationkey")
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        ).select("c_custkey")
+    )
+    supp_nat = supplier.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (
+            F.lit(1).cast("decimal(18,2)")
+            - F.col("l_discount").cast("decimal(18,2)")
+        )
+    ).alias("rev")
+    base = (
+        lineitem.join(F.broadcast(eco_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(eur_cust, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(F.broadcast(supp_nat), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(F.year("o_orderdate").alias("o_year"), rev, "supp_nation")
+    )
+    return (
+        base.groupBy("o_year")
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_7", F.col("rev"))
+                .otherwise(F.lit(0).cast("decimal(18,2)"))
+            ).alias("nat_rev"),
+            F.sum("rev").alias("tot_rev"),
+        )
+        .select(
+            F.col("o_year").cast("int").alias("o_year"),
+            F.round(
+                F.col("nat_rev").cast("double") / F.col("tot_rev").cast("double"),
+                6,
+            ).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+SQL_OLAP_MARKET_SHARE = """
+WITH base AS (
+  SELECT year(o_orderdate) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l_discount AS DECIMAL(18,2))) AS rev,
+         sn.n_name AS supp_nation
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey AND p_type = 'ECONOMY'
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation sn ON sn.n_nationkey = s_nationkey
+  WHERE o_custkey IN (
+    SELECT c_custkey FROM customer
+    JOIN nation cn ON cn.n_nationkey = c_nationkey
+    JOIN region ON r_regionkey = cn.n_regionkey
+    WHERE r_name = 'EUROPE'
+  )
+)
+SELECT o_year::INTEGER AS o_year,
+       round(CAST(sum(CASE WHEN supp_nation = 'NATION_7' THEN rev
+                           ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / CAST(sum(rev) AS DOUBLE), 6) AS mkt_share
+FROM base
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+def q_olap_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape adapted to this schema (no partsupp table, so
+    supply cost is proxied as 60% of p_retailprice): profit per
+    supplier nation per order year over parts named like '%ge%'. All
+    money stays DECIMAL(18,2) through the conditional arithmetic; the
+    fact table takes ONE shuffle (the group-by), part and supplier
+    dimensions ride in broadcast."""
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    d2 = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    amount = (
+        d2("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - d2("l_discount"))
+        - F.lit(0.6).cast("decimal(18,2)") * d2("p_retailprice") * d2("l_quantity")
+    ).alias("amount")
+    supp_nat = supplier.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("n_name").alias("nation"))
+    return (
+        lineitem.join(
+            F.broadcast(
+                part.filter(F.col("p_name").like("%ge%")).select(
+                    "p_partkey", "p_retailprice"
+                )
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(supp_nat), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            orders.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select("nation", F.year("o_orderdate").alias("o_year"), amount)
+        .groupBy("nation", "o_year")
+        .agg(F.sum("amount").cast("double").alias("sum_profit"))
+        .select(F.col("nation"), F.col("o_year").cast("int").alias("o_year"),
+                F.round("sum_profit", 2).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+SQL_OLAP_PRODUCT_PROFIT = """
+SELECT n_name AS nation, year(o_orderdate)::INTEGER AS o_year,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                  - CAST(0.6 AS DECIMAL(18,2))
+                    * CAST(p_retailprice AS DECIMAL(18,2))
+                    * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS sum_profit
+FROM lineitem
+JOIN part ON p_partkey = l_partkey AND p_name LIKE '%ge%'
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+JOIN orders ON o_orderkey = l_orderkey
+GROUP BY n_name, year(o_orderdate)
+ORDER BY n_name, o_year DESC
+"""
+
+
+def q_olap_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape adapted to this schema (no l_shipmode, so lines
+    group by l_returnflag): among 1996 lineitems shipped more than 30
+    days after their order date, count high-priority (1-URGENT/2-HIGH)
+    vs lower-priority orders per return flag — the two-way fact-dim
+    join with CASE conditional aggregation that Q12 exercises. The date
+    predicate applies BEFORE the aggregate; one fact shuffle."""
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    joined = lineitem.select("l_orderkey", "l_returnflag", "l_shipdate").join(
+        o,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        joined.groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, F.lit(1)).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("high_line_count"),
+            F.sum(F.when(hi, F.lit(0)).otherwise(F.lit(1)))
+            .cast("long")
+            .alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+SQL_OLAP_PRIORITY_LINES = """
+SELECT l_returnflag,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def q_olap_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape adapted to this schema (no l_receiptdate /
+    l_commitdate; 'late' = shipped >60 days after the order date): per
+    supplier nation, count the (order, supplier) pairs where the
+    supplier is the UNIQUE late shipper in a multi-supplier order.
+
+    Spark-first re-expression: Q21's EXISTS + NOT EXISTS self-join pair
+    becomes ONE conditional aggregation per order — count distinct
+    suppliers, count distinct LATE suppliers, carry the single late
+    suppkey with min(CASE) — so the fact table is scanned once and
+    shuffled once (on l_orderkey) instead of three correlated scans."""
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    per_order = (
+        lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(
+            orders.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            F.when(late, F.col("l_suppkey")).alias("late_supp"),
+        )
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct("late_supp").alias("n_late"),
+            F.min("late_supp").alias("guilty_supp"),
+        )
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+    )
+    supp_nat = supplier.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_name", "n_name")
+    return (
+        per_order.join(
+            F.broadcast(supp_nat), F.col("guilty_supp") == F.col("s_suppkey")
+        )
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .select("n_name", F.col("numwait").cast("long").alias("numwait"))
+        .orderBy(F.desc("numwait"), "n_name")
+    )
+
+
+SQL_OLAP_WAITING_ORDERS = """
+WITH per_order AS (
+  SELECT l_orderkey,
+         count(DISTINCT l_suppkey) AS n_supp,
+         count(DISTINCT CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                             THEN l_suppkey END) AS n_late,
+         min(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                  THEN l_suppkey END) AS guilty_supp
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  GROUP BY l_orderkey
+  HAVING count(DISTINCT l_suppkey) >= 2
+     AND count(DISTINCT CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                             THEN l_suppkey END) = 1
+)
+SELECT n_name, count(*)::BIGINT AS numwait
+FROM per_order
+JOIN supplier ON s_suppkey = guilty_supp
+JOIN nation ON n_nationkey = s_nationkey
+GROUP BY n_name
+ORDER BY numwait DESC, n_name
+"""
+
+
+def _r4c_sqls() -> tuple[str, str, str]:
+    from .operators.corpus import priority_sample_oracle_sql
+    from .operators.rdf import ntriples_oracle_sql
+    from .operators.rules import pred_reciprocity_oracle_sql
+
+    return (
+        pred_reciprocity_oracle_sql(SQL_KG_EDGES),
+        ntriples_oracle_sql(SQL_KG_EDGES),
+        priority_sample_oracle_sql(k=200),
+    )
+
+
+SQL_KG_RECIPROCITY, SQL_KG_NTRIPLES, SQL_SAMPLE_WEIGHTED = _r4c_sqls()
+SQL_KG_DISTMULT = SQL_KG_DISTMULT_TPL.format(edges=SQL_KG_EDGES)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_extract_text": q_kg_extract_text,
     "kg_quarantine": q_kg_quarantine,
@@ -6310,6 +6686,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sessions": q_events_sessions,
     "text_gopher": q_text_gopher,
     "olap_shipping_priority": q_olap_shipping_priority,
+    "kg_reciprocity": q_kg_reciprocity,
+    "kg_distmult": q_kg_distmult,
+    "kg_ntriples": q_kg_ntriples,
+    "sample_weighted": q_sample_weighted,
+    "olap_market_share": q_olap_market_share,
+    "olap_product_profit": q_olap_product_profit,
+    "olap_priority_lines": q_olap_priority_lines,
+    "olap_waiting_orders": q_olap_waiting_orders,
 }
 
 # Registry ordered by RISK (VERDICT r2 ask #9): the driver's correctness
@@ -6318,6 +6702,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # never verified (past the r2 cutoff; locally gate-replica-green), (3)
 # then the twice-driver-verified stable tail in original order.
 _CHANGED_THIS_ROUND = [
+    # --- round 4c: NEW operators (this session) ---
+    "kg_reciprocity",        # NEW: per-predicate symmetry/inverse profile
+    "kg_distmult",           # NEW: bilinear-diagonal KG scorer (vs TransE)
+    "kg_ntriples",           # NEW: W3C N-Triples export of canonical edges
+    "sample_weighted",       # NEW: priority sampling (DLT 2007), IPPS
+    "olap_market_share",     # NEW: TPC-H Q8 shape
+    "olap_product_profit",   # NEW: TPC-H Q9 shape (retailprice cost proxy)
+    "olap_priority_lines",   # NEW: TPC-H Q12 shape (returnflag classes)
+    "olap_waiting_orders",   # NEW: TPC-H Q21 shape as ONE conditional agg
     # --- round 4: NEW operators ---
     "kg_transe_train",       # NEW: TransE SGD epoch (margin loss, grads)
     "kg_walks_node2vec",     # NEW: biased walks (integer p/q weights)
@@ -6559,4 +6952,12 @@ ORACLES: dict[str, str] = {
     "events_sessions": SQL_EVENTS_SESSIONS,
     "text_gopher": SQL_TEXT_GOPHER,
     "olap_shipping_priority": SQL_OLAP_SHIPPING_PRIORITY,
+    "kg_reciprocity": SQL_KG_RECIPROCITY,
+    "kg_distmult": SQL_KG_DISTMULT,
+    "kg_ntriples": SQL_KG_NTRIPLES,
+    "sample_weighted": SQL_SAMPLE_WEIGHTED,
+    "olap_market_share": SQL_OLAP_MARKET_SHARE,
+    "olap_product_profit": SQL_OLAP_PRODUCT_PROFIT,
+    "olap_priority_lines": SQL_OLAP_PRIORITY_LINES,
+    "olap_waiting_orders": SQL_OLAP_WAITING_ORDERS,
 }

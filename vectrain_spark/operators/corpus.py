@@ -620,3 +620,70 @@ SELECT f.doc_id, max(t.n_tokens)::BIGINT AS n_tokens,
 FROM feats f JOIN w2 USING (bucket) JOIN n_tok t USING (doc_id)
 GROUP BY f.doc_id
 """
+
+
+def priority_sample(
+    docs: DataFrame,
+    k: int = 200,
+    weight_col: str = "n_chars",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weight-proportional sample of k rows via PRIORITY
+    SAMPLING (Duffield, Lund & Thorup 2007): priority q_i = w_i / u_i
+    with u_i a deterministic uniform in (0, 1] derived from md5(key);
+    the k highest-priority rows form the sample — the scheme's
+    inclusion probabilities converge to weight-proportional (IPPS) and,
+    unlike Efraimidis-Spirakis keys (u^(1/w)), the priority needs NO
+    transcendental function: one long->double conversion and one IEEE
+    division, both exactly rounded and therefore BIT-IDENTICAL across
+    Spark and DuckDB — no ln()/pow() libm divergence to round away.
+
+    Zero- or negative-weight rows are never sampled (filtered before
+    ranking), matching the weighted-sampling contract. Deterministic in
+    (key, weight): re-runs, resumes, and both engines pick the same k
+    rows in the same order.
+
+    Scale shape: the hash, division, and comparison are whole-stage-
+    codegen JVM; the global top-k is orderBy(...).limit(k) — a
+    TakeOrdered that keeps at most k rows per partition before the
+    single final merge, so the 10^12-row corpus never sorts globally
+    (same bounded-shuffle shape as fixed_k_sample's rank-and-filter).
+    """
+    h = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string").cast("binary")), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    # u in (0, 1]: (h + 1) / 2^60, h uniform in [0, 2^60)
+    u = (h + F.lit(1)).cast("double") / F.lit(float(2**60))
+    w = F.col(weight_col).cast("double")
+    return (
+        docs.filter(w > 0)
+        .withColumn("priority", w / u)
+        .orderBy(F.desc("priority"), F.col(key_col))
+        .limit(k)
+        .select(
+            F.col(key_col),
+            w.alias("weight"),
+            F.col("priority"),
+        )
+    )
+
+
+def priority_sample_oracle_sql(
+    k: int = 200,
+    weight_col: str = "n_chars",
+    key_col: str = "doc_id",
+    table: str = "documents",
+) -> str:
+    return f"""
+SELECT {key_col},
+       CAST({weight_col} AS DOUBLE) AS weight,
+       CAST({weight_col} AS DOUBLE)
+         / ((('0x' || substr(md5(CAST({key_col} AS VARCHAR)), 1, 15))::BIGINT + 1)
+            / 1152921504606846976.0) AS priority
+FROM {table}
+WHERE CAST({weight_col} AS DOUBLE) > 0
+ORDER BY priority DESC, {key_col}
+LIMIT {k}
+"""

@@ -1401,34 +1401,17 @@ def star_join(edges: DataFrame, preds: list[str]) -> DataFrame:
     return out
 
 
-def transe_scores(
-    edges: DataFrame, embeddings: DataFrame, k: int = 5, buckets: int = 64
-) -> DataFrame:
-    """TransE plausibility scoring (Bordes et al. 2013) of materialized
-    KG edges: score(h, r, t) = -||h + r - t||_2, the energy a trained
-    translation-embedding model assigns a triple — the ranking signal a
-    KG-completion / link-prediction pass runs over candidate edges. This
-    is the downstream consumer of :func:`negative_edges`' training pairs
-    (reference analogy: vectrain's embed stage feeding a scored vector
-    sink, internal/app/pipeline/pipeline.go:259-263).
-
-    Entity/relation vectors are looked up from a pretrained embedding
-    MATRIX (here: the embeddings table) keyed by a cross-engine md5 hash
-    of the name ('|e' / '|r' salted), so the whole operator — lookup,
-    energy, per-predicate top-k — is bit-reproducible by the DuckDB
-    oracle. The L2 energy uses the EXPANDED quadratic form
-    hh + rr + tt + 2hr - 2ht - 2rt (six left-fold dot products in fixed
-    order) so both engines execute identical IEEE op sequences.
+def _triple_embeddings(edges: DataFrame, embeddings: DataFrame) -> DataFrame:
+    """(src, pred, dst, h, r, t): each distinct edge joined with its
+    head/relation/tail vectors from the pretrained embedding MATRIX,
+    looked up by a cross-engine md5 hash of the name ('|e' / '|r'
+    salted) modulo the matrix size — the shared front half of every
+    KG-embedding scorer (:func:`transe_scores`, :func:`distmult_scores`).
 
     Scale shape: three hash-joins of the (distinct) edge table against
     the embedding matrix on vec_id — at 10^12 edges each is an ordinary
-    co-partitioned shuffle join; scoring is whole-stage-codegen JVM.
-    The per-predicate top-k avoids the predicate-hub window (few
-    predicates x many edges = one straggler task) with a TWO-PHASE
-    rank: local top-k inside (pred, hash-bucket) partitions first, then
-    the global window only sees <= buckets*k finalists per predicate.
-    """
-    from .similarity import _dot, _vecs
+    co-partitioned shuffle join."""
+    from .similarity import _vecs
 
     vecs = _vecs(embeddings)
     n = vecs.groupBy().agg(F.count(F.lit(1)).alias("n"))
@@ -1456,21 +1439,15 @@ def transe_scores(
         e = e.join(
             vecs.select(F.col("vec_id").alias(idc), F.col("emb").alias(out)), idc
         )
-    d2 = (
-        _dot("h", "h")
-        + _dot("r", "r")
-        + _dot("t", "t")
-        + F.lit(2.0) * _dot("h", "r")
-        - F.lit(2.0) * _dot("h", "t")
-        - F.lit(2.0) * _dot("r", "t")
-    )
-    # the expanded quadratic can cancel to a tiny negative near zero;
-    # clamp before the root or sqrt yields NaN, which sorts ABOVE every
-    # real score in DESC order in both engines (oracle clamps identically)
-    scored = e.select(
-        "src", "pred", "dst",
-        F.round(-F.sqrt(F.greatest(d2, F.lit(0.0))), 6).alias("score"),
-    )
+    return e
+
+
+def _pred_topk(scored: DataFrame, k: int, buckets: int) -> DataFrame:
+    """Two-phase per-predicate top-k over (src, pred, dst, score): local
+    top-k inside (pred, hash-bucket) partitions first, then the global
+    window only sees <= buckets*k finalists per predicate — avoids the
+    predicate-hub window (few predicates x many edges = one straggler
+    task)."""
     from pyspark.sql import Window
 
     bkt = F.pmod(F.xxhash64("src", "dst"), F.lit(buckets))
@@ -1491,6 +1468,90 @@ def transe_scores(
         .filter(F.col("rank") <= k)
         .select("src", "pred", "dst", "score", "rank")
     )
+
+
+def transe_scores(
+    edges: DataFrame, embeddings: DataFrame, k: int = 5, buckets: int = 64
+) -> DataFrame:
+    """TransE plausibility scoring (Bordes et al. 2013) of materialized
+    KG edges: score(h, r, t) = -||h + r - t||_2, the energy a trained
+    translation-embedding model assigns a triple — the ranking signal a
+    KG-completion / link-prediction pass runs over candidate edges. This
+    is the downstream consumer of :func:`negative_edges`' training pairs
+    (reference analogy: vectrain's embed stage feeding a scored vector
+    sink, internal/app/pipeline/pipeline.go:259-263).
+
+    Entity/relation vectors are looked up from a pretrained embedding
+    MATRIX (here: the embeddings table) keyed by a cross-engine md5 hash
+    of the name ('|e' / '|r' salted), so the whole operator — lookup,
+    energy, per-predicate top-k — is bit-reproducible by the DuckDB
+    oracle. The L2 energy uses the EXPANDED quadratic form
+    hh + rr + tt + 2hr - 2ht - 2rt (six left-fold dot products in fixed
+    order) so both engines execute identical IEEE op sequences.
+
+    Scale shape: three hash-joins of the (distinct) edge table against
+    the embedding matrix on vec_id — at 10^12 edges each is an ordinary
+    co-partitioned shuffle join; scoring is whole-stage-codegen JVM.
+    The per-predicate top-k avoids the predicate-hub window (few
+    predicates x many edges = one straggler task) with a TWO-PHASE
+    rank: local top-k inside (pred, hash-bucket) partitions first, then
+    the global window only sees <= buckets*k finalists per predicate.
+    """
+    from .similarity import _dot
+
+    e = _triple_embeddings(edges, embeddings)
+    d2 = (
+        _dot("h", "h")
+        + _dot("r", "r")
+        + _dot("t", "t")
+        + F.lit(2.0) * _dot("h", "r")
+        - F.lit(2.0) * _dot("h", "t")
+        - F.lit(2.0) * _dot("r", "t")
+    )
+    # the expanded quadratic can cancel to a tiny negative near zero;
+    # clamp before the root or sqrt yields NaN, which sorts ABOVE every
+    # real score in DESC order in both engines (oracle clamps identically)
+    scored = e.select(
+        "src", "pred", "dst",
+        F.round(-F.sqrt(F.greatest(d2, F.lit(0.0))), 6).alias("score"),
+    )
+    return _pred_topk(scored, k, buckets)
+
+
+def distmult_scores(
+    edges: DataFrame, embeddings: DataFrame, k: int = 5, buckets: int = 64
+) -> DataFrame:
+    """DistMult plausibility scoring (Yang et al. 2015) of materialized
+    KG edges: score(h, r, t) = sum_i h_i * r_i * t_i, the bilinear-
+    diagonal alternative to :func:`transe_scores`' translational energy
+    — the scorer of choice for SYMMETRIC relations (DistMult is
+    invariant under h<->t swap), complementing TransE's antisymmetric
+    bias; running both over the same edges is the standard
+    KG-completion ensemble (reference analogy: vectrain's embed stage
+    feeding a scored vector sink, internal/app/pipeline/pipeline.go:
+    259-263).
+
+    Vectors come from the same salted-md5 matrix lookup as TransE
+    (:func:`_triple_embeddings`). The trilinear form is ONE left-fold
+    over zip_with(zip_with(h, r, *), t, *) — (h_i * r_i) * t_i summed
+    in index order — which the DuckDB oracle replays exactly with
+    list_reduce(list_transform(h, (x, i) -> x * r[i] * t[i]), +), so
+    both engines execute identical IEEE op sequences. Same two-phase
+    per-predicate top-k as TransE (no predicate-hub window)."""
+    e = _triple_embeddings(edges, embeddings)
+    tri = F.aggregate(
+        F.zip_with(
+            F.zip_with("h", "r", lambda x, y: x * y),
+            F.col("t"),
+            lambda x, y: x * y,
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = e.select(
+        "src", "pred", "dst", F.round(tri, 6).alias("score")
+    )
+    return _pred_topk(scored, k, buckets)
 
 
 def transe_train_epoch(

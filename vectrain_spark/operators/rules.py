@@ -269,3 +269,127 @@ SELECT pred_a, pred_b, count(*)::BIGINT AS n_paths,
        count(DISTINCT (x, y))::BIGINT AS n_pairs
 FROM paths GROUP BY pred_a, pred_b
 """
+
+
+def pred_reciprocity(edges: DataFrame) -> DataFrame:
+    """Per-predicate reciprocity / symmetry profile -> (pred, n_pairs,
+    n_loops, n_sym, n_inv_any, sym_ratio, inv_ratio).
+
+    For each predicate p over the distinct edge set:
+      - n_pairs: distinct (src, dst) pairs under p;
+      - n_loops: self-loop pairs (src == dst) — trivially symmetric, so
+        they are reported separately rather than inflating sym_ratio;
+      - n_sym: non-loop pairs whose REVERSE pair also exists under the
+        SAME predicate — the symmetry support (a symmetric relation like
+        'partnersWith' scores ~1.0, a functional one ~0.0);
+      - n_inv_any: non-loop pairs whose reverse exists under ANY
+        predicate — the inverse-pair support that, read together with
+        :func:`rule_confidence`'s p(x,y) => q(y,x) rules, tells relation
+        canonicalization which predicates to fold into one direction.
+
+    sym_ratio / inv_ratio divide by the non-loop pair count (rounded to
+    6). This is the schema statistic KG-embedding model selection keys
+    on: high-symmetry graphs favor DistMult-family bilinear scorers,
+    antisymmetric ones TransE-family (see :func:`graph.distmult_scores`).
+
+    Scale shape: the reverse-existence checks are LEFT SEMI equi-joins
+    of the distinct pair set against its own (dst, src) projection —
+    co-partitioned shuffles keyed on both endpoints, so no wedge or
+    hub explosion is possible (contrast neighbor_jaccard, which needs a
+    degree cap); the rollup is one map-side-combining groupBy(pred).
+    """
+    pairs = edges.select("pred", "src", "dst").distinct()
+    nonloop = pairs.filter(F.col("src") != F.col("dst"))
+    rev_same = nonloop.select(
+        "pred", F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    rev_any = (
+        nonloop.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        .distinct()
+    )
+    sym = (
+        nonloop.join(rev_same, ["pred", "src", "dst"], "left_semi")
+        .groupBy("pred")
+        .agg(F.count(F.lit(1)).alias("n_sym"))
+    )
+    inv = (
+        nonloop.join(rev_any, ["src", "dst"], "left_semi")
+        .groupBy("pred")
+        .agg(F.count(F.lit(1)).alias("n_inv_any"))
+    )
+    base = pairs.groupBy("pred").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(
+            F.when(F.col("src") == F.col("dst"), F.lit(1)).otherwise(F.lit(0))
+        ).alias("n_loops"),
+    )
+    return (
+        base.join(F.broadcast(sym), "pred", "left")
+        .join(F.broadcast(inv), "pred", "left")
+        .select(
+            "pred",
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.col("n_loops").cast("long").alias("n_loops"),
+            F.coalesce("n_sym", F.lit(0)).cast("long").alias("n_sym"),
+            F.coalesce("n_inv_any", F.lit(0)).cast("long").alias("n_inv_any"),
+            F.when(
+                F.col("n_pairs") > F.col("n_loops"),
+                F.round(
+                    F.coalesce("n_sym", F.lit(0))
+                    / (F.col("n_pairs") - F.col("n_loops")),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("sym_ratio"),
+            F.when(
+                F.col("n_pairs") > F.col("n_loops"),
+                F.round(
+                    F.coalesce("n_inv_any", F.lit(0))
+                    / (F.col("n_pairs") - F.col("n_loops")),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("inv_ratio"),
+        )
+    )
+
+
+def pred_reciprocity_oracle_sql(edges_sql: str) -> str:
+    return f"""
+WITH e AS MATERIALIZED (SELECT DISTINCT pred, src, dst FROM ({edges_sql})),
+nl AS MATERIALIZED (SELECT * FROM e WHERE src <> dst),
+rev AS (SELECT DISTINCT dst AS src, src AS dst FROM nl),
+sym AS (
+  SELECT pred, count(*) AS n_sym FROM nl
+  WHERE EXISTS (SELECT 1 FROM nl r
+                WHERE r.pred = nl.pred AND r.src = nl.dst AND r.dst = nl.src)
+  GROUP BY pred
+),
+inv AS (
+  SELECT pred, count(*) AS n_inv_any FROM nl
+  WHERE EXISTS (SELECT 1 FROM rev r
+                WHERE r.src = nl.src AND r.dst = nl.dst)
+  GROUP BY pred
+),
+base AS (
+  SELECT pred, count(*) AS n_pairs,
+         sum(CASE WHEN src = dst THEN 1 ELSE 0 END) AS n_loops
+  FROM e GROUP BY pred
+)
+SELECT base.pred AS pred,
+       n_pairs::BIGINT AS n_pairs,
+       n_loops::BIGINT AS n_loops,
+       coalesce(n_sym, 0)::BIGINT AS n_sym,
+       coalesce(n_inv_any, 0)::BIGINT AS n_inv_any,
+       CASE WHEN n_pairs > n_loops
+            THEN round(coalesce(n_sym, 0) / (n_pairs - n_loops), 6)
+            ELSE 0.0 END AS sym_ratio,
+       CASE WHEN n_pairs > n_loops
+            THEN round(coalesce(n_inv_any, 0) / (n_pairs - n_loops), 6)
+            ELSE 0.0 END AS inv_ratio
+FROM base
+LEFT JOIN sym ON sym.pred = base.pred
+LEFT JOIN inv ON inv.pred = base.pred
+"""
