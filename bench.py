@@ -19,7 +19,11 @@ throughput) and writes BENCH/BASELINE.md with throughput at every level,
 E = (thr_4N / thr_N) / 4 for both pairs, and a no-Spark host-capacity
 control (sandbox proxy for the north_rule's two-cluster-size criterion).
 The measurement window is CONTROL-GATED: the burn control must itself
-scale >= 0.9 across the primary pair before any Spark leg runs.
+scale >= 0.9 across the primary pair before any Spark leg runs. Two
+engine-free machine ceilings (a shuffle-free codegen aggregation and a
+map-only parquet scan, per level, fresh subprocesses) are measured
+alongside; E_norm = E / max(ceiling Es) separates what the plan loses
+from what the machine refuses to give.
 
 --gen-corpus mode (internal): generate the bench corpus and exit — both
 other modes call this in a subprocess + os.sync() so generation never
@@ -144,6 +148,12 @@ def _n_pages(sf: float) -> int:
 CORPUS_PARAMS = {"min_sent": 40, "max_sent": 120, "junk_blocks": 30}
 
 
+def _corpus_paths(n_pages: int) -> tuple[str, str]:
+    tag = f"{n_pages}_{CORPUS_PARAMS['min_sent']}_{CORPUS_PARAMS['max_sent']}_{CORPUS_PARAMS['junk_blocks']}_f16"
+    corpus_dir = f"/tmp/vectrain_corpus_{tag}"
+    return corpus_dir, f"{corpus_dir}_aliases.parquet"
+
+
 def ensure_corpus(spark, n_pages: int) -> tuple[str, str]:
     """Generate (once) and cache the bench corpus on disk.
 
@@ -151,9 +161,7 @@ def ensure_corpus(spark, n_pages: int) -> tuple[str, str]:
     levels and repeated bench rounds reuse the same files — generation cost
     never pollutes the measured pipeline throughput.
     """
-    tag = f"{n_pages}_{CORPUS_PARAMS['min_sent']}_{CORPUS_PARAMS['max_sent']}_{CORPUS_PARAMS['junk_blocks']}_f16"
-    corpus_dir = f"/tmp/vectrain_corpus_{tag}"
-    alias_path = f"{corpus_dir}_aliases.parquet"
+    corpus_dir, alias_path = _corpus_paths(n_pages)
     marker = os.path.join(corpus_dir, "_SUCCESS")
     if not (os.path.exists(marker) and os.path.exists(alias_path)):
         from pyspark.sql import functions as F
@@ -361,13 +369,19 @@ def _machine_capacity(n: int) -> float:
     speedup is ~3.1x, not 4x), so the N->4N proxy runs at N=4 where the
     host sustains near-linear scaling and the measurement isolates the
     ENGINE's scaling behavior from the VM's.
+
+    16 tasks per process (round-4: was 4): a ~1 s probe sampled a single
+    scheduler moment and drifted 50% between back-to-back calls on this
+    VM, which made per-trial pre/post controls — the self-adjudication
+    evidence — noisier than the signal they adjudicate. ~4-6 s per probe
+    averages over the burst noise; still <2% of a Spark leg's wall.
     """
     import multiprocessing as mp
 
     with mp.Pool(n) as p:
         t0 = time.time()
-        p.map(_burn, range(n * 4))
-        return (n * 4) / (time.time() - t0)
+        p.map(_burn, range(n * 16))
+        return (n * 16) / (time.time() - t0)
 
 
 def _burn(_):
@@ -375,6 +389,96 @@ def _burn(_):
     for i in range(4_000_000):
         s += i * i
     return s
+
+
+# rows PER CORE, so per-task work is constant across parallelism levels
+# (fixed total rows made 16/32-core probe tasks ~10-70 ms, where task
+# scheduling — not compute — set the measured "ceiling")
+_SPARK_CEILING_ROWS_PER_CORE = int(
+    os.environ.get("SPARK_GRAFT_CEILING_ROWS_PER_CORE", "2000000000")
+)
+
+
+def _spark_ceiling(cores: int) -> float:
+    """Shuffle-free Spark JVM control: billions-of-rows/sec of a pure
+    whole-stage-codegen aggregation (range -> xxhash64 -> sum, no
+    exchange, no Python, no IO) at `cores` local threads, in a fresh
+    subprocess.
+
+    This is an ENGINE-FREE upper bound on what this VM gives a Spark
+    job at that parallelism: the job is embarrassingly parallel, so if
+    even THIS doesn't scale 4x from N to 4N, no pipeline plan can — the
+    pure-python burn control misses that, because JVM codegen loops are
+    memory/frequency-sensitive in ways a tiny-working-set python loop
+    is not (round-4 diagnostic: burn scaled 0.88 in a window where
+    every pipeline stage scaled ~0.65 uniformly). The scaling report
+    publishes this next to the burn ceiling so 'bounded by the machine,
+    not the plan' is measured, not asserted."""
+    parts = cores * 4
+    code = (
+        f"import sys, time; sys.path.insert(0, '.');"
+        f"from vectrain_spark.session import get_spark;"
+        f"from pyspark.sql import functions as F;"
+        f"spark = get_spark(app_name='ceiling', cores={cores});"
+        f"n = {_SPARK_CEILING_ROWS_PER_CORE * cores};"
+        # warm the JVM/codegen path outside the timed window (large
+        # enough that C2 compilation finishes before the timed window)
+        f"spark.range(0, n // 20, 1, {parts}).select(F.avg(F.xxhash64('id'))).collect();"
+        f"t0 = time.time();"
+        f"spark.range(0, n, 1, {parts}).select(F.avg(F.xxhash64('id'))).collect();"
+        f"print('CEIL', n / (time.time() - t0));"
+        f"spark.stop()"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        check=True,
+        env=dict(os.environ),
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("CEIL")][-1]
+    return float(line.split()[1])
+
+
+def _scan_ceiling(cores: int, corpus_dir: str) -> float:
+    """Map-only parquet-scan control: pages/sec decoding half the
+    corpus buckets (scan + decompress + length-sum of the html column,
+    no exchange, no Python) at `cores` local threads, fresh subprocess —
+    sized so the timed window is tens of seconds at the lowest level
+    (a 2-bucket probe finished in ~1 s and measured task-launch
+    latency, not decode bandwidth).
+
+    The complement of :func:`_spark_ceiling`: that one is pure codegen
+    arithmetic (tiny working set), this one is the irreducible INPUT
+    READ every implementation of the pipeline must do — parquet decode
+    is memory-bandwidth-heavy, which is exactly the resource this VM
+    rations hardest as thread count grows. Together they bracket the
+    machine's ceiling for compute-bound and bandwidth-bound stages."""
+    code = (
+        f"import sys, time; sys.path.insert(0, '.');"
+        f"from vectrain_spark.session import get_spark;"
+        f"from pyspark.sql import functions as F;"
+        f"spark = get_spark(app_name='scanceil', cores={cores});"
+        f"df = spark.read.parquet('{corpus_dir}')"
+        f".filter(F.col('page_bucket') < 8);"
+        # warm decode path (first bucket read also primes the page cache,
+        # which every interleaved leg shares equally afterwards)
+        f"df.limit(1000).select(F.sum(F.length('html'))).collect();"
+        f"t0 = time.time();"
+        f"n = df.select(F.count(F.lit(1)).alias('n'), F.sum(F.length('html')))"
+        f".collect()[0]['n'];"
+        f"print('CEIL', n / (time.time() - t0));"
+        f"spark.stop()"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        check=True,
+        env=dict(os.environ),
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("CEIL")][-1]
+    return float(line.split()[1])
 
 
 from statistics import median as _median  # noqa: E402
@@ -434,6 +538,15 @@ def run_scaling() -> None:
             file=sys.stderr,
         )
         time.sleep(min(300, 60 * (attempt + 1)))
+    # Engine-free Spark JVM ceiling per level (shuffle-free codegen agg
+    # in a fresh subprocess): the upper bound this VM gives ANY Spark
+    # job at that parallelism — the burn control can't see JVM memory-/
+    # frequency-pressure, so 'bounded by the machine, not the plan' is
+    # measured here rather than asserted (round-4 addition).
+    jvm_caps = {n: _spark_ceiling(n) for n in legs}
+    scan_caps = {
+        n: _scan_ceiling(n, _corpus_paths(SCALE_PAGES)[0]) for n in legs
+    }
     # INTERLEAVED trial rounds (ABCD ABCD, not AA BB CC DD): the host's
     # capacity drifts over tens of minutes, so grouping a leg's trials
     # together would correlate one leg with one host window
@@ -444,6 +557,11 @@ def run_scaling() -> None:
     thr = {c: _median([r["triples_per_sec"] for r in runs[c]]) for c in legs}
     effs = {p: (thr[p[1]] / thr[p[0]]) / 4 if thr[p[0]] else 0.0 for p in pairs}
     cap_effs = {p: (caps[p[1]] / caps[p[0]]) / 4 for p in pairs}
+    jvm_effs = {p: (jvm_caps[p[1]] / jvm_caps[p[0]]) / 4 for p in pairs}
+    scan_effs = {p: (scan_caps[p[1]] / scan_caps[p[0]]) / 4 for p in pairs}
+    # conservative machine ceiling: the MORE favorable of the two controls
+    # (so E_norm never over-absolves the plan)
+    ceil_effs = {p: max(jvm_effs[p], scan_effs[p]) for p in pairs}
     primary = pairs[0]
     sf = runs[legs[0]][0]["sf"]
     pages = runs[legs[0]][0]["kg_pages"]
@@ -461,7 +579,8 @@ def run_scaling() -> None:
         + ", ".join(f"{r['queries']['kg_pipeline']}" for r in runs[c])
         + " | "
         + ", ".join(f"{r['triples_per_sec']}" for r in runs[c])
-        + f" | **{thr[c]:.1f}** | {caps[c]:.1f} | "
+        + f" | **{thr[c]:.1f}** | {caps[c]:.1f} | {jvm_caps[c] / 1e6:.0f}"
+        + f" | {scan_caps[c]:.0f} | "
         + ", ".join(
             f"{r.get('host_control_pre_kg', '?')}/{r.get('host_control_post_kg', '?')}"
             for r in runs[c]
@@ -471,7 +590,9 @@ def run_scaling() -> None:
     )
     pair_rows = "\n".join(
         f"| local[{a}] -> local[{b}] | {thr[a]:.1f} | {thr[b]:.1f} | "
-        f"**{effs[(a, b)]:.3f}** | {cap_effs[(a, b)]:.3f} |"
+        f"**{effs[(a, b)]:.3f}** | {cap_effs[(a, b)]:.3f} | "
+        f"{jvm_effs[(a, b)]:.3f} | {scan_effs[(a, b)]:.3f} | "
+        f"{min(1.0, effs[(a, b)] / ceil_effs[(a, b)]) if ceil_effs[(a, b)] else 0.0:.3f} |"
         for a, b in pairs
     )
     with open("BENCH/BASELINE.md", "w") as f:
@@ -500,21 +621,35 @@ Per-leg measurements (all trials shown; the last column is each trial's
 own pre/post window controls, stamped immediately around its timed
 kg window):
 
-| parallelism | wall sec (trials) | triples/sec (trials) | median thr | host control units/s | per-trial pre/post controls |
-|---|---|---|---|---|---|
+| parallelism | wall sec (trials) | triples/sec (trials) | median thr | host control units/s | spark jvm ceiling Mrows/s | scan ceiling pages/s | per-trial pre/post controls |
+|---|---|---|---|---|---|---|---|
 {leg_rows}
 
-Scaling efficiency E = (thr_4N / thr_N) / 4, per level pair:
+Scaling efficiency E = (thr_4N / thr_N) / 4, per level pair. Two
+engine-free machine ceilings are measured per level in fresh
+subprocesses: "spark jvm ceiling" is a shuffle-free whole-stage-codegen
+aggregation (range -> xxhash64 -> avg; no exchange, no Python, no IO —
+the compute-bound bound), "scan ceiling" is a map-only parquet decode of
+8/16 corpus buckets (scan + decompress + length-sum — the
+bandwidth-bound bound every implementation must pay to READ the input).
+Both are embarrassingly parallel: whatever they lose from N to 4N is the
+MACHINE, not any plan. E_norm = E / max(jvm_E, scan_E), capped at 1 —
+normalized by the MORE favorable ceiling, so it never over-absolves the
+plan.
 
-| pair | thr_N | thr_4N | E | host ceiling |
-|---|---|---|---|---|
+| pair | thr_N | thr_4N | E | host ceiling | spark jvm ceiling E | scan ceiling E | E_norm |
+|---|---|---|---|---|---|---|---|
 {pair_rows}
 
 **Primary E (local[{primary[0]}] -> local[{primary[1]}]) =
-{effs[primary]:.3f}** (target >= 0.8). The local[8] -> local[32] pair is
-reported alongside: past ~16 active threads this VM itself stops scaling
-(see its host-control column), so engine efficiency there is bounded by
-the machine, not the plan.
+{effs[primary]:.3f}** (target >= 0.8); machine-normalized
+**E_norm = {min(1.0, effs[primary] / ceil_effs[primary]) if ceil_effs[primary] else 0.0:.3f}**
+(engine efficiency divided by the more favorable of the two
+embarrassingly-parallel machine ceilings across the same pair — the
+residual is what the PLAN loses, the rest is the machine). The local[8] -> local[32]
+pair is reported alongside: past ~16 active threads this VM itself stops
+scaling (see its host-control and jvm-ceiling columns), so engine
+efficiency there is bounded by the machine, not the plan.
 
 Determinism: {"every trial at every level emitted the same triple count"
  if deterministic else
@@ -529,6 +664,17 @@ Determinism: {"every trial at every level emitted the same triple count"
                 "effs": {f"{a}->{b}": e for (a, b), e in effs.items()},
                 "thr": thr,
                 "host_effs": {f"{a}->{b}": e for (a, b), e in cap_effs.items()},
+                "jvm_ceiling_effs": {
+                    f"{a}->{b}": e for (a, b), e in jvm_effs.items()
+                },
+                "jvm_ceiling_rows_per_sec": jvm_caps,
+                "scan_ceiling_effs": {
+                    f"{a}->{b}": e for (a, b), e in scan_effs.items()
+                },
+                "scan_ceiling_pages_per_sec": scan_caps,
+                "eff_norm": min(1.0, effs[primary] / ceil_effs[primary])
+                if ceil_effs[primary]
+                else 0.0,
                 "trials": trials,
                 "deterministic": deterministic,
                 "triple_counts": all_counts,
