@@ -510,7 +510,17 @@ def run_scaling() -> None:
     range where the host VM itself still scales ~linearly — the no-Spark
     multiprocessing control quantifies the host ceiling at every level).
     """
-    pairs = [(4, 16), (8, 32)] if SCALE_N == 4 else [(SCALE_N, 4 * SCALE_N)]
+    # SCALE_N=2 runs the full 5-level sweep (2,4,8,16,32): pair (2,8)
+    # sits in the range where this VM is fully linear (burn AND jvm
+    # ceilings ~1.0), so it isolates the ENGINE's N->4N efficiency best;
+    # the higher pairs chart where the machine's bandwidth ceiling takes
+    # over. Primary pair = first.
+    if SCALE_N == 2:
+        pairs = [(2, 8), (4, 16), (8, 32)]
+    elif SCALE_N == 4:
+        pairs = [(4, 16), (8, 32)]
+    else:
+        pairs = [(SCALE_N, 4 * SCALE_N)]
     legs = sorted({c for p in pairs for c in p})
     trials = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "2"))
     # settle the scaling corpus before ANY leg runs (same round-3 fix as

@@ -139,3 +139,31 @@ def test_priority_sample_skips_nonpositive_weights(spark):
     )
     got = priority_sample(docs, k=10).collect()
     assert [r["doc_id"] for r in got] == [3]
+
+
+def test_transition_matrix_counts_and_probs(spark):
+    from vectrain_spark.operators.events import transition_matrix
+
+    rows = [
+        # user 1: a -> b -> a   (ties impossible: distinct ts)
+        (1, "2024-01-01 00:00:00", 1, "a"),
+        (2, "2024-01-01 00:01:00", 1, "b"),
+        (3, "2024-01-01 00:02:00", 1, "a"),
+        # user 2: a -> a (same ts -> event_id breaks the tie: 4 then 5)
+        (5, "2024-01-01 00:00:00", 2, "a"),
+        (4, "2024-01-01 00:00:00", 2, "b"),
+        # user 3: single event -> no transition
+        (6, "2024-01-01 00:00:00", 3, "c"),
+    ]
+    ev = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type"])
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        (r["prev_type"], r["next_type"]): (r["cnt"], r["prob"])
+        for r in transition_matrix(ev).collect()
+    }
+    # user 1 contributes a->b and b->a; user 2 (tie broken by event_id
+    # 4 < 5) contributes b->a
+    assert got[("a", "b")] == (1, 1.0)
+    assert got[("b", "a")] == (2, 1.0)
+    assert ("c", "a") not in got and len(got) == 2

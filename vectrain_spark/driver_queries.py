@@ -6372,20 +6372,27 @@ def q_olap_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("nation", F.year("o_orderdate").alias("o_year"), amount)
         .groupBy("nation", "o_year")
-        .agg(F.sum("amount").cast("double").alias("sum_profit"))
+        # round in the DECIMAL domain (cast to (18,2), HALF_UP in both
+        # engines), double only at output: the 5-decimal-scale profit sum
+        # hits TRUE .xx5 midpoints, where double-round diverges between
+        # Spark (shortest-repr BigDecimal HALF_UP) and DuckDB (scaled
+        # std::round) — same failure class the mmr gate fixed
+        .agg(F.sum("amount").cast("decimal(18,2)").cast("double").alias(
+            "sum_profit"))
         .select(F.col("nation"), F.col("o_year").cast("int").alias("o_year"),
-                F.round("sum_profit", 2).alias("sum_profit"))
+                "sum_profit")
         .orderBy("nation", F.desc("o_year"))
     )
 
 
 SQL_OLAP_PRODUCT_PROFIT = """
 SELECT n_name AS nation, year(o_orderdate)::INTEGER AS o_year,
-       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
                   * (1 - CAST(l_discount AS DECIMAL(18,2)))
                   - CAST(0.6 AS DECIMAL(18,2))
                     * CAST(p_retailprice AS DECIMAL(18,2))
-                    * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2)
+                    * CAST(l_quantity AS DECIMAL(18,2))), 2)
+            AS DOUBLE)
          AS sum_profit
 FROM lineitem
 JOIN part ON p_partkey = l_partkey AND p_name LIKE '%ge%'
@@ -6516,6 +6523,156 @@ JOIN supplier ON s_suppkey = guilty_supp
 JOIN nation ON n_nationkey = s_nationkey
 GROUP BY n_name
 ORDER BY numwait DESC, n_name
+"""
+
+
+def q_events_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams
+    (prev_type, next_type, cnt, prob) — the one-step behavioral model a
+    session simulator or anomaly scorer consumes; one user-keyed window
+    exchange, then a |types|^2 rollup."""
+    from .operators.events import transition_matrix
+
+    return transition_matrix(_events(spark, sf_dir))
+
+
+def _events_markov_sql() -> str:
+    from .operators.events import transition_matrix_oracle_sql
+
+    return transition_matrix_oracle_sql()
+
+
+SQL_EVENTS_MARKOV = _events_markov_sql()
+
+
+def q_corpus_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus vocabulary: OLS regression of
+    ln(freq) on ln(rank) over the top-100 tokens -> (n_tokens, slope,
+    intercept). A natural corpus has slope ~ -1; a synthetic or
+    boilerplate-heavy one deviates — the single-number distribution
+    diagnostic corpus curation dashboards track. The regression is four
+    algebraic sums (whole-stage codegen) over a 100-row ordered limit
+    (TakeOrderedAndProject; the vocabulary never globally sorts)."""
+    from .operators.dedup import normalized_text, spread
+
+    toks = (
+        spread(_docs(spark, sf_dir))
+        .select(F.explode(F.split(normalized_text(), " ")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(100)
+    )
+    from pyspark.sql import Window
+
+    ranked = vocab.withColumn(
+        "r",
+        F.row_number().over(
+            Window.orderBy(F.desc("cnt"), F.asc("token"))
+        ),
+    )
+    s = ranked.select(
+        F.log(F.col("r").cast("double")).alias("x"),
+        F.log(F.col("cnt").cast("double")).alias("y"),
+    ).groupBy().agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_tokens"),
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+    )
+
+
+def _corpus_zipf_sql() -> str:
+    return f"""
+WITH vocab AS (
+  SELECT token, count(*) AS cnt FROM (
+    SELECT unnest(string_split({NORM_SQL}, ' ')) AS token FROM documents
+  ) WHERE token <> ''
+  GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 100
+),
+ranked AS (
+  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token ASC) AS r
+  FROM vocab
+),
+s AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         sum(ln(CAST(r AS DOUBLE))) AS sx,
+         sum(ln(CAST(cnt AS DOUBLE))) AS sy,
+         sum(ln(CAST(r AS DOUBLE)) * ln(CAST(cnt AS DOUBLE))) AS sxy,
+         sum(ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE))) AS sxx
+  FROM ranked
+)
+SELECT n::BIGINT AS n_tokens,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+         AS intercept
+FROM s
+"""
+
+
+SQL_CORPUS_ZIPF = _corpus_zipf_sql()
+
+
+def q_sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation IN-ENGINE: recall@5 of the IVF index vs
+    exact brute-force cosine per query -> (q_id, k, n_hits, recall) —
+    the measurement that closes the similarity family (brute -> IVF ->
+    PQ -> EVALUATE), mirroring what link_eval_pr does for linking and
+    transe_eval for embeddings. One left-semi join of the two top-k
+    outputs on (q_id, n_id); both sides are the already-gated operators
+    unchanged."""
+    from .operators.similarity import ann_ivf, knn_bruteforce
+
+    emb = _emb(spark, sf_dir)
+    exact = knn_bruteforce(emb)
+    approx = ann_ivf(spark, emb)
+    hits = (
+        approx.join(exact.select("q_id", "n_id"), ["q_id", "n_id"], "left_semi")
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        exact.select("q_id")
+        .distinct()
+        .join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            F.lit(5).cast("long").alias("k"),
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.round(F.coalesce("n_hits", F.lit(0)) / F.lit(5), 6).alias(
+                "recall"
+            ),
+        )
+    )
+
+
+SQL_SIM_RECALL_EVAL = f"""
+WITH exact AS ({SQL_SIM_KNN}),
+approx AS ({SQL_SIM_ANN_IVF}),
+hits AS (
+  SELECT a.q_id, count(*) AS n_hits
+  FROM approx a JOIN exact e ON e.q_id = a.q_id AND e.n_id = a.n_id
+  GROUP BY a.q_id
+)
+SELECT q.q_id, 5::BIGINT AS k,
+       coalesce(n_hits, 0)::BIGINT AS n_hits,
+       round(coalesce(n_hits, 0) / 5, 6) AS recall
+FROM (SELECT DISTINCT q_id FROM exact) q
+LEFT JOIN hits ON hits.q_id = q.q_id
 """
 
 
@@ -6694,6 +6851,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "olap_product_profit": q_olap_product_profit,
     "olap_priority_lines": q_olap_priority_lines,
     "olap_waiting_orders": q_olap_waiting_orders,
+    "events_markov": q_events_markov,
+    "corpus_zipf": q_corpus_zipf,
+    "sim_recall_eval": q_sim_recall_eval,
 }
 
 # Registry ordered by RISK (VERDICT r2 ask #9): the driver's correctness
@@ -6711,6 +6871,9 @@ _CHANGED_THIS_ROUND = [
     "olap_product_profit",   # NEW: TPC-H Q9 shape (retailprice cost proxy)
     "olap_priority_lines",   # NEW: TPC-H Q12 shape (returnflag classes)
     "olap_waiting_orders",   # NEW: TPC-H Q21 shape as ONE conditional agg
+    "events_markov",         # NEW: first-order event transition matrix
+    "corpus_zipf",           # NEW: Zipf OLS fit over the top-100 vocab
+    "sim_recall_eval",       # NEW: IVF recall@5 vs exact, in-engine
     # --- round 4: NEW operators ---
     "kg_transe_train",       # NEW: TransE SGD epoch (margin loss, grads)
     "kg_walks_node2vec",     # NEW: biased walks (integer p/q weights)
@@ -6960,4 +7123,7 @@ ORACLES: dict[str, str] = {
     "olap_product_profit": SQL_OLAP_PRODUCT_PROFIT,
     "olap_priority_lines": SQL_OLAP_PRIORITY_LINES,
     "olap_waiting_orders": SQL_OLAP_WAITING_ORDERS,
+    "events_markov": SQL_EVENTS_MARKOV,
+    "corpus_zipf": SQL_CORPUS_ZIPF,
+    "sim_recall_eval": SQL_SIM_RECALL_EVAL,
 }

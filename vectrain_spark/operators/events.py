@@ -276,3 +276,63 @@ SELECT pattern, sum(CASE WHEN cnt > 0 THEN 1 ELSE 0 END)::BIGINT AS n_users,
        sum(cnt)::BIGINT AS n_matches
 FROM m GROUP BY pattern
 """
+
+
+def transition_matrix(events: DataFrame) -> DataFrame:
+    """First-order Markov transition statistics over per-user event
+    streams -> (prev_type, next_type, cnt, prob).
+
+    Each user's events are ordered by (ts, event_id) — event_id breaks
+    timestamp ties deterministically — and adjacent pairs are counted
+    globally; prob is the row-normalized conditional p(next | prev),
+    rounded to 6. The behavioral-model complement of
+    :func:`sequence_patterns` (which counts literal multi-step motifs):
+    this is the full one-step transition matrix a session simulator or
+    anomaly scorer consumes.
+
+    Scale shape: ONE user-keyed exchange for the lag window (users are
+    numerous, so the window partitions evenly — no partition-less
+    window), then a map-side-combining (prev, next) rollup whose
+    cardinality is |event_types|^2 — tiny. The per-prev normalizer is a
+    broadcast join of an equally tiny aggregate.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .select(F.col("event_type").alias("prev_type"), "next_type")
+    )
+    cnt = pairs.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    tot = cnt.groupBy("prev_type").agg(F.sum("cnt").alias("tot"))
+    return (
+        cnt.join(F.broadcast(tot), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.round(F.col("cnt") / F.col("tot"), 6).alias("prob"),
+        )
+    )
+
+
+def transition_matrix_oracle_sql(events_table: str = "events") -> str:
+    return f"""
+WITH pairs AS (
+  SELECT event_type AS prev_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM {events_table}
+),
+cnt AS (
+  SELECT prev_type, next_type, count(*) AS cnt FROM pairs
+  WHERE next_type IS NOT NULL GROUP BY prev_type, next_type
+)
+SELECT prev_type, next_type, cnt::BIGINT AS cnt,
+       round(cnt / sum(cnt) OVER (PARTITION BY prev_type), 6) AS prob
+FROM cnt
+"""
