@@ -127,6 +127,13 @@ HEADLINE_QUERIES = [
     "catalog_ivm",
     "corpus_quality_probe",
     "kg_link_pr",
+    # round 4d (same curation rule): fusion = multi-window voting program,
+    # anchor mining = scan-fused two-group regex + per-anchor window,
+    # Q2 = decorrelated argmin equality join; the other 4d gates are
+    # near-variants of plans already timed above
+    "kg_fact_fusion",
+    "kg_anchor_aliases",
+    "olap_min_cost_supplier",
 ]
 
 

@@ -429,3 +429,70 @@ def test_neighbor_jaccard_wedges_are_degree_oriented(spark):
     plan = _optimized(neighbor_jaccard(e))
     # the orientation's CASE WHEN on (deg, id) is present in the plan
     assert "deg_a" in plan and "deg_b" in plan
+
+
+def test_min_cost_supplier_dims_broadcast_no_nested_loop(spark):
+    """TPC-H Q2 shape: every dimension (part filter, supplier chain, the
+    per-part best-offer table) must ride broadcast hash joins — never a
+    SortMergeJoin on a dimension and never a nested loop."""
+    from vectrain_spark.driver_queries import q_olap_min_cost_supplier
+
+    df = q_olap_min_cost_supplier(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_important_parts_scalar_probe_is_broadcast(spark):
+    """TPC-H Q11 shape: the one-row global total joins as a broadcast —
+    a nested-loop here is fine ONLY because the build side is one row;
+    the plan must never SortMerge the fact against it."""
+    from vectrain_spark.driver_queries import q_olap_important_parts
+
+    df = q_olap_important_parts(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_anchor_aliases_no_python_in_extraction(spark, pages_df):
+    """Anchor mining is a JVM regex over the decoded bytes: no Python
+    eval nodes anywhere (the page-assembly mapInPandas belongs to the
+    FIXTURE input, not the operator under test)."""
+    from vectrain_spark.operators.webcorpus import anchor_aliases
+
+    out = anchor_aliases(pages_df)
+    plan = _plan(out)
+    # the operator's own stages: regexp extract + aggregate + window.
+    # ArrowEvalPython may appear once for the fixture html assembly and
+    # never for the operator itself -> assert no BatchEvalPython (row
+    # Python) at all
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_fact_fusion_windows_are_partitioned(spark):
+    """Both fusion windows partition by (subj, pred): no partition-less
+    window (single-reducer global sort) may appear."""
+    from vectrain_spark.operators.fusion import fuse_facts
+
+    claims = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "source": ["u", "v"],
+                "subj": ["s", "s"],
+                "pred": ["p", "p"],
+                "obj": ["x", "y"],
+            }
+        )
+    )
+    df = fuse_facts(claims)
+    df.collect()  # finalize AQE so window nodes are visible
+    plan = _plan(df)
+    win_lines = [
+        ln for ln in plan.splitlines() if "windowspecdefinition(" in ln
+    ]
+    assert win_lines, plan  # row_number/count windows must exist
+    for ln in win_lines:
+        # the (subj, pred) partition spec must lead every window spec
+        spec = ln.split("windowspecdefinition(")[1]
+        assert spec.startswith("subj") and "pred" in spec.split(",")[1], ln

@@ -6692,7 +6692,466 @@ SQL_KG_RECIPROCITY, SQL_KG_NTRIPLES, SQL_SAMPLE_WEIGHTED = _r4c_sqls()
 SQL_KG_DISTMULT = SQL_KG_DISTMULT_TPL.format(edges=SQL_KG_EDGES)
 
 
+# ---------------------------------------------------------------------------
+# round 4d: anchor-alias mining, fact fusion, sketched neighbor similarity,
+# and the four remaining TPC-H shapes (Q2, Q11, Q16, Q20) — completing all
+# 22 TPC-H query shapes over the driver tables
+# ---------------------------------------------------------------------------
+
+
+def q_kg_anchor_aliases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text alias dictionary mined from raw page bytes: every
+    hyperlink's visible text is a surface form for its target, and the
+    link-count distribution gives the commonness prior P(target | anchor)
+    entity linkers bootstrap candidate generation from (the
+    Wikipedia-anchor construction). JVM regexp extraction fused with the
+    page scan, one (anchor, url) aggregation, per-anchor commonness
+    window hard-capped at 100 candidates. The oracle reconstructs every
+    anchor arithmetically from doc_id (fixtures._junk_block's nav/promo
+    formulas), so extraction, absolutization, counting, the share and
+    the rank are all value-checked."""
+    from .operators.webcorpus import anchor_aliases
+
+    pages = pages_from_documents(_docs(spark, sf_dir), junk_blocks=4)
+    return anchor_aliases(pages)
+
+
+SQL_KG_ANCHOR_ALIASES = """
+WITH good AS (SELECT doc_id FROM documents WHERE doc_id % 97 != 3),
+cat AS (
+  SELECT 'https://docs.example/' || doc_id AS src,
+         'https://docs.example/cat/' || ((doc_id + j) % 50) || '/' || i AS url,
+         'Category ' || ((doc_id + j) % 50) || ' item ' || j AS anchor
+  FROM good, generate_series(0, 3) b(i), generate_series(0, 24) t(j)
+  WHERE (doc_id + i) % 4 = 2
+),
+ad AS (
+  SELECT 'https://docs.example/' || doc_id AS src,
+         'https://docs.example/ad/' || i || '/' || j AS url,
+         'Offer ' || ((doc_id * j + i) % 997) AS anchor
+  FROM good, generate_series(0, 3) b(i), generate_series(0, 19) t(j)
+  WHERE (doc_id + i) % 4 = 3
+),
+links AS (SELECT * FROM cat UNION ALL SELECT * FROM ad),
+agg AS (
+  SELECT anchor, url, count(*)::BIGINT AS n_links,
+         count(DISTINCT src)::BIGINT AS n_pages
+  FROM links GROUP BY 1, 2
+),
+r AS (
+  SELECT anchor, url, n_links, n_pages,
+         round(n_links::DOUBLE / sum(n_links) OVER (PARTITION BY anchor), 6)
+           AS commonness,
+         row_number() OVER (PARTITION BY anchor
+                            ORDER BY n_links DESC, url ASC)::INTEGER AS rank
+  FROM agg
+)
+SELECT anchor, url, n_links, n_pages, commonness, rank
+FROM r WHERE rank <= 100
+"""
+
+
+def q_kg_fact_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truth discovery over conflicting multi-source claims: the
+    canonical triples keep their citing url, urls are sharded into 8
+    source feeds (md5 shard — engine-portable), and one
+    TruthFinder-style voting round (unweighted winner -> fixed-point
+    source accuracy -> weighted re-vote) fuses ONE object per
+    (subject, predicate) slot. Accuracies are integer micro-units, so
+    the re-vote weight is an integer sum — order-independent across
+    Spark partitions and bit-equal to the DuckDB oracle."""
+    from .operators.fusion import fuse_facts
+
+    pages = pages_from_documents(_docs(spark, sf_dir))
+    good, _ = split_quarantine(extract_pages(pages))
+    tri = extract_triples_df(good)
+    aliases = corpus_aliases(spark)
+    idx = build_alias_index(aliases.toPandas())
+    linked_m = link_mentions(spark, mention_surfaces(tri), idx)
+    subj_map = linked_m.select(
+        F.col("surface").alias("subj"), F.col("entity_id").alias("subj_id")
+    )
+    obj_map = linked_m.select(
+        F.col("surface").alias("obj"), F.col("entity_id").alias("obj_id")
+    )
+    linked = tri.join(F.broadcast(subj_map), "subj").join(
+        F.broadcast(obj_map), "obj"
+    )
+    mapping = connected_components(edges_from_aliases(aliases))
+    canon = apply_canonical(linked, mapping)
+    source = F.concat(
+        F.lit("src"),
+        F.pmod(
+            F.conv(F.substring(F.md5(F.col("url")), 1, 15), 16, 10).cast(
+                "long"
+            ),
+            F.lit(8),
+        ),
+    )
+    claims = canon.select(
+        source.alias("source"),
+        F.col("subj_canon").alias("subj"),
+        "pred",
+        F.col("obj_canon").alias("obj"),
+    )
+    return fuse_facts(claims)
+
+
+_CLAIMS_SQL = f"""
+WITH RECURSIVE {_CANON_SQL},
+pr(m, pred) AS (VALUES {_PRED_VALUES}),
+linkmap AS (SELECT alias, min(entity_id) AS eid FROM aliases GROUP BY alias),
+tri AS (
+  SELECT 'https://docs.example/' || d.doc_id AS url,
+         lv.eid AS subj_id, pr.pred AS pred, lc.eid AS obj_id
+  FROM documents d
+  JOIN pr ON pr.m = d.doc_id % 8
+  JOIN linkmap lv ON lv.alias = 'Vendor' || (d.doc_id % 7)
+  JOIN linkmap lc ON lc.alias = 'Client' || (d.doc_id % 13)
+  WHERE {_KG_PAGE_FILTER}
+)
+SELECT 'src' || (('0x' || substr(md5(tri.url), 1, 15))::BIGINT % 8) AS source,
+       c1.canon AS subj, tri.pred AS pred, c2.canon AS obj
+FROM tri
+JOIN canon c1 ON c1.id = tri.subj_id
+JOIN canon c2 ON c2.id = tri.obj_id
+"""
+
+
+def _fact_fusion_sql() -> str:
+    from .operators.fusion import fuse_facts_oracle_sql
+
+    return fuse_facts_oracle_sql(_CLAIMS_SQL)
+
+
+SQL_KG_FACT_FUSION = _fact_fusion_sql()
+
+
+def q_kg_neighbor_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketched entity-merge candidates: MinHash signatures (8 seeded
+    md5 min-hashes) over every co-mention node's neighbor set, LSH
+    banding (4 bands x 2 rows) for candidate generation, and the
+    equal-component Jaccard estimate — the O(n) scale path beside the
+    exact wedge-enumeration of kg_neighbor_jaccard, and the one that
+    can surface UNCONNECTED high-overlap pairs. Signatures, buckets and
+    estimates are integer/md5-deterministic, bit-equal in both
+    engines."""
+    from .operators.graph import co_mentions, neighbor_minhash
+
+    pairs = co_mentions(_materialized_edges(spark, sf_dir)).select("a", "b")
+    return neighbor_minhash(pairs)
+
+
+def _neighbor_minhash_sql() -> str:
+    from .operators.graph import neighbor_minhash_oracle_sql
+
+    return neighbor_minhash_oracle_sql(
+        f"SELECT a, b FROM ({SQL_KG_COOCCUR})"
+    )
+
+
+SQL_KG_NEIGHBOR_MINHASH = _neighbor_minhash_sql()
+
+
+def q_olap_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape adapted to this schema (no partsupp, so a
+    supplier's 'offer' for a part is its cheapest observed line price):
+    for every part in the size family, the EUROPE supplier(s) matching
+    the per-part minimum offer. The correlated scalar subquery
+    decorrelates into two grouped MINs and an equality join back on
+    (part, offer) — money stays DECIMAL(18,2) end-to-end so the argmin
+    equality is exact, and every dimension (part filter, supplier ->
+    nation -> region chain) broadcasts; the fact table aggregates once
+    on (partkey, suppkey)."""
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    eur = (
+        supplier.join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    offers = lineitem.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice").cast("decimal(18,2)")).alias("offer")
+    )
+    eo = offers.join(
+        F.broadcast(eur), F.col("l_suppkey") == F.col("s_suppkey")
+    )
+    # rename the grouped key: `best` derives from `eo`, so keeping the
+    # name would alias the same attribute on both sides of the self-join
+    best = (
+        eo.groupBy("l_partkey")
+        .agg(F.min("offer").alias("best"))
+        .withColumnRenamed("l_partkey", "b_partkey")
+    )
+    return (
+        eo.join(
+            F.broadcast(best),
+            (F.col("l_partkey") == F.col("b_partkey"))
+            & (F.col("offer") == F.col("best")),
+        )
+        .drop("b_partkey")
+        .join(
+            F.broadcast(
+                part.filter(F.col("p_size") % 5 == 0).select(
+                    "p_partkey", "p_name"
+                )
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            "n_name",
+            F.col("offer").cast("double").alias("offer"),
+            F.col("s_acctbal").cast("double").alias("s_acctbal"),
+        )
+    )
+
+
+SQL_OLAP_MIN_COST_SUPPLIER = """
+WITH eur AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON n_nationkey = s_nationkey
+  JOIN region ON r_regionkey = n_regionkey
+  WHERE r_name = 'EUROPE'
+),
+offers AS (
+  SELECT l_partkey, l_suppkey,
+         min(CAST(l_extendedprice AS DECIMAL(18,2))) AS offer
+  FROM lineitem GROUP BY 1, 2
+),
+eo AS (
+  SELECT o.l_partkey, o.l_suppkey, o.offer, e.s_name, e.s_acctbal, e.n_name
+  FROM offers o JOIN eur e ON e.s_suppkey = o.l_suppkey
+),
+best AS (SELECT l_partkey, min(offer) AS best FROM eo GROUP BY 1)
+SELECT p.p_partkey, p.p_name, eo.s_name, eo.n_name,
+       CAST(eo.offer AS DOUBLE) AS offer,
+       CAST(eo.s_acctbal AS DOUBLE) AS s_acctbal
+FROM eo
+JOIN best ON best.l_partkey = eo.l_partkey AND eo.offer = best.best
+JOIN part p ON p.p_partkey = eo.l_partkey
+WHERE p.p_size % 5 = 0
+"""
+
+
+def q_olap_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose NATION_3-supplied revenue exceeds
+    0.01% of the nation's total — the grouped-aggregate-vs-global-scalar
+    probe. The global total is a one-row aggregate broadcast as a cross
+    join; the threshold compares value * 10000 > total in EXACT decimal
+    (never a float fraction), so both engines agree bit-for-bit."""
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    nsupp = (
+        supplier.join(
+            F.broadcast(nation.filter(F.col("n_name") == "NATION_3")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+    )
+    val = (
+        lineitem.join(
+            F.broadcast(nsupp), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .groupBy("l_partkey")
+        .agg(F.sum(rev).alias("value"))
+    )
+    tot = val.agg(F.sum("value").alias("total"))
+    # threshold in DOUBLE: value is DECIMAL(38,4), so value*10000 would
+    # overflow Spark's 38-digit cap and silently rescale — cast both
+    # sides instead (one identical IEEE multiply+compare in each engine)
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("value").cast("double") * 10000.0
+            > F.col("total").cast("double")
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("value").cast("double").alias("value"),
+        )
+    )
+
+
+SQL_OLAP_IMPORTANT_PARTS = """
+WITH nsupp AS (
+  SELECT s_suppkey FROM supplier
+  JOIN nation ON n_nationkey = s_nationkey
+  WHERE n_name = 'NATION_3'
+),
+val AS (
+  SELECT l_partkey,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS value
+  FROM lineitem JOIN nsupp ON s_suppkey = l_suppkey
+  GROUP BY 1
+),
+tot AS (SELECT sum(value) AS total FROM val)
+SELECT l_partkey AS p_partkey, CAST(value AS DOUBLE) AS value
+FROM val, tot
+WHERE CAST(value AS DOUBLE) * 10000.0 > CAST(total AS DOUBLE)
+"""
+
+
+def q_olap_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per (brand, type, size)
+    for the square-size part family, EXCLUDING blacklisted suppliers
+    (acctbal under 2000 — the complaints stand-in) — the
+    anti-join-then-distinct-count probe. The fact table reduces to
+    distinct (part, supplier) pairs first (two-phase), the blacklist
+    anti-joins broadcast, and the part dimension broadcasts."""
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    bad = supplier.filter(F.col("s_acctbal") < 2000).select("s_suppkey")
+    pairs = (
+        lineitem.select("l_partkey", "l_suppkey")
+        .distinct()
+        .join(
+            F.broadcast(bad),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+    )
+    sizes = [1, 4, 9, 16, 25, 36, 49]
+    return (
+        pairs.join(
+            F.broadcast(
+                part.filter(F.col("p_size").isin(sizes)).select(
+                    "p_partkey", "p_brand", "p_type", "p_size"
+                )
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+SQL_OLAP_SUPPLIER_VARIETY = """
+WITH bad AS (SELECT s_suppkey FROM supplier WHERE s_acctbal < 2000),
+pairs AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+  WHERE l_suppkey NOT IN (SELECT s_suppkey FROM bad)
+)
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+FROM pairs JOIN part ON p_partkey = l_partkey
+WHERE p_size IN (1, 4, 9, 16, 25, 36, 49)
+GROUP BY 1, 2, 3
+"""
+
+
+def q_olap_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who moved more than 50 units of any
+    widget part in 1995 — the aggregate-then-double-semi-join chain
+    (part filter semi-joins the fact scan, the HAVING survivors
+    semi-join suppliers). The part filter and the qualifying-supplier
+    set both broadcast; the fact table shuffles once on
+    (suppkey, partkey)."""
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    widgets = part.filter(F.col("p_name").endswith("widget")).select(
+        "p_partkey"
+    )
+    qual = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(widgets), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 50)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supplier.join(
+            F.broadcast(qual),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            "s_name",
+            "n_name",
+            F.col("s_acctbal").cast("double").alias("s_acctbal"),
+        )
+    )
+
+
+SQL_OLAP_PART_PROMOTION = """
+WITH widgets AS (SELECT p_partkey FROM part WHERE p_name LIKE '%widget'),
+qual AS (
+  SELECT DISTINCT l_suppkey FROM (
+    SELECT l_suppkey, l_partkey, sum(l_quantity) AS qty
+    FROM lineitem JOIN widgets ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate < TIMESTAMP '1996-01-01'
+    GROUP BY 1, 2
+  ) WHERE qty > 50
+)
+SELECT s_name, n_name, CAST(s_acctbal AS DOUBLE) AS s_acctbal
+FROM supplier
+JOIN qual ON l_suppkey = s_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+"""
+
+
+
+
+def q_kg_char_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Characteristic sets (Neumann & Moerkotte, ICDE 2011): subjects
+    grouped by their exact predicate SET — the emergent entity shapes of
+    a schema-less KG, with member and triple counts per shape. Two hash
+    aggregations, no joins; the set string canonicalizes via sort_array
+    so both engines agree byte-for-byte."""
+    from .operators.rules import characteristic_sets
+
+    return characteristic_sets(_materialized_edges(spark, sf_dir))
+
+
+def _char_sets_sql() -> str:
+    from .operators.rules import characteristic_sets_oracle_sql
+
+    return characteristic_sets_oracle_sql(SQL_KG_EDGES)
+
+
+SQL_KG_CHAR_SETS = _char_sets_sql()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "kg_anchor_aliases": q_kg_anchor_aliases,
+    "kg_char_sets": q_kg_char_sets,
+    "kg_fact_fusion": q_kg_fact_fusion,
+    "kg_neighbor_minhash": q_kg_neighbor_minhash,
+    "olap_min_cost_supplier": q_olap_min_cost_supplier,
+    "olap_important_parts": q_olap_important_parts,
+    "olap_supplier_variety": q_olap_supplier_variety,
+    "olap_part_promotion": q_olap_part_promotion,
     "kg_extract_text": q_kg_extract_text,
     "kg_quarantine": q_kg_quarantine,
     "kg_triples": q_kg_triples,
@@ -6862,6 +7321,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # never verified (past the r2 cutoff; locally gate-replica-green), (3)
 # then the twice-driver-verified stable tail in original order.
 _CHANGED_THIS_ROUND = [
+    # --- round 4d: NEW operators (this session) ---
+    "kg_anchor_aliases",     # NEW: anchor-text alias dictionary + commonness
+    "kg_char_sets",          # NEW: characteristic sets (entity shapes)
+    "kg_fact_fusion",        # NEW: TruthFinder-style weighted fact fusion
+    "kg_neighbor_minhash",   # NEW: MinHash-LSH neighbor-set similarity
+    "olap_min_cost_supplier",  # NEW: TPC-H Q2 shape (decorrelated argmin)
+    "olap_important_parts",  # NEW: TPC-H Q11 shape (global-scalar probe)
+    "olap_supplier_variety", # NEW: TPC-H Q16 shape (anti-join + distinct)
+    "olap_part_promotion",   # NEW: TPC-H Q20 shape (agg -> semi-join chain)
     # --- round 4c: NEW operators (this session) ---
     "kg_reciprocity",        # NEW: per-predicate symmetry/inverse profile
     "kg_distmult",           # NEW: bilinear-diagonal KG scorer (vs TransE)
@@ -6952,6 +7420,14 @@ def _risk_order(queries: dict) -> dict:
 QUERIES = _risk_order(QUERIES)
 
 ORACLES: dict[str, str] = {
+    "kg_anchor_aliases": SQL_KG_ANCHOR_ALIASES,
+    "kg_char_sets": SQL_KG_CHAR_SETS,
+    "kg_fact_fusion": SQL_KG_FACT_FUSION,
+    "kg_neighbor_minhash": SQL_KG_NEIGHBOR_MINHASH,
+    "olap_min_cost_supplier": SQL_OLAP_MIN_COST_SUPPLIER,
+    "olap_important_parts": SQL_OLAP_IMPORTANT_PARTS,
+    "olap_supplier_variety": SQL_OLAP_SUPPLIER_VARIETY,
+    "olap_part_promotion": SQL_OLAP_PART_PROMOTION,
     "kg_extract_text": SQL_KG_EXTRACT_TEXT,
     "kg_quarantine": SQL_KG_QUARANTINE,
     "kg_triples": SQL_KG_TRIPLES,

@@ -2095,3 +2095,153 @@ def transe_eval(
         ).alias("hits3"),
         F.round(F.sum("rank") / F.count(F.lit(1)), 6).alias("mean_rank"),
     )
+
+
+def neighbor_minhash(
+    pairs: DataFrame, num_hashes: int = 8, rows_per_band: int = 2
+) -> DataFrame:
+    """MinHash-sketched neighbor-set similarity -> (a, b, n_equal,
+    est_jaccard): the SCALE path of :func:`neighbor_jaccard`.
+
+    The exact operator enumerates wedges, so it only scores CONNECTED
+    pairs and pays a join proportional to the wedge count. The sketch
+    path compresses every node's neighbor set to ``num_hashes`` seeded
+    min-hashes (one grouped aggregation), then finds candidate pairs by
+    LSH banding (nodes sharing any band bucket) — O(n·num_hashes) state,
+    no wedge enumeration, and it surfaces high-overlap pairs EVEN WHEN
+    no edge connects them (the entity-merge case neighbor_jaccard is
+    structurally blind to). est_jaccard = fraction of equal signature
+    components, the standard unbiased MinHash estimate (Broder 1997).
+
+    Determinism: hash k of neighbor v is the first 15 hex digits of
+    md5(v || '|mh' || k) — integer-valued and engine-portable (the same
+    construction as transe_scores' id hashing), so signatures, buckets
+    and estimates are bit-identical in Spark and DuckDB.
+
+    Scale shape (100 TB): symmetrize + ONE groupBy(node) carrying
+    num_hashes min-aggregates (map-side combine, no per-node set
+    materialization); banding explodes each node to num_hashes /
+    rows_per_band rows; the candidate join keys on (band, bucket), so a
+    bucket's cost is |bucket|^2 — the banding parameters ARE the skew
+    lever (r rows per band drives the collision threshold t ~
+    (1/bands)^(1/r)). The signature join back is two broadcast-sized
+    probes of the node-signature table.
+    """
+    assert num_hashes % rows_per_band == 0
+    n_bands = num_hashes // rows_per_band
+
+    def _h(col, k: int):
+        return F.conv(
+            F.substring(F.md5(F.concat(col, F.lit(f"|mh{k}"))), 1, 15), 16, 10
+        ).cast("long")
+
+    e = pairs.select("a", "b").distinct()
+    sym = (
+        e.select(F.col("a").alias("id"), F.col("b").alias("nbr"))
+        .unionAll(e.select(F.col("b").alias("id"), F.col("a").alias("nbr")))
+        .distinct()
+    )
+    sig = sym.groupBy("id").agg(
+        *[F.min(_h(F.col("nbr"), k)).alias(f"s{k}") for k in range(num_hashes)]
+    )
+    sig = sig.localCheckpoint()  # feeds banding + two estimate probes
+    bands = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.col(f"s{b * rows_per_band + r}")
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("bucket"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
+    cand = (
+        bands.select("band", "bucket", F.col("id").alias("a"))
+        .join(
+            bands.select("band", "bucket", F.col("id").alias("b")),
+            ["band", "bucket"],
+        )
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("id").alias("a"), *[F.col(f"s{k}").alias(f"a{k}") for k in range(num_hashes)]
+    )
+    sb = sig.select(
+        F.col("id").alias("b"), *[F.col(f"s{k}").alias(f"b{k}") for k in range(num_hashes)]
+    )
+    n_equal = sum(
+        (F.col(f"a{k}") == F.col(f"b{k}")).cast("bigint") for k in range(num_hashes)
+    )
+    return (
+        cand.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "a",
+            "b",
+            n_equal.alias("n_equal"),
+            (n_equal / F.lit(float(num_hashes))).alias("est_jaccard"),
+        )
+    )
+
+
+def neighbor_minhash_oracle_sql(
+    pairs_sql: str, num_hashes: int = 8, rows_per_band: int = 2
+) -> str:
+    """DuckDB reconstruction of neighbor_minhash (same md5 hashes)."""
+    n_bands = num_hashes // rows_per_band
+    hash_aggs = ",\n         ".join(
+        f"min(('0x' || substr(md5(nbr || '|mh{k}'), 1, 15))::BIGINT) AS s{k}"
+        for k in range(num_hashes)
+    )
+    band_rows = ",\n    ".join(
+        "({b}, {key})".format(
+            b=b,
+            key=" || '|' || ".join(
+                f"s{b * rows_per_band + r}" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    eq_sum = " + ".join(f"(sa.s{k} = sb.s{k})::INT" for k in range(num_hashes))
+    return f"""
+WITH e AS MATERIALIZED (SELECT DISTINCT a, b FROM ({pairs_sql})),
+sym AS (
+  SELECT DISTINCT id, nbr FROM (
+    SELECT a AS id, b AS nbr FROM e UNION ALL SELECT b, a FROM e
+  )
+),
+sig AS MATERIALIZED (
+  SELECT id,
+         {hash_aggs}
+  FROM sym GROUP BY id
+),
+bands AS (
+  SELECT id, t.band, t.bucket
+  FROM sig, LATERAL (VALUES
+    {band_rows}
+  ) t(band, bucket)
+),
+cand AS (
+  SELECT DISTINCT x.id AS a, y.id AS b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.id < y.id
+)
+SELECT c.a, c.b,
+       ({eq_sum})::BIGINT AS n_equal,
+       ({eq_sum}) / {float(num_hashes)} AS est_jaccard
+FROM cand c
+JOIN sig sa ON sa.id = c.a
+JOIN sig sb ON sb.id = c.b
+"""

@@ -393,3 +393,64 @@ FROM base
 LEFT JOIN sym ON sym.pred = base.pred
 LEFT JOIN inv ON inv.pred = base.pred
 """
+
+
+def characteristic_sets(edges: DataFrame) -> DataFrame:
+    """Characteristic sets (Neumann & Moerkotte, ICDE 2011) over the
+    edge table -> (cset, n_preds, n_entities, n_triples, avg_deg).
+
+    A subject's characteristic set is the SET of predicates it appears
+    with — the emergent "type" of schema-less RDF. Grouping subjects by
+    identical predicate sets yields the structure summary every RDF
+    store builds for cardinality estimation and implicit-schema
+    discovery: how many entity shapes exist, how populous each is, and
+    the average out-degree inside each shape. For the KG build, shapes
+    with suspiciously few members are linking/extraction error
+    candidates (a 'Vendor' missing half its predicates), and the shape
+    count itself tracks schema drift across crawls.
+
+    Determinism: the set is canonicalized by sort_array before the
+    comma join, so partition order never leaks; counts are exact
+    integers and the single avg division is rounded to 6.
+
+    Scale shape (100 TB): two hash aggregations — distinct triples
+    group by subject (carrying a collect_set bounded by the PREDICATE
+    VOCABULARY, never by degree), then group by the set string, whose
+    cardinality is at most 2^|preds| but in practice tiny (real RDF:
+    a few thousand sets over billions of triples — the paper's own
+    finding). No joins, no windows, map-side combine on both levels.
+    """
+    e = edges.select("src", "pred", "dst").distinct()
+    per = e.groupBy("src").agg(
+        F.concat_ws(",", F.sort_array(F.collect_set("pred"))).alias("cset"),
+        F.count(F.lit(1)).alias("deg"),
+    )
+    return (
+        per.groupBy("cset")
+        .agg(
+            F.count(F.lit(1)).alias("n_entities"),
+            F.sum("deg").alias("n_triples"),
+            F.round(F.sum("deg") / F.count(F.lit(1)), 6).alias("avg_deg"),
+        )
+        .withColumn("n_preds", F.size(F.split(F.col("cset"), ",")))
+        .select("cset", "n_preds", "n_entities", "n_triples", "avg_deg")
+    )
+
+
+def characteristic_sets_oracle_sql(edges_sql: str) -> str:
+    """DuckDB reconstruction of characteristic_sets."""
+    return f"""
+WITH e AS MATERIALIZED (SELECT DISTINCT src, pred, dst FROM ({edges_sql})),
+per AS (
+  SELECT src,
+         array_to_string(list_sort(list(DISTINCT pred)), ',') AS cset,
+         count(*) AS deg
+  FROM e GROUP BY src
+)
+SELECT cset,
+       len(string_split(cset, ','))::INTEGER AS n_preds,
+       count(*)::BIGINT AS n_entities,
+       sum(deg)::BIGINT AS n_triples,
+       round(sum(deg) / count(*), 6) AS avg_deg
+FROM per GROUP BY cset
+"""

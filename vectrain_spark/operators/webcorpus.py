@@ -315,3 +315,77 @@ def crawl_frontier(pages: DataFrame, per_shard_cap: int = 50) -> DataFrame:
         .filter(F.col("rank") <= per_shard_cap)
         .select("shard", "rank", "url", "n_refs", "n_pages")
     )
+
+
+def anchor_aliases(pages: DataFrame, per_anchor_cap: int = 100) -> DataFrame:
+    """Anchor-text alias dictionary from raw page bytes ->
+    (anchor, url, n_links, n_pages, commonness, rank).
+
+    The Wikipedia-anchor construction every large-scale entity linker
+    bootstraps from (TagMe, WAT, DBpedia Spotlight): each hyperlink's
+    visible text is a SURFACE FORM for its target, and the link-count
+    distribution over targets gives the commonness prior
+    P(target | anchor) that seeds candidate generation. This is the
+    web-corpus complement of the curated alias table the linking stage
+    broadcasts (the reference has only the curated path — its embed
+    stage never mines the corpus itself; cf.
+    /root/reference/internal/app/embedders/ollama/embed_message.go).
+
+    Scale shape (100 TB): anchor extraction fuses with the page scan
+    (JVM regexp over the decoded bytes — same fused shape as
+    :func:`link_graph`, no Python); the dictionary aggregation shuffles
+    only (anchor, url, partial-count) pairs; the commonness window
+    partitions per anchor, whose candidate count is bounded by surface
+    polysemy (and hard-capped at ``per_anchor_cap`` by in-window rank,
+    so a pathological anchor like "click here" cannot build an
+    unbounded partition into the output). Corrupt pages decode to
+    U+FFFD and match no anchors — quarantine costs nothing here.
+    """
+    from pyspark.sql.window import Window as W
+
+    pat = '<a href="([^"]+)">([^<]+)</a>'
+    raw = pages.select(
+        F.col("url").alias("src"),
+        F.explode(
+            F.arrays_zip(
+                F.regexp_extract_all(
+                    F.col("html").cast("string"), F.lit(pat), 1
+                ).alias("href"),
+                F.regexp_extract_all(
+                    F.col("html").cast("string"), F.lit(pat), 2
+                ).alias("anchor"),
+            )
+        ).alias("l"),
+    ).select(
+        "src", F.col("l.href").alias("href"), F.col("l.anchor").alias("anchor")
+    )
+    base = F.regexp_extract(F.col("src"), r"^(\w+://[^/]+)", 1)
+    target = F.when(
+        F.col("href").startswith("/"), F.concat(base, F.col("href"))
+    ).otherwise(F.col("href"))
+    agg = (
+        raw.select("src", "anchor", target.alias("url"))
+        .groupBy("anchor", "url")
+        .agg(
+            F.count(F.lit(1)).alias("n_links"),
+            F.count_distinct("src").alias("n_pages"),
+        )
+    )
+    total = W.partitionBy("anchor")
+    rank = W.partitionBy("anchor").orderBy(
+        F.col("n_links").desc(), F.col("url").asc()
+    )
+    return (
+        agg.select(
+            "anchor",
+            "url",
+            "n_links",
+            "n_pages",
+            F.round(
+                F.col("n_links").cast("double") / F.sum("n_links").over(total),
+                6,
+            ).alias("commonness"),
+            F.row_number().over(rank).alias("rank"),
+        )
+        .filter(F.col("rank") <= per_anchor_cap)
+    )
