@@ -218,3 +218,45 @@ def test_characteristic_sets_groups_by_exact_pred_set(spark):
     assert pq["avg_deg"] == 2.5
     assert out["p"]["n_entities"] == 1 and out["p"]["n_triples"] == 1
     assert out["p,q,r"]["n_triples"] == 3  # duplicate (d,r,x) collapsed
+
+
+# ---------------------------------------------------------------------------
+# quantile_sketch
+# ---------------------------------------------------------------------------
+
+
+def test_quantile_sketch_error_bounded_by_bin_width(spark):
+    from vectrain_spark.operators.sketch import quantile_sketch
+
+    rows = [("a", float(i)) for i in range(1, 101)]  # 1..100
+    rows += [("b", 7.0)] * 5  # degenerate group: all equal
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["lang", "x"]))
+    out = {
+        (r["grp"], r["q"]): r["est"]
+        for r in quantile_sketch(df, "x", "lang").collect()
+    }
+    width = (100.0 - 1.0) / 64
+    # exact p50 of 1..100 is 50/50.5; estimate must land within one bin
+    assert abs(out[("a", 0.5)] - 50.5) <= width
+    assert abs(out[("a", 0.9)] - 90.0) <= width
+    assert abs(out[("a", 0.99)] - 99.0) <= width
+    # hi == lo group: every quantile collapses to the single value
+    for q in (0.5, 0.9, 0.99):
+        assert out[("b", q)] == 7.0
+
+
+def test_quantile_sketch_is_mergeable(spark):
+    """The defining scale property: sketching two halves with the SAME
+    bounds and summing bin counts equals sketching the whole — verified
+    indirectly by permutation invariance (partition order cannot change
+    the estimate, unlike a streaming GK sketch)."""
+    from vectrain_spark.operators.sketch import quantile_sketch
+
+    rows = [("a", float((i * 37) % 101)) for i in range(101)]  # shuffled 0..100
+    df1 = spark.createDataFrame(pd.DataFrame(rows, columns=["lang", "x"]))
+    df2 = spark.createDataFrame(
+        pd.DataFrame(list(reversed(rows)), columns=["lang", "x"])
+    ).repartition(7)
+    a = sorted(quantile_sketch(df1, "x", "lang").collect(), key=lambda r: r["q"])
+    b = sorted(quantile_sketch(df2, "x", "lang").collect(), key=lambda r: r["q"])
+    assert [(r["q"], r["est"]) for r in a] == [(r["q"], r["est"]) for r in b]

@@ -7143,9 +7143,124 @@ def _char_sets_sql() -> str:
 SQL_KG_CHAR_SETS = _char_sets_sql()
 
 
+
+
+def q_corpus_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable fixed-bin quantile sketch per language (p50/p90/p99 of
+    document length): the SCALE path for percentiles — two hash
+    aggregations whose bin-count states merge associatively, replacing
+    the per-group sort the exact ntile gate pays. Binning, cumulative
+    read-off and in-bin interpolation are the same IEEE sequence in both
+    engines."""
+    from .operators.sketch import quantile_sketch
+
+    return quantile_sketch(_docs(spark, sf_dir), "n_chars", "lang")
+
+
+def _quantile_sketch_sql() -> str:
+    from .operators.sketch import quantile_sketch_oracle_sql
+
+    return quantile_sketch_oracle_sql(
+        "SELECT lang, n_chars FROM documents", "n_chars", "lang"
+    )
+
+
+SQL_CORPUS_QUANTILE_SKETCH = _quantile_sketch_sql()
+
+
+
+
+def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT-OUTER stream-stream interval join: every purchase attributed
+    to its in-window signups, and purchases with NO signup emitted with
+    NULL signup columns — the semantics that exercise watermark-driven
+    state EVICTION (a row may only be declared unmatched once no
+    matching signup can still arrive). Bounded drains never advance the
+    watermark past the data span, so one far-future sentinel row per
+    stream is appended LAST (own file, later mtime -> final micro-batch):
+    it pushes the global watermark past every real purchase's window and
+    the unmatched tail flushes before the availableNow drain ends.
+    Checked against the batch LEFT-range-join oracle."""
+    import os
+    import shutil
+
+    from .streaming import stream_attribution_join
+
+    base = "/tmp/vectrain_sjoin_outer_gate"
+    shutil.rmtree(base, ignore_errors=True)
+    ev = _events(spark, sf_dir).withColumn("ts", F.col("ts").cast("timestamp"))
+    pdir = os.path.join(base, "purchases")
+    sdir = os.path.join(base, "signups")
+    ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    ).repartition(4).write.parquet(pdir)
+    ev.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "ts"
+    ).repartition(4).write.parquet(sdir)
+    sent_ts = (F.max("ts") + F.expr("interval 50 days")).alias("ts")
+    ev.agg(sent_ts).select(
+        F.lit(-1).cast("bigint").alias("event_id"),
+        F.lit(-1).cast("bigint").alias("user_id"),
+        "ts",
+        F.lit(0.0).alias("value"),
+    ).coalesce(1).write.mode("append").parquet(pdir)
+    ev.agg(sent_ts).select(
+        F.lit(-1).cast("bigint").alias("event_id"),
+        F.lit(-1).cast("bigint").alias("user_id"),
+        "ts",
+    ).coalesce(1).write.mode("append").parquet(sdir)
+    p_schema = "event_id bigint, user_id bigint, ts timestamp, value double"
+    s_schema = "event_id bigint, user_id bigint, ts timestamp"
+    p = (
+        spark.readStream.schema(p_schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(pdir)
+    )
+    s = (
+        spark.readStream.schema(s_schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(sdir)
+    )
+    q = (
+        stream_attribution_join(p, s, max_delay="35 days", how="left_outer")
+        .writeStream.format("memory")
+        .queryName("gate_sjoin_outer")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return spark.sql(
+        "SELECT event_id, user_id,"
+        " date_format(ts, 'yyyy-MM-dd HH:mm:ss.SSSSSS') AS ts, value,"
+        " signup_event_id,"
+        " date_format(signup_ts, 'yyyy-MM-dd HH:mm:ss.SSSSSS') AS signup_ts"
+        " FROM gate_sjoin_outer WHERE event_id != -1"
+    )
+
+
+SQL_STREAM_JOIN_OUTER = """
+SELECT p.event_id,
+       p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+       p.value,
+       s.event_id AS signup_event_id,
+       strftime(s.ts, '%Y-%m-%d %H:%M:%S.%f') AS signup_ts
+FROM events p
+LEFT JOIN events s
+  ON s.event_type = 'signup'
+ AND s.user_id = p.user_id
+ AND p.ts >= s.ts
+ AND p.ts <= s.ts + INTERVAL 35 DAY
+WHERE p.event_type = 'purchase'
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_anchor_aliases": q_kg_anchor_aliases,
     "kg_char_sets": q_kg_char_sets,
+    "corpus_quantile_sketch": q_corpus_quantile_sketch,
+    "stream_join_outer": q_stream_join_outer,
     "kg_fact_fusion": q_kg_fact_fusion,
     "kg_neighbor_minhash": q_kg_neighbor_minhash,
     "olap_min_cost_supplier": q_olap_min_cost_supplier,
@@ -7324,6 +7439,8 @@ _CHANGED_THIS_ROUND = [
     # --- round 4d: NEW operators (this session) ---
     "kg_anchor_aliases",     # NEW: anchor-text alias dictionary + commonness
     "kg_char_sets",          # NEW: characteristic sets (entity shapes)
+    "corpus_quantile_sketch",  # NEW: mergeable histogram quantiles
+    "stream_join_outer",     # NEW: left-outer stream-stream join (eviction)
     "kg_fact_fusion",        # NEW: TruthFinder-style weighted fact fusion
     "kg_neighbor_minhash",   # NEW: MinHash-LSH neighbor-set similarity
     "olap_min_cost_supplier",  # NEW: TPC-H Q2 shape (decorrelated argmin)
@@ -7422,6 +7539,8 @@ QUERIES = _risk_order(QUERIES)
 ORACLES: dict[str, str] = {
     "kg_anchor_aliases": SQL_KG_ANCHOR_ALIASES,
     "kg_char_sets": SQL_KG_CHAR_SETS,
+    "corpus_quantile_sketch": SQL_CORPUS_QUANTILE_SKETCH,
+    "stream_join_outer": SQL_STREAM_JOIN_OUTER,
     "kg_fact_fusion": SQL_KG_FACT_FUSION,
     "kg_neighbor_minhash": SQL_KG_NEIGHBOR_MINHASH,
     "olap_min_cost_supplier": SQL_OLAP_MIN_COST_SUPPLIER,

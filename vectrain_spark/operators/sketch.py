@@ -331,3 +331,133 @@ SELECT {group_col}, n_registers,
          AS est_distinct
 FROM g
 """
+
+
+def quantile_sketch(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    n_bins: int = 64,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Mergeable fixed-bin quantile estimates per group ->
+    (grp, q, n, est): the SCALE path for percentiles.
+
+    Exact per-group percentiles (the ntile gate) need a per-group SORT —
+    at 10^12 rows that is the dominant shuffle. The histogram sketch
+    replaces it with TWO hash aggregations whose partial states merge
+    associatively (a bin-count vector is a CRDT): pass 1 finds each
+    group's [lo, hi] range, pass 2 counts ``n_bins`` equal-width bins,
+    and the quantile is read off the cumulative bin distribution with
+    linear interpolation inside the winning bin — error bounded by one
+    bin width, independent of row count. This is how every streaming /
+    pre-aggregated metrics store (e.g. Prometheus histogram_quantile)
+    serves p99s; the same bin vectors also merge across waves of an
+    incremental corpus without rescanning old rows.
+
+    Determinism: bin assignment, the cumulative window (<= n_bins rows
+    per group) and the interpolation are the same IEEE op sequence in
+    Spark and DuckDB; estimates round to 6.
+    """
+    from pyspark.sql.window import Window as W
+
+    v = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(value_col).cast("double").alias("x"),
+    )
+    bounds = v.groupBy("grp").agg(
+        F.min("x").alias("lo"),
+        F.max("x").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(float(n_bins))
+    bin_ix = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+        F.least(
+            F.lit(n_bins - 1),
+            F.floor((F.col("x") - F.col("lo")) / width).cast("int"),
+        )
+    )
+    binned = (
+        v.join(F.broadcast(bounds), "grp")
+        .select("grp", bin_ix.alias("bin"))
+        .groupBy("grp", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = W.partitionBy("grp").orderBy("bin")
+    cum = binned.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "cum_prev", F.col("cum") - F.col("cnt")
+    )
+    probes = cum.join(F.broadcast(bounds), "grp").select(
+        "grp",
+        "bin",
+        "cnt",
+        "cum",
+        "cum_prev",
+        "lo",
+        "hi",
+        "n",
+        F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"),
+    )
+    target = F.ceil(F.col("q") * F.col("n"))
+    hit = probes.filter(F.col("cum") >= target)
+    first = W.partitionBy("grp", "q").orderBy("bin")
+    est = F.col("lo") + ((F.col("hi") - F.col("lo")) / F.lit(float(n_bins))) * (
+        F.col("bin") + (target - F.col("cum_prev")) / F.col("cnt")
+    )
+    return (
+        hit.withColumn("rk", F.row_number().over(first))
+        .filter(F.col("rk") == 1)
+        .select(
+            "grp",
+            "q",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(est, 6).alias("est"),
+        )
+    )
+
+
+def quantile_sketch_oracle_sql(
+    source_sql: str,
+    value_col: str,
+    group_col: str,
+    n_bins: int = 64,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> str:
+    """DuckDB reconstruction of quantile_sketch (same binning, same
+    interpolation arithmetic)."""
+    q_values = ", ".join(f"({float(q)!r})" for q in qs)
+    return f"""
+WITH v AS (SELECT {group_col} AS grp, {value_col}::DOUBLE AS x
+           FROM ({source_sql})),
+bounds AS (
+  SELECT grp, min(x) AS lo, max(x) AS hi, count(*) AS n FROM v GROUP BY grp
+),
+binned AS (
+  SELECT v.grp,
+         CASE WHEN b.hi = b.lo THEN 0
+              ELSE least({n_bins - 1},
+                         floor((v.x - b.lo) / ((b.hi - b.lo) / {float(n_bins)!r}))::INT)
+         END AS bin,
+         count(*) AS cnt
+  FROM v JOIN bounds b ON b.grp = v.grp
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT grp, bin, cnt,
+         sum(cnt) OVER (PARTITION BY grp ORDER BY bin) AS cum,
+         sum(cnt) OVER (PARTITION BY grp ORDER BY bin) - cnt AS cum_prev
+  FROM binned
+),
+probes AS (
+  SELECT c.grp, c.bin, c.cnt, c.cum, c.cum_prev, b.lo, b.hi, b.n, qq.q
+  FROM cum c JOIN bounds b ON b.grp = c.grp, (VALUES {q_values}) qq(q)
+),
+hit AS (
+  SELECT *, row_number() OVER (PARTITION BY grp, q ORDER BY bin) AS rk
+  FROM probes WHERE cum >= ceil(q * n)
+)
+SELECT grp, q, n::BIGINT AS n,
+       round(lo + ((hi - lo) / {float(n_bins)!r})
+             * (bin + (ceil(q * n) - cum_prev) / cnt), 6) AS est
+FROM hit WHERE rk = 1
+"""

@@ -336,19 +336,30 @@ def stream_dedup_first_seen(pages: DataFrame) -> DataFrame:
 
 
 def stream_attribution_join(
-    purchases: DataFrame, signups: DataFrame, max_delay: str = "7 days"
+    purchases: DataFrame,
+    signups: DataFrame,
+    max_delay: str = "7 days",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join: every purchase matched to every signup
     of the same user that happened at most ``max_delay`` before it — the
     two-live-streams face of operators/events.asof_join (which picks only
     the latest signup, batch-side).
 
-    Inner equi-join on user_id plus an event-time range predicate; both
+    Equi-join on user_id plus an event-time range predicate; both
     sides carry watermarks derived from ``max_delay`` so Spark can evict
     matched state instead of buffering both streams forever (the
     production requirement for an unbounded run — with availableNow
     drains, the watermark only ever drops state after the final batch, so
     every cross-batch match is still emitted exactly once).
+
+    ``how='left_outer'`` additionally emits unattributed purchases with
+    NULL signup columns — but ONLY once the watermark passes a purchase's
+    join window (that is the streaming-correctness contract: a row can't
+    be declared unmatched while a matching signup could still arrive).
+    Consequence for bounded drains: a caller that wants the tail of the
+    stream flushed must push the watermark past it (e.g. a sentinel row
+    beyond the data span) — see q_stream_join_outer.
 
     -> (event_id, user_id, ts, value, signup_event_id, signup_ts).
     """
@@ -369,6 +380,7 @@ def stream_attribution_join(
         (F.col("user_id") == F.col("s_user_id"))
         & (F.col("ts") >= F.col("signup_ts"))
         & (F.col("ts") <= F.col("signup_ts") + F.expr(f"interval {max_delay}")),
+        how,
     ).select("event_id", "user_id", "ts", "value", "signup_event_id", "signup_ts")
 
 
