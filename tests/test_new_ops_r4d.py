@@ -260,3 +260,28 @@ def test_quantile_sketch_is_mergeable(spark):
     a = sorted(quantile_sketch(df1, "x", "lang").collect(), key=lambda r: r["q"])
     b = sorted(quantile_sketch(df2, "x", "lang").collect(), key=lambda r: r["q"])
     assert [(r["q"], r["est"]) for r in a] == [(r["q"], r["est"]) for r in b]
+
+
+# ---------------------------------------------------------------------------
+# hyperball
+# ---------------------------------------------------------------------------
+
+
+def test_hyperball_monotone_and_saturating_on_a_path(spark):
+    """On a path graph a-b-c-d the neighborhood function must grow
+    monotonically with t and saturate once t reaches the diameter (3)."""
+    from vectrain_spark.operators.graph import hyperball
+
+    edges = spark.createDataFrame(
+        pd.DataFrame(
+            [("a", "b"), ("b", "c"), ("c", "d")], columns=["src", "dst"]
+        )
+    )
+    out = {r["t"]: r for r in hyperball(edges, max_t=3).collect()}
+    nfs = [out[t]["nf_est"] for t in range(4)]
+    assert nfs == sorted(nfs)  # balls only grow
+    assert nfs[0] < nfs[3]  # the path is connected, so growth happens
+    assert out[3]["frac"] == 1.0
+    # t=2 already reaches 3 of 4 nodes from every endpoint and all 4
+    # from the middle — strictly more than t=1's immediate neighborhoods
+    assert nfs[1] < nfs[2] <= nfs[3]

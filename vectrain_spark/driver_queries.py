@@ -7256,11 +7256,37 @@ WHERE p.event_type = 'purchase'
 """
 
 
+
+
+def q_kg_neighborhood_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall neighborhood function over the canonical KG (Boldi &
+    Vigna 2013): per-node HLL balls grown by 3 rounds of register-max
+    merges -> (t, nf_est, frac); the smallest t with frac >= 0.9 is the
+    effective diameter. Raw-HLL estimator by deliberate contract (same
+    as sketch_hll: the small-range correction is libm-dependent), so
+    the gate's claim is bit-parity of the whole register pipeline, not
+    small-n accuracy. Each round is one co-partitioned join + one
+    (node, bucket) max-aggregate."""
+    from .operators.graph import hyperball
+
+    return hyperball(_materialized_edges(spark, sf_dir), max_t=3)
+
+
+def _hyperball_sql() -> str:
+    from .operators.graph import hyperball_oracle_sql
+
+    return hyperball_oracle_sql(SQL_KG_EDGES, max_t=3)
+
+
+SQL_KG_NEIGHBORHOOD_FUNCTION = _hyperball_sql()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_anchor_aliases": q_kg_anchor_aliases,
     "kg_char_sets": q_kg_char_sets,
     "corpus_quantile_sketch": q_corpus_quantile_sketch,
     "stream_join_outer": q_stream_join_outer,
+    "kg_neighborhood_function": q_kg_neighborhood_function,
     "kg_fact_fusion": q_kg_fact_fusion,
     "kg_neighbor_minhash": q_kg_neighbor_minhash,
     "olap_min_cost_supplier": q_olap_min_cost_supplier,
@@ -7441,6 +7467,7 @@ _CHANGED_THIS_ROUND = [
     "kg_char_sets",          # NEW: characteristic sets (entity shapes)
     "corpus_quantile_sketch",  # NEW: mergeable histogram quantiles
     "stream_join_outer",     # NEW: left-outer stream-stream join (eviction)
+    "kg_neighborhood_function",  # NEW: HyperBall effective-diameter sketch
     "kg_fact_fusion",        # NEW: TruthFinder-style weighted fact fusion
     "kg_neighbor_minhash",   # NEW: MinHash-LSH neighbor-set similarity
     "olap_min_cost_supplier",  # NEW: TPC-H Q2 shape (decorrelated argmin)
@@ -7541,6 +7568,7 @@ ORACLES: dict[str, str] = {
     "kg_char_sets": SQL_KG_CHAR_SETS,
     "corpus_quantile_sketch": SQL_CORPUS_QUANTILE_SKETCH,
     "stream_join_outer": SQL_STREAM_JOIN_OUTER,
+    "kg_neighborhood_function": SQL_KG_NEIGHBORHOOD_FUNCTION,
     "kg_fact_fusion": SQL_KG_FACT_FUSION,
     "kg_neighbor_minhash": SQL_KG_NEIGHBOR_MINHASH,
     "olap_min_cost_supplier": SQL_OLAP_MIN_COST_SUPPLIER,

@@ -2245,3 +2245,165 @@ FROM cand c
 JOIN sig sa ON sa.id = c.a
 JOIN sig sb ON sb.id = c.b
 """
+
+
+def hyperball(edges: DataFrame, max_t: int = 3) -> DataFrame:
+    """HyperBall neighborhood function (Boldi & Vigna, 2013) ->
+    (t, nf_est, frac): how many (node, node) pairs lie within distance t,
+    estimated with per-node HyperLogLog counters — THE way to measure
+    distance structure (effective diameter, centrality denominators) on
+    a graph where exact all-pairs BFS is 10^12 x 10^12-impossible.
+
+    B_0(v) = {v}; B_{t+1}(v) = B_t(v) merged with B_t(w) for every
+    neighbor w — but each ball is a 64-register HLL sketch, so the merge
+    is an integer MAX per (node, bucket) and per-node state is O(64)
+    REGARDLESS of ball size. nf_est(t) = sum over nodes of the ball-size
+    estimate; the effective diameter is the smallest t with
+    frac = nf_est(t)/nf_est(max_t) >= 0.9.
+
+    Register contract is exactly :func:`sketch.hll_registers` (md5-derived
+    60-bit hash, bucket = top 6 bits, integer-space harmonic mean), so
+    Spark and DuckDB agree bit-for-bit; nf_est sums per-node floors —
+    exact integers, no float reduction anywhere; frac is one division
+    rounded to 6.
+
+    Scale shape (10^12 edges): each round is ONE co-partitioned join of
+    the symmetric edge list against the register table on the neighbor
+    key plus ONE (node, bucket)-keyed max-aggregate (map-side combine;
+    register rows per node <= 64). localCheckpoint truncates each
+    round's lineage. max_t rounds = max_t shuffles — no frontier blowup,
+    no per-node adjacency materialization.
+    """
+    from .sketch import _HLL_ALPHA_M2, _TWO55, _hash60
+
+    e0 = edges.select(
+        F.col("src").cast("string").alias("src"),
+        F.col("dst").cast("string").alias("dst"),
+    ).distinct()
+    sym = (
+        e0.unionAll(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    h = _hash60(F.col("node"))
+    bucket = F.floor(h / F.lit(1 << 54)).cast("int")
+    rest = h % F.lit(1 << 54)
+    rank = (
+        F.when(rest == 0, F.lit(55))
+        .otherwise(F.lit(55) - F.length(F.bin(rest)))
+        .cast("int")
+    )
+    regs = nodes.select(
+        "node", bucket.alias("bucket"), rank.alias("max_rank")
+    ).localCheckpoint()
+
+    def _nf(r: DataFrame, t: int) -> DataFrame:
+        per_node = (
+            r.groupBy("node")
+            .agg(
+                F.count(F.lit(1)).alias("n_registers"),
+                F.sum(
+                    F.call_function(
+                        "shiftleft",
+                        F.lit(1).cast("long"),
+                        F.lit(55) - F.col("max_rank"),
+                    )
+                ).alias("s_int"),
+            )
+            .select(
+                F.floor(
+                    F.lit(_HLL_ALPHA_M2)
+                    / (
+                        (F.lit(64) - F.col("n_registers")).cast("double")
+                        + F.col("s_int").cast("double") / F.lit(_TWO55)
+                    )
+                )
+                .cast("long")
+                .alias("est")
+            )
+        )
+        return per_node.agg(
+            F.lit(t).cast("int").alias("t"),
+            F.sum("est").cast("long").alias("nf_est"),
+        ).select("t", "nf_est")
+
+    rows = [_nf(regs, 0)]
+    for t in range(1, max_t + 1):
+        prop = sym.join(regs, sym["dst"] == regs["node"]).select(
+            sym["src"].alias("node"), "bucket", "max_rank"
+        )
+        regs = (
+            regs.unionAll(prop)
+            .groupBy("node", "bucket")
+            .agg(F.max("max_rank").alias("max_rank"))
+            .localCheckpoint()
+        )
+        rows.append(_nf(regs, t))
+    nf = rows[0]
+    for r in rows[1:]:
+        nf = nf.unionAll(r)
+    last = rows[-1].select(F.col("nf_est").alias("nf_max"))
+    return nf.crossJoin(F.broadcast(last)).select(
+        "t",
+        "nf_est",
+        F.round(F.col("nf_est") / F.col("nf_max"), 6).alias("frac"),
+    )
+
+
+def hyperball_oracle_sql(edges_sql: str, max_t: int = 3) -> str:
+    """DuckDB reconstruction of :func:`hyperball` (unrolled rounds)."""
+    from .sketch import _HLL_ALPHA_M2, _TWO55
+
+    est = (
+        f"floor({_HLL_ALPHA_M2!r} / ((64 - count(*))::DOUBLE "
+        f"+ sum(1::BIGINT << (55 - max_rank))::DOUBLE / {_TWO55!r}))::BIGINT"
+    )
+    parts = [
+        f"""
+e0 AS MATERIALIZED (SELECT DISTINCT src::VARCHAR AS src, dst::VARCHAR AS dst
+                    FROM ({edges_sql})),
+sym AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
+  )
+),
+nodes AS (SELECT DISTINCT src AS node FROM sym),
+hh AS (
+  SELECT node, ('0x' || substr(md5(node), 1, 15))::BIGINT AS hv FROM nodes
+),
+regs0 AS MATERIALIZED (
+  SELECT node, (hv // {1 << 54})::INT AS bucket,
+         CASE WHEN hv % {1 << 54} = 0 THEN 55
+              ELSE 55 - length(bin(hv % {1 << 54})) END AS max_rank
+  FROM hh
+)"""
+    ]
+    for t in range(1, max_t + 1):
+        parts.append(
+            f"""
+regs{t} AS MATERIALIZED (
+  SELECT node, bucket, max(max_rank) AS max_rank FROM (
+    SELECT node, bucket, max_rank FROM regs{t - 1}
+    UNION ALL
+    SELECT s.src AS node, r.bucket, r.max_rank
+    FROM sym s JOIN regs{t - 1} r ON r.node = s.dst
+  ) GROUP BY 1, 2
+)"""
+        )
+    for t in range(max_t + 1):
+        parts.append(
+            f"""
+nf{t} AS (
+  SELECT {t} AS t, sum(est)::BIGINT AS nf_est FROM (
+    SELECT node, {est} AS est FROM regs{t} GROUP BY node
+  )
+)"""
+        )
+    union = "\nUNION ALL\n".join(f"SELECT * FROM nf{t}" for t in range(max_t + 1))
+    return f"""
+WITH {','.join(parts)}
+SELECT n.t::INTEGER AS t, n.nf_est,
+       round(n.nf_est / m.nf_est, 6) AS frac
+FROM ({union}) n, nf{max_t} m
+"""
