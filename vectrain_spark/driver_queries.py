@@ -7281,12 +7281,103 @@ def _hyperball_sql() -> str:
 SQL_KG_NEIGHBORHOOD_FUNCTION = _hyperball_sql()
 
 
+
+
+def q_olap_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit skew handling as a VALUE-checked gate (the north rule's
+    'skew handled explicitly', previously pytest-only): half of all
+    orders are remapped onto one house-account customer (a deliberate
+    hub key), and the fact-dim join runs through salted_join — the fact
+    side salts on its own order id, the build side explodes s=8-fold, so
+    the hub's rows spread over 8 reducers instead of one straggler. The
+    oracle is the NAIVE join: parity proves the salted construction is
+    result-identical, per market segment in exact DECIMAL money."""
+    from .operators.skew import salted_join
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    fact = orders.select(
+        F.when(F.col("o_custkey") % 2 == 0, F.lit(1))
+        .otherwise(F.col("o_custkey"))
+        .cast("long")
+        .alias("c_key"),
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    build = customer.select(
+        F.col("c_custkey").cast("long").alias("c_key"), "c_mktsegment"
+    )
+    joined = salted_join(fact, build, key="c_key", salt_from=["o_orderkey"], s=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("price").cast("double").alias("revenue"),
+    )
+
+
+SQL_OLAP_SALTED_JOIN = """
+WITH fact AS (
+  SELECT CASE WHEN o_custkey % 2 = 0 THEN 1 ELSE o_custkey END AS c_key,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price
+  FROM orders
+)
+SELECT c_mktsegment, count(*)::BIGINT AS n_orders,
+       CAST(sum(price) AS DOUBLE) AS revenue
+FROM fact JOIN customer ON c_custkey = c_key
+GROUP BY 1
+"""
+
+
+def q_events_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase skew-proof aggregation as a VALUE-checked gate: every
+    second event is remapped onto one hot key, and count/sum/max run
+    once per (key, salt=16) and once more per key — the construction
+    that bounds reducer-side state when feeding an iterative loop that
+    must repartition by key. Oracle = the naive one-phase groupBy;
+    parity proves the algebraic split is exact (DECIMAL sums)."""
+    from .operators.skew import two_phase_agg
+
+    ev = _events(spark, sf_dir).select(
+        F.when(F.col("event_id") % 2 == 0, F.lit("hot"))
+        .otherwise(F.col("event_type"))
+        .alias("etype"),
+        "event_id",
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    out = two_phase_agg(
+        ev,
+        key="etype",
+        salt_from=["event_id"],
+        aggs={"n": "count(v)", "total": "sum(v)", "vmax": "max(v)"},
+    )
+    return out.select(
+        "etype",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("total").cast("double").alias("total"),
+        F.col("vmax").cast("double").alias("vmax"),
+    )
+
+
+SQL_EVENTS_HOT_KEY_AGG = """
+WITH ev AS (
+  SELECT CASE WHEN event_id % 2 = 0 THEN 'hot' ELSE event_type END AS etype,
+         value::DECIMAL(18,2) AS v
+  FROM events
+)
+SELECT etype, count(v)::BIGINT AS n,
+       CAST(sum(v) AS DOUBLE) AS total,
+       CAST(max(v) AS DOUBLE) AS vmax
+FROM ev GROUP BY 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_anchor_aliases": q_kg_anchor_aliases,
     "kg_char_sets": q_kg_char_sets,
     "corpus_quantile_sketch": q_corpus_quantile_sketch,
     "stream_join_outer": q_stream_join_outer,
     "kg_neighborhood_function": q_kg_neighborhood_function,
+    "olap_salted_join": q_olap_salted_join,
+    "events_hot_key_agg": q_events_hot_key_agg,
     "kg_fact_fusion": q_kg_fact_fusion,
     "kg_neighbor_minhash": q_kg_neighbor_minhash,
     "olap_min_cost_supplier": q_olap_min_cost_supplier,
@@ -7468,6 +7559,8 @@ _CHANGED_THIS_ROUND = [
     "corpus_quantile_sketch",  # NEW: mergeable histogram quantiles
     "stream_join_outer",     # NEW: left-outer stream-stream join (eviction)
     "kg_neighborhood_function",  # NEW: HyperBall effective-diameter sketch
+    "olap_salted_join",      # NEW: salted hub-key join == naive join
+    "events_hot_key_agg",    # NEW: two-phase skew agg == one-phase
     "kg_fact_fusion",        # NEW: TruthFinder-style weighted fact fusion
     "kg_neighbor_minhash",   # NEW: MinHash-LSH neighbor-set similarity
     "olap_min_cost_supplier",  # NEW: TPC-H Q2 shape (decorrelated argmin)
@@ -7569,6 +7662,8 @@ ORACLES: dict[str, str] = {
     "corpus_quantile_sketch": SQL_CORPUS_QUANTILE_SKETCH,
     "stream_join_outer": SQL_STREAM_JOIN_OUTER,
     "kg_neighborhood_function": SQL_KG_NEIGHBORHOOD_FUNCTION,
+    "olap_salted_join": SQL_OLAP_SALTED_JOIN,
+    "events_hot_key_agg": SQL_EVENTS_HOT_KEY_AGG,
     "kg_fact_fusion": SQL_KG_FACT_FUSION,
     "kg_neighbor_minhash": SQL_KG_NEIGHBOR_MINHASH,
     "olap_min_cost_supplier": SQL_OLAP_MIN_COST_SUPPLIER,
