@@ -7370,7 +7370,58 @@ FROM ev GROUP BY 1
 """
 
 
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-substring dedup (Lee et al. 2022) with content-defined
+    anchors: the gate corpus plants exact copies, appended-tail variants,
+    AND offset-shifted excerpts (a 21-char prefix glued onto the tail of
+    every 11th doc) — the case that breaks stride-aligned windows and
+    token-shingle Jaccard alike, but that content-defined anchoring
+    catches because anchors travel with the copied passage. Oracle runs
+    the identical per-position scan via generate_series."""
+    from .operators.dedup import dedup_corpus, substring_dup_pairs
+
+    docs = _docs(spark, sf_dir)
+    shifted = docs.filter(F.col("doc_id") % 11 == 3).select(
+        (F.col("doc_id") + 6_000_000).alias("doc_id"),
+        F.concat(
+            F.lit("shifted excerpt copy "), F.expr("substring(text, 21)")
+        ).alias("text"),
+    )
+    return substring_dup_pairs(dedup_corpus(docs).unionByName(shifted))
+
+
+SQL_DEDUP_SUBSTRING = f"""
+WITH corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL SELECT doc_id + 1000000, text FROM documents
+    UNION ALL SELECT doc_id + 2000000, text || ' extra trailing tokens appended'
+      FROM documents WHERE doc_id % 5 = 0
+    UNION ALL SELECT doc_id + 6000000, 'shifted excerpt copy ' || substr(text, 21)
+      FROM documents WHERE doc_id % 11 = 3
+),
+nt AS (SELECT doc_id, {NORM_SQL} AS t FROM corpus),
+pos AS (
+  SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 39, 1))) AS p
+  FROM nt
+),
+fps AS (
+  SELECT DISTINCT doc_id, md5(substr(t, p::INT, 40)) AS fp
+  FROM pos
+  WHERE ('0x' || substr(md5(substr(t, p::INT, 8)), 1, 15))::BIGINT % 16 = 0
+),
+ok AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 50),
+pairs AS (
+  SELECT f1.doc_id AS a, f2.doc_id AS b, count(*)::BIGINT AS n_shared
+  FROM fps f1 JOIN ok USING (fp) JOIN fps f2 USING (fp)
+  WHERE f1.doc_id < f2.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b, n_shared FROM pairs WHERE n_shared >= 2
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dedup_substring": q_dedup_substring,
     "kg_anchor_aliases": q_kg_anchor_aliases,
     "kg_char_sets": q_kg_char_sets,
     "corpus_quantile_sketch": q_corpus_quantile_sketch,
@@ -7553,6 +7604,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # never verified (past the r2 cutoff; locally gate-replica-green), (3)
 # then the twice-driver-verified stable tail in original order.
 _CHANGED_THIS_ROUND = [
+    # --- round 4e: NEW operators (this session) ---
+    "dedup_substring",       # NEW: content-defined exact-substring dedup
     # --- round 4d: NEW operators (this session) ---
     "kg_anchor_aliases",     # NEW: anchor-text alias dictionary + commonness
     "kg_char_sets",          # NEW: characteristic sets (entity shapes)
@@ -7657,6 +7710,7 @@ def _risk_order(queries: dict) -> dict:
 QUERIES = _risk_order(QUERIES)
 
 ORACLES: dict[str, str] = {
+    "dedup_substring": SQL_DEDUP_SUBSTRING,
     "kg_anchor_aliases": SQL_KG_ANCHOR_ALIASES,
     "kg_char_sets": SQL_KG_CHAR_SETS,
     "corpus_quantile_sketch": SQL_CORPUS_QUANTILE_SKETCH,

@@ -639,3 +639,73 @@ def sentence_dup_profile(docs: DataFrame, min_chars: int = 20) -> DataFrame:
             F.round(F.col("n_dup") / F.col("n_sentences"), 6).alias("dup_ratio"),
         )
     )
+
+
+def substring_fingerprints(
+    corpus: DataFrame,
+    k: int = 8,
+    window: int = 40,
+    anchor_mod: int = 16,
+) -> DataFrame:
+    """Content-defined substring fingerprints -> (doc_id, fp): the
+    char-level signal behind EXACT-substring training-data dedup (Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"). A position p is an ANCHOR when the 60-bit md5 prefix of
+    the k-char gram at p is divisible by ``anchor_mod``; the fingerprint
+    is md5 of the ``window``-char substring starting there. Anchors
+    depend only on local CONTENT, never absolute offset, so a copied
+    passage fingerprints identically no matter where it lands in the
+    host document — the property fixed-stride windows lack and the
+    reason winnowing/CDC schemes exist.
+
+    Scale shape: the O(len) per-position scan happens INSIDE the row as
+    array expressions (sequence -> filter -> transform, all JVM codegen);
+    only the ~len/anchor_mod anchored fingerprints ever explode into
+    rows, and they reduce to 32-byte md5 keys before any shuffle.
+    """
+    expr = f"""
+      transform(
+        filter(sequence(1, greatest(length(t) - {window - 1}, 1)),
+               p -> pmod(cast(conv(substring(md5(substring(t, p, {k})), 1, 15),
+                                   16, 10) as bigint), {anchor_mod}) = 0),
+        p -> md5(substring(t, p, {window})))
+    """
+    return (
+        spread(corpus)
+        .select("doc_id", normalized_text().alias("t"))
+        .select("doc_id", F.explode(F.array_distinct(F.expr(expr))).alias("fp"))
+    )
+
+
+def substring_dup_pairs(
+    corpus: DataFrame,
+    min_shared: int = 2,
+    max_posting: int = 50,
+) -> DataFrame:
+    """Document pairs sharing >= ``min_shared`` content-defined substring
+    fingerprints -> (a, b, n_shared). Catches verbatim passage reuse that
+    token-shingle Jaccard dilutes away (a 200-char quote inside two
+    otherwise-different pages) and survives offset shifts that break
+    stride-aligned windows.
+
+    Skew control: fingerprints appearing in more than ``max_posting``
+    documents are dropped BEFORE the self-join (the df-cut every
+    posting-list join needs) — a boilerplate 40-char string shared by a
+    million pages would otherwise create one O(n^2) bucket. The cut is
+    part of the operator contract (the oracle applies the same cut), so
+    both engines agree exactly.
+    """
+    fps = substring_fingerprints(corpus)
+    ok = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("n_docs")).filter(
+        F.col("n_docs") <= max_posting
+    )
+    kept = fps.join(ok.select("fp"), "fp")
+    a = kept.select(F.col("fp"), F.col("doc_id").alias("a"))
+    b = kept.select(F.col("fp"), F.col("doc_id").alias("b"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
