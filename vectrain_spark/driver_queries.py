@@ -7420,8 +7420,225 @@ SELECT a, b, n_shared FROM pairs WHERE n_shared >= 2
 """
 
 
+def _c4_corpus(docs: DataFrame) -> DataFrame:
+    """Deterministic line-structured corpus for the C4 gate: every doc
+    gains a proper opening sentence, a junk fragment, and two closing
+    sentences; every 7th a javascript nag line, every 13th a lorem-ipsum
+    line, every 17th a code line. The oracle builds the identical text
+    (concat_ws skips NULL pieces in both engines)."""
+    d = F.col("doc_id")
+    return docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(
+                F.lit("The corpus document reads "),
+                F.substring("text", 1, 40),
+                F.lit(" and continues."),
+            ),
+            F.lit("too short"),
+            F.when(d % 7 == 0, F.lit("Please enable javascript to continue reading.")),
+            F.when(d % 13 == 0, F.lit("lorem ipsum dolor sit amet.")),
+            F.when(d % 17 == 0, F.lit("function f() { return 1; }")),
+            F.lit("A second proper sentence closes the document!"),
+            F.lit("And a third sentence ensures the count passes?"),
+        ).alias("text"),
+    )
+
+
+def q_text_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning verdicts (Raffel et al. 2020) — the line-level filter
+    family Gopher's doc-level rules don't cover: terminal-punctuation /
+    min-words / javascript line drops plus lorem-ipsum and curly-brace
+    document kills, audited per doc against a DuckDB list_filter oracle
+    over the identically-constructed line corpus."""
+    from .operators.textclean import c4_filters
+
+    return c4_filters(_c4_corpus(_docs(spark, sf_dir)))
+
+
+SQL_TEXT_C4_FILTERS = """
+WITH c4 AS (
+  SELECT doc_id,
+         concat_ws(chr(10),
+           'The corpus document reads ' || substr(text, 1, 40) || ' and continues.',
+           'too short',
+           CASE WHEN doc_id % 7 = 0
+                THEN 'Please enable javascript to continue reading.' END,
+           CASE WHEN doc_id % 13 = 0 THEN 'lorem ipsum dolor sit amet.' END,
+           CASE WHEN doc_id % 17 = 0 THEN 'function f() { return 1; }' END,
+           'A second proper sentence closes the document!',
+           'And a third sentence ensures the count passes?') AS text
+  FROM documents
+),
+split AS (
+  SELECT doc_id, text, string_split(text, chr(10)) AS lines,
+         list_filter(string_split(text, chr(10)),
+                     l -> regexp_matches(l, '[.!?"]$')
+                          AND len(string_split(trim(l), ' ')) >= 3
+                          AND NOT regexp_matches(lower(l), 'javascript')) AS kept
+  FROM c4
+),
+verdicts AS (
+  SELECT doc_id,
+         len(lines)::BIGINT AS n_lines,
+         len(kept)::BIGINT AS n_kept,
+         contains(lower(text), 'lorem ipsum') AS has_lorem,
+         (contains(text, '{') OR contains(text, '}')) AS has_brace,
+         len(regexp_extract_all(list_aggregate(kept, 'string_agg', chr(10)),
+                                '[.!?]+'))::BIGINT AS n_sentences
+  FROM split
+)
+SELECT *,
+       (NOT has_lorem AND NOT has_brace AND n_kept >= 3 AND n_sentences >= 3)
+         AS keep
+FROM verdicts
+"""
+
+
+def q_web_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots.txt crawl-permission filtering: a synthetic frontier (one
+    url per document across 20 hosts x 7 path sections) against parsed
+    Disallow rules (every host bans one section by suffix arithmetic,
+    even-numbered hosts additionally ban /sec3). Broadcast anti semi-join
+    on the Spark side — the frontier never shuffles — vs a NOT EXISTS
+    prefix-match oracle."""
+    from .operators.webcorpus import robots_filter
+
+    docs = _docs(spark, sf_dir)
+    frontier = docs.select(
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example/sec"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit("/page"),
+            F.col("doc_id").cast("string"),
+        ).alias("url")
+    )
+    hosts = docs.select("source").distinct().select(
+        F.concat(F.col("source"), F.lit(".example")).alias("host"),
+        F.substring("source", 4, 10).cast("int").alias("n"),
+    )
+    rules = hosts.select(
+        "host", F.concat(F.lit("/sec"), (F.col("n") % 7).cast("string")).alias("prefix")
+    ).unionByName(
+        hosts.filter(F.col("n") % 2 == 0).select(
+            "host", F.lit("/sec3").alias("prefix")
+        )
+    )
+    return robots_filter(frontier, rules)
+
+
+SQL_WEB_ROBOTS = """
+WITH f AS (
+  SELECT 'https://' || source || '.example/sec' || (doc_id % 7)
+           || '/page' || doc_id AS url,
+         source || '.example' AS host,
+         '/sec' || (doc_id % 7) || '/page' || doc_id AS path
+  FROM documents
+),
+hosts AS (
+  SELECT source || '.example' AS host, substr(source, 4)::INT AS n
+  FROM (SELECT DISTINCT source FROM documents)
+),
+rules AS (
+  SELECT host, '/sec' || (n % 7) AS prefix FROM hosts
+  UNION ALL
+  SELECT host, '/sec3' FROM hosts WHERE n % 2 = 0
+)
+SELECT url, host, path FROM f
+WHERE NOT EXISTS (
+  SELECT 1 FROM rules r
+  WHERE r.host = f.host AND starts_with(f.path, r.prefix)
+)
+"""
+
+
+def q_sketch_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set-operation estimates (Beyer et al. 2007) between the five
+    language vocabularies: union / intersection / Jaccard from k=256
+    mergeable sketches instead of a corpus-sized distinct-join — the
+    cross-crawl overlap dashboard at 100 TB. Hash-exact oracle
+    reconstructs every sketch, merge, and floor."""
+    from .operators.dedup import normalized_text
+    from .operators.sketch import kmv_set_ops
+
+    words = _docs(spark, sf_dir).select(
+        "lang", F.explode(F.split(normalized_text(), " ")).alias("word")
+    )
+    return kmv_set_ops(words, "lang", "word")
+
+
+def _sketch_set_ops_sql() -> str:
+    from .operators.sketch import kmv_set_ops_oracle_sql
+
+    return kmv_set_ops_oracle_sql(
+        f"SELECT lang, unnest(string_split({NORM_SQL}, ' ')) AS word"
+        " FROM documents",
+        "lang",
+        "word",
+    )
+
+
+SQL_SKETCH_SET_OPS = _sketch_set_ops_sql()
+
+
+def q_kg_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-mention graph (Newman 2002): ONE
+    algebraic corr() over broadcast-degree-annotated edge stubs — the
+    scalar a crawl-health dashboard tracks to see whether new waves are
+    attaching hubs to hubs or hubs to leaves."""
+    from .operators.graph import co_mentions, degree_assortativity
+
+    pairs = co_mentions(_materialized_edges(spark, sf_dir)).select("a", "b")
+    return degree_assortativity(pairs)
+
+
+def _assortativity_sql() -> str:
+    from .operators.graph import degree_assortativity_oracle_sql
+
+    return degree_assortativity_oracle_sql(
+        f"SELECT a, b FROM ({SQL_KG_COOCCUR})"
+    )
+
+
+SQL_KG_ASSORTATIVITY = _assortativity_sql()
+
+
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease / FK grade per document: regexp-count word,
+    sentence, and vowel-group totals fused into the scan (a pure map
+    stage), with the identical IEEE divide/round sequence in DuckDB."""
+    from .operators.textstats import readability
+
+    return readability(_docs(spark, sf_dir))
+
+
+SQL_TEXT_READABILITY = """
+WITH c AS (
+  SELECT doc_id,
+         greatest(len(regexp_extract_all(lower(text), '[a-z0-9'']+')), 1)::BIGINT AS n_words,
+         greatest(len(regexp_extract_all(lower(text), '[.!?]+')), 1)::BIGINT AS n_sentences,
+         greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)::BIGINT AS n_syllables
+  FROM documents
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       round(206.835 - 1.015 * (n_words::DOUBLE / n_sentences::DOUBLE)
+                     - 84.6 * (n_syllables::DOUBLE / n_words::DOUBLE), 4) AS flesch,
+       round(0.39 * (n_words::DOUBLE / n_sentences::DOUBLE)
+             + 11.8 * (n_syllables::DOUBLE / n_words::DOUBLE) - 15.59, 4) AS fk_grade
+FROM c
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_substring": q_dedup_substring,
+    "text_c4_filters": q_text_c4_filters,
+    "web_robots": q_web_robots,
+    "sketch_set_ops": q_sketch_set_ops,
+    "kg_assortativity": q_kg_assortativity,
+    "text_readability": q_text_readability,
     "kg_anchor_aliases": q_kg_anchor_aliases,
     "kg_char_sets": q_kg_char_sets,
     "corpus_quantile_sketch": q_corpus_quantile_sketch,
@@ -7606,6 +7823,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 _CHANGED_THIS_ROUND = [
     # --- round 4e: NEW operators (this session) ---
     "dedup_substring",       # NEW: content-defined exact-substring dedup
+    "text_c4_filters",       # NEW: C4 line/doc cleaning verdicts
+    "web_robots",            # NEW: robots.txt crawl-permission filter
+    "sketch_set_ops",        # NEW: KMV union/intersect/Jaccard estimates
+    "kg_assortativity",      # NEW: degree assortativity scalar
+    "text_readability",      # NEW: Flesch / FK-grade map stage
     # --- round 4d: NEW operators (this session) ---
     "kg_anchor_aliases",     # NEW: anchor-text alias dictionary + commonness
     "kg_char_sets",          # NEW: characteristic sets (entity shapes)
@@ -7711,6 +7933,11 @@ QUERIES = _risk_order(QUERIES)
 
 ORACLES: dict[str, str] = {
     "dedup_substring": SQL_DEDUP_SUBSTRING,
+    "text_c4_filters": SQL_TEXT_C4_FILTERS,
+    "web_robots": SQL_WEB_ROBOTS,
+    "sketch_set_ops": SQL_SKETCH_SET_OPS,
+    "kg_assortativity": SQL_KG_ASSORTATIVITY,
+    "text_readability": SQL_TEXT_READABILITY,
     "kg_anchor_aliases": SQL_KG_ANCHOR_ALIASES,
     "kg_char_sets": SQL_KG_CHAR_SETS,
     "corpus_quantile_sketch": SQL_CORPUS_QUANTILE_SKETCH,

@@ -2407,3 +2407,67 @@ SELECT n.t::INTEGER AS t, n.nf_est,
        round(n.nf_est / m.nf_est, 6) AS frac
 FROM ({union}) n, nf{max_t} m
 """
+
+
+def degree_assortativity(pairs: DataFrame) -> DataFrame:
+    """Degree assortativity (Newman 2002) of an undirected (a, b), a < b
+    edge list -> one row (n_edges, r): the Pearson correlation of
+    endpoint degrees over every directed edge stub — positive in social
+    graphs (hubs befriend hubs), negative in web/KG graphs (hubs link
+    leaves), the single scalar a crawl-health dashboard tracks per wave.
+
+    Scale shape: ONE degree aggregation (node-sized, broadcast back),
+    then corr() as an algebraic co-moment aggregate over the edge list —
+    partial-aggregated map-side, no sort, no window, nothing driver-side.
+    Each undirected edge contributes both (deg_a, deg_b) and
+    (deg_b, deg_a), making the correlation symmetric by construction.
+    """
+    e = pairs.select("a", "b").distinct()
+    sym = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+    da = F.broadcast(deg).withColumnsRenamed({"a": "a", "d": "deg_a"})
+    db = F.broadcast(deg).withColumnsRenamed({"a": "b", "d": "deg_b"})
+    stubs = sym.join(da, "a").join(db, "b")
+    # moments summed EXACTLY (decimal accumulators: a degree-10^6 hub on a
+    # 10^12-edge graph would overflow bigint sums), then ONE identical IEEE
+    # double sequence in both engines; nullif keeps constant-degree graphs
+    # (zero variance) NULL instead of an ANSI divide-by-zero
+    dec = "decimal(38,0)"
+    m = stubs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("deg_a").cast(dec)).alias("sx"),
+        F.sum(F.col("deg_b").cast(dec)).alias("sy"),
+        F.sum((F.col("deg_a") * F.col("deg_b")).cast(dec)).alias("sxy"),
+        F.sum((F.col("deg_a") * F.col("deg_a")).cast(dec)).alias("sxx"),
+        F.sum((F.col("deg_b") * F.col("deg_b")).cast(dec)).alias("syy"),
+    )
+    n, sx, sy = F.col("n").cast("double"), F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx, syy = (F.col(c).cast("double") for c in ("sxy", "sxx", "syy"))
+    den = F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return m.select(
+        (F.col("n") / 2).cast("long").alias("n_edges"),
+        F.round((n * sxy - sx * sy) / F.nullif(den, F.lit(0.0)), 6).alias("r"),
+    )
+
+
+def degree_assortativity_oracle_sql(pairs_sql: str) -> str:
+    """DuckDB reconstruction of :func:`degree_assortativity` (corr() is
+    the sample Pearson estimator in both engines)."""
+    return f"""
+WITH e AS (SELECT DISTINCT a, b FROM ({pairs_sql})),
+sym AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+deg AS (SELECT a, count(*)::BIGINT AS d FROM sym GROUP BY a),
+m AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(da.d)::DOUBLE AS sx, sum(db.d)::DOUBLE AS sy,
+         sum(da.d * db.d)::DOUBLE AS sxy,
+         sum(da.d * da.d)::DOUBLE AS sxx,
+         sum(db.d * db.d)::DOUBLE AS syy
+  FROM sym JOIN deg da ON da.a = sym.a JOIN deg db ON db.a = sym.b
+)
+SELECT (n / 2)::BIGINT AS n_edges,
+       round((n::DOUBLE * sxy - sx * sy)
+             / nullif(sqrt((n::DOUBLE * sxx - sx * sx)
+                           * (n::DOUBLE * syy - sy * sy)), 0.0), 6) AS r
+FROM m
+"""

@@ -461,3 +461,114 @@ SELECT grp, q, n::BIGINT AS n,
              * (bin + (ceil(q * n) - cum_prev) / cnt), 6) AS est
 FROM hit WHERE rk = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# KMV set operations: union / intersection / Jaccard between sketches
+# ---------------------------------------------------------------------------
+
+K_SETOPS = 256  # larger k than plain counting: intersection error ~ 1/sqrt(k)
+
+
+def kmv_set_ops(
+    df: DataFrame, set_col: str, value_col: str, k: int = K_SETOPS
+) -> DataFrame:
+    """Pairwise set-operation estimates from KMV sketches (Beyer et al.,
+    SIGMOD 2007) -> (sa, sb, n_m, rho, est_union, est_inter, jaccard_est)
+    for every pair of sets in ``set_col``.
+
+    The merged sketch M = k smallest hashes of S_a ∪ S_b estimates the
+    union like any KMV; rho = |{h ∈ M : h in BOTH sketches}| rescales it
+    into an intersection estimate, and rho/|M| IS the Jaccard estimate.
+    Everything is 60-bit md5-prefix integer math (the shared _hash60
+    convention), so DuckDB reproduces every hash, rank, and floor.
+
+    Scale shape: per-set sketches are two-phase aggregations whose state
+    is k longs (mergeable across partitions/days by construction); the
+    pairwise stage operates on #sets rows of k-long arrays — for the
+    dashboard-sized set counts this serves (languages, sources, crawls),
+    that table is broadcast-sized, while the raw sets it summarizes can
+    be 100 TB. No value text ever shuffles; only hashes.
+    """
+    d = df.select(F.col(set_col).alias("sid"), _hash60(F.col(value_col)).alias("h")).distinct()
+    w = Window.partitionBy("sid").orderBy("h")
+    kept = d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    sk = kept.groupBy("sid").agg(F.sort_array(F.collect_list("h")).alias("hs"))
+    a = sk.select(F.col("sid").alias("sa"), F.col("hs").alias("ha"))
+    b = sk.select(F.col("sid").alias("sb"), F.col("hs").alias("hb"))
+    pairs = a.crossJoin(b).filter(F.col("sa") < F.col("sb"))
+    kn = float(k - 1) * _TWO60
+    merged = F.slice(F.array_sort(F.array_distinct(F.concat("ha", "hb"))), 1, k)
+    # build incrementally so each lambda can reference the merged array
+    out = (
+        pairs.withColumn("mg", merged)
+        .withColumn(
+            "rho",
+            F.expr(
+                "size(filter(mg, x -> array_contains(ha, x) AND array_contains(hb, x)))"
+            ).cast("long"),
+        )
+        .withColumn("n_m", F.size("mg").cast("long"))
+        .withColumn("tau", F.element_at("mg", -1))
+        .withColumn(
+            "est_union",
+            F.when(F.col("n_m") < k, F.col("n_m"))
+            .otherwise(F.floor(F.lit(kn) / F.col("tau")))
+            .cast("long"),
+        )
+        .withColumn(
+            "est_inter",
+            F.floor(F.col("rho") * F.col("est_union") / F.col("n_m")).cast("long"),
+        )
+        .withColumn("jaccard_est", F.round(F.col("rho") / F.col("n_m"), 6))
+    )
+    return out.select(
+        "sa", "sb", "n_m", "rho", "est_union", "est_inter", "jaccard_est"
+    )
+
+
+def kmv_set_ops_oracle_sql(
+    source_sql: str, set_col: str, value_col: str, k: int = K_SETOPS
+) -> str:
+    """DuckDB reconstruction of :func:`kmv_set_ops`."""
+    kn = repr(float(k - 1) * _TWO60)
+    return f"""
+WITH d AS (
+  SELECT DISTINCT {set_col} AS sid,
+         ('0x' || substr(md5({value_col}), 1, 15))::BIGINT AS h
+  FROM ({source_sql})
+),
+r AS (
+  SELECT sid, h, row_number() OVER (PARTITION BY sid ORDER BY h) AS rn FROM d
+),
+sk AS (
+  SELECT sid, list(h ORDER BY h) AS hs FROM r WHERE rn <= {k} GROUP BY sid
+),
+p AS (
+  SELECT a.sid AS sa, b.sid AS sb, a.hs AS ha, b.hs AS hb
+  FROM sk a JOIN sk b ON a.sid < b.sid
+),
+m AS (
+  SELECT sa, sb, ha, hb,
+         list_sort(list_distinct(list_concat(ha, hb)))[1:{k}] AS mg
+  FROM p
+),
+s AS (
+  SELECT sa, sb,
+         len(mg)::BIGINT AS n_m,
+         len(list_filter(mg, x -> list_contains(ha, x)
+                                  AND list_contains(hb, x)))::BIGINT AS rho,
+         mg[len(mg)] AS tau
+  FROM m
+),
+est AS (
+  SELECT sa, sb, n_m, rho,
+         CASE WHEN n_m < {k} THEN n_m
+              ELSE floor({kn} / tau)::BIGINT END AS est_union
+  FROM s
+)
+SELECT sa, sb, n_m, rho, est_union,
+       floor(rho * est_union / n_m)::BIGINT AS est_inter,
+       round(rho / n_m, 6) AS jaccard_est
+FROM est
+"""

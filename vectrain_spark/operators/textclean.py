@@ -111,3 +111,50 @@ def remove_boilerplate_lines(
             F.md5(F.col("clean_text").cast("binary")).alias("clean_hash"),
         )
     )
+
+
+def c4_filters(docs: DataFrame) -> DataFrame:
+    """C4-style cleaning verdicts (Raffel et al. 2020, the heuristics
+    behind the Colossal Clean Crawled Corpus) over line-structured
+    (doc_id, text) documents -> one audit row per doc:
+
+    * line rule — a line SURVIVES iff it ends in terminal punctuation
+      (. ! ? or a closing quote), has >= 3 words, and does not mention
+      javascript;
+    * doc rules — the doc is dropped outright when it contains
+      "lorem ipsum" or a curly brace (code), or keeps < 3 lines.
+
+    Output: (doc_id, n_lines, n_kept, has_lorem, has_brace,
+    n_sentences, keep). n_sentences counts terminal-punctuation runs in
+    the SURVIVING lines — the C4 "at least 3 sentences" signal.
+
+    All rules are array/regexp expressions fused into the scan (one
+    projection, zero shuffles, zero Python) — at 100 TB this is a pure
+    map stage like gopher_rules, and the two filter families compose.
+    """
+    kept = F.expr(
+        r"""
+        filter(split(text, '\n'),
+               l -> l rlike '[.!?"]$'
+                    AND size(split(trim(l), ' ')) >= 3
+                    AND NOT lower(l) rlike 'javascript')
+        """
+    )
+    lower = F.lower(F.col("text"))
+    out = docs.select(
+        "doc_id",
+        F.size(F.split("text", "\n")).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        lower.contains("lorem ipsum").alias("has_lorem"),
+        (lower.contains("{") | lower.contains("}")).alias("has_brace"),
+        F.regexp_count(F.array_join(kept, "\n"), F.lit(r"[.!?]+"))
+        .cast("long")
+        .alias("n_sentences"),
+    )
+    return out.withColumn(
+        "keep",
+        (~F.col("has_lorem"))
+        & (~F.col("has_brace"))
+        & (F.col("n_kept") >= 3)
+        & (F.col("n_sentences") >= 3),
+    )

@@ -397,3 +397,32 @@ def bpe_pair_counts(docs: DataFrame, top_n: int = 50) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("pair"))
         .limit(top_n)
     )
+
+
+def readability(docs: DataFrame) -> DataFrame:
+    """Flesch reading-ease + Flesch-Kincaid grade per document -> (doc_id,
+    n_words, n_sentences, n_syllables, flesch, fk_grade): the classic
+    quality-mix signal a curriculum/mixture stage buckets on (alongside
+    gopher_rules' structural verdicts). Syllables use the standard
+    vowel-group approximation ([aeiouy]+ runs); sentence count is the
+    number of terminal-punctuation runs, floored at 1 so punctuation-free
+    fragments stay finite.
+
+    Pure JVM regexp_count projections fused into the scan — a map stage
+    with zero shuffles at any scale; DuckDB reproduces every count with
+    regexp_extract_all and the identical IEEE divide/round sequence.
+    """
+    t = F.lower(F.col("text"))
+    n_words = F.greatest(F.regexp_count(t, F.lit(r"[a-z0-9']+")), F.lit(1))
+    n_sent = F.greatest(F.regexp_count(t, F.lit(r"[.!?]+")), F.lit(1))
+    n_syl = F.greatest(F.regexp_count(t, F.lit(r"[aeiouy]+")), F.lit(1))
+    wps = n_words.cast("double") / n_sent.cast("double")
+    spw = n_syl.cast("double") / n_words.cast("double")
+    return docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        n_sent.cast("long").alias("n_sentences"),
+        n_syl.cast("long").alias("n_syllables"),
+        F.round(F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 4).alias("flesch"),
+        F.round(F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 4).alias("fk_grade"),
+    )

@@ -389,3 +389,34 @@ def anchor_aliases(pages: DataFrame, per_anchor_cap: int = 100) -> DataFrame:
         )
         .filter(F.col("rank") <= per_anchor_cap)
     )
+
+
+def robots_filter(frontier: DataFrame, rules: DataFrame) -> DataFrame:
+    """Crawl-permission filtering -> the subset of ``frontier`` (url)
+    rows a polite crawler may fetch, given parsed robots.txt ``rules``
+    (host, prefix): a url is blocked when ANY rule for its host is a
+    path prefix (robots longest-match reduces to any-match for pure
+    Disallow rule sets, which is what this models).
+
+    Scale shape: rules are bounded by the host count (a crawl's robots
+    corpus is ~10^7 tiny rows vs 10^12 candidate urls), so the rule
+    table BROADCASTS and the frontier streams through one broadcast
+    left_anti semi-join — the frontier itself never shuffles. Host and
+    path come from parse_url (JVM), the prefix test is startswith; no
+    regex per rule, no Python.
+    """
+    cand = frontier.select(
+        "url",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.coalesce(F.parse_url("url", F.lit("PATH")), F.lit("/")).alias("path"),
+    )
+    blocked = (
+        cand.join(F.broadcast(rules), "host")
+        .filter(F.col("path").startswith(F.col("prefix")))
+        .select("url")
+        .distinct()
+    )
+    return (
+        cand.join(blocked, "url", "left_anti")
+        .select("url", "host", "path")
+    )
