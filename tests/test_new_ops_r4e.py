@@ -55,3 +55,108 @@ def test_substring_posting_cap_drops_boilerplate(spark):
     )
     assert substring_dup_pairs(docs, max_posting=4).count() == 0
     assert substring_dup_pairs(docs).count() == 10
+
+
+def test_c4_filters_verdicts(spark):
+    from vectrain_spark.operators.textclean import c4_filters
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    "A first proper sentence ends here.\nshort\n"
+                    "Another good sentence follows!\nAnd a third one?",
+                    "Enable javascript to continue reading this page.\n"
+                    "Only one proper sentence remains here.",
+                    "lorem ipsum dolor sit amet fills this doc.\n"
+                    "A fine sentence one.\nA fine sentence two!\nA fine three?",
+                    "var f = function() { return 1; }\nGood sentence one.\n"
+                    "Good sentence two!\nGood sentence three?",
+                ],
+            }
+        )
+    )
+    out = c4_filters(docs).toPandas().set_index("doc_id")
+    assert bool(out.loc[1].keep) and out.loc[1].n_kept == 3
+    # javascript line dropped -> only 1 kept line -> doc fails
+    assert out.loc[2].n_kept == 1 and not bool(out.loc[2].keep)
+    assert bool(out.loc[3].has_lorem) and not bool(out.loc[3].keep)
+    assert bool(out.loc[4].has_brace) and not bool(out.loc[4].keep)
+
+
+def test_robots_filter_prefix_semantics(spark):
+    from vectrain_spark.operators.webcorpus import robots_filter
+
+    frontier = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "url": [
+                    "https://a.example/private/page1",
+                    "https://a.example/public/page2",
+                    "https://b.example/private/page3",  # b has no rules
+                    "https://a.example/priv",           # shorter than prefix
+                ]
+            }
+        )
+    )
+    rules = spark.createDataFrame(
+        pd.DataFrame({"host": ["a.example"], "prefix": ["/private"]})
+    )
+    got = sorted(r.url for r in robots_filter(frontier, rules).collect())
+    assert got == [
+        "https://a.example/priv",
+        "https://a.example/public/page2",
+        "https://b.example/private/page3",
+    ]
+
+
+def test_kmv_set_ops_small_sets_are_exact(spark):
+    """Below k the merged sketch has seen everything: union is exact and
+    the intersection estimate equals the true intersection."""
+    from vectrain_spark.operators.sketch import kmv_set_ops
+
+    rows = [("A", f"v{i}") for i in range(40)] + [
+        ("B", f"v{i}") for i in range(20, 70)
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["sid", "v"]))
+    out = kmv_set_ops(df, "sid", "v").toPandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r.est_union == 70 and r.est_inter == 20
+    assert abs(r.jaccard_est - 20 / 70) < 1e-6
+
+
+def test_degree_assortativity_star_is_negative(spark):
+    """A star graph is maximally disassortative: every edge pairs the
+    hub (deg n) with a leaf (deg 1) -> r = -1 exactly."""
+    from vectrain_spark.operators.graph import degree_assortativity
+
+    # star alone has zero variance once symmetrized? no: stubs are
+    # (n,1) and (1,n) mirrored -> r = -1; add no extra edges
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"a": [0, 0, 0, 0], "b": [1, 2, 3, 4]})
+    )
+    out = degree_assortativity(pairs).collect()[0]
+    assert out.n_edges == 4 and out.r == -1.0
+
+
+def test_readability_monotone_in_complexity(spark):
+    from vectrain_spark.operators.textstats import readability
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "The cat sat. The dog ran. It was fun.",
+                    "Extraordinarily convoluted administrative prerequisites "
+                    "necessitate interdepartmental coordination procedures.",
+                    "no punctuation at all here",
+                ],
+            }
+        )
+    )
+    out = readability(docs).toPandas().set_index("doc_id")
+    assert out.loc[1].flesch > out.loc[2].flesch
+    assert out.loc[3].n_sentences == 1  # floored, stays finite
