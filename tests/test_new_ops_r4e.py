@@ -160,3 +160,38 @@ def test_readability_monotone_in_complexity(spark):
     out = readability(docs).toPandas().set_index("doc_id")
     assert out.loc[1].flesch > out.loc[2].flesch
     assert out.loc[3].n_sentences == 1  # floored, stays finite
+
+
+def test_schema_evolution_rename_add_and_guards(spark, tmp_path):
+    from vectrain_spark.catalog import Catalog
+
+    cat = Catalog(str(tmp_path / "cat"))
+    b1 = spark.createDataFrame(
+        pd.DataFrame({"id": [1, 2], "size": [10, 20]})
+    )
+    s1 = cat.write_evolving("t", b1, mode="replace")
+    cat.rename_column("t", "size", "length")
+    cat.add_column("t", "score", "double", default=0.5)
+    b2 = spark.createDataFrame(
+        pd.DataFrame({"id": [3], "length": [30], "score": [0.9]})
+    )
+    cat.write_evolving("t", b2)
+
+    got = (
+        cat.read_evolved(spark, "t").toPandas().sort_values("id").reset_index(drop=True)
+    )
+    assert list(got.columns) == ["id", "length", "score"]
+    assert got.length.tolist() == [10, 20, 30]
+    assert got.score.tolist() == [0.5, 0.5, 0.9]
+
+    # time travel to the pre-evolution snapshot sees the original name
+    old = cat.read_evolved(spark, "t", snapshot_id=s1)
+    assert list(old.columns) == ["id", "size"]
+
+    # guards: stale-schema append, double rename, duplicate add
+    with pytest.raises(ValueError, match="use rename_column"):
+        cat.write_evolving("t", b1)  # still says 'size'
+    with pytest.raises(ValueError, match="no column"):
+        cat.rename_column("t", "size", "width")
+    with pytest.raises(ValueError, match="already exists"):
+        cat.add_column("t", "score", "double")

@@ -705,6 +705,176 @@ class Catalog:
     def drop(self, table: str) -> None:
         shutil.rmtree(self._tdir(table), ignore_errors=True)
 
+    # -- schema evolution (field-id mapping, the Iceberg v2/v3 contract) --
+    #
+    # merge_schema=True on read() already covers append-only widening; the
+    # methods below add the parts that need FIELD IDS rather than names:
+    # rename (old files' data must surface under the new name) and
+    # add-column-with-default (Iceberg v3 initial-default — rows written
+    # before the column existed read the default, not NULL). Manifests
+    # gain a "schema" key: {"fields": [{id, name, type, default}],
+    # "dir_cols": {data_dir: {name_at_write: id}}}. Metadata-only commits
+    # (rename/add) ride the same optimistic _commit_manifest loop as data.
+
+    def _schema_of(self, table: str, snap: int | None = None) -> dict:
+        head = snap if snap is not None else self._head(table)
+        if head is None:
+            raise FileNotFoundError(f"table {table} has no committed snapshot")
+        m = self._manifest(table, head)
+        if "schema" not in m:
+            raise ValueError(f"table {table} was not written with write_evolving")
+        return m["schema"]
+
+    def write_evolving(
+        self, table: str, df: DataFrame, mode: str = "append"
+    ) -> int:
+        """write() variant that registers field ids: the first commit
+        assigns ids 1..n in df column order; later appends must present
+        exactly the CURRENT schema names (evolution happens via
+        rename_column/add_column, never by sneaking columns into a
+        write — the Iceberg writer contract)."""
+        assert mode in ("append", "replace")
+        data_dir = os.path.join(self._tdir(table), "data", f"w-{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(data_dir)
+        dtypes = dict(df.dtypes)
+
+        def build(parent: int | None) -> dict:
+            if mode == "append" and parent is not None:
+                pm = self._manifest(table, parent)
+                schema = pm.get("schema")
+                if schema is None:
+                    raise ValueError(
+                        f"table {table} predates write_evolving; replace it"
+                    )
+                names = [f["name"] for f in schema["fields"]]
+                if sorted(df.columns) != sorted(names):
+                    raise ValueError(
+                        f"append schema {sorted(df.columns)} != table schema "
+                        f"{sorted(names)}; use rename_column/add_column to evolve"
+                    )
+                dirs = pm["data_dirs"] + [data_dir]
+                dir_cols = dict(
+                    schema["dir_cols"],
+                    **{data_dir: {f["name"]: f["id"] for f in schema["fields"]}},
+                )
+                fields = schema["fields"]
+            else:
+                fields = [
+                    {"id": i + 1, "name": c, "type": dtypes[c], "default": None}
+                    for i, c in enumerate(df.columns)
+                ]
+                dirs = [data_dir]
+                dir_cols = {data_dir: {f["name"]: f["id"] for f in fields}}
+            return {
+                "op": mode,
+                "data_dirs": dirs,
+                "meta": {},
+                "schema": {"fields": fields, "dir_cols": dir_cols},
+            }
+
+        with self._commit_lock:
+            return self._commit_manifest(table, build)
+
+    def rename_column(self, table: str, old: str, new: str) -> int:
+        """Metadata-only commit renaming a field IN PLACE (same id): data
+        files are untouched; reads map the old on-disk name to ``new``
+        through the id. O(1) regardless of table size — the whole point
+        of id-based mapping."""
+
+        def build(parent: int | None) -> dict:
+            if parent is None:
+                raise FileNotFoundError(f"table {table} has no committed snapshot")
+            pm = self._manifest(table, parent)
+            schema = self._require_schema(pm, table)
+            names = [f["name"] for f in schema["fields"]]
+            if old not in names:
+                raise ValueError(f"no column {old!r} in {names}")
+            if new in names:
+                raise ValueError(f"column {new!r} already exists")
+            fields = [
+                dict(f, name=new) if f["name"] == old else f
+                for f in schema["fields"]
+            ]
+            return {
+                "op": "evolve",
+                "data_dirs": pm["data_dirs"],
+                "meta": {"rename": [old, new]},
+                "schema": {"fields": fields, "dir_cols": schema["dir_cols"]},
+            }
+
+        with self._commit_lock:
+            return self._commit_manifest(table, build)
+
+    def add_column(
+        self, table: str, name: str, dtype: str, default=None
+    ) -> int:
+        """Metadata-only commit adding a field with an Iceberg-v3-style
+        initial default: rows in files written BEFORE this commit read
+        ``default`` (not NULL); files written after carry real values."""
+
+        def build(parent: int | None) -> dict:
+            if parent is None:
+                raise FileNotFoundError(f"table {table} has no committed snapshot")
+            pm = self._manifest(table, parent)
+            schema = self._require_schema(pm, table)
+            if name in [f["name"] for f in schema["fields"]]:
+                raise ValueError(f"column {name!r} already exists")
+            next_id = max(f["id"] for f in schema["fields"]) + 1
+            fields = schema["fields"] + [
+                {"id": next_id, "name": name, "type": dtype, "default": default}
+            ]
+            return {
+                "op": "evolve",
+                "data_dirs": pm["data_dirs"],
+                "meta": {"add": name},
+                "schema": {"fields": fields, "dir_cols": schema["dir_cols"]},
+            }
+
+        with self._commit_lock:
+            return self._commit_manifest(table, build)
+
+    @staticmethod
+    def _require_schema(manifest: dict, table: str) -> dict:
+        schema = manifest.get("schema")
+        if schema is None:
+            raise ValueError(f"table {table} was not written with write_evolving")
+        return schema
+
+    def read_evolved(
+        self, spark: SparkSession, table: str, snapshot_id: int | None = None
+    ) -> DataFrame:
+        """Read through the field-id mapping: per data dir, on-disk names
+        rewrite to current names via their ids, columns added after the
+        file was written fill with the field's initial default, and the
+        union presents one canonical schema. Per-dir plans stay pure
+        column projections (rename/withColumn fold into the scan — no
+        shuffle, no Python), so evolution costs nothing at read time."""
+        head = snapshot_id if snapshot_id is not None else self._head(table)
+        if head is None:
+            raise FileNotFoundError(f"table {table} has no committed snapshot")
+        m = self._manifest(table, head)
+        schema = self._require_schema(m, table)
+        by_id = {f["id"]: f for f in schema["fields"]}
+        parts: list[DataFrame] = []
+        for d in m["data_dirs"]:
+            df = spark.read.parquet(d)
+            cols = []
+            id_by_written_name = schema["dir_cols"][d]
+            name_by_id = {v: k for k, v in id_by_written_name.items()}
+            for f in schema["fields"]:
+                written = name_by_id.get(f["id"])
+                if written is not None:
+                    cols.append(F.col(written).alias(f["name"]))
+                else:
+                    cols.append(
+                        F.lit(f["default"]).cast(f["type"]).alias(f["name"])
+                    )
+            parts.append(df.select(*cols))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
 
 class GroupManifest:
     """Resumable-checkpoint manifest (Z3): which input bucket-groups are done.

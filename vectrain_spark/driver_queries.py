@@ -7632,9 +7632,53 @@ FROM c
 """
 
 
+def q_catalog_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-id schema evolution on the snapshot catalog (the Iceberg
+    v2/v3 contract beyond mergeSchema): batch 1 commits (doc_id, lang,
+    size); 'size' is RENAMED to 'length' (metadata-only, same field id)
+    and 'score' is ADDED with initial default 0.5 (v3 semantics: old
+    rows read the default, not NULL); batch 2 appends real scores. The
+    evolved read must surface batch-1 data under the new name with the
+    default filled — checked against an oracle that constructs the final
+    table directly."""
+    import shutil
+
+    from .catalog import Catalog
+
+    base = "/tmp/vectrain_evolution_gate"
+    shutil.rmtree(base, ignore_errors=True)
+    cat = Catalog(base)
+    docs = _docs(spark, sf_dir)
+    b1 = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", "lang", F.col("n_chars").alias("size")
+    )
+    cat.write_evolving("docs", b1, mode="replace")
+    cat.rename_column("docs", "size", "length")
+    cat.add_column("docs", "score", "double", default=0.5)
+    b2 = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").alias("length"),
+        F.round((F.col("doc_id") % 100) / 100.0, 2).alias("score"),
+    )
+    cat.write_evolving("docs", b2)
+    return cat.read_evolved(spark, "docs")
+
+
+SQL_CATALOG_EVOLUTION = """
+SELECT doc_id, lang, n_chars AS length, 0.5 AS score
+FROM documents WHERE doc_id % 2 = 0
+UNION ALL
+SELECT doc_id, lang, n_chars AS length,
+       round((doc_id % 100) / 100.0, 2) AS score
+FROM documents WHERE doc_id % 2 = 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_substring": q_dedup_substring,
     "text_c4_filters": q_text_c4_filters,
+    "catalog_evolution": q_catalog_evolution,
     "web_robots": q_web_robots,
     "sketch_set_ops": q_sketch_set_ops,
     "kg_assortativity": q_kg_assortativity,
@@ -7824,6 +7868,7 @@ _CHANGED_THIS_ROUND = [
     # --- round 4e: NEW operators (this session) ---
     "dedup_substring",       # NEW: content-defined exact-substring dedup
     "text_c4_filters",       # NEW: C4 line/doc cleaning verdicts
+    "catalog_evolution",     # NEW: field-id rename + default-filled add
     "web_robots",            # NEW: robots.txt crawl-permission filter
     "sketch_set_ops",        # NEW: KMV union/intersect/Jaccard estimates
     "kg_assortativity",      # NEW: degree assortativity scalar
@@ -7934,6 +7979,7 @@ QUERIES = _risk_order(QUERIES)
 ORACLES: dict[str, str] = {
     "dedup_substring": SQL_DEDUP_SUBSTRING,
     "text_c4_filters": SQL_TEXT_C4_FILTERS,
+    "catalog_evolution": SQL_CATALOG_EVOLUTION,
     "web_robots": SQL_WEB_ROBOTS,
     "sketch_set_ops": SQL_SKETCH_SET_OPS,
     "kg_assortativity": SQL_KG_ASSORTATIVITY,
