@@ -1,0 +1,48 @@
+"""Unit tests for round-4f operators."""
+
+from __future__ import annotations
+
+import pytest
+
+from vectrain_spark.operators.graph import local_clustering
+
+
+def test_local_clustering_shapes(spark):
+    # triangle {1,2,3} + pendant 4 hanging off 3 + isolated star 10-(11..14)
+    edges = [
+        (1, 2), (1, 3), (2, 3),          # triangle
+        (3, 4),                          # pendant
+        (10, 11), (10, 12), (10, 13), (10, 14),  # star
+    ]
+    pairs = spark.createDataFrame(edges, "a int, b int")
+    got = {r["id"]: r for r in local_clustering(pairs).collect()}
+
+    # triangle corners 1 and 2: deg 2, 1 triangle, coefficient 1.0
+    assert got[1]["deg"] == 2 and got[1]["triangles"] == 1
+    assert got[1]["clustering"] == 1.0
+    # node 3: deg 3 (two triangle edges + pendant), 1 triangle of C(3,2)=3
+    assert got[3]["deg"] == 3 and got[3]["triangles"] == 1
+    assert got[3]["clustering"] == pytest.approx(1 / 3, abs=1e-6)
+    # pendant 4: deg 1 -> defined as 0.0, no NULL/deg-0 division
+    assert got[4]["deg"] == 1 and got[4]["triangles"] == 0
+    assert got[4]["clustering"] == 0.0
+    # star center: high degree, zero triangles -> 0.0 (hub-noise signature)
+    assert got[10]["deg"] == 4 and got[10]["triangles"] == 0
+    assert got[10]["clustering"] == 0.0
+    # every node of the input appears exactly once
+    assert sorted(got) == [1, 2, 3, 4, 10, 11, 12, 13, 14]
+
+
+def test_local_clustering_matches_triangle_counts(spark):
+    # the coefficient's numerator must agree with triangle_counts exactly
+    from vectrain_spark.operators.graph import triangle_counts
+
+    edges = [(a, b) for a in range(1, 8) for b in range(a + 1, 8)
+             if (a * 7 + b) % 3 != 0]
+    pairs = spark.createDataFrame(edges, "a int, b int")
+    lc = {r["id"]: r["triangles"] for r in local_clustering(pairs).collect()}
+    tc = {r["id"]: r["triangles"] for r in triangle_counts(pairs).collect()}
+    for node, tri in tc.items():
+        assert lc[node] == tri
+    for node, tri in lc.items():
+        assert tc.get(node, 0) == tri

@@ -1214,6 +1214,18 @@ def _graph_pairs_sql() -> tuple[str, str, str, str, str]:
     )
 
 
+def q_kg_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient over the co-mention graph:
+    the community-vs-hub-noise separator (a navigation-boilerplate
+    entity has huge degree but clustering ~0; a topic clique clusters
+    near 1). Degree-oriented wedge enumeration on the Spark side vs a
+    brute a<b<c three-way-join DuckDB oracle."""
+    from .operators.graph import co_mentions, local_clustering
+
+    pairs = co_mentions(_materialized_edges(spark, sf_dir)).select("a", "b")
+    return local_clustering(pairs)
+
+
 def q_kg_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental connected components over the co-mention graph: a
     hash-chosen quarter of the edges arrives as a later wave; the old
@@ -1503,6 +1515,13 @@ SQL_KG_PAGERANK_WEIGHTED = _pagerank_sql(weight_sql="cnt")
     SQL_KG_ADAMIC_ADAR,
     SQL_KG_TRUSS,
 ) = _graph_pairs_sql()
+def _clustering_sql() -> str:
+    from .operators.graph import local_clustering_oracle_sql
+
+    return local_clustering_oracle_sql(f"SELECT a, b FROM ({SQL_KG_COOCCUR})")
+
+
+SQL_KG_CLUSTERING = _clustering_sql()
 SQL_KG_CC_INCREMENTAL = SQL_KG_CC_INCREMENTAL_TPL.format(
     pairs=f"SELECT a, b FROM ({SQL_KG_COOCCUR})"
 )
@@ -7723,6 +7742,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_kcore": q_kg_kcore,
     "kg_neighbor_jaccard": q_kg_neighbor_jaccard,
     "kg_adamic_adar": q_kg_adamic_adar,
+    "kg_clustering": q_kg_clustering,
     "kg_truss": q_kg_truss,
     "kg_cc_incremental": q_kg_cc_incremental,
     "kg_hits": q_kg_hits,
@@ -7865,6 +7885,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # never verified (past the r2 cutoff; locally gate-replica-green), (3)
 # then the twice-driver-verified stable tail in original order.
 _CHANGED_THIS_ROUND = [
+    # --- round 4f: NEW operators (this session) ---
+    "kg_clustering",         # NEW: per-node local clustering coefficient
     # --- round 4e: NEW operators (this session) ---
     "dedup_substring",       # NEW: content-defined exact-substring dedup
     "text_c4_filters",       # NEW: C4 line/doc cleaning verdicts
@@ -8024,6 +8046,7 @@ ORACLES: dict[str, str] = {
     "kg_kcore": SQL_KG_KCORE,
     "kg_neighbor_jaccard": SQL_KG_NEIGHBOR_JACCARD,
     "kg_adamic_adar": SQL_KG_ADAMIC_ADAR,
+    "kg_clustering": SQL_KG_CLUSTERING,
     "kg_truss": SQL_KG_TRUSS,
     "kg_cc_incremental": SQL_KG_CC_INCREMENTAL,
     "kg_hits": SQL_KG_HITS,
