@@ -33,6 +33,52 @@ def test_local_clustering_shapes(spark):
     assert sorted(got) == [1, 2, 3, 4, 10, 11, 12, 13, 14]
 
 
+def test_rotate_scores_math(spark):
+    """With a ONE-row embedding matrix every md5 lookup resolves to the
+    same vector v, so score(h,r,t) = -||v o rot(v) - v|| is computable
+    by hand: replay the exact fold (8-dp-rounded cos/sin, left-to-right
+    sum, clamp, 6-dp round) in pure Python and demand equality."""
+    import math
+
+    from vectrain_spark.operators.graph import rotate_scores
+
+    v = [0.25, -1.5, 2.0, 0.75, -0.5, 1.25]  # d=6 -> 3 complex pairs
+    emb = spark.createDataFrame(
+        [(0, v)], "vec_id long, embedding array<double>"
+    )
+    edges = spark.createDataFrame(
+        [("e1", "p", "e2", 1)], "src string, pred string, dst string, cnt int"
+    )
+    got = rotate_scores(edges, emb, k=5).collect()
+    assert len(got) == 1
+
+    acc = 0.0
+    for i in range(3):
+        r_re = round(math.cos(v[i]), 8)
+        r_im = round(math.sin(v[i]), 8)
+        d_re = v[2 * i] * r_re - v[2 * i + 1] * r_im - v[2 * i]
+        d_im = v[2 * i] * r_im + v[2 * i + 1] * r_re - v[2 * i + 1]
+        acc = acc + (d_re * d_re + d_im * d_im)
+    expect = round(-math.sqrt(max(acc, 0.0)), 6)
+    assert got[0]["score"] == pytest.approx(expect, abs=1e-9)
+    assert got[0]["rank"] == 1
+
+
+def test_rotate_zero_phase_is_translation_free(spark):
+    """Zero phases rotate by identity, so any (h, h) self-edge scores
+    exactly 0 — the rotation family's symmetry fixpoint."""
+    from vectrain_spark.operators.graph import rotate_scores
+
+    emb = spark.createDataFrame(
+        [(0, [0.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    edges = spark.createDataFrame(
+        [("a", "self", "a", 1)], "src string, pred string, dst string, cnt int"
+    )
+    got = rotate_scores(edges, emb, k=5).collect()
+    assert len(got) == 1 and got[0]["score"] == 0.0
+
+
 def test_local_clustering_matches_triangle_counts(spark):
     # the coefficient's numerator must agree with triangle_counts exactly
     from vectrain_spark.operators.graph import triangle_counts

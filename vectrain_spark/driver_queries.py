@@ -6236,6 +6236,65 @@ SELECT src, pred, dst, score, rnk::BIGINT AS rank FROM ranked WHERE rnk <= 5
 """
 
 
+def q_kg_rotate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RotatE complex-rotation scoring (Sun et al. 2019) of the
+    materialized edges — the composition/inversion-capable third member
+    of the scorer ensemble (TransE translation, DistMult bilinear).
+    Same salted-md5 matrix lookup; each rotation component rounded to 8
+    decimals before arithmetic so JVM and DuckDB libm differences can
+    never reach the fold; two-phase per-predicate top-k."""
+    from .operators.graph import rotate_scores
+
+    return rotate_scores(
+        _materialized_edges(spark, sf_dir), _emb(spark, sf_dir)
+    )
+
+
+SQL_KG_ROTATE_TPL = """
+WITH e0 AS MATERIALIZED (SELECT DISTINCT src, pred, dst FROM ({edges})),
+v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings),
+nv AS (SELECT count(*) AS n FROM v),
+ids AS (
+  SELECT src, pred, dst,
+    ('0x' || substr(md5(src || '|e'), 1, 15))::BIGINT % (SELECT n FROM nv) AS h_id,
+    ('0x' || substr(md5(pred || '|r'), 1, 15))::BIGINT % (SELECT n FROM nv) AS r_id,
+    ('0x' || substr(md5(dst || '|e'), 1, 15))::BIGINT % (SELECT n FROM nv) AS t_id
+  FROM e0
+),
+scored AS (
+  SELECT i.src, i.pred, i.dst,
+         round(-sqrt(greatest(list_reduce(
+             list_transform(range(0, length(vh.emb) // 2), i -> (
+               (vh.emb[2*i+1] * round(cos(vr.emb[i+1]), 8)
+                - vh.emb[2*i+2] * round(sin(vr.emb[i+1]), 8)
+                - vt.emb[2*i+1])
+               * (vh.emb[2*i+1] * round(cos(vr.emb[i+1]), 8)
+                  - vh.emb[2*i+2] * round(sin(vr.emb[i+1]), 8)
+                  - vt.emb[2*i+1])
+               + (vh.emb[2*i+1] * round(sin(vr.emb[i+1]), 8)
+                  + vh.emb[2*i+2] * round(cos(vr.emb[i+1]), 8)
+                  - vt.emb[2*i+2])
+                 * (vh.emb[2*i+1] * round(sin(vr.emb[i+1]), 8)
+                    + vh.emb[2*i+2] * round(cos(vr.emb[i+1]), 8)
+                    - vt.emb[2*i+2])
+             )),
+             (a, b) -> a + b), 0.0)), 6) AS score
+  FROM ids i
+  JOIN v vh ON vh.vec_id = i.h_id
+  JOIN v vr ON vr.vec_id = i.r_id
+  JOIN v vt ON vt.vec_id = i.t_id
+),
+ranked AS (
+  SELECT src, pred, dst, score,
+         row_number() OVER (PARTITION BY pred
+                            ORDER BY score DESC, src, dst) AS rnk
+  FROM scored
+)
+SELECT src, pred, dst, score, rnk::BIGINT AS rank FROM ranked WHERE rnk <= 5
+"""
+
+
 def q_kg_ntriples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-Triples serialization of the canonical edge table (W3C RDF 1.1
     interop — the bulk-load format of every triple store): map-only JVM
@@ -6709,6 +6768,7 @@ def _r4c_sqls() -> tuple[str, str, str]:
 
 SQL_KG_RECIPROCITY, SQL_KG_NTRIPLES, SQL_SAMPLE_WEIGHTED = _r4c_sqls()
 SQL_KG_DISTMULT = SQL_KG_DISTMULT_TPL.format(edges=SQL_KG_EDGES)
+SQL_KG_ROTATE = SQL_KG_ROTATE_TPL.format(edges=SQL_KG_EDGES)
 
 
 # ---------------------------------------------------------------------------
@@ -7868,6 +7928,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "olap_shipping_priority": q_olap_shipping_priority,
     "kg_reciprocity": q_kg_reciprocity,
     "kg_distmult": q_kg_distmult,
+    "kg_rotate": q_kg_rotate,
     "kg_ntriples": q_kg_ntriples,
     "sample_weighted": q_sample_weighted,
     "olap_market_share": q_olap_market_share,
@@ -7887,6 +7948,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 _CHANGED_THIS_ROUND = [
     # --- round 4f: NEW operators (this session) ---
     "kg_clustering",         # NEW: per-node local clustering coefficient
+    "kg_rotate",             # NEW: RotatE complex-rotation KG scorer
     # --- round 4e: NEW operators (this session) ---
     "dedup_substring",       # NEW: content-defined exact-substring dedup
     "text_c4_filters",       # NEW: C4 line/doc cleaning verdicts
@@ -8185,6 +8247,7 @@ ORACLES: dict[str, str] = {
     "olap_shipping_priority": SQL_OLAP_SHIPPING_PRIORITY,
     "kg_reciprocity": SQL_KG_RECIPROCITY,
     "kg_distmult": SQL_KG_DISTMULT,
+    "kg_rotate": SQL_KG_ROTATE,
     "kg_ntriples": SQL_KG_NTRIPLES,
     "sample_weighted": SQL_SAMPLE_WEIGHTED,
     "olap_market_share": SQL_OLAP_MARKET_SHARE,

@@ -1635,6 +1635,56 @@ def distmult_scores(
     return _pred_topk(scored, k, buckets)
 
 
+def rotate_scores(
+    edges: DataFrame, embeddings: DataFrame, k: int = 5, buckets: int = 64
+) -> DataFrame:
+    """RotatE plausibility scoring (Sun et al. ICLR 2019) of
+    materialized KG edges: entities are complex vectors (the embedding's
+    2i/2i+1 slots are the i-th re/im pair), the relation is a PHASE
+    vector (the first d/2 slots of its embedding, each an angle theta_i
+    defining the unit rotation e^{i*theta}), and
+    score(h, r, t) = -||h o r - t||_2 with o the elementwise complex
+    product — the rotation family models composition, inversion AND
+    symmetry, completing the scorer ensemble next to
+    :func:`transe_scores` (translation) and :func:`distmult_scores`
+    (bilinear-diagonal).
+
+    Cross-engine determinism: cos/sin come from different libm builds in
+    the JVM and DuckDB, so each rotation component is rounded to 8
+    decimals BEFORE any arithmetic (both engines then fold identical
+    doubles in identical index order — the same per-iteration-rounding
+    trick pagerank uses); the squared distance accumulates as one left
+    fold, clamped at 0 before the root (NaN sorts above every real score
+    in DESC order in both engines).
+
+    Scale shape: identical to TransE — three co-partitioned hash-joins
+    against the embedding matrix (:func:`_triple_embeddings`), then a
+    pure whole-stage-codegen fold (no Python, no shuffle), then the
+    two-phase per-predicate top-k (:func:`_pred_topk`, no predicate-hub
+    window)."""
+    e = _triple_embeddings(edges, embeddings)
+    m = (F.size("h") / 2).cast("int")
+
+    def _term(acc, i):
+        h_re = F.element_at("h", (i * 2 + 1).cast("int"))
+        h_im = F.element_at("h", (i * 2 + 2).cast("int"))
+        t_re = F.element_at("t", (i * 2 + 1).cast("int"))
+        t_im = F.element_at("t", (i * 2 + 2).cast("int"))
+        theta = F.element_at("r", (i + 1).cast("int"))
+        r_re = F.round(F.cos(theta), 8)
+        r_im = F.round(F.sin(theta), 8)
+        d_re = h_re * r_re - h_im * r_im - t_re
+        d_im = h_re * r_im + h_im * r_re - t_im
+        return acc + (d_re * d_re + d_im * d_im)
+
+    d2 = F.aggregate(F.sequence(F.lit(0), m - 1), F.lit(0.0), _term)
+    scored = e.select(
+        "src", "pred", "dst",
+        F.round(-F.sqrt(F.greatest(d2, F.lit(0.0))), 6).alias("score"),
+    )
+    return _pred_topk(scored, k, buckets)
+
+
 def transe_train_epoch(
     edges: DataFrame,
     embeddings: DataFrame,
