@@ -79,6 +79,42 @@ def test_rotate_zero_phase_is_translation_free(spark):
     assert len(got) == 1 and got[0]["score"] == 0.0
 
 
+def test_wl_colors_structural_roles(spark):
+    """P3 path: the two ends are isomorphic (same color), the middle is
+    not; star: center vs leaves split into exactly two colors."""
+    from vectrain_spark.operators.graph import wl_refinement
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (10, 12), (10, 13)], "a int, b int"
+    )
+    got = {r["id"]: r["color"] for r in wl_refinement(pairs, rounds=2).collect()}
+    assert got[1] == got[3] and got[1] != got[2]
+    assert got[11] == got[12] == got[13] and got[10] != got[11]
+    # path nodes and star leaves have different 2-ball structure
+    assert got[1] != got[11]
+
+
+def test_wl_colors_mirror_graphs_match(spark):
+    """Two disjoint copies of the same graph (a mirror site's template
+    subgraph) produce IDENTICAL color multisets — the dedup-blocking
+    property the operator exists for."""
+    from collections import Counter
+
+    from vectrain_spark.operators.graph import wl_refinement
+
+    copy_a = [(1, 2), (2, 3), (1, 3), (3, 4)]          # triangle + pendant
+    copy_b = [(101, 102), (102, 103), (101, 103), (103, 104)]
+    pairs = spark.createDataFrame(copy_a + copy_b, "a int, b int")
+    got = wl_refinement(pairs, rounds=2).collect()
+    ca = Counter(r["color"] for r in got if r["id"] < 100)
+    cb = Counter(r["color"] for r in got if r["id"] > 100)
+    assert ca == cb
+    # and within one copy, the pendant differs from the triangle corners
+    colors_a = {r["id"]: r["color"] for r in got if r["id"] < 100}
+    assert colors_a[4] != colors_a[1]
+    assert colors_a[1] == colors_a[2]  # the two symmetric corners agree
+
+
 def test_local_clustering_matches_triangle_counts(spark):
     # the coefficient's numerator must agree with triangle_counts exactly
     from vectrain_spark.operators.graph import triangle_counts

@@ -1226,6 +1226,18 @@ def q_kg_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     return local_clustering(pairs)
 
 
+def q_kg_wl_colors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-WL color refinement (2 rounds) over the co-mention graph:
+    structural-role signatures for template/mirror detection and
+    graph-dedup blocking. Hub-safe order-independent multiset hash
+    (algebraic sum, map-side combine) instead of the canonical sorted
+    collect_list; DuckDB replays the identical hash chain."""
+    from .operators.graph import co_mentions, wl_refinement
+
+    pairs = co_mentions(_materialized_edges(spark, sf_dir)).select("a", "b")
+    return wl_refinement(pairs, rounds=2)
+
+
 def q_kg_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental connected components over the co-mention graph: a
     hash-chosen quarter of the edges arrives as a later wave; the old
@@ -1522,6 +1534,17 @@ def _clustering_sql() -> str:
 
 
 SQL_KG_CLUSTERING = _clustering_sql()
+
+
+def _wl_sql() -> str:
+    from .operators.graph import wl_refinement_oracle_sql
+
+    return wl_refinement_oracle_sql(
+        f"SELECT a, b FROM ({SQL_KG_COOCCUR})", rounds=2
+    )
+
+
+SQL_KG_WL_COLORS = _wl_sql()
 SQL_KG_CC_INCREMENTAL = SQL_KG_CC_INCREMENTAL_TPL.format(
     pairs=f"SELECT a, b FROM ({SQL_KG_COOCCUR})"
 )
@@ -7803,6 +7826,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_neighbor_jaccard": q_kg_neighbor_jaccard,
     "kg_adamic_adar": q_kg_adamic_adar,
     "kg_clustering": q_kg_clustering,
+    "kg_wl_colors": q_kg_wl_colors,
     "kg_truss": q_kg_truss,
     "kg_cc_incremental": q_kg_cc_incremental,
     "kg_hits": q_kg_hits,
@@ -7949,6 +7973,7 @@ _CHANGED_THIS_ROUND = [
     # --- round 4f: NEW operators (this session) ---
     "kg_clustering",         # NEW: per-node local clustering coefficient
     "kg_rotate",             # NEW: RotatE complex-rotation KG scorer
+    "kg_wl_colors",          # NEW: 1-WL structural-role refinement
     # --- round 4e: NEW operators (this session) ---
     "dedup_substring",       # NEW: content-defined exact-substring dedup
     "text_c4_filters",       # NEW: C4 line/doc cleaning verdicts
@@ -8109,6 +8134,7 @@ ORACLES: dict[str, str] = {
     "kg_neighbor_jaccard": SQL_KG_NEIGHBOR_JACCARD,
     "kg_adamic_adar": SQL_KG_ADAMIC_ADAR,
     "kg_clustering": SQL_KG_CLUSTERING,
+    "kg_wl_colors": SQL_KG_WL_COLORS,
     "kg_truss": SQL_KG_TRUSS,
     "kg_cc_incremental": SQL_KG_CC_INCREMENTAL,
     "kg_hits": SQL_KG_HITS,

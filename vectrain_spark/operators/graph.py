@@ -360,6 +360,93 @@ def local_clustering(pairs: DataFrame) -> DataFrame:
     )
 
 
+def wl_refinement(pairs: DataFrame, rounds: int = 2) -> DataFrame:
+    """1-dimensional Weisfeiler-Leman color refinement over an
+    undirected (a, b), a < b edge list -> (id, color): after ``rounds``
+    synchronous rounds each node carries a 16-hex color encoding its
+    rounds-hop neighborhood STRUCTURE. Nodes with different colors are
+    provably non-isomorphic in their r-ball — the classic signature for
+    structural-role discovery, template/boilerplate subgraph detection
+    (mirror sites produce identical colors) and graph-dedup blocking.
+
+    Scale design: canonical 1-WL recolors with the SORTED MULTISET of
+    neighbor colors — a collect_list that materializes a degree-10^6
+    hub's neighborhood in one task. This implementation replaces the
+    sorted concat with an ORDER-INDEPENDENT multiset hash: each neighbor
+    color is hashed to a bigint < 2^31 and SUMMED (algebraic aggregate
+    -> map-side partial combine collapses hub fan-in before the
+    exchange; sums stay < 2^63 up to 4x10^9 neighbors), then the new
+    color = md5(old_color : neighbor_sum). Same refinement power modulo
+    hash collisions (~2^-31 per pair per round); identical arithmetic is
+    replayed by the DuckDB oracle. Per round: one co-partitioned join of
+    the symmetrized edge list against the node-sized color table + one
+    two-phase sum — the PageRank shuffle shape.
+    """
+    e = pairs.select("a", "b").distinct().localCheckpoint()
+    sym = e.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        e.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    colors = sym.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("string").alias("color")
+    )
+    for _ in range(rounds):
+        h = F.pmod(
+            F.conv(F.substring(F.md5("color"), 1, 15), 16, 10).cast("long"),
+            F.lit(2147483648),
+        )
+        contrib = sym.join(
+            colors.withColumnRenamed("id", "dst"), "dst"
+        ).select("src", h.alias("h"))
+        sums = contrib.groupBy(F.col("src").alias("id")).agg(
+            F.sum("h").alias("s")
+        )
+        colors = (
+            colors.join(sums, "id", "left")
+            .select(
+                "id",
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("color"),
+                            F.lit(":"),
+                            F.coalesce(F.col("s"), F.lit(0)).cast("string"),
+                        )
+                    ),
+                    1,
+                    16,
+                ).alias("color"),
+            )
+            .localCheckpoint()
+        )
+    return colors
+
+
+def wl_refinement_oracle_sql(pairs_sql: str, rounds: int = 2) -> str:
+    """DuckDB replay of wl_refinement: identical hash/sum/md5 chain,
+    unrolled one CTE per round."""
+    parts = [
+        f"e AS MATERIALIZED (SELECT DISTINCT a, b FROM ({pairs_sql}))",
+        "sym AS (SELECT a AS src, b AS dst FROM e"
+        " UNION ALL SELECT b, a FROM e)",
+        "c0 AS (SELECT src AS id, count(*)::VARCHAR AS color"
+        " FROM sym GROUP BY src)",
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"s{r} AS (SELECT sym.src AS id, "
+            f"sum(('0x' || substr(md5(c.color), 1, 15))::BIGINT % 2147483648)"
+            f" AS s FROM sym JOIN c{r} c ON c.id = sym.dst GROUP BY sym.src)"
+        )
+        parts.append(
+            f"c{r + 1} AS (SELECT c.id, substr(md5(c.color || ':' ||"
+            f" coalesce(s{r}.s, 0)::VARCHAR), 1, 16) AS color"
+            f" FROM c{r} c LEFT JOIN s{r} ON s{r}.id = c.id)"
+        )
+    return (
+        "WITH " + ",\n".join(parts) + f"\nSELECT id, color FROM c{rounds}"
+    )
+
+
 def local_clustering_oracle_sql(pairs_sql: str) -> str:
     """DuckDB reconstruction of local_clustering: brute a<b<c triangle
     enumeration (the oracle is allowed the plan the Spark side orients
