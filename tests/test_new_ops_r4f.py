@@ -115,6 +115,55 @@ def test_wl_colors_mirror_graphs_match(spark):
     assert colors_a[1] == colors_a[2]  # the two symmetric corners agree
 
 
+def test_warc_roundtrip_hostile_payloads(spark):
+    """Strict Content-Length framing: an html body that CONTAINS the
+    record magic b'WARC/1.0\\r\\n...' and raw non-UTF8 bytes must
+    round-trip byte-identically, and the warcinfo record is skipped."""
+    import datetime
+
+    from vectrain_spark.operators.warc import pages_to_warc, parse_warc
+
+    ts = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        ("https://a.example/1", ts,
+         b"<html>WARC/1.0\r\nWARC-Type: response\r\n\r\nfake</html>", "en"),
+        ("https://a.example/2", ts, b"\xff\xfe raw bytes \x00\x01", "de"),
+        ("https://a.example/3", ts, b"plain", ""),
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, lang string"
+    )
+    back = parse_warc(pages_to_warc(pages, n_files=2)).collect()
+    got = {r["url"]: r for r in back}
+    assert sorted(got) == [u for u, *_ in rows]
+    for url, ts0, html, lang in rows:
+        assert bytes(got[url]["html"]) == html, url
+        assert got[url]["lang"] == lang
+        assert got[url]["warc_ts"] == ts0
+
+
+def test_warc_single_file_many_records(spark):
+    """All records forced into ONE segment: the splitter must walk the
+    whole concatenation (warcinfo + N responses) without desync."""
+    import datetime
+
+    from vectrain_spark.operators.warc import pages_to_warc, parse_warc
+
+    ts = datetime.datetime(2024, 5, 6, 7, 8, 9)
+    rows = [
+        (f"https://b.example/{i}", ts, f"<p>doc {i}</p>".encode(), "en")
+        for i in range(20)
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, lang string"
+    )
+    files = pages_to_warc(pages, n_files=1)
+    assert files.count() == 1
+    back = parse_warc(files)
+    assert back.count() == 20
+    assert back.filter("warc_ts = timestamp'2024-05-06 07:08:09'").count() == 20
+
+
 def test_local_clustering_matches_triangle_counts(spark):
     # the coefficient's numerator must agree with triangle_counts exactly
     from vectrain_spark.operators.graph import triangle_counts

@@ -1226,6 +1226,21 @@ def q_kg_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     return local_clustering(pairs)
 
 
+def q_ingest_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-Crawl-native ingest edge, proven by round trip: pages ->
+    WARC 1.0 archive segments (JVM binary concat, warcinfo-prefixed,
+    Content-Length framing) -> parse_warc splitter -> the SAME extract
+    stage as kg_extract_text — output must equal the byte-level
+    extraction oracle, so one corrupted byte anywhere in the WARC
+    build/parse chain flips a row."""
+    from .operators.warc import pages_to_warc, parse_warc
+
+    pages = pages_from_documents(_docs(spark, sf_dir))
+    back = parse_warc(pages_to_warc(pages, n_files=32))
+    good, _ = split_quarantine(extract_pages(back))
+    return good.select("url", "text")
+
+
 def q_kg_wl_colors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-WL color refinement (2 rounds) over the co-mention graph:
     structural-role signatures for template/mirror detection and
@@ -7827,6 +7842,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_adamic_adar": q_kg_adamic_adar,
     "kg_clustering": q_kg_clustering,
     "kg_wl_colors": q_kg_wl_colors,
+    "ingest_warc": q_ingest_warc,
     "kg_truss": q_kg_truss,
     "kg_cc_incremental": q_kg_cc_incremental,
     "kg_hits": q_kg_hits,
@@ -7974,6 +7990,7 @@ _CHANGED_THIS_ROUND = [
     "kg_clustering",         # NEW: per-node local clustering coefficient
     "kg_rotate",             # NEW: RotatE complex-rotation KG scorer
     "kg_wl_colors",          # NEW: 1-WL structural-role refinement
+    "ingest_warc",           # NEW: WARC 1.0 build/parse round trip
     # --- round 4e: NEW operators (this session) ---
     "dedup_substring",       # NEW: content-defined exact-substring dedup
     "text_c4_filters",       # NEW: C4 line/doc cleaning verdicts
@@ -8135,6 +8152,7 @@ ORACLES: dict[str, str] = {
     "kg_adamic_adar": SQL_KG_ADAMIC_ADAR,
     "kg_clustering": SQL_KG_CLUSTERING,
     "kg_wl_colors": SQL_KG_WL_COLORS,
+    "ingest_warc": SQL_KG_EXTRACT_TEXT,
     "kg_truss": SQL_KG_TRUSS,
     "kg_cc_incremental": SQL_KG_CC_INCREMENTAL,
     "kg_hits": SQL_KG_HITS,
