@@ -164,6 +164,29 @@ def test_warc_single_file_many_records(spark):
     assert back.filter("warc_ts = timestamp'2024-05-06 07:08:09'").count() == 20
 
 
+def test_modularity_two_triangles(spark):
+    """Two disjoint triangles under the perfect partition: each
+    community contributes 3/6 - (6/12)^2 = 0.25, so Q = 0.5; merging
+    everything into ONE community gives Q = 1 - 1 = 0."""
+    from vectrain_spark.operators.graph import modularity
+
+    edges = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6)]
+    pairs = spark.createDataFrame(edges, "a int, b int")
+    perfect = spark.createDataFrame(
+        [(i, 1 if i <= 3 else 2) for i in range(1, 7)], "id int, label int"
+    )
+    rows = modularity(pairs, perfect).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r["n_nodes"] == 3 and r["intra_edges"] == 3 and r["deg_sum"] == 6
+        assert r["contribution"] == pytest.approx(0.25, abs=1e-9)
+    lumped = spark.createDataFrame(
+        [(i, 1) for i in range(1, 7)], "id int, label int"
+    )
+    (only,) = modularity(pairs, lumped).collect()
+    assert only["contribution"] == pytest.approx(0.0, abs=1e-9)
+
+
 def test_local_clustering_matches_triangle_counts(spark):
     # the coefficient's numerator must agree with triangle_counts exactly
     from vectrain_spark.operators.graph import triangle_counts

@@ -1947,6 +1947,19 @@ def q_kg_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(pairs)
 
 
+def q_kg_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity decomposition of the LPA partition over the
+    co-mention graph — the quality score that separates real topical
+    clusters (Q -> 1) from hub-star noise (Q ~ 0) before downstream
+    stages trust the communities. Pure algebraic aggregates; the DuckDB
+    oracle replays LPA's unrolled CTE chain and the identical division
+    order."""
+    from .operators.graph import co_mentions, label_propagation, modularity
+
+    pairs = co_mentions(_materialized_edges(spark, sf_dir)).select("a", "b")
+    return modularity(pairs, label_propagation(pairs))
+
+
 def q_kg_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted shortest paths (4-round Bellman-Ford) from the 3 smallest
     source entities, edge cost = round(1/triple_count, 6) so
@@ -2012,6 +2025,17 @@ def _hits_lpa_sql() -> tuple[str, str]:
 
 
 SQL_KG_HITS, SQL_KG_COMMUNITIES = _hits_lpa_sql()
+
+
+def _modularity_sql() -> str:
+    from .operators.graph import modularity_oracle_sql
+
+    return modularity_oracle_sql(
+        f"SELECT a, b FROM ({SQL_KG_COOCCUR})", SQL_KG_COMMUNITIES
+    )
+
+
+SQL_KG_MODULARITY = _modularity_sql()
 
 
 def q_kg_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7843,6 +7867,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_clustering": q_kg_clustering,
     "kg_wl_colors": q_kg_wl_colors,
     "ingest_warc": q_ingest_warc,
+    "kg_modularity": q_kg_modularity,
     "kg_truss": q_kg_truss,
     "kg_cc_incremental": q_kg_cc_incremental,
     "kg_hits": q_kg_hits,
@@ -7991,6 +8016,7 @@ _CHANGED_THIS_ROUND = [
     "kg_rotate",             # NEW: RotatE complex-rotation KG scorer
     "kg_wl_colors",          # NEW: 1-WL structural-role refinement
     "ingest_warc",           # NEW: WARC 1.0 build/parse round trip
+    "kg_modularity",         # NEW: Newman Q decomposition of LPA labels
     # --- round 4e: NEW operators (this session) ---
     "dedup_substring",       # NEW: content-defined exact-substring dedup
     "text_c4_filters",       # NEW: C4 line/doc cleaning verdicts
@@ -8153,6 +8179,7 @@ ORACLES: dict[str, str] = {
     "kg_clustering": SQL_KG_CLUSTERING,
     "kg_wl_colors": SQL_KG_WL_COLORS,
     "ingest_warc": SQL_KG_EXTRACT_TEXT,
+    "kg_modularity": SQL_KG_MODULARITY,
     "kg_truss": SQL_KG_TRUSS,
     "kg_cc_incremental": SQL_KG_CC_INCREMENTAL,
     "kg_hits": SQL_KG_HITS,

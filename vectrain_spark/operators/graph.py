@@ -1191,6 +1191,98 @@ def label_propagation(pairs: DataFrame, rounds: int = LPA_ROUNDS) -> DataFrame:
     return out
 
 
+def modularity(pairs: DataFrame, labels: DataFrame) -> DataFrame:
+    """Newman modularity decomposition of a node partition over an
+    undirected (a, b), a < b edge list -> one row per community
+    (label, n_nodes, intra_edges, deg_sum, contribution) where
+    contribution = intra/m - (deg_sum/(2m))^2 and Q = sum(contribution).
+
+    The KG use: SCORE the community structure :func:`label_propagation`
+    proposes before canonicalization trusts it — hub-star noise yields
+    Q ~ 0 (no better than the degree-preserving random graph), real
+    topical clusters push Q toward 1. Everything is algebraic
+    (two-phase counts and sums with map-side combine; the edge-count
+    scalar is a broadcast cross join, never a collect), so the plan is
+    three aggregates and two node-sized joins — no shuffle touches the
+    edge list beyond its own grouping even at 10^12 edges.
+    """
+    e = pairs.select("a", "b").distinct().localCheckpoint()
+    lab = labels.select("id", "label")
+    m = e.groupBy().agg(F.count(F.lit(1)).alias("m"))
+    la = lab.withColumnsRenamed({"id": "a", "label": "lab_a"})
+    lb = lab.withColumnsRenamed({"id": "b", "label": "lab_b"})
+    intra = (
+        e.join(la, "a")
+        .join(lb, "b")
+        .filter(F.col("lab_a") == F.col("lab_b"))
+        .groupBy(F.col("lab_a").alias("label"))
+        .agg(F.count(F.lit(1)).alias("intra_edges"))
+    )
+    deg = (
+        e.select(F.col("a").alias("id"))
+        .unionAll(e.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    per_label = (
+        lab.join(deg, "id")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum("deg").alias("deg_sum"),
+        )
+    )
+    return (
+        per_label.join(intra, "label", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "label",
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.coalesce(F.col("intra_edges"), F.lit(0))
+            .cast("long")
+            .alias("intra_edges"),
+            F.col("deg_sum").cast("long").alias("deg_sum"),
+            F.round(
+                F.coalesce(F.col("intra_edges"), F.lit(0))
+                / F.col("m").cast("double")
+                - (F.col("deg_sum") / (2.0 * F.col("m")))
+                * (F.col("deg_sum") / (2.0 * F.col("m"))),
+                6,
+            ).alias("contribution"),
+        )
+    )
+
+
+def modularity_oracle_sql(pairs_sql: str, labels_sql: str) -> str:
+    """DuckDB replay of modularity over the same pairs and the same
+    (id, label) assignment (pass label_propagation's unrolled oracle)."""
+    return f"""
+WITH mod_e AS MATERIALIZED (SELECT DISTINCT a, b FROM ({pairs_sql})),
+mod_lab AS MATERIALIZED (SELECT id, label FROM ({labels_sql})),
+mod_m AS (SELECT count(*) AS m FROM mod_e),
+mod_deg AS (
+  SELECT id, count(*) AS deg
+  FROM (SELECT a AS id FROM mod_e UNION ALL SELECT b FROM mod_e) GROUP BY id
+),
+mod_intra AS (
+  SELECT la.label AS label, count(*) AS intra_edges
+  FROM mod_e e JOIN mod_lab la ON la.id = e.a JOIN mod_lab lb ON lb.id = e.b
+  WHERE la.label = lb.label GROUP BY la.label
+),
+mod_per_label AS (
+  SELECT label, count(*) AS n_nodes, sum(deg) AS deg_sum
+  FROM mod_lab JOIN mod_deg USING (id) GROUP BY label
+)
+SELECT p.label, p.n_nodes::BIGINT AS n_nodes,
+       coalesce(i.intra_edges, 0)::BIGINT AS intra_edges,
+       p.deg_sum::BIGINT AS deg_sum,
+       round(coalesce(i.intra_edges, 0) / (SELECT m FROM mod_m)::DOUBLE
+             - (p.deg_sum / (2.0 * (SELECT m FROM mod_m)))
+               * (p.deg_sum / (2.0 * (SELECT m FROM mod_m))), 6) AS contribution
+FROM mod_per_label p LEFT JOIN mod_intra i ON i.label = p.label
+"""
+
+
 def label_propagation_oracle_sql(pairs_sql: str, rounds: int = LPA_ROUNDS) -> str:
     """Unrolled-CTE DuckDB reconstruction of :func:`label_propagation` —
     identical most-frequent-then-smallest tie-break per round."""
