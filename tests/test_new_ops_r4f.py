@@ -187,6 +187,37 @@ def test_modularity_two_triangles(spark):
     assert only["contribution"] == pytest.approx(0.0, abs=1e-9)
 
 
+def test_bpe_train_hand_computed(spark):
+    """Corpus 'abab abab cd' x weights: round 1 must pick ('a','b') —
+    'ab' appears twice per 'abab' — and the back-to-back occurrences in
+    one word must BOTH merge in the same round (the double-space
+    residue case); round 2 then merges ('ab','ab')."""
+    from vectrain_spark.operators.textstats import bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "abab abab"), (2, "abab zq")], "doc_id long, text string"
+    )
+    got = {r["rank"]: r for r in bpe_train(docs, merges=2).collect()}
+    assert got[1]["left"] == "a" and got[1]["right"] == "b"
+    assert got[1]["merged"] == "ab"
+    # 'abab' x3 occurrences -> 2 'ab' pairs each = 6; 'zq' adds ('z','q')=1
+    assert got[1]["cnt"] == 6
+    # after merging: 'abab' -> tokens [ab, ab] -> round-2 argmax (ab, ab)
+    assert got[2]["left"] == "ab" and got[2]["right"] == "ab"
+    assert got[2]["merged"] == "abab" and got[2]["cnt"] == 3
+
+
+def test_bpe_train_fully_merged_words_are_safe(spark):
+    """A vocabulary whose every word collapses to ONE token must not
+    crash pair generation in later rounds (empty-sequence guard)."""
+    from vectrain_spark.operators.textstats import bpe_train
+
+    docs = spark.createDataFrame([(1, "xy xy xy")], "doc_id long, text string")
+    got = bpe_train(docs, merges=2).collect()
+    assert len(got) >= 1
+    assert got[0]["merged"] == "xy"
+
+
 def test_local_clustering_matches_triangle_counts(spark):
     # the coefficient's numerator must agree with triangle_counts exactly
     from vectrain_spark.operators.graph import triangle_counts

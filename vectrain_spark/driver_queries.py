@@ -1925,6 +1925,25 @@ LIMIT 50
 """
 
 
+def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three rounds of the full BPE tokenizer-training loop (count
+    pairs -> global argmax -> merge everywhere) over the documents
+    vocabulary — the learned merge table, with each round's argmax and
+    apply replayed verbatim by unrolled DuckDB CTEs."""
+    from .operators.textstats import bpe_train
+
+    return bpe_train(_docs(spark, sf_dir), merges=3)
+
+
+def _bpe_train_sql() -> str:
+    from .operators.textstats import bpe_train_oracle_sql
+
+    return bpe_train_oracle_sql(NORM_SQL, merges=3)
+
+
+SQL_TEXT_BPE_TRAIN = _bpe_train_sql()
+
+
 def q_kg_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kleinberg HITS over the materialized edge table: 5 synchronous
     hub/authority iterations with per-iteration L1 normalization, checked
@@ -7868,6 +7887,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_wl_colors": q_kg_wl_colors,
     "ingest_warc": q_ingest_warc,
     "kg_modularity": q_kg_modularity,
+    "text_bpe_train": q_text_bpe_train,
     "kg_truss": q_kg_truss,
     "kg_cc_incremental": q_kg_cc_incremental,
     "kg_hits": q_kg_hits,
@@ -8017,6 +8037,7 @@ _CHANGED_THIS_ROUND = [
     "kg_wl_colors",          # NEW: 1-WL structural-role refinement
     "ingest_warc",           # NEW: WARC 1.0 build/parse round trip
     "kg_modularity",         # NEW: Newman Q decomposition of LPA labels
+    "text_bpe_train",        # NEW: 3-round BPE tokenizer-training loop
     # --- round 4e: NEW operators (this session) ---
     "dedup_substring",       # NEW: content-defined exact-substring dedup
     "text_c4_filters",       # NEW: C4 line/doc cleaning verdicts
@@ -8180,6 +8201,7 @@ ORACLES: dict[str, str] = {
     "kg_wl_colors": SQL_KG_WL_COLORS,
     "ingest_warc": SQL_KG_EXTRACT_TEXT,
     "kg_modularity": SQL_KG_MODULARITY,
+    "text_bpe_train": SQL_TEXT_BPE_TRAIN,
     "kg_truss": SQL_KG_TRUSS,
     "kg_cc_incremental": SQL_KG_CC_INCREMENTAL,
     "kg_hits": SQL_KG_HITS,

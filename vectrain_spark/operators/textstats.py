@@ -399,6 +399,137 @@ def bpe_pair_counts(docs: DataFrame, top_n: int = 50) -> DataFrame:
     )
 
 
+def bpe_train(docs: DataFrame, merges: int = 3) -> DataFrame:
+    """Full BPE tokenizer TRAINING loop (Sennrich et al. 2016), in-engine:
+    ``merges`` rounds of [count adjacent symbol pairs -> pick the global
+    argmax -> merge it everywhere] -> the learned merge table
+    (rank, left, right, merged, cnt). :func:`bpe_pair_counts` is round 1
+    of this loop; this runs the loop itself — tokenizer training as a
+    DataFrame program, the way you'd learn a vocab on a 100 TB corpus
+    without ever leaving the cluster.
+
+    Plan shape per round: the corpus collapsed to its weighted vocabulary
+    ONCE up front (two-phase wordcount — pair statistics then touch each
+    DISTINCT word, not each occurrence); symbol sequences live as
+    DOUBLE-space-joined strings (' a  b  a  b '), so the merge apply is
+    ONE literal replace of ' x  y ' with ' xy ': each boundary owns two
+    spaces, a match consumes only one, and the leftover space lets the
+    scanner match a back-to-back occurrence immediately — left-to-right
+    non-overlapping replace becomes EXACTLY BPE's greedy merge ('a b a b'
+    merges both pairs in one round, 'a a a' merges once), and the
+    replacement re-establishes the canonical form so no cleanup pass is
+    needed. The argmax is a 1-row TakeOrdered broadcast-cross-joined
+    back — NO collect, no driver loop over data. DuckDB replays every
+    round verbatim (unrolled CTEs).
+    """
+    from .dedup import normalized_text, spread
+
+    words = (
+        spread(docs)
+        .select(F.explode(F.split(normalized_text(), " ")).alias("w"))
+        .filter((F.col("w") != "") & (F.length("w") >= 2))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    # ' a  b  c ' — one symbol per char, DOUBLE-space separated, padded
+    seq = words.select(
+        F.concat(
+            F.lit(" "),
+            F.trim(F.regexp_replace("w", "(.)", "$1  ")),
+            F.lit(" "),
+        ).alias("s"),
+        "f",
+    ).localCheckpoint()
+    out = None
+    for r in range(merges):
+        toks = F.split(F.trim("s"), "  ")
+        pair_list = F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.concat(
+                    F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        best = (
+            seq.select(F.explode(pair_list).alias("pair"), "f")
+            .groupBy("pair")
+            .agg(F.sum("f").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("pair"))
+            .limit(1)
+            .select(
+                F.lit(r + 1).cast("long").alias("rank"),
+                F.split("pair", " ")[0].alias("left"),
+                F.split("pair", " ")[1].alias("right"),
+                F.concat(F.split("pair", " ")[0], F.split("pair", " ")[1]).alias(
+                    "merged"
+                ),
+                F.col("cnt").cast("long").alias("cnt"),
+            )
+            .localCheckpoint()
+        )
+        out = best if out is None else out.unionAll(best)
+        seq = seq.crossJoin(F.broadcast(best)).select(
+            F.replace(
+                F.col("s"),
+                F.concat(
+                    F.lit(" "), F.col("left"), F.lit("  "), F.col("right"),
+                    F.lit(" "),
+                ),
+                F.concat(F.lit(" "), F.col("merged"), F.lit(" ")),
+            ).alias("s"),
+            "f",
+        ).localCheckpoint()
+    return out
+
+
+def bpe_train_oracle_sql(norm_sql: str, merges: int = 3) -> str:
+    """DuckDB replay of bpe_train: identical wordcount, symbol encoding,
+    argmax tie-break, boundary-replace and squish, one CTE pair per
+    merge round."""
+    parts = [
+        f"""bt_wf AS MATERIALIZED (
+  SELECT w, count(*) AS f FROM (
+    SELECT unnest(string_split({norm_sql}, ' ')) AS w FROM documents
+  ) WHERE w <> '' AND length(w) >= 2 GROUP BY w
+)""",
+        "bt_s0 AS (SELECT ' ' || trim(regexp_replace(w, '(.)', '\\1  ', 'g'))"
+        " || ' ' AS s, f FROM bt_wf)",
+    ]
+    for r in range(merges):
+        parts.append(
+            f"""bt_b{r} AS (
+  SELECT pair, cnt FROM (
+    SELECT pair, sum(f) AS cnt FROM (
+      SELECT f, unnest(list_transform(range(1, length(tk)),
+                       i -> tk[i] || ' ' || tk[i + 1])) AS pair
+      FROM (SELECT string_split(trim(s), '  ') AS tk, f FROM bt_s{r})
+    ) GROUP BY pair
+  ) ORDER BY cnt DESC, pair ASC LIMIT 1
+)"""
+        )
+        parts.append(
+            f"""bt_s{r + 1} AS (
+  SELECT replace(q.s,
+                 ' ' || string_split(b.pair, ' ')[1] || '  '
+                     || string_split(b.pair, ' ')[2] || ' ',
+                 ' ' || string_split(b.pair, ' ')[1]
+                     || string_split(b.pair, ' ')[2] || ' ') AS s, q.f
+  FROM bt_s{r} q, bt_b{r} b
+)"""
+        )
+    selects = [
+        f"SELECT {r + 1}::BIGINT AS rank,"
+        f" string_split(pair, ' ')[1] AS \"left\","
+        f" string_split(pair, ' ')[2] AS \"right\","
+        f" string_split(pair, ' ')[1] || string_split(pair, ' ')[2] AS merged,"
+        f" cnt::BIGINT AS cnt FROM bt_b{r}"
+        for r in range(merges)
+    ]
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
 def readability(docs: DataFrame) -> DataFrame:
     """Flesch reading-ease + Flesch-Kincaid grade per document -> (doc_id,
     n_words, n_sentences, n_syllables, flesch, fk_grade): the classic
