@@ -218,6 +218,24 @@ def test_bpe_train_fully_merged_words_are_safe(spark):
     assert got[0]["merged"] == "xy"
 
 
+def test_bpe_encode_counts_merged_tokens(spark):
+    """'abab' x3 + 'zq': after 2 merges [a+b, ab+ab] the vocabulary
+    encodes as {abab: 3, z..q pieces or zq merged depending on argmax};
+    token counts must be consistent with the final segmentation and
+    single-char words survive encoding."""
+    from vectrain_spark.operators.textstats import bpe_encode_tokens
+
+    docs = spark.createDataFrame(
+        [(1, "abab abab"), (2, "abab zq q")], "doc_id long, text string"
+    )
+    got = {r["token"]: r["cnt"] for r in
+           bpe_encode_tokens(docs, merges=2, top_n=30).collect()}
+    # merges: (a,b) then (ab,ab) -> 'abab' is one token occurring 3x
+    assert got["abab"] == 3
+    # 'zq' never merged (its pair count 1 loses both argmaxes)
+    assert got["z"] == 1 and got["q"] == 2  # 'q' = 1 in zq + 1 single word
+
+
 def test_local_clustering_matches_triangle_counts(spark):
     # the coefficient's numerator must agree with triangle_counts exactly
     from vectrain_spark.operators.graph import triangle_counts

@@ -1944,6 +1944,24 @@ def _bpe_train_sql() -> str:
 SQL_TEXT_BPE_TRAIN = _bpe_train_sql()
 
 
+def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLY: encode the corpus vocabulary with the 3 learned
+    BPE merges and emit the top-30 subword-token histogram — the
+    train+apply pair that makes the in-engine tokenizer complete."""
+    from .operators.textstats import bpe_encode_tokens
+
+    return bpe_encode_tokens(_docs(spark, sf_dir), merges=3, top_n=30)
+
+
+def _bpe_encode_sql() -> str:
+    from .operators.textstats import bpe_encode_oracle_sql
+
+    return bpe_encode_oracle_sql(NORM_SQL, merges=3, top_n=30)
+
+
+SQL_TEXT_BPE_ENCODE = _bpe_encode_sql()
+
+
 def q_kg_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kleinberg HITS over the materialized edge table: 5 synchronous
     hub/authority iterations with per-iteration L1 normalization, checked
@@ -7888,6 +7906,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ingest_warc": q_ingest_warc,
     "kg_modularity": q_kg_modularity,
     "text_bpe_train": q_text_bpe_train,
+    "text_bpe_encode": q_text_bpe_encode,
     "kg_truss": q_kg_truss,
     "kg_cc_incremental": q_kg_cc_incremental,
     "kg_hits": q_kg_hits,
@@ -8038,6 +8057,7 @@ _CHANGED_THIS_ROUND = [
     "ingest_warc",           # NEW: WARC 1.0 build/parse round trip
     "kg_modularity",         # NEW: Newman Q decomposition of LPA labels
     "text_bpe_train",        # NEW: 3-round BPE tokenizer-training loop
+    "text_bpe_encode",       # NEW: BPE apply + subword-token histogram
     # --- round 4e: NEW operators (this session) ---
     "dedup_substring",       # NEW: content-defined exact-substring dedup
     "text_c4_filters",       # NEW: C4 line/doc cleaning verdicts
@@ -8202,6 +8222,7 @@ ORACLES: dict[str, str] = {
     "ingest_warc": SQL_KG_EXTRACT_TEXT,
     "kg_modularity": SQL_KG_MODULARITY,
     "text_bpe_train": SQL_TEXT_BPE_TRAIN,
+    "text_bpe_encode": SQL_TEXT_BPE_ENCODE,
     "kg_truss": SQL_KG_TRUSS,
     "kg_cc_incremental": SQL_KG_CC_INCREMENTAL,
     "kg_hits": SQL_KG_HITS,

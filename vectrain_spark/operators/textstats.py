@@ -422,15 +422,28 @@ def bpe_train(docs: DataFrame, merges: int = 3) -> DataFrame:
     back — NO collect, no driver loop over data. DuckDB replays every
     round verbatim (unrolled CTEs).
     """
+    words = _bpe_words(docs).filter(F.length("w") >= 2)
+    _, out = _bpe_loop(words, merges)
+    return out
+
+
+def _bpe_words(docs: DataFrame) -> DataFrame:
     from .dedup import normalized_text, spread
 
-    words = (
+    return (
         spread(docs)
         .select(F.explode(F.split(normalized_text(), " ")).alias("w"))
-        .filter((F.col("w") != "") & (F.length("w") >= 2))
+        .filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("f"))
     )
+
+
+def _bpe_loop(words: DataFrame, merges: int):
+    """Shared BPE merge loop: (w, f) vocabulary -> (final symbol
+    sequences, learned merge table). See :func:`bpe_train` for the
+    double-space boundary encoding that makes one literal replace per
+    round exactly greedy BPE."""
     # ' a  b  c ' — one symbol per char, DOUBLE-space separated, padded
     seq = words.select(
         F.concat(
@@ -481,7 +494,55 @@ def bpe_train(docs: DataFrame, merges: int = 3) -> DataFrame:
             ).alias("s"),
             "f",
         ).localCheckpoint()
-    return out
+    return seq, out
+
+
+def bpe_encode_tokens(
+    docs: DataFrame, merges: int = 3, top_n: int = 30
+) -> DataFrame:
+    """APPLY side of :func:`bpe_train`: learn ``merges`` merges, encode
+    the whole corpus vocabulary with them, and return the ``top_n``
+    resulting subword tokens with corpus frequencies (token, cnt) — the
+    learned-vocab histogram a tokenizer build hands to the model config.
+    Single-char words (excluded from pair STATISTICS, which they cannot
+    affect) are still encoded and counted here, so the histogram covers
+    every corpus token. Same all-JVM loop; the final explode/count is
+    one two-phase aggregate + TakeOrdered."""
+    words = _bpe_words(docs)
+    seq, _ = _bpe_loop(words.filter(F.length("w") >= 2), merges)
+    singles = words.filter(F.length("w") < 2).select(
+        F.concat(F.lit(" "), F.col("w"), F.lit(" ")).alias("s"), "f"
+    )
+    toks = seq.unionAll(singles).select(
+        F.explode(F.split(F.trim("s"), "  ")).alias("token"), "f"
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.sum("f").cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(top_n)
+    )
+
+
+def bpe_encode_oracle_sql(norm_sql: str, merges: int = 3, top_n: int = 30) -> str:
+    """DuckDB replay of bpe_encode_tokens: the bpe_train CTE chain on
+    the >=2-char vocabulary, single-char words appended un-merged, then
+    the identical token histogram."""
+    train = bpe_train_oracle_sql(norm_sql, merges)
+    body = train[len("WITH ") : train.index("\nSELECT 1::BIGINT")]
+    return f"""WITH {body},
+bt_singles AS (
+  SELECT ' ' || w || ' ' AS s, f FROM (
+    SELECT w, count(*) AS f FROM (
+      SELECT unnest(string_split({norm_sql}, ' ')) AS w FROM documents
+    ) WHERE w <> '' AND length(w) < 2 GROUP BY w
+  )
+),
+bt_all AS (SELECT s, f FROM bt_s{merges} UNION ALL SELECT s, f FROM bt_singles)
+SELECT token, sum(f)::BIGINT AS cnt FROM (
+  SELECT unnest(string_split(trim(s), '  ')) AS token, f FROM bt_all
+) GROUP BY token ORDER BY cnt DESC, token ASC LIMIT {top_n}
+"""
 
 
 def bpe_train_oracle_sql(norm_sql: str, merges: int = 3) -> str:
