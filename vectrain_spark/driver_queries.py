@@ -8044,13 +8044,39 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_recall_eval": q_sim_recall_eval,
 }
 
-# Registry ordered by RISK (VERDICT r2 ask #9): the driver's correctness
-# run can truncate (r2 stopped at 50 of 86 entries), so (1) queries whose
-# code changed this round go first, (2) then everything a driver run has
-# never verified (past the r2 cutoff; locally gate-replica-green), (3)
-# then the twice-driver-verified stable tail in original order.
+# Registry ordered by VERIFICATION VALUE (see the list's own comment).
 _CHANGED_THIS_ROUND = [
-    # --- round 4f: NEW operators (this session) ---
+    # The driver's correctness run caps at ~50 rows, so ordering IS the
+    # verification budget. Round 4 added ~70 new gates — more than the
+    # cap — so the allocation is: (1) the 24 gates that have NEVER had a
+    # driver CORRECTNESS row across all rounds (VERDICT r3 ask #5 —
+    # "Done = CORRECTNESS_r04 rows for all 24"); (2) gates whose
+    # BEHAVIOR changed this round (ADVICE fixes + skew-cap plan
+    # rewrites: semantics moved, driver re-verification is worth most);
+    # (3) this round's new operators, newest (least-soaked) first. The
+    # round-4 new gates past the cap are all multiply replica-verified
+    # (tools/check_driver_queries.py, identical check) across the
+    # round's sessions.
+    # --- (1) driver-verification ROTATION (VERDICT r3 #5) ---
+    "events_asof", "events_funnel", "events_json", "events_pivot",
+    "events_retention", "events_anomaly", "payload_coerce",
+    "web_crawl_drift", "corpus_cube", "sketch_distinct", "ingest_jsonl",
+    "text_vocab", "text_bigram_lm", "corpus_histogram",
+    "olap_nation_revenue", "olap_pricing_summary",
+    "sim_maxsim", "dedup_embedding_lsh", "corpus_quartiles",
+    "ingest_csv", "text_lm_score", "sim_knn_euclid", "sim_knn_dot",
+    "dedup_embedding_euclid",
+    # --- (2) round 4: behavior/plan changes needing re-verification ---
+    "kg_transe",             # sqrt clamp (ADVICE r3) — both engines
+    "web_frontier",          # base derived from src host (ADVICE r3)
+    "catalog_cdc",           # presence-marker classification (ADVICE r3)
+    "catalog_merge",         # duplicate-source-key guard (ADVICE r3)
+    "catalog_wap",           # in-lock fast-forward re-check (ADVICE r3)
+    "kg_neighbor_jaccard",   # degree-oriented wedge rewrite (hub cap)
+    "kg_triangles",          # shares the refactored _oriented_wedges
+    "sim_semantic_dedup",    # per-cell block-matrix cap
+    "kg_link_fuzzy",         # length-bucket equi-join (no nested loop)
+    # --- (3) round 4f: NEW operators (newest session) ---
     "kg_clustering",         # NEW: per-node local clustering coefficient
     "kg_rotate",             # NEW: RotatE complex-rotation KG scorer
     "kg_wl_colors",          # NEW: 1-WL structural-role refinement
@@ -8058,7 +8084,7 @@ _CHANGED_THIS_ROUND = [
     "kg_modularity",         # NEW: Newman Q decomposition of LPA labels
     "text_bpe_train",        # NEW: 3-round BPE tokenizer-training loop
     "text_bpe_encode",       # NEW: BPE apply + subword-token histogram
-    # --- round 4e: NEW operators (this session) ---
+    # --- round 4e: NEW operators ---
     "dedup_substring",       # NEW: content-defined exact-substring dedup
     "text_c4_filters",       # NEW: C4 line/doc cleaning verdicts
     "catalog_evolution",     # NEW: field-id rename + default-filled add
@@ -8066,7 +8092,7 @@ _CHANGED_THIS_ROUND = [
     "sketch_set_ops",        # NEW: KMV union/intersect/Jaccard estimates
     "kg_assortativity",      # NEW: degree assortativity scalar
     "text_readability",      # NEW: Flesch / FK-grade map stage
-    # --- round 4d: NEW operators (this session) ---
+    # --- round 4d: NEW operators ---
     "kg_anchor_aliases",     # NEW: anchor-text alias dictionary + commonness
     "kg_char_sets",          # NEW: characteristic sets (entity shapes)
     "corpus_quantile_sketch",  # NEW: mergeable histogram quantiles
@@ -8080,7 +8106,7 @@ _CHANGED_THIS_ROUND = [
     "olap_important_parts",  # NEW: TPC-H Q11 shape (global-scalar probe)
     "olap_supplier_variety", # NEW: TPC-H Q16 shape (anti-join + distinct)
     "olap_part_promotion",   # NEW: TPC-H Q20 shape (agg -> semi-join chain)
-    # --- round 4c: NEW operators (this session) ---
+    # --- round 4c: NEW operators ---
     "kg_reciprocity",        # NEW: per-predicate symmetry/inverse profile
     "kg_distmult",           # NEW: bilinear-diagonal KG scorer (vs TransE)
     "kg_ntriples",           # NEW: W3C N-Triples export of canonical edges
@@ -8092,7 +8118,7 @@ _CHANGED_THIS_ROUND = [
     "events_markov",         # NEW: first-order event transition matrix
     "corpus_zipf",           # NEW: Zipf OLS fit over the top-100 vocab
     "sim_recall_eval",       # NEW: IVF recall@5 vs exact, in-engine
-    # --- round 4: NEW operators ---
+    # --- round 4 (first session): NEW operators ---
     "kg_transe_train",       # NEW: TransE SGD epoch (margin loss, grads)
     "kg_walks_node2vec",     # NEW: biased walks (integer p/q weights)
     "kg_adamic_adar",        # NEW: AA/RA link-prediction indices
@@ -8119,33 +8145,6 @@ _CHANGED_THIS_ROUND = [
     "catalog_ivm",           # NEW: incremental view maintenance from CDC
     "corpus_quality_probe",  # NEW: in-engine trained linear quality probe
     "kg_entity_cards",       # NEW: entity-card (infobox) materialization
-    # --- round 4: behavior/plan changes needing driver re-verification ---
-    "kg_transe",             # sqrt clamp (ADVICE r3) — both engines
-    "web_frontier",          # base derived from src host (ADVICE r3)
-    "catalog_cdc",           # presence-marker classification (ADVICE r3)
-    "catalog_merge",         # duplicate-source-key guard (ADVICE r3)
-    "catalog_wap",           # in-lock fast-forward re-check (ADVICE r3)
-    "kg_neighbor_jaccard",   # degree-oriented wedge rewrite (hub cap)
-    "kg_triangles",          # shares the refactored _oriented_wedges
-    "sim_semantic_dedup",    # per-cell block-matrix cap
-    "kg_link_fuzzy",         # length-bucket equi-join (no nested loop)
-    # --- round 4: driver-verification ROTATION (VERDICT r3 #5) — the 24
-    # gates that never had a driver CORRECTNESS row (registry front-loads
-    # new entries and the driver caps at 50; all 24 are replica-green).
-    # 34 entries precede this block, so only the first ~16 here land
-    # inside the cap: DISTINCT plan shapes lead (as-of join, funnel,
-    # pivot, sessionless retention, payload projection, versioned-corpus
-    # diff); pure metric/format variants of already-driver-verified
-    # plans (knn metric swaps, csv-vs-jsonl, lm-score application) sit
-    # last and stay replica-verified if they overflow ---
-    "events_asof", "events_funnel", "events_json", "events_pivot",
-    "events_retention", "events_anomaly", "payload_coerce",
-    "web_crawl_drift", "corpus_cube", "sketch_distinct", "ingest_jsonl",
-    "text_vocab", "text_bigram_lm", "corpus_histogram",
-    "olap_nation_revenue", "olap_pricing_summary",
-    "sim_maxsim", "dedup_embedding_lsh", "corpus_quartiles",
-    "ingest_csv", "text_lm_score", "sim_knn_euclid", "sim_knn_dot",
-    "dedup_embedding_euclid",
     # --- round-3 additions, driver-verified in r03, kept high while young ---
     "sim_pq", "kg_degree_hist", "text_bpe_pairs",
     "kg_walks", "kg_walk_pairs",
