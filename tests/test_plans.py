@@ -496,3 +496,66 @@ def test_fact_fusion_windows_are_partitioned(spark):
         # the (subj, pred) partition spec must lead every window spec
         spec = ln.split("windowspecdefinition(")[1]
         assert spec.startswith("subj") and "pred" in spec.split(",")[1], ln
+
+
+def test_r4f_graph_ops_stay_jvm_no_nested_loop(spark):
+    """local_clustering / wl_refinement / modularity: zero Python in the
+    plan and no BroadcastNestedLoopJoin / CartesianProduct — every join
+    is keyed (the wedge close on (a, b), color/label lookups on id); the
+    only cross join allowed is the 1-row broadcast scalar."""
+    from vectrain_spark.operators.graph import (
+        local_clustering,
+        modularity,
+        wl_refinement,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i % 7, 7 + (i * 3) % 11) for i in range(40)], "a int, b int"
+    ).filter("a < b")
+    labels = spark.createDataFrame(
+        [(i, i % 3) for i in range(20)], "id int, label int"
+    )
+    for df in (
+        local_clustering(pairs),
+        wl_refinement(pairs, rounds=2),
+        modularity(pairs, labels),
+    ):
+        plan = _plan(df)
+        assert "EvalPython" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        # modularity's edge-count scalar is a 1-row broadcast cross join
+        # (BroadcastNestedLoopJoin over ONE row is the correct plan);
+        # nothing else may nest loops
+        nlj = plan.count("BroadcastNestedLoopJoin")
+        assert nlj <= 1, plan
+
+
+def test_bpe_train_is_all_jvm(spark):
+    """The BPE training loop must never leave the JVM: pair explode,
+    argmax, and the merge replace are whole-stage-codegen expressions."""
+    from vectrain_spark.operators.textstats import bpe_train
+
+    docs = spark.createDataFrame(
+        [(i, "abab cdcd abcd") for i in range(10)], "doc_id long, text string"
+    )
+    plan = _plan(bpe_train(docs, merges=2))
+    assert "EvalPython" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_warc_build_is_jvm_parse_is_single_arrow_pass(spark):
+    """pages_to_warc is pure JVM concat (no Python); parse_warc is
+    exactly ONE Arrow mapInPandas operator."""
+    import datetime
+
+    from vectrain_spark.operators.warc import pages_to_warc, parse_warc
+
+    ts = datetime.datetime(2024, 1, 1)
+    pages = spark.createDataFrame(
+        [(f"https://x/{i}", ts, b"<p>x</p>", "en") for i in range(10)],
+        "url string, warc_ts timestamp, html binary, lang string",
+    )
+    files = pages_to_warc(pages, n_files=2)
+    build_plan = _plan(files)
+    assert "EvalPython" not in build_plan and "ArrowEval" not in build_plan
+    parse_plan = _plan(parse_warc(files))
+    assert parse_plan.count("MapInPandas") == 1, parse_plan
