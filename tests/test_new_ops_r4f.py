@@ -236,6 +236,20 @@ def test_bpe_encode_counts_merged_tokens(spark):
     assert got["z"] == 1 and got["q"] == 2  # 'q' = 1 in zq + 1 single word
 
 
+def test_label_spread_path_and_isolation(spark):
+    """Path 1-2-3-4-5 seeded {1: A, 5: B}: wave 1 types 2=A and 4=B,
+    wave 2 resolves 3's 1-1 tie to the smaller type 'A'; seeds never
+    relabel; the disconnected edge 10-11 stays untyped (omitted)."""
+    from vectrain_spark.operators.graph import label_spread
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], "a int, b int"
+    )
+    seeds = spark.createDataFrame([(1, "A"), (5, "B")], "id int, type string")
+    got = {r["id"]: r["type"] for r in label_spread(pairs, seeds, 3).collect()}
+    assert got == {1: "A", 5: "B", 2: "A", 4: "B", 3: "A"}
+
+
 def test_local_clustering_matches_triangle_counts(spark):
     # the coefficient's numerator must agree with triangle_counts exactly
     from vectrain_spark.operators.graph import triangle_counts

@@ -1253,6 +1253,32 @@ def q_kg_wl_colors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wl_refinement(pairs, rounds=2)
 
 
+def q_kg_label_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised entity typing: two sparse gold seeds (the min-id
+    and max-id entities of the co-mention graph, typed 'typeA'/'typeB')
+    spread to every reachable neighbor in 3 synchronous
+    majority-of-typed-neighbors rounds; seeds never relabel. The
+    unrolled DuckDB oracle replays each round's adoption set."""
+    from .operators.graph import co_mentions, label_spread
+
+    pairs = co_mentions(_materialized_edges(spark, sf_dir)).select("a", "b")
+    nodes = (
+        pairs.select(F.col("a").alias("id"))
+        .unionAll(pairs.select(F.col("b").alias("id")))
+        .distinct()
+    )
+    seeds = (
+        nodes.agg(F.min("id").alias("id"))
+        .select("id", F.lit("typeA").alias("type"))
+        .unionAll(
+            nodes.agg(F.max("id").alias("id")).select(
+                "id", F.lit("typeB").alias("type")
+            )
+        )
+    )
+    return label_spread(pairs, seeds, rounds=3)
+
+
 def q_kg_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental connected components over the co-mention graph: a
     hash-chosen quarter of the edges arrives as a later wave; the old
@@ -1560,6 +1586,22 @@ def _wl_sql() -> str:
 
 
 SQL_KG_WL_COLORS = _wl_sql()
+
+
+def _label_spread_sql() -> str:
+    from .operators.graph import label_spread_oracle_sql
+
+    pairs_sql = f"SELECT a, b FROM ({SQL_KG_COOCCUR})"
+    seeds_sql = f"""
+WITH lsn AS (SELECT a AS id FROM ({pairs_sql}) UNION SELECT b FROM ({pairs_sql}))
+SELECT min(id) AS id, 'typeA' AS type FROM lsn
+UNION ALL
+SELECT max(id) AS id, 'typeB' AS type FROM lsn
+"""
+    return label_spread_oracle_sql(pairs_sql, seeds_sql, rounds=3)
+
+
+SQL_KG_LABEL_SPREAD = _label_spread_sql()
 SQL_KG_CC_INCREMENTAL = SQL_KG_CC_INCREMENTAL_TPL.format(
     pairs=f"SELECT a, b FROM ({SQL_KG_COOCCUR})"
 )
@@ -7905,6 +7947,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_wl_colors": q_kg_wl_colors,
     "ingest_warc": q_ingest_warc,
     "kg_modularity": q_kg_modularity,
+    "kg_label_spread": q_kg_label_spread,
     "text_bpe_train": q_text_bpe_train,
     "text_bpe_encode": q_text_bpe_encode,
     "kg_truss": q_kg_truss,
@@ -8082,6 +8125,7 @@ _CHANGED_THIS_ROUND = [
     "kg_wl_colors",          # NEW: 1-WL structural-role refinement
     "ingest_warc",           # NEW: WARC 1.0 build/parse round trip
     "kg_modularity",         # NEW: Newman Q decomposition of LPA labels
+    "kg_label_spread",       # NEW: seeded semi-supervised entity typing
     "text_bpe_train",        # NEW: 3-round BPE tokenizer-training loop
     "text_bpe_encode",       # NEW: BPE apply + subword-token histogram
     # --- round 4e: NEW operators ---
@@ -8220,6 +8264,7 @@ ORACLES: dict[str, str] = {
     "kg_wl_colors": SQL_KG_WL_COLORS,
     "ingest_warc": SQL_KG_EXTRACT_TEXT,
     "kg_modularity": SQL_KG_MODULARITY,
+    "kg_label_spread": SQL_KG_LABEL_SPREAD,
     "text_bpe_train": SQL_TEXT_BPE_TRAIN,
     "text_bpe_encode": SQL_TEXT_BPE_ENCODE,
     "kg_truss": SQL_KG_TRUSS,

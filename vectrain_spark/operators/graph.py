@@ -1191,6 +1191,83 @@ def label_propagation(pairs: DataFrame, rounds: int = LPA_ROUNDS) -> DataFrame:
     return out
 
 
+def label_spread(
+    pairs: DataFrame, seeds: DataFrame, rounds: int = 3
+) -> DataFrame:
+    """Semi-supervised label spreading over an undirected (a, b) edge
+    list: ``seeds`` (id, type) are a SPARSE gold set (a handful of
+    manually-typed entities); each synchronous round every still-
+    untyped node adopts the most frequent type among its already-typed
+    neighbors (ties by smallest type string — a total order, no RNG).
+    Seeds never change: unlike :func:`label_propagation` (unsupervised,
+    every node relabels every round) this is the entity-TYPING step — a
+    few known (org / person / place) anchors typing the whole KG
+    neighborhood by proximity. Nodes unreached within ``rounds`` hops of
+    any seed stay untyped and are omitted.
+
+    Scale shape per round: one join of the symmetrized edge list
+    against the node-sized type table + a two-phase (node, type) count
+    (map-side combine collapses hub fan-in) + a per-node top-1 window
+    over per-type counts (cardinality <= degree — WindowGroupLimit,
+    never a global sort); localCheckpoint keeps the iterated plan flat.
+    """
+    from pyspark.sql import Window
+
+    e = pairs.select("a", "b").distinct()
+    sym = e.select(F.col("a").alias("v"), F.col("b").alias("u")).unionAll(
+        e.select(F.col("b").alias("v"), F.col("a").alias("u"))
+    ).localCheckpoint()
+    types = seeds.select("id", "type").localCheckpoint()
+    w = Window.partitionBy("v").orderBy(F.desc("cnt"), F.asc("type"))
+    for _ in range(rounds):
+        counts = (
+            sym.join(types.withColumnRenamed("id", "u"), "u")
+            .groupBy("v", "type")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        fresh = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("v").alias("id"), "type")
+            .join(types.select("id"), "id", "left_anti")
+        )
+        types = types.unionAll(fresh).localCheckpoint()
+    return types
+
+
+def label_spread_oracle_sql(
+    pairs_sql: str, seeds_sql: str, rounds: int = 3
+) -> str:
+    """DuckDB replay of label_spread: one CTE pair per round (counts ->
+    fresh adoptions anti-joined against the already-typed set)."""
+    parts = [
+        f"ls_e AS MATERIALIZED (SELECT DISTINCT a, b FROM ({pairs_sql}))",
+        "ls_sym AS (SELECT a AS v, b AS u FROM ls_e"
+        " UNION ALL SELECT b, a FROM ls_e)",
+        f"ls_t0 AS (SELECT id, type FROM ({seeds_sql}))",
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"""ls_t{r + 1} AS (
+  SELECT id, type FROM ls_t{r}
+  UNION ALL
+  SELECT id, type FROM (
+    SELECT v AS id, type,
+           row_number() OVER (PARTITION BY v ORDER BY cnt DESC, type ASC)
+             AS rn
+    FROM (
+      SELECT s.v, t.type, count(*) AS cnt
+      FROM ls_sym s JOIN ls_t{r} t ON t.id = s.u
+      GROUP BY s.v, t.type
+    )
+  ) WHERE rn = 1 AND id NOT IN (SELECT id FROM ls_t{r})
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(parts) + f"\nSELECT id, type FROM ls_t{rounds}"
+    )
+
+
 def modularity(pairs: DataFrame, labels: DataFrame) -> DataFrame:
     """Newman modularity decomposition of a node partition over an
     undirected (a, b), a < b edge list -> one row per community
