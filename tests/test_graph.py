@@ -537,3 +537,63 @@ def test_adamic_adar_hub_graph_exact_and_capped(spark):
         round(round(1.0 / math.log(200), 9), 6),
         round(round(1.0 / 200, 9), 6),
     )
+
+
+def _nme_py(edges, vecs):
+    """Python oracle for neighbor_mean_embeddings: micro-unit long sums,
+    half-away-from-zero integer mean, one /1e6 at the end."""
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for a, b in set(edges):
+        adj[a].add(b)
+        adj[b].add(a)
+    out = {}
+    for v, nbrs in adj.items():
+        dim = len(next(iter(vecs.values())))
+        sums = [0] * dim
+        for u in nbrs:
+            for i, x in enumerate(vecs[u]):
+                # Python round() is banker's; match F.round half-up on
+                # the magnitudes used here (no .5 micro boundaries below)
+                sums[i] += int(round(x * 1e6))
+        n = len(nbrs)
+        mean = []
+        for s in sums:
+            mag = (2 * abs(s) + n) // (2 * n)
+            mean.append((-mag if s < 0 else mag) / 1e6)
+        out[v] = mean
+    return out
+
+
+def test_neighbor_mean_embeddings_matches_python_oracle(spark):
+    from vectrain_spark.operators.graph import neighbor_mean_embeddings
+
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4)]
+    vecs = {
+        1: [0.25, -1.5],
+        2: [0.1, 0.333333],
+        3: [-0.7, 2.0],
+        4: [1.0, 0.000001],
+    }
+    e = spark.createDataFrame(edges, "a long, b long")
+    nv = spark.createDataFrame(
+        [(k, v) for k, v in vecs.items()], "id long, emb array<double>"
+    )
+    got = {r["id"]: list(r["emb"]) for r in neighbor_mean_embeddings(e, nv).collect()}
+    assert got == _nme_py(edges, vecs)
+
+
+def test_neighbor_mean_embeddings_negative_mean_rounds_away_from_zero(spark):
+    """s = -3 micro over n = 2 neighbors: the integer mean must be -2
+    micro (half-away-from-zero), not -1 (truncation) or -2/-1 depending
+    on engine float rounding."""
+    from vectrain_spark.operators.graph import neighbor_mean_embeddings
+
+    e = spark.createDataFrame([(1, 2), (1, 3)], "a long, b long")
+    nv = spark.createDataFrame(
+        [(1, [0.0]), (2, [-0.000001]), (3, [-0.000002])],
+        "id long, emb array<double>",
+    )
+    got = {r["id"]: list(r["emb"]) for r in neighbor_mean_embeddings(e, nv).collect()}
+    assert got[1] == [-0.000002]

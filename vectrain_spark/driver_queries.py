@@ -1279,6 +1279,79 @@ def q_kg_label_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_spread(pairs, seeds, rounds=3)
 
 
+def q_kg_sage_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphSAGE-style one-hop mean feature propagation over the
+    co-mention graph (node vectors via the shared salted-md5 embedding
+    lookup): each entity's output vector is the integer-micro-unit-exact
+    mean of its neighbors' embeddings, flattened to (id, pos, val) for
+    the value gate."""
+    from .operators.graph import co_mentions, neighbor_mean_embeddings
+    from .operators.similarity import _vecs
+
+    pairs = co_mentions(_materialized_edges(spark, sf_dir)).select("a", "b")
+    vecs = _vecs(_emb(spark, sf_dir))
+    n = vecs.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    nodes = (
+        pairs.select(F.col("a").alias("id"))
+        .unionAll(pairs.select(F.col("b").alias("id")))
+        .distinct()
+    )
+    vid = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("id").cast("string"), F.lit("|e"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.col("n"),
+    )
+    node_vecs = (
+        nodes.crossJoin(F.broadcast(n))
+        .select("id", vid.alias("vec_id"))
+        .join(vecs, "vec_id")
+        .select("id", "emb")
+    )
+    out = neighbor_mean_embeddings(pairs, node_vecs)
+    return out.select("id", F.posexplode("emb").alias("pos", "val"))
+
+
+SQL_KG_SAGE_TPL = """
+WITH sage_pairs AS MATERIALIZED ({pairs}),
+sage_v AS (SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           FROM embeddings),
+sage_n AS (SELECT count(*) AS n FROM sage_v),
+sage_nodes AS (SELECT a AS id FROM sage_pairs UNION SELECT b FROM sage_pairs),
+sage_nv AS (
+  SELECT nd.id, v.emb
+  FROM (SELECT id,
+               ('0x' || substr(md5(id::VARCHAR || '|e'), 1, 15))::BIGINT
+                 % (SELECT n FROM sage_n) AS vec_id
+        FROM sage_nodes) nd
+  JOIN sage_v v ON v.vec_id = nd.vec_id
+),
+sage_out AS ({inner})
+SELECT id, ix - 1 AS pos, x AS val
+FROM (SELECT id, unnest(emb) AS x, generate_subscripts(emb, 1) AS ix
+      FROM sage_out)
+"""
+
+
+def _sage_sql() -> str:
+    from .operators.graph import neighbor_mean_embeddings_oracle_sql
+
+    inner = neighbor_mean_embeddings_oracle_sql(
+        "SELECT a, b FROM sage_pairs", "SELECT id, emb FROM sage_nv"
+    )
+    return SQL_KG_SAGE_TPL.format(
+        pairs=f"SELECT a, b FROM ({SQL_KG_COOCCUR})", inner=inner
+    )
+
+
+SQL_KG_SAGE_FEATURES = _sage_sql()
+
+
 def q_kg_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental connected components over the co-mention graph: a
     hash-chosen quarter of the edges arrives as a later wave; the old
@@ -7948,6 +8021,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ingest_warc": q_ingest_warc,
     "kg_modularity": q_kg_modularity,
     "kg_label_spread": q_kg_label_spread,
+    "kg_sage_features": q_kg_sage_features,
     "text_bpe_train": q_text_bpe_train,
     "text_bpe_encode": q_text_bpe_encode,
     "kg_truss": q_kg_truss,
@@ -8126,6 +8200,7 @@ _CHANGED_THIS_ROUND = [
     "ingest_warc",           # NEW: WARC 1.0 build/parse round trip
     "kg_modularity",         # NEW: Newman Q decomposition of LPA labels
     "kg_label_spread",       # NEW: seeded semi-supervised entity typing
+    "kg_sage_features",      # NEW: one-hop mean embedding propagation
     "text_bpe_train",        # NEW: 3-round BPE tokenizer-training loop
     "text_bpe_encode",       # NEW: BPE apply + subword-token histogram
     # --- round 4e: NEW operators ---
@@ -8265,6 +8340,7 @@ ORACLES: dict[str, str] = {
     "ingest_warc": SQL_KG_EXTRACT_TEXT,
     "kg_modularity": SQL_KG_MODULARITY,
     "kg_label_spread": SQL_KG_LABEL_SPREAD,
+    "kg_sage_features": SQL_KG_SAGE_FEATURES,
     "text_bpe_train": SQL_TEXT_BPE_TRAIN,
     "text_bpe_encode": SQL_TEXT_BPE_ENCODE,
     "kg_truss": SQL_KG_TRUSS,

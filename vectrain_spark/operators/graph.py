@@ -1191,6 +1191,87 @@ def label_propagation(pairs: DataFrame, rounds: int = LPA_ROUNDS) -> DataFrame:
     return out
 
 
+def neighbor_mean_embeddings(
+    pairs: DataFrame, node_vecs: DataFrame
+) -> DataFrame:
+    """GraphSAGE-style mean aggregation, one hop: undirected (a, b)
+    edges + per-node embeddings (id, emb array<double>) -> (id, emb)
+    where each output vector is the MEAN of the node's neighbor
+    embeddings — the feature-propagation step GNN-adjacent pipelines
+    run to enrich entity features with neighborhood context before a
+    probe/classifier consumes them.
+
+    Determinism: IEEE double sums are order-dependent, so each
+    component is scaled to INTEGER micro-units (round(x * 1e6) as long)
+    before the per-(node, dim) sum — long addition is associative and
+    commutative, so shuffle order can never change a bit. The mean is
+    ALSO rounded in integer space (half-away-from-zero on micro-units
+    via pure long arithmetic — decimal-rounding a double quotient is
+    engine-dependent exactly at .5 boundaries), then one identical
+    long/1e6 division produces the output double in both engines.
+
+    Scale shape: posexplode flattens vectors to (id, pos, val) — dim
+    small and fixed; the neighbor sum is a two-phase aggregate on
+    (node, pos) whose map-side combine collapses hub fan-in; the array
+    rebuild groups dim elements per node (bounded state, never a hub).
+    """
+    e = pairs.select("a", "b").distinct()
+    sym = e.select(F.col("a").alias("v"), F.col("b").alias("u")).unionAll(
+        e.select(F.col("b").alias("v"), F.col("a").alias("u"))
+    )
+    flat = node_vecs.select(
+        F.col("id").alias("u"),
+        F.posexplode("emb").alias("pos", "val"),
+    ).select("u", "pos", F.round(F.col("val") * 1e6).cast("long").alias("mv"))
+    summed = (
+        sym.join(flat, "u")
+        .groupBy(F.col("v").alias("id"), "pos")
+        .agg(F.sum("mv").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    # micro = round(s / n) half-away-from-zero, all-long arithmetic
+    # (integer `div`, never a double quotient — sums can exceed 2^53)
+    micro_mag = F.expr("(2 * abs(s) + n) div (2 * n)")
+    micro = F.when(F.col("s") < 0, -micro_mag).otherwise(micro_mag)
+    return (
+        summed.withColumn("val", micro / F.lit(1e6))
+        .groupBy("id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "val"))),
+                lambda x: x["val"],
+            ).alias("emb")
+        )
+    )
+
+
+def neighbor_mean_embeddings_oracle_sql(
+    pairs_sql: str, vecs_sql: str
+) -> str:
+    """DuckDB replay of neighbor_mean_embeddings: identical micro-unit
+    scaling, long sums, and ordered list rebuild."""
+    return f"""
+WITH nme_e AS MATERIALIZED (SELECT DISTINCT a, b FROM ({pairs_sql})),
+nme_sym AS (SELECT a AS v, b AS u FROM nme_e UNION ALL SELECT b, a FROM nme_e),
+nme_flat AS (
+  SELECT id AS u, ix - 1 AS pos, round(x * 1e6)::BIGINT AS mv
+  FROM (SELECT id, unnest(emb) AS x,
+               generate_subscripts(emb, 1) AS ix
+        FROM ({vecs_sql}))
+),
+nme_sum AS (
+  SELECT s.v AS id, f.pos, sum(f.mv) AS sm, count(*) AS n
+  FROM nme_sym s JOIN nme_flat f ON f.u = s.u
+  GROUP BY s.v, f.pos
+)
+SELECT id,
+       list((CASE WHEN sm < 0
+                  THEN -((2 * abs(sm) + n) // (2 * n))
+                  ELSE (2 * abs(sm) + n) // (2 * n) END)::BIGINT / 1e6
+            ORDER BY pos) AS emb
+FROM nme_sum GROUP BY id
+"""
+
+
 def label_spread(
     pairs: DataFrame, seeds: DataFrame, rounds: int = 3
 ) -> DataFrame:
