@@ -597,3 +597,37 @@ def test_neighbor_mean_embeddings_negative_mean_rounds_away_from_zero(spark):
     )
     got = {r["id"]: list(r["emb"]) for r in neighbor_mean_embeddings(e, nv).collect()}
     assert got[1] == [-0.000002]
+
+
+def _katz_py(edges, n_iter=N_ITER, alpha=0.05, beta=1.0):
+    nodes = sorted({u for e in edges for u in e})
+    x = {n: beta for n in nodes}
+    for _ in range(n_iter):
+        s = {n: 0.0 for n in nodes}
+        for u, v in set(edges):
+            s[v] += x[u]
+        x = {n: _round_half_up(beta + alpha * s[n], ITER_ROUND) for n in nodes}
+    return {n: _round_half_up(v, OUT_ROUND) for n, v in x.items()}
+
+
+def test_katz_matches_python_oracle(spark):
+    from vectrain_spark.operators.graph import katz_centrality
+
+    e = spark.createDataFrame(EDGES, "src long, dst long")
+    got = {r["id"]: r["katz"] for r in katz_centrality(e).collect()}
+    assert got == _katz_py(EDGES)
+
+
+def test_katz_credits_all_walks_not_degree_shares(spark):
+    """Star center with 3 in-edges: katz = beta + 3*alpha*... grows
+    with in-degree regardless of the sources' out-degrees — the
+    property that distinguishes Katz from PageRank's normalized
+    shares. Sources with no in-edges stay at the closed-form
+    beta * (1 + alpha*0) = beta after every round."""
+    from vectrain_spark.operators.graph import katz_centrality
+
+    edges = [(1, 9), (2, 9), (3, 9)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r["katz"] for r in katz_centrality(e).collect()}
+    assert got == _katz_py(edges)
+    assert got[9] > got[1] == got[2] == got[3] == 1.0

@@ -1061,6 +1061,17 @@ def q_kg_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(_materialized_edges(spark, sf_dir), weight="cnt")
 
 
+def q_kg_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Katz centrality over the materialized edge table: attenuated
+    path-count centrality (beta + alpha * in-neighbor sum, 5 rounds)
+    next to PageRank's degree-normalized variant — value-checked
+    against an unrolled-CTE DuckDB replay with identical per-round
+    rounding."""
+    from .operators.graph import katz_centrality
+
+    return katz_centrality(_materialized_edges(spark, sf_dir))
+
+
 def q_kg_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-hop neighborhood expansion from the 3 smallest source entities:
     (seed, node, hops) with hops = minimum directed distance."""
@@ -1634,6 +1645,15 @@ def _pagerank_sql(weight_sql: str | None = None) -> str:
 
 SQL_KG_PAGERANK = _pagerank_sql()
 SQL_KG_PAGERANK_WEIGHTED = _pagerank_sql(weight_sql="cnt")
+
+
+def _katz_sql() -> str:
+    from .operators.graph import katz_oracle_sql
+
+    return katz_oracle_sql(SQL_KG_EDGES)
+
+
+SQL_KG_KATZ = _katz_sql()
 (
     SQL_KG_TRIANGLES,
     SQL_KG_KCORE,
@@ -8022,6 +8042,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_modularity": q_kg_modularity,
     "kg_label_spread": q_kg_label_spread,
     "kg_sage_features": q_kg_sage_features,
+    "kg_katz": q_kg_katz,
     "text_bpe_train": q_text_bpe_train,
     "text_bpe_encode": q_text_bpe_encode,
     "kg_truss": q_kg_truss,
@@ -8201,6 +8222,7 @@ _CHANGED_THIS_ROUND = [
     "kg_modularity",         # NEW: Newman Q decomposition of LPA labels
     "kg_label_spread",       # NEW: seeded semi-supervised entity typing
     "kg_sage_features",      # NEW: one-hop mean embedding propagation
+    "kg_katz",               # NEW: Katz attenuated-path centrality
     "text_bpe_train",        # NEW: 3-round BPE tokenizer-training loop
     "text_bpe_encode",       # NEW: BPE apply + subword-token histogram
     # --- round 4e: NEW operators ---
@@ -8341,6 +8363,7 @@ ORACLES: dict[str, str] = {
     "kg_modularity": SQL_KG_MODULARITY,
     "kg_label_spread": SQL_KG_LABEL_SPREAD,
     "kg_sage_features": SQL_KG_SAGE_FEATURES,
+    "kg_katz": SQL_KG_KATZ,
     "text_bpe_train": SQL_TEXT_BPE_TRAIN,
     "text_bpe_encode": SQL_TEXT_BPE_ENCODE,
     "kg_truss": SQL_KG_TRUSS,
