@@ -263,3 +263,47 @@ def test_local_clustering_matches_triangle_counts(spark):
         assert lc[node] == tri
     for node, tri in lc.items():
         assert tc.get(node, 0) == tri
+
+
+def test_textrank_equals_pagerank_on_hand_built_word_graph(spark):
+    """TextRank must equal weighted pagerank over the pair graph the
+    tokenizer induces: three docs repeating 'alpha beta' five times
+    (plus tail words below min_pair) produce exactly the alpha<->beta
+    edge, so ranks come from the closed two-node weighted chain."""
+    from vectrain_spark.operators.graph import pagerank
+    from vectrain_spark.operators.textstats import textrank_words
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta " * 3 + "gamma"),
+            (2, "beta alpha beta alpha"),
+            (3, "alpha beta delta"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["id"]: r["rank"] for r in textrank_words(docs, min_pair=5).collect()}
+    # pair (alpha,beta) occurs: doc1 adjacents a-b,b-a... count manually:
+    # doc1 tokens: a b a b a b gamma -> ab pairs 5 of which (a,b)=5? pairs:
+    # (a,b),(b,a),(a,b),(b,a),(a,b),(b,gamma) -> least/greatest folds to 5x(a,b)
+    # doc2: (a,b)x3; doc3: (a,b)x1,(b,delta) -> total 9 >= 5; all others < 5
+    e = spark.createDataFrame(
+        [("alpha", "beta", 9), ("beta", "alpha", 9)], "src string, dst string, cnt long"
+    )
+    want = {r["id"]: r["rank"] for r in pagerank(e, weight="cnt").collect()}
+    assert got == want
+    # symmetric two-node graph: equal ranks
+    assert got["alpha"] == got["beta"]
+
+
+def test_textrank_drops_self_pairs(spark):
+    """Stuttered tokens ('spam spam ...') must not create a self-loop
+    edge that would concentrate rank on the stutter word."""
+    from vectrain_spark.operators.textstats import textrank_words
+
+    docs = spark.createDataFrame(
+        [(1, "spam " * 12 + "ham spam ham spam ham spam ham spam ham")],
+        "doc_id long, text string",
+    )
+    got = {r["id"]: r["rank"] for r in textrank_words(docs, min_pair=5).collect()}
+    assert set(got) == {"spam", "ham"}
+    assert got["spam"] == got["ham"]

@@ -3594,6 +3594,26 @@ def q_ingest_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return csv_roundtrip_stats(spark, _docs(spark, sf_dir), stage)
 
 
+def q_text_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction: weighted PageRank over the
+    adjacent-word co-occurrence graph — the word graph is
+    vocabulary-sized regardless of corpus size, and both the graph and
+    the 5 weighted iterations replay in the DuckDB oracle via the
+    shared unrolled-CTE pagerank SQL."""
+    from .operators.textstats import textrank_words
+
+    return textrank_words(_docs(spark, sf_dir))
+
+
+def _textrank_sql() -> str:
+    from .operators.textstats import textrank_oracle_sql
+
+    return textrank_oracle_sql(NORM_SQL)
+
+
+SQL_TEXT_TEXTRANK = _textrank_sql()
+
+
 def q_text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skip-gram PMI collocations (+/-2 token window): pair generation is
     in-row via zip_with over sliced token arrays (no self-join), one
@@ -8043,6 +8063,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_label_spread": q_kg_label_spread,
     "kg_sage_features": q_kg_sage_features,
     "kg_katz": q_kg_katz,
+    "text_textrank": q_text_textrank,
     "text_bpe_train": q_text_bpe_train,
     "text_bpe_encode": q_text_bpe_encode,
     "kg_truss": q_kg_truss,
@@ -8223,6 +8244,7 @@ _CHANGED_THIS_ROUND = [
     "kg_label_spread",       # NEW: seeded semi-supervised entity typing
     "kg_sage_features",      # NEW: one-hop mean embedding propagation
     "kg_katz",               # NEW: Katz attenuated-path centrality
+    "text_textrank",         # NEW: TextRank over the word co-occurrence graph
     "text_bpe_train",        # NEW: 3-round BPE tokenizer-training loop
     "text_bpe_encode",       # NEW: BPE apply + subword-token histogram
     # --- round 4e: NEW operators ---
@@ -8364,6 +8386,7 @@ ORACLES: dict[str, str] = {
     "kg_label_spread": SQL_KG_LABEL_SPREAD,
     "kg_sage_features": SQL_KG_SAGE_FEATURES,
     "kg_katz": SQL_KG_KATZ,
+    "text_textrank": SQL_TEXT_TEXTRANK,
     "text_bpe_train": SQL_TEXT_BPE_TRAIN,
     "text_bpe_encode": SQL_TEXT_BPE_ENCODE,
     "kg_truss": SQL_KG_TRUSS,

@@ -297,6 +297,74 @@ def lm_quality_score(docs: DataFrame, min_count: int = 5) -> DataFrame:
     )
 
 
+def textrank_words(docs: DataFrame, min_pair: int = 5) -> DataFrame:
+    """TextRank keyword scores -> (id, rank): weighted PageRank over the
+    adjacent-word co-occurrence graph (Mihalcea & Tarau 2004, window 2).
+    Adjacent unordered word pairs become undirected edges weighted by
+    corpus-wide pair count; the existing :func:`..graph.pagerank` runs
+    5 weighted iterations over the symmetrized edge list, so the whole
+    operator (and its unrolled-CTE oracle) is a composition of two
+    already-gated pieces.
+
+    Scale shape: pair generation is IN-ROW (zip_with over sliced token
+    arrays — codegen, no self-join); one two-phase pair count;
+    ``min_pair`` prunes hapax noise BEFORE the graph is built, so the
+    word graph is vocabulary-sized (bounded by the language), not
+    corpus-sized — at 100 TB the iteration cost is independent of the
+    page count. Self-pairs from stuttered tokens are dropped (TextRank
+    graphs are loop-free)."""
+    from .graph import pagerank
+
+    toks = docs.select("doc_id", F.split(normalized_text(), " ").alias("w"))
+    pair_arr = F.expr(
+        "zip_with(slice(w, 1, greatest(size(w) - 1, 0)),"
+        "         slice(w, 2, greatest(size(w) - 1, 0)),"
+        "         (x, y) -> struct(least(x, y) AS wa, greatest(x, y) AS wb))"
+    )
+    pairs = (
+        spread(toks)
+        .select(F.explode(pair_arr).alias("p"))
+        .select("p.wa", "p.wb")
+        .filter(F.col("wa") != F.col("wb"))
+        .groupBy("wa", "wb")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_pair)
+    )
+    edges = pairs.select(
+        F.col("wa").alias("src"), F.col("wb").alias("dst"), "cnt"
+    ).unionAll(
+        pairs.select(F.col("wb").alias("src"), F.col("wa").alias("dst"), "cnt")
+    )
+    return pagerank(edges, weight="cnt")
+
+
+def textrank_oracle_sql(norm_sql: str, min_pair: int = 5) -> str:
+    """DuckDB replay of :func:`textrank_words`: identical pair graph fed
+    to the shared unrolled-CTE weighted-pagerank oracle."""
+    from .graph import pagerank_oracle_sql
+
+    edges_sql = f"""
+WITH tr_w AS (SELECT doc_id, string_split({norm_sql}, ' ') AS words FROM documents),
+tr_tok AS (
+  SELECT doc_id, generate_subscripts(words, 1) AS pos, unnest(words) AS word
+  FROM tr_w
+),
+tr_pc AS (
+  SELECT least(a.word, b.word) AS wa, greatest(a.word, b.word) AS wb,
+         count(*)::BIGINT AS cnt
+  FROM tr_tok a JOIN tr_tok b
+    ON a.doc_id = b.doc_id AND b.pos - a.pos = 1
+  WHERE a.word <> b.word
+  GROUP BY 1, 2
+  HAVING count(*) >= {min_pair}
+)
+SELECT wa AS src, wb AS dst, cnt FROM tr_pc
+UNION ALL
+SELECT wb AS src, wa AS dst, cnt FROM tr_pc
+"""
+    return pagerank_oracle_sql(edges_sql, weight_sql="cnt")
+
+
 def pmi_pairs(docs: DataFrame, min_pair: int = 5) -> DataFrame:
     """Skip-gram PMI collocations -> (wa, wb, c_ab, c_a, c_b, pmi_ratio):
     unordered word pairs co-occurring within a +/-2 token window, scored
