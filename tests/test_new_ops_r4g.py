@@ -1,0 +1,39 @@
+"""Unit tests for round-4g operators."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _write_docs(spark, tmp_path, rows):
+    """Materialize a tiny documents table shaped like the driver's."""
+    df = spark.createDataFrame(
+        [
+            (i, text, "en", "src0", len(text))
+            for i, text in enumerate(rows)
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    return str(tmp_path)
+
+
+def test_kn_lm_hand_computed(spark, tmp_path):
+    """Interpolated Kneser-Ney on a 2-doc corpus, checked against the
+    textbook formula by hand: bigram counts (a,b)=2, (b,a)=1, (a,c)=1,
+    D=0.75, T=3 bigram types."""
+    from vectrain_spark.driver_queries import q_text_kn_lm
+
+    sf_dir = _write_docs(spark, tmp_path, ["a b a b", "a c"])
+    got = {(r["w1"], r["w2"]): r for r in q_text_kn_lm(spark, sf_dir).collect()}
+
+    assert got[("a", "b")]["cnt"] == 2
+    # (2-0.75)/3 + (0.75*2/3)*(1/3)
+    assert got[("a", "b")]["p_kn"] == pytest.approx(0.583333, abs=1e-6)
+    # (1-0.75)/1 + (0.75*1/1)*(1/3)
+    assert got[("b", "a")]["p_kn"] == pytest.approx(0.5, abs=1e-6)
+    # (1-0.75)/3 + (0.75*2/3)*(1/3)
+    assert got[("a", "c")]["p_kn"] == pytest.approx(0.25, abs=1e-6)
+    assert len(got) == 3

@@ -3739,6 +3739,91 @@ LIMIT 20
 """
 
 
+def q_text_kn_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities — the smoothing every
+    real LM-data pipeline uses where :func:`q_text_bigram_lm` stops at
+    MLE: p_kn(w2|w1) = max(c(w1,w2) - D, 0)/c(w1) + D*N1+(w1,.)/c(w1) *
+    N1+(.,w2)/|bigram types|, absolute discount D = 0.75 (Chen & Goodman
+    1999). The continuation probability N1+(.,w2)/T is what makes KN the
+    interesting DISTRIBUTED shape: it needs distinct-context counts per
+    word, not raw frequencies.
+
+    Scale shape: bigram enumeration is the same in-row array transform
+    as the MLE gate (one explode, no token self-join); every smoothing
+    statistic is an algebraic aggregate OVER THE BIGRAM-TYPE table
+    (already collapsed map-side), so the three stat tables c1/n1f, n1b
+    and the 1-row type total are each tiny vs the corpus; the type total
+    broadcasts. Identical arithmetic order on both engines keeps the
+    doubles bit-equal before the single round."""
+    from .operators.dedup import normalized_text, spread
+
+    ws = F.split(normalized_text(), " ")
+    pairs = (
+        spread(_docs(spark, sf_dir))
+        .select(ws.alias("ws"))
+        .filter(F.size("ws") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 1),"
+                    " i -> struct(element_at(ws, i) AS w1,"
+                    "             element_at(ws, i + 1) AS w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+    )
+    c2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
+    c1 = c2.groupBy("w1").agg(
+        F.sum("cnt").alias("cnt1"), F.count(F.lit(1)).alias("n1f")
+    )
+    cb = c2.groupBy("w2").agg(F.count(F.lit(1)).alias("n1b"))
+    tt = c2.agg(F.count(F.lit(1)).alias("t_types"))
+    return (
+        c2.join(c1, "w1")
+        .join(cb, "w2")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "w1",
+            "w2",
+            "cnt",
+            F.round(
+                (F.greatest(F.col("cnt") - F.lit(0.75), F.lit(0.0)) / F.col("cnt1"))
+                + ((F.lit(0.75) * F.col("n1f")) / F.col("cnt1"))
+                * (F.col("n1b") / F.col("t_types")),
+                6,
+            ).alias("p_kn"),
+        )
+        .orderBy(F.desc("cnt"), F.asc("w1"), F.asc("w2"))
+        .limit(20)
+    )
+
+
+SQL_TEXT_KN_LM = f"""
+WITH ws AS (
+  SELECT string_split({NORM_SQL}, ' ') AS ws FROM documents
+),
+pairs AS (
+  SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+                i -> {{'w1': ws[i], 'w2': ws[i + 1]}})) AS p
+  FROM ws WHERE len(ws) >= 2
+),
+flat AS (SELECT p.w1 AS w1, p.w2 AS w2 FROM pairs),
+c2 AS (SELECT w1, w2, count(*)::BIGINT AS cnt FROM flat GROUP BY 1, 2),
+c1 AS (SELECT w1, sum(cnt)::BIGINT AS cnt1, count(*)::BIGINT AS n1f
+       FROM c2 GROUP BY 1),
+cb AS (SELECT w2, count(*)::BIGINT AS n1b FROM c2 GROUP BY 1),
+tt AS (SELECT count(*)::BIGINT AS t_types FROM c2)
+SELECT c2.w1, c2.w2, c2.cnt,
+       round((greatest(c2.cnt - 0.75, 0.0) / c1.cnt1)
+             + ((0.75 * c1.n1f) / c1.cnt1) * (cb.n1b * 1.0 / tt.t_types),
+             6) AS p_kn
+FROM c2 JOIN c1 ON c1.w1 = c2.w1 JOIN cb ON cb.w2 = c2.w2 CROSS JOIN tt
+ORDER BY c2.cnt DESC, c2.w1 ASC, c2.w2 ASC
+LIMIT 20
+"""
+
+
 def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality filter: per-doc coverage under a corpus
     bigram model (pairs seen >= 5 times), DECIMAL-exact probability mass
@@ -8128,6 +8213,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_vocab": q_text_vocab,
     "text_pmi": q_text_pmi,
     "text_bigram_lm": q_text_bigram_lm,
+    "text_kn_lm": q_text_kn_lm,
     "text_lm_score": q_text_lm_score,
     "corpus_histogram": q_corpus_histogram,
     "corpus_quartiles": q_corpus_quartiles,
@@ -8235,7 +8321,9 @@ _CHANGED_THIS_ROUND = [
     "kg_triangles",          # shares the refactored _oriented_wedges
     "sim_semantic_dedup",    # per-cell block-matrix cap
     "kg_link_fuzzy",         # length-bucket equi-join (no nested loop)
-    # --- (3) round 4f: NEW operators (newest session) ---
+    # --- (3) round 4g: NEW operators (newest session) ---
+    "text_kn_lm",            # NEW: interpolated Kneser-Ney bigram LM
+    # --- round 4f ---
     "kg_clustering",         # NEW: per-node local clustering coefficient
     "kg_rotate",             # NEW: RotatE complex-rotation KG scorer
     "kg_wl_colors",          # NEW: 1-WL structural-role refinement
@@ -8459,6 +8547,7 @@ ORACLES: dict[str, str] = {
     "text_vocab": SQL_TEXT_VOCAB,
     "text_pmi": SQL_TEXT_PMI,
     "text_bigram_lm": SQL_TEXT_BIGRAM_LM,
+    "text_kn_lm": SQL_TEXT_KN_LM,
     "text_lm_score": SQL_TEXT_LM_SCORE,
     "corpus_histogram": SQL_CORPUS_HISTOGRAM,
     "corpus_quartiles": SQL_CORPUS_QUARTILES,
