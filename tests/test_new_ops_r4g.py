@@ -37,3 +37,26 @@ def test_kn_lm_hand_computed(spark, tmp_path):
     # (1-0.75)/3 + (0.75*2/3)*(1/3)
     assert got[("a", "c")]["p_kn"] == pytest.approx(0.25, abs=1e-6)
     assert len(got) == 3
+
+
+def test_resolve_redirects_doubling_and_cycle(spark):
+    """A depth-3 chain resolves with exact hop counts in log rounds; a
+    2-cycle comes back resolved=False instead of hanging."""
+    from vectrain_spark.operators.webcorpus import resolve_redirects
+
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "d"),  # chain a->b->c->d
+        ("q", "d"),                          # direct hit on the terminal
+        ("x", "y"), ("y", "x"),              # redirect cycle
+    ]
+    redirects = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["src"]: r for r in resolve_redirects(redirects, max_rounds=4).collect()}
+
+    assert (got["a"]["final_url"], got["a"]["hops"]) == ("d", 3)
+    assert (got["b"]["final_url"], got["b"]["hops"]) == ("d", 2)
+    assert (got["c"]["final_url"], got["c"]["hops"]) == ("d", 1)
+    assert (got["q"]["final_url"], got["q"]["hops"]) == ("d", 1)
+    assert all(got[s]["resolved"] for s in "abcq")
+    # the cycle never terminates a follow: flagged, not looped
+    assert not got["x"]["resolved"] and not got["y"]["resolved"]
+    assert len(got) == 6

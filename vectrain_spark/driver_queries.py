@@ -7973,6 +7973,36 @@ WHERE NOT EXISTS (
 """
 
 
+def q_web_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain resolution to the terminal url via POINTER
+    DOUBLING: a deterministic redirect table (every non-multiple-of-5
+    doc_id's url 301s to the previous doc_id's url — chains of length
+    1..4) resolved in ceil(log2 4) = 2 self-join rounds, vs the oracle's
+    recursive-CTE hop-at-a-time walk picking each source's
+    maximum-hop row. The doubling shape is the point: a depth-L chain
+    costs O(log L) joins, never O(L)."""
+    from .operators.webcorpus import redirect_edges, resolve_redirects
+
+    return resolve_redirects(redirect_edges(_docs(spark, sf_dir)))
+
+
+SQL_WEB_REDIRECTS = """
+WITH RECURSIVE redirects AS (
+  SELECT 'https://docs.example/' || doc_id AS src,
+         'https://docs.example/' || (doc_id - 1) AS dst
+  FROM documents WHERE doc_id % 5 <> 0
+),
+r AS (
+  SELECT src, dst, 1 AS hops FROM redirects
+  UNION ALL
+  SELECT r.src, e.dst, r.hops + 1 FROM r JOIN redirects e ON e.src = r.dst
+)
+SELECT src, arg_max(dst, hops) AS final_url, max(hops)::INTEGER AS hops,
+       arg_max(dst, hops) NOT IN (SELECT src FROM redirects) AS resolved
+FROM r GROUP BY src
+"""
+
+
 def q_sketch_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV set-operation estimates (Beyer et al. 2007) between the five
     language vocabularies: union / intersection / Jaccard from k=256
@@ -8214,6 +8244,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_pmi": q_text_pmi,
     "text_bigram_lm": q_text_bigram_lm,
     "text_kn_lm": q_text_kn_lm,
+    "web_redirects": q_web_redirects,
     "text_lm_score": q_text_lm_score,
     "corpus_histogram": q_corpus_histogram,
     "corpus_quartiles": q_corpus_quartiles,
@@ -8323,6 +8354,7 @@ _CHANGED_THIS_ROUND = [
     "kg_link_fuzzy",         # length-bucket equi-join (no nested loop)
     # --- (3) round 4g: NEW operators (newest session) ---
     "text_kn_lm",            # NEW: interpolated Kneser-Ney bigram LM
+    "web_redirects",         # NEW: pointer-doubling redirect resolution
     # --- round 4f ---
     "kg_clustering",         # NEW: per-node local clustering coefficient
     "kg_rotate",             # NEW: RotatE complex-rotation KG scorer
@@ -8548,6 +8580,7 @@ ORACLES: dict[str, str] = {
     "text_pmi": SQL_TEXT_PMI,
     "text_bigram_lm": SQL_TEXT_BIGRAM_LM,
     "text_kn_lm": SQL_TEXT_KN_LM,
+    "web_redirects": SQL_WEB_REDIRECTS,
     "text_lm_score": SQL_TEXT_LM_SCORE,
     "corpus_histogram": SQL_CORPUS_HISTOGRAM,
     "corpus_quartiles": SQL_CORPUS_QUARTILES,

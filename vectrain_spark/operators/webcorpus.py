@@ -391,6 +391,77 @@ def anchor_aliases(pages: DataFrame, per_anchor_cap: int = 100) -> DataFrame:
     )
 
 
+def redirect_edges(docs: DataFrame) -> DataFrame:
+    """Deterministic redirect table derived from the documents corpus:
+    every url whose doc_id is NOT a multiple of 5 redirects to the
+    previous doc_id's url — chains of length 1..4 all terminating at a
+    multiple of 5 (monotone-decreasing targets, so the graph is provably
+    acyclic). Pure doc_id arithmetic, SQL-reconstructible."""
+    return docs.filter(F.col("doc_id") % 5 != 0).select(
+        F.concat(F.lit("https://docs.example/"), F.col("doc_id")).alias("src"),
+        F.concat(F.lit("https://docs.example/"), F.col("doc_id") - 1).alias(
+            "dst"
+        ),
+    )
+
+
+def resolve_redirects(redirects: DataFrame, max_rounds: int = 16) -> DataFrame:
+    """Redirect-chain resolution -> (src, final_url, hops, resolved):
+    follow every (src, dst) HTTP-redirect edge to its terminal url — the
+    canonical-url step every crawl dedup runs before content hashing
+    (two urls whose chains meet are the same page).
+
+    Plan shape — POINTER DOUBLING, not per-hop walking: each round joins
+    the mapping against ITSELF (dst -> src), so every pointer skips
+    2^round hops per round and a maximum chain of length L resolves in
+    ceil(log2 L) rounds — 5 self-joins for L = 32 where the naive
+    frontier walk needs 32. At 10^12 redirect rows each round is one
+    hash-partitioned equi-join on the url key plus a semi-join fixpoint
+    probe; localCheckpoint keeps the iterated plan flat. Cycles (which
+    violate HTTP but occur in the wild) can never terminate a follow:
+    rows still pending after ``max_rounds`` doubling rounds (chains
+    beyond 2^max_rounds are physically impossible) come back with
+    ``resolved = false`` instead of looping — the crawler quarantines
+    them like any other protocol violation."""
+    f = redirects.select(
+        "src", "dst", F.lit(1).cast("long").alias("hops")
+    ).localCheckpoint()
+    for _ in range(max_rounds):
+        pending = f.join(
+            f.select(F.col("src").alias("dst")).distinct(), "dst", "left_semi"
+        )
+        if not pending.take(1):
+            break
+        step = f.select(
+            F.col("src").alias("_ssrc"),
+            F.col("dst").alias("_sdst"),
+            F.col("hops").alias("_shops"),
+        )
+        f = (
+            f.join(step, f["dst"] == step["_ssrc"], "left")
+            .select(
+                "src",
+                F.coalesce("_sdst", "dst").alias("dst"),
+                (F.col("hops") + F.coalesce("_shops", F.lit(0))).alias("hops"),
+            )
+            .localCheckpoint()
+        )
+    srcs = redirects.select("src").distinct()
+    return (
+        f.join(
+            srcs.select(F.col("src").alias("dst"), F.lit(False).alias("_open")),
+            "dst",
+            "left",
+        )
+        .select(
+            "src",
+            F.col("dst").alias("final_url"),
+            F.col("hops").cast("int").alias("hops"),
+            F.coalesce("_open", F.lit(True)).alias("resolved"),
+        )
+    )
+
+
 def robots_filter(frontier: DataFrame, rules: DataFrame) -> DataFrame:
     """Crawl-permission filtering -> the subset of ``frontier`` (url)
     rows a polite crawler may fetch, given parsed robots.txt ``rules``
