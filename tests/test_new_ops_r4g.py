@@ -60,3 +60,22 @@ def test_resolve_redirects_doubling_and_cycle(spark):
     # the cycle never terminates a follow: flagged, not looped
     assert not got["x"]["resolved"] and not got["y"]["resolved"]
     assert len(got) == 6
+
+
+def test_simrank_textbook_graph(spark):
+    """Jeh & Widom's canonical example: Univ -> {ProfA, ProfB} ->
+    {StudA, StudB}. Profs share an in-neighbor (round 1); students
+    become similar ONLY via the recursion (round 2 propagates the
+    profs' similarity one hop down) — the property that separates
+    SimRank from one-shot co-citation."""
+    from vectrain_spark.operators.graph import simrank
+
+    edges = [("u", "pa"), ("u", "pb"), ("pa", "sa"), ("pb", "sb")]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    got = {(r["a"], r["b"]): r["s"] for r in simrank(e).collect()}
+
+    # s(pa,pb) = C * |common| / (1*1) = 0.8, stable across rounds
+    assert got[("pa", "pb")] == pytest.approx(0.8, abs=1e-6)
+    # s(sa,sb) = C * s(pa,pb) = 0.64 — zero under plain co-citation
+    assert got[("sa", "sb")] == pytest.approx(0.64, abs=1e-6)
+    assert len(got) == 2

@@ -3614,6 +3614,29 @@ def _textrank_sql() -> str:
 SQL_TEXT_TEXTRANK = _textrank_sql()
 
 
+def q_text_simrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimRank structural word similarity over the same vocabulary-sized
+    co-occurrence graph TextRank ranks: 3 recursive rounds of
+    "words are similar when their neighbors are similar" (Jeh & Widom
+    2002), top-100 pairs — the distributional-similarity complement of
+    the centrality gate, value-checked against a fully unrolled DuckDB
+    replay with identical per-round 6-dp rounding."""
+    from .operators.graph import simrank
+    from .operators.textstats import word_cooccurrence_edges
+
+    return simrank(word_cooccurrence_edges(_docs(spark, sf_dir)))
+
+
+def _simrank_sql() -> str:
+    from .operators.graph import simrank_oracle_sql
+    from .operators.textstats import word_cooccurrence_edges_sql
+
+    return simrank_oracle_sql(word_cooccurrence_edges_sql(NORM_SQL))
+
+
+SQL_TEXT_SIMRANK = _simrank_sql()
+
+
 def q_text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skip-gram PMI collocations (+/-2 token window): pair generation is
     in-row via zip_with over sliced token arrays (no self-join), one
@@ -8245,6 +8268,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bigram_lm": q_text_bigram_lm,
     "text_kn_lm": q_text_kn_lm,
     "web_redirects": q_web_redirects,
+    "text_simrank": q_text_simrank,
     "text_lm_score": q_text_lm_score,
     "corpus_histogram": q_corpus_histogram,
     "corpus_quartiles": q_corpus_quartiles,
@@ -8355,6 +8379,7 @@ _CHANGED_THIS_ROUND = [
     # --- (3) round 4g: NEW operators (newest session) ---
     "text_kn_lm",            # NEW: interpolated Kneser-Ney bigram LM
     "web_redirects",         # NEW: pointer-doubling redirect resolution
+    "text_simrank",          # NEW: recursive SimRank word similarity
     # --- round 4f ---
     "kg_clustering",         # NEW: per-node local clustering coefficient
     "kg_rotate",             # NEW: RotatE complex-rotation KG scorer
@@ -8581,6 +8606,7 @@ ORACLES: dict[str, str] = {
     "text_bigram_lm": SQL_TEXT_BIGRAM_LM,
     "text_kn_lm": SQL_TEXT_KN_LM,
     "web_redirects": SQL_WEB_REDIRECTS,
+    "text_simrank": SQL_TEXT_SIMRANK,
     "text_lm_score": SQL_TEXT_LM_SCORE,
     "corpus_histogram": SQL_CORPUS_HISTOGRAM,
     "corpus_quartiles": SQL_CORPUS_QUARTILES,

@@ -315,6 +315,15 @@ def textrank_words(docs: DataFrame, min_pair: int = 5) -> DataFrame:
     graphs are loop-free)."""
     from .graph import pagerank
 
+    return pagerank(word_cooccurrence_edges(docs, min_pair), weight="cnt")
+
+
+def word_cooccurrence_edges(docs: DataFrame, min_pair: int = 5) -> DataFrame:
+    """Symmetrized adjacent-word co-occurrence graph -> (src, dst, cnt):
+    the vocabulary-sized word graph both :func:`textrank_words` and the
+    SimRank gate iterate over. Pair generation is in-row (zip_with over
+    sliced token arrays — codegen, no token self-join); ``min_pair``
+    prunes hapax noise before the graph exists."""
     toks = docs.select("doc_id", F.split(normalized_text(), " ").alias("w"))
     pair_arr = F.expr(
         "zip_with(slice(w, 1, greatest(size(w) - 1, 0)),"
@@ -330,20 +339,17 @@ def textrank_words(docs: DataFrame, min_pair: int = 5) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") >= min_pair)
     )
-    edges = pairs.select(
+    return pairs.select(
         F.col("wa").alias("src"), F.col("wb").alias("dst"), "cnt"
     ).unionAll(
         pairs.select(F.col("wb").alias("src"), F.col("wa").alias("dst"), "cnt")
     )
-    return pagerank(edges, weight="cnt")
 
 
-def textrank_oracle_sql(norm_sql: str, min_pair: int = 5) -> str:
-    """DuckDB replay of :func:`textrank_words`: identical pair graph fed
-    to the shared unrolled-CTE weighted-pagerank oracle."""
-    from .graph import pagerank_oracle_sql
-
-    edges_sql = f"""
+def word_cooccurrence_edges_sql(norm_sql: str, min_pair: int = 5) -> str:
+    """DuckDB reconstruction of :func:`word_cooccurrence_edges` —
+    shared by the TextRank and SimRank oracles."""
+    return f"""
 WITH tr_w AS (SELECT doc_id, string_split({norm_sql}, ' ') AS words FROM documents),
 tr_tok AS (
   SELECT doc_id, generate_subscripts(words, 1) AS pos, unnest(words) AS word
@@ -362,7 +368,16 @@ SELECT wa AS src, wb AS dst, cnt FROM tr_pc
 UNION ALL
 SELECT wb AS src, wa AS dst, cnt FROM tr_pc
 """
-    return pagerank_oracle_sql(edges_sql, weight_sql="cnt")
+
+
+def textrank_oracle_sql(norm_sql: str, min_pair: int = 5) -> str:
+    """DuckDB replay of :func:`textrank_words`: identical pair graph fed
+    to the shared unrolled-CTE weighted-pagerank oracle."""
+    from .graph import pagerank_oracle_sql
+
+    return pagerank_oracle_sql(
+        word_cooccurrence_edges_sql(norm_sql, min_pair), weight_sql="cnt"
+    )
 
 
 def pmi_pairs(docs: DataFrame, min_pair: int = 5) -> DataFrame:
