@@ -79,3 +79,31 @@ def test_simrank_textbook_graph(spark):
     # s(sa,sb) = C * s(pa,pb) = 0.64 — zero under plain co-citation
     assert got[("sa", "sb")] == pytest.approx(0.64, abs=1e-6)
     assert len(got) == 2
+
+
+def test_ccnet_buckets_tercile_sizes(spark):
+    """Bucket sizes follow the ntile contract (larger thirds first) and
+    better-scoring docs land in better buckets."""
+    from vectrain_spark.operators.textstats import ccnet_buckets
+
+    # 10 docs: doc k repeats a common bigram k times, so coverage rises
+    # with k (docs 0/1 too short for any bigram are excluded upstream)
+    docs = spark.createDataFrame(
+        [(k, "x y " * k, "en") for k in range(10)],
+        "doc_id long, text string, lang string",
+    )
+    got = ccnet_buckets(docs).collect()
+    by_bucket = {}
+    for r in got:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    # doc 0 is empty-ish ("" after trim -> 1 token), doc 1 has 2 tokens
+    # (1 bigram); scored docs = 9 -> 3/3/3
+    assert {b: len(v) for b, v in by_bucket.items()} == {
+        "head": 3, "middle": 3, "tail": 3
+    }
+    # every head score >= every middle score >= every tail score
+    lo_head = min(r["avg_p"] for r in by_bucket["head"])
+    hi_mid = max(r["avg_p"] for r in by_bucket["middle"])
+    lo_mid = min(r["avg_p"] for r in by_bucket["middle"])
+    hi_tail = max(r["avg_p"] for r in by_bucket["tail"])
+    assert lo_head >= hi_mid >= lo_mid >= hi_tail

@@ -3885,6 +3885,26 @@ FROM scored GROUP BY doc_id
 """
 
 
+def q_text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail terciles over the LM coverage score — the
+    quality cut Wenzek et al. (2020) apply to Common Crawl. Rank-based
+    bucketing (floor(3*rank/n) over the (avg_p desc, doc_id) total
+    order) via the two-phase global-rank scheme, so the gate checks
+    every document's bucket assignment, not just the 3 counts."""
+    from .operators.textstats import ccnet_buckets
+
+    return ccnet_buckets(_docs(spark, sf_dir))
+
+
+def _ccnet_sql() -> str:
+    from .operators.textstats import ccnet_buckets_oracle_sql
+
+    return ccnet_buckets_oracle_sql(SQL_TEXT_LM_SCORE)
+
+
+SQL_TEXT_CCNET_BUCKETS = _ccnet_sql()
+
+
 def q_corpus_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language length-quartile assignment via ntile(4) — the bucketed
     window function (deterministic under the (n_chars, doc_id) total
@@ -8269,6 +8289,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_kn_lm": q_text_kn_lm,
     "web_redirects": q_web_redirects,
     "text_simrank": q_text_simrank,
+    "text_ccnet_buckets": q_text_ccnet_buckets,
     "text_lm_score": q_text_lm_score,
     "corpus_histogram": q_corpus_histogram,
     "corpus_quartiles": q_corpus_quartiles,
@@ -8380,6 +8401,7 @@ _CHANGED_THIS_ROUND = [
     "text_kn_lm",            # NEW: interpolated Kneser-Ney bigram LM
     "web_redirects",         # NEW: pointer-doubling redirect resolution
     "text_simrank",          # NEW: recursive SimRank word similarity
+    "text_ccnet_buckets",    # NEW: CCNet head/middle/tail quality cut
     # --- round 4f ---
     "kg_clustering",         # NEW: per-node local clustering coefficient
     "kg_rotate",             # NEW: RotatE complex-rotation KG scorer
@@ -8607,6 +8629,7 @@ ORACLES: dict[str, str] = {
     "text_kn_lm": SQL_TEXT_KN_LM,
     "web_redirects": SQL_WEB_REDIRECTS,
     "text_simrank": SQL_TEXT_SIMRANK,
+    "text_ccnet_buckets": SQL_TEXT_CCNET_BUCKETS,
     "text_lm_score": SQL_TEXT_LM_SCORE,
     "corpus_histogram": SQL_CORPUS_HISTOGRAM,
     "corpus_quartiles": SQL_CORPUS_QUARTILES,

@@ -297,6 +297,56 @@ def lm_quality_score(docs: DataFrame, min_count: int = 5) -> DataFrame:
     )
 
 
+def ccnet_buckets(docs: DataFrame) -> DataFrame:
+    """CCNet-style quality terciles -> (doc_id, avg_p, bucket): rank the
+    corpus by its LM coverage score (:func:`lm_quality_score`, higher =
+    more fluent) and cut it into head / middle / tail thirds — the
+    bucketing Wenzek et al. (2020) apply to Common Crawl before keeping
+    the head for LM training. Bucket boundaries are RANK-based
+    (bucket = floor(3 * rank / n), rank ordered by (avg_p desc, doc_id)),
+    not interpolated percentiles: the cut depends only on the total
+    order, which both engines reproduce exactly, never on
+    float-interpolation semantics at the tercile boundary.
+
+    Scale shape: the global rank comes from the two-phase
+    repartitionByRange + per-partition-offset scheme
+    (:func:`..graph._global_sorted_rank`) — no partition-less window
+    anywhere; the only driver traffic is one row per partition."""
+    from .graph import _global_sorted_rank
+
+    scored = lm_quality_score(docs).select("doc_id", "avg_p")
+    keyed = scored.withColumn(
+        "_ck",
+        F.struct((-F.col("avg_p")).alias("q"), F.col("doc_id").alias("d")),
+    )
+    ranked, n = _global_sorted_rank(keyed, "_ck", "_rank")
+    b = F.floor(F.lit(3) * F.col("_rank") / F.lit(n))
+    labels = F.array(F.lit("head"), F.lit("middle"), F.lit("tail"))
+    return ranked.select(
+        "doc_id",
+        "avg_p",
+        F.element_at(labels, (b + 1).cast("int")).alias("bucket"),
+    )
+
+
+def ccnet_buckets_oracle_sql(lm_score_sql: str) -> str:
+    """DuckDB replay of :func:`ccnet_buckets` over the shared LM-score
+    oracle: same (avg_p desc, doc_id) total order, same floor cut."""
+    return f"""
+WITH ccb AS ({lm_score_sql}),
+rk AS (
+  SELECT doc_id, avg_p,
+         row_number() OVER (ORDER BY avg_p DESC, doc_id) - 1 AS r,
+         count(*) OVER () AS n
+  FROM ccb
+)
+SELECT doc_id, avg_p,
+       CASE (3 * r) // n WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM rk
+"""
+
+
 def textrank_words(docs: DataFrame, min_pair: int = 5) -> DataFrame:
     """TextRank keyword scores -> (id, rank): weighted PageRank over the
     adjacent-word co-occurrence graph (Mihalcea & Tarau 2004, window 2).
