@@ -107,3 +107,24 @@ def test_ccnet_buckets_tercile_sizes(spark):
     lo_mid = min(r["avg_p"] for r in by_bucket["middle"])
     hi_tail = max(r["avg_p"] for r in by_bucket["tail"])
     assert lo_head >= hi_mid >= lo_mid >= hi_tail
+
+
+def test_scc_one_way_bridge_keeps_cycles_apart(spark):
+    """Two 3-cycles joined by a ONE-WAY bridge: weakly connected (one
+    WCC) but two separate SCCs — plus a DAG tail that stays singleton."""
+    from vectrain_spark.operators.graph import strongly_connected_components
+
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "a"),   # cycle 1
+        ("c", "p"),                            # one-way bridge
+        ("p", "q"), ("q", "r"), ("r", "p"),   # cycle 2
+        ("r", "z"),                            # DAG tail
+    ]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r for r in strongly_connected_components(e).collect()}
+
+    assert {got[n]["scc_id"] for n in "abc"} == {"a"}
+    assert {got[n]["scc_id"] for n in "pqr"} == {"p"}
+    assert got["z"]["scc_id"] == "z" and got["z"]["scc_size"] == 1
+    assert got["a"]["scc_size"] == 3 and got["p"]["scc_size"] == 3
+    assert len(got) == 7

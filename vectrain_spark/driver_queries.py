@@ -8046,6 +8046,50 @@ FROM r GROUP BY src
 """
 
 
+def q_kg_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components over a deterministic ring-block
+    graph (each 6-doc block forms a directed cycle; every 36th doc adds
+    a ONE-WAY bridge into the next block): the bridge makes WCC merge
+    block pairs while SCC must keep them apart — the direction-respecting
+    behavior the gate checks per node. Closure-intersect-reverse with
+    min-id reduction, vs a recursive-CTE replay."""
+    from .operators.graph import strongly_connected_components
+
+    docs = _docs(spark, sf_dir)
+    cyc_dst = (F.col("doc_id") - F.col("doc_id") % 6) + (
+        (F.col("doc_id") % 6) + 1
+    ) % 6
+    edges = docs.select(
+        F.concat(F.lit("n"), F.col("doc_id")).alias("src"),
+        F.concat(F.lit("n"), cyc_dst).alias("dst"),
+    ).unionByName(
+        docs.filter(F.col("doc_id") % 36 == 0).select(
+            F.concat(F.lit("n"), F.col("doc_id")).alias("src"),
+            F.concat(F.lit("n"), F.col("doc_id") + 6).alias("dst"),
+        )
+    )
+    return strongly_connected_components(edges)
+
+
+_SCC_EDGES_SQL = """
+SELECT 'n' || doc_id AS src,
+       'n' || ((doc_id - doc_id % 6) + ((doc_id % 6) + 1) % 6) AS dst
+FROM documents
+UNION ALL
+SELECT 'n' || doc_id AS src, 'n' || (doc_id + 6) AS dst
+FROM documents WHERE doc_id % 36 = 0
+"""
+
+
+def _scc_sql() -> str:
+    from .operators.graph import scc_oracle_sql
+
+    return scc_oracle_sql(_SCC_EDGES_SQL)
+
+
+SQL_KG_SCC = _scc_sql()
+
+
 def q_sketch_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV set-operation estimates (Beyer et al. 2007) between the five
     language vocabularies: union / intersection / Jaccard from k=256
@@ -8290,6 +8334,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "web_redirects": q_web_redirects,
     "text_simrank": q_text_simrank,
     "text_ccnet_buckets": q_text_ccnet_buckets,
+    "kg_scc": q_kg_scc,
     "text_lm_score": q_text_lm_score,
     "corpus_histogram": q_corpus_histogram,
     "corpus_quartiles": q_corpus_quartiles,
@@ -8402,6 +8447,7 @@ _CHANGED_THIS_ROUND = [
     "web_redirects",         # NEW: pointer-doubling redirect resolution
     "text_simrank",          # NEW: recursive SimRank word similarity
     "text_ccnet_buckets",    # NEW: CCNet head/middle/tail quality cut
+    "kg_scc",                # NEW: direction-respecting SCC vs WCC
     # --- round 4f ---
     "kg_clustering",         # NEW: per-node local clustering coefficient
     "kg_rotate",             # NEW: RotatE complex-rotation KG scorer
@@ -8630,6 +8676,7 @@ ORACLES: dict[str, str] = {
     "web_redirects": SQL_WEB_REDIRECTS,
     "text_simrank": SQL_TEXT_SIMRANK,
     "text_ccnet_buckets": SQL_TEXT_CCNET_BUCKETS,
+    "kg_scc": SQL_KG_SCC,
     "text_lm_score": SQL_TEXT_LM_SCORE,
     "corpus_histogram": SQL_CORPUS_HISTOGRAM,
     "corpus_quartiles": SQL_CORPUS_QUARTILES,

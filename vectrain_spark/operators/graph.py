@@ -3187,3 +3187,92 @@ s{r} AS (
 SELECT a, b, s FROM s{rounds} ORDER BY s DESC, a ASC, b ASC LIMIT {k}"""
     )
     return "".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Strongly connected components (mutual reachability)
+# ---------------------------------------------------------------------------
+
+
+def strongly_connected_components(
+    edges: DataFrame, max_hops: int = CLOSURE_MAX_HOPS
+) -> DataFrame:
+    """Strongly connected components -> (node, scc_id, scc_size):
+    scc_id = the minimum node id mutually reachable with the node
+    (including itself), so two nodes share an id iff each reaches the
+    other — the textbook SCC characterization, computed as
+    closure INTERSECT reverse(closure) over the semi-naive
+    :func:`transitive_closure`.
+
+    Where :func:`connected_components <..canonicalize>`-style union-find
+    answers the UNDIRECTED question, SCC respects direction: a one-way
+    bridge between two cycles leaves them separate components here but
+    one component there.
+
+    Scale honesty: materializing the closure is the exact-answer anchor
+    — O(|closure|) pairs, the same trade :func:`transitive_closure`
+    documents (and fine for diameter-bounded graphs like redirect rings
+    or block cycles; ``max_hops`` bounds the walk). At 10^12-edge scale
+    you'd run forward-backward reach coloring (Fleischer et al. 2000) —
+    pick a pivot per partition, one BFS each way, recurse on the three
+    remainders — whose per-round dataflow (frontier joins) is identical
+    to the closure's; the intersect-and-min reduction below is unchanged.
+    """
+    c = transitive_closure(edges, max_hops).select("src", "dst")
+    mutual = c.join(
+        c.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+        ["src", "dst"],
+        "left_semi",
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    scc = (
+        nodes.join(
+            mutual.select(F.col("src").alias("node"), F.col("dst").alias("peer")),
+            "node",
+            "left",
+        )
+        .groupBy("node")
+        .agg(
+            F.min(
+                F.least(F.col("node"), F.coalesce("peer", F.col("node")))
+            ).alias("scc_id")
+        )
+    )
+    sizes = scc.groupBy("scc_id").agg(F.count(F.lit(1)).alias("scc_size"))
+    return scc.join(sizes, "scc_id").select("node", "scc_id", "scc_size")
+
+
+def scc_oracle_sql(edges_sql: str, max_hops: int = CLOSURE_MAX_HOPS) -> str:
+    """DuckDB replay of :func:`strongly_connected_components`: hop-capped
+    recursive closure, reverse-intersect, min-id reduction."""
+    return f"""
+WITH RECURSIVE scc_e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({edges_sql})),
+r AS (
+  SELECT src, dst, 1 AS hops FROM scc_e
+  UNION
+  SELECT r.src, e.dst, r.hops + 1 FROM r JOIN scc_e e ON e.src = r.dst
+  WHERE r.hops < {max_hops}
+),
+cl AS (SELECT DISTINCT src, dst FROM r WHERE src <> dst),
+mutual AS (
+  SELECT c.src, c.dst FROM cl c
+  WHERE EXISTS (SELECT 1 FROM cl b WHERE b.src = c.dst AND b.dst = c.src)
+),
+nodes AS (
+  SELECT src AS node FROM scc_e UNION SELECT dst FROM scc_e
+),
+ids AS (
+  SELECT n.node,
+         min(least(n.node, coalesce(m.dst, n.node))) AS scc_id
+  FROM nodes n LEFT JOIN mutual m ON m.src = n.node
+  GROUP BY n.node
+)
+SELECT ids.node, ids.scc_id, sz.scc_size
+FROM ids JOIN (
+  SELECT scc_id, count(*)::BIGINT AS scc_size FROM ids GROUP BY scc_id
+) sz USING (scc_id)
+"""
