@@ -128,3 +128,23 @@ def test_scc_one_way_bridge_keeps_cycles_apart(spark):
     assert got["z"]["scc_id"] == "z" and got["z"]["scc_size"] == 1
     assert got["a"]["scc_size"] == 3 and got["p"]["scc_size"] == 3
     assert len(got) == 7
+
+
+def test_kmeans_parallel_seed_invariants(spark):
+    """k-means|| on a two-cluster line: the seed is the minimum vec_id,
+    every attraction weight is accounted for (weights partition the
+    corpus), and the far cluster gets sampled (cost-proportional
+    admission has to reach it — that is the algorithm's whole point)."""
+    from vectrain_spark.operators.similarity import kmeans_parallel_seed
+
+    rows = [(i, [float(i % 4), 0.0]) for i in range(8)]
+    rows += [(100 + i, [1000.0 + i % 4, 0.0]) for i in range(8)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = kmeans_parallel_seed(emb, l=4, rounds=2).collect()
+
+    by_id = {r["vec_id"]: r for r in got}
+    assert by_id[0]["round_added"] == 0          # min vec_id seeds
+    assert sum(r["weight"] for r in got) == 16   # weights partition corpus
+    assert all(r["round_added"] in (0, 1, 2) for r in got)
+    # the 1000-away cluster dominates the cost, so sampling must hit it
+    assert any(r["vec_id"] >= 100 for r in got)

@@ -7087,6 +7087,27 @@ FROM s
 SQL_CORPUS_ZIPF = _corpus_zipf_sql()
 
 
+def q_sim_kmeans_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means|| oversampling initialization (Bahmani et al., VLDB 2012)
+    over the embeddings table: 2 parallel rounds of cost-proportional
+    md5-coin sampling plus the attraction-weight pass — the distributed
+    seeding that feeds :func:`~vectrain_spark.operators.similarity.
+    kmeans_refine`'s Lloyd loop. Oracle replays every round, coin, and
+    scaled-integer cost sum."""
+    from .operators.similarity import kmeans_parallel_seed
+
+    return kmeans_parallel_seed(_emb(spark, sf_dir))
+
+
+def _kmeans_seed_sql() -> str:
+    from .operators.similarity import kmeans_parallel_oracle_sql
+
+    return kmeans_parallel_oracle_sql()
+
+
+SQL_SIM_KMEANS_SEED = _kmeans_seed_sql()
+
+
 def q_sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality evaluation IN-ENGINE: recall@5 of the IVF index vs
     exact brute-force cosine per query -> (q_id, k, n_hits, recall) —
@@ -8335,6 +8356,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_simrank": q_text_simrank,
     "text_ccnet_buckets": q_text_ccnet_buckets,
     "kg_scc": q_kg_scc,
+    "sim_kmeans_seed": q_sim_kmeans_seed,
     "text_lm_score": q_text_lm_score,
     "corpus_histogram": q_corpus_histogram,
     "corpus_quartiles": q_corpus_quartiles,
@@ -8448,6 +8470,7 @@ _CHANGED_THIS_ROUND = [
     "text_simrank",          # NEW: recursive SimRank word similarity
     "text_ccnet_buckets",    # NEW: CCNet head/middle/tail quality cut
     "kg_scc",                # NEW: direction-respecting SCC vs WCC
+    "sim_kmeans_seed",       # NEW: k-means|| oversampling rounds
     # --- round 4f ---
     "kg_clustering",         # NEW: per-node local clustering coefficient
     "kg_rotate",             # NEW: RotatE complex-rotation KG scorer
@@ -8677,6 +8700,7 @@ ORACLES: dict[str, str] = {
     "text_simrank": SQL_TEXT_SIMRANK,
     "text_ccnet_buckets": SQL_TEXT_CCNET_BUCKETS,
     "kg_scc": SQL_KG_SCC,
+    "sim_kmeans_seed": SQL_SIM_KMEANS_SEED,
     "text_lm_score": SQL_TEXT_LM_SCORE,
     "corpus_histogram": SQL_CORPUS_HISTOGRAM,
     "corpus_quartiles": SQL_CORPUS_QUARTILES,

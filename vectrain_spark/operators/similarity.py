@@ -863,3 +863,158 @@ def mmr_rerank(
         F.round(F.col("mmr"), 6).cast("double").alias("mmr"),
         "pick",
     )
+
+
+# ---------------------------------------------------------------------------
+# k-means|| parallel seeding (Bahmani et al., VLDB 2012)
+# ---------------------------------------------------------------------------
+
+
+def _d2_expr(a: str, b: str):
+    """Rounded squared euclidean distance — the sqrt-free cost k-means||
+    oversamples by, same left-fold dots as :func:`metric_expr`."""
+    return F.round(
+        _dot(a, a) - F.lit(2.0) * _dot(a, b) + _dot(b, b), 6
+    )
+
+
+def kmeans_parallel_seed(
+    embeddings: DataFrame, l: int = 8, rounds: int = 2
+) -> DataFrame:
+    """k-means|| seeding -> (vec_id, round_added, weight): the
+    oversampling initializer that replaces k-means++'s k SEQUENTIAL
+    passes with O(log n) parallel rounds (Bahmani et al., VLDB 2012 —
+    the distributed-systems k-means paper). Each round computes every
+    point's squared distance to the current candidate set and admits
+    point x independently with probability min(1, l * d2(x) / phi)
+    (phi = total cost); the final candidate set is weighted by how many
+    corpus points it attracts — the tiny weighted instance a sequential
+    k-means++ then reclusters to k centers driver-side.
+
+    Determinism: the "coin flip" is u(x) = md5(vec_id | round) scaled to
+    [0, 1) — the same cross-engine hash idiom the walk sampler uses —
+    and the cost sum phi is SCALED-INTEGER (sum of floor(d2 * 1e6)
+    longs, order-independent and exact), so the admit test
+    u * phi < l * d2s compares bit-identical doubles on both engines.
+
+    Scale shape per round: candidate set is O(l * rounds) rows ->
+    BROADCAST; one corpus x candidates score with a map-side-combining
+    min per point; one 1-row cost aggregate broadcast back. No window,
+    no collect, no Python — the corpus is scanned rounds + 1 times,
+    which is the entire point of the algorithm vs k-means++'s k scans.
+    """
+    vecs = _vecs(embeddings)
+    cand = (
+        vecs.orderBy("vec_id")
+        .limit(1)
+        .select(
+            F.col("vec_id").alias("cand_id"),
+            F.col("emb").alias("c_emb"),
+            F.lit(0).alias("round_added"),
+        )
+        .localCheckpoint()
+    )
+    for r in range(1, rounds + 1):
+        d2s = (
+            vecs.crossJoin(F.broadcast(cand.select("cand_id", "c_emb")))
+            .select("vec_id", _d2_expr("emb", "c_emb").alias("d2"))
+            .groupBy("vec_id")
+            .agg(
+                F.floor(F.min("d2") * F.lit(1e6)).cast("long").alias("d2s")
+            )
+        )
+        phi = d2s.agg(F.sum("d2s").alias("phi"))
+        u = F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.col("vec_id"), F.lit(f"kpp{r}"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long") / F.lit(float(2**60))
+        sel = (
+            d2s.crossJoin(F.broadcast(phi))
+            .filter((u * F.col("phi")) < (F.lit(l) * F.col("d2s")))
+            .select("vec_id")
+        )
+        new = vecs.join(sel, "vec_id", "left_semi").select(
+            F.col("vec_id").alias("cand_id"),
+            F.col("emb").alias("c_emb"),
+            F.lit(r).alias("round_added"),
+        )
+        cand = cand.unionByName(new).localCheckpoint()
+    best = (
+        vecs.crossJoin(F.broadcast(cand.select("cand_id", "c_emb")))
+        .select("vec_id", "cand_id", _d2_expr("emb", "c_emb").alias("d2"))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "cand_id")).alias("m"))
+    )
+    weights = best.groupBy(F.col("m.cand_id").alias("cand_id")).agg(
+        F.count(F.lit(1)).alias("weight")
+    )
+    return (
+        cand.select("cand_id", "round_added")
+        .join(weights, "cand_id", "left")
+        .select(
+            F.col("cand_id").alias("vec_id"),
+            "round_added",
+            F.coalesce("weight", F.lit(0)).alias("weight"),
+        )
+    )
+
+
+def kmeans_parallel_oracle_sql(l: int = 8, rounds: int = 2) -> str:
+    """DuckDB replay of :func:`kmeans_parallel_seed` over the
+    ``embeddings`` view: unrolled rounds, identical md5 coin, identical
+    scaled-integer cost sum and admit-test arithmetic."""
+    d2 = (
+        "round(list_dot_product({a}, {a}) - 2.0 * list_dot_product({a}, {b})"
+        " + list_dot_product({b}, {b}), 6)"
+    )
+    parts = [
+        """
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           FROM embeddings),
+c0 AS (SELECT vec_id AS cand_id, emb AS c_emb, 0 AS round_added
+       FROM v ORDER BY vec_id LIMIT 1)"""
+    ]
+    prev = "c0"
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+d{r} AS (
+  SELECT v.vec_id,
+         floor(min({d2.format(a="v.emb", b="c.c_emb")}) * 1000000.0)::BIGINT AS d2s
+  FROM v CROSS JOIN {prev} c GROUP BY v.vec_id
+),
+phi{r} AS (SELECT sum(d2s)::BIGINT AS phi FROM d{r}),
+sel{r} AS (
+  SELECT d.vec_id FROM d{r} d CROSS JOIN phi{r}
+  WHERE ((('0x' || substr(md5(d.vec_id::VARCHAR || '|kpp{r}'), 1, 15))::BIGINT
+          / 1152921504606846976.0) * phi) < ({l} * d.d2s)
+),
+c{r} AS (
+  SELECT cand_id, c_emb, round_added FROM {prev}
+  UNION ALL
+  SELECT v.vec_id, v.emb, {r} FROM v JOIN sel{r} s ON s.vec_id = v.vec_id
+)"""
+        )
+        prev = f"c{r}"
+    parts.append(
+        f""",
+assigned AS (
+  SELECT v.vec_id, c.cand_id,
+         row_number() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY {d2.format(a="v.emb", b="c.c_emb")}, c.cand_id
+         ) AS rn
+  FROM v CROSS JOIN {prev} c
+),
+w AS (SELECT cand_id, count(*)::BIGINT AS weight FROM assigned
+      WHERE rn = 1 GROUP BY cand_id)
+SELECT c.cand_id AS vec_id, c.round_added,
+       coalesce(w.weight, 0)::BIGINT AS weight
+FROM {prev} c LEFT JOIN w USING (cand_id)"""
+    )
+    return "".join(parts)
