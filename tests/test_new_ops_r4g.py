@@ -148,3 +148,23 @@ def test_kmeans_parallel_seed_invariants(spark):
     assert all(r["round_added"] in (0, 1, 2) for r in got)
     # the 1000-away cluster dominates the cost, so sampling must hit it
     assert any(r["vec_id"] >= 100 for r in got)
+
+
+def test_skyline_dominance_and_ties(spark):
+    """Hand-checkable 2-D skyline (min price, max size): dominated rows
+    drop, incomparable rows stay, exact duplicates BOTH stay (neither
+    strictly beats the other)."""
+    from vectrain_spark.operators.pareto import skyline_2d
+
+    rows = [
+        (1, 1.0, 10),   # skyline (cheapest)
+        (2, 2.0, 20),   # skyline (bigger, pricier — incomparable with 1)
+        (3, 3.0, 15),   # dominated by 2 (pricier AND smaller)
+        (4, 2.0, 20),   # duplicate of 2 -> both stay
+        (5, 2.0, 5),    # dominated by 2 (same price, smaller)
+        (6, 5.0, 25),   # skyline (biggest)
+        (7, 1.0, 9),    # dominated by 1 (same price, smaller)
+    ]
+    df = spark.createDataFrame(rows, "id long, price double, size int")
+    got = sorted(r["id"] for r in skyline_2d(df, "price", "size").collect())
+    assert got == [1, 2, 4, 6]

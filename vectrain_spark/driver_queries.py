@@ -7087,6 +7087,35 @@ FROM s
 SQL_CORPUS_ZIPF = _corpus_zipf_sql()
 
 
+def q_olap_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto-front query (Börzsönyi et al., ICDE 2001) over
+    the part table: parts no other part beats on BOTH (cheaper
+    retailprice, larger size) — dominance semantics that no ORDER
+    BY composes. Spark side is the two-phase sorted sweep (per-price
+    group maxima + range-partitioned prefix max); the oracle is the
+    textbook quadratic NOT EXISTS."""
+    from .operators.pareto import skyline_2d
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    return skyline_2d(part, "p_retailprice", "p_size")
+
+
+def _skyline_sql() -> str:
+    from .operators.pareto import skyline_2d_oracle_sql
+
+    return skyline_2d_oracle_sql(
+        "SELECT p_partkey, p_retailprice, p_size FROM part",
+        "p_retailprice",
+        "p_size",
+        "p.p_partkey, p.p_retailprice, p.p_size",
+    )
+
+
+SQL_OLAP_SKYLINE = _skyline_sql()
+
+
 def q_sim_kmeans_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-means|| oversampling initialization (Bahmani et al., VLDB 2012)
     over the embeddings table: 2 parallel rounds of cost-proportional
@@ -8357,6 +8386,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_ccnet_buckets": q_text_ccnet_buckets,
     "kg_scc": q_kg_scc,
     "sim_kmeans_seed": q_sim_kmeans_seed,
+    "olap_skyline": q_olap_skyline,
     "text_lm_score": q_text_lm_score,
     "corpus_histogram": q_corpus_histogram,
     "corpus_quartiles": q_corpus_quartiles,
@@ -8471,6 +8501,7 @@ _CHANGED_THIS_ROUND = [
     "text_ccnet_buckets",    # NEW: CCNet head/middle/tail quality cut
     "kg_scc",                # NEW: direction-respecting SCC vs WCC
     "sim_kmeans_seed",       # NEW: k-means|| oversampling rounds
+    "olap_skyline",          # NEW: Pareto-front dominance query
     # --- round 4f ---
     "kg_clustering",         # NEW: per-node local clustering coefficient
     "kg_rotate",             # NEW: RotatE complex-rotation KG scorer
@@ -8701,6 +8732,7 @@ ORACLES: dict[str, str] = {
     "text_ccnet_buckets": SQL_TEXT_CCNET_BUCKETS,
     "kg_scc": SQL_KG_SCC,
     "sim_kmeans_seed": SQL_SIM_KMEANS_SEED,
+    "olap_skyline": SQL_OLAP_SKYLINE,
     "text_lm_score": SQL_TEXT_LM_SCORE,
     "corpus_histogram": SQL_CORPUS_HISTOGRAM,
     "corpus_quartiles": SQL_CORPUS_QUARTILES,
