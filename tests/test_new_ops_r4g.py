@@ -168,3 +168,23 @@ def test_skyline_dominance_and_ties(spark):
     df = spark.createDataFrame(rows, "id long, price double, size int")
     got = sorted(r["id"] for r in skyline_2d(df, "price", "size").collect())
     assert got == [1, 2, 4, 6]
+
+
+def test_bowtie_classes_textbook_shape(spark):
+    """A literal bow-tie: in-tail -> 2-cycle core -> out-tail, plus a
+    disconnected island."""
+    from vectrain_spark.operators.graph import bowtie_classes
+
+    edges = [
+        ("i2", "i1"), ("i1", "a"),            # IN chain
+        ("a", "b"), ("b", "a"),               # 2-cycle core
+        ("b", "o1"), ("o1", "o2"),            # OUT chain
+        ("z1", "z2"),                          # disconnected island
+    ]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["cls"] for r in bowtie_classes(e).collect()}
+
+    assert got["a"] == "core" and got["b"] == "core"
+    assert got["i1"] == "in" and got["i2"] == "in"
+    assert got["o1"] == "out" and got["o2"] == "out"
+    assert got["z1"] == "other" and got["z2"] == "other"

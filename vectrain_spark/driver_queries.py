@@ -8140,6 +8140,62 @@ def _scc_sql() -> str:
 SQL_KG_SCC = _scc_sql()
 
 
+def q_web_bowtie(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broder bow-tie decomposition over the ring-block graph extended
+    with an INBOUND bridge (every doc_id % 36 == 24 block points at its
+    window's 0-block): the global core is n0's 6-cycle, its OUT side is
+    the block its forward bridge feeds, its IN side is the block whose
+    24-bridge feeds it, and every other window is 'other' — all four
+    classes populated and direction-sensitive."""
+    from .operators.graph import bowtie_classes
+
+    docs = _docs(spark, sf_dir)
+    cyc_dst = (F.col("doc_id") - F.col("doc_id") % 6) + (
+        (F.col("doc_id") % 6) + 1
+    ) % 6
+    edges = (
+        docs.select(
+            F.concat(F.lit("n"), F.col("doc_id")).alias("src"),
+            F.concat(F.lit("n"), cyc_dst).alias("dst"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 36 == 0).select(
+                F.concat(F.lit("n"), F.col("doc_id")).alias("src"),
+                F.concat(F.lit("n"), F.col("doc_id") + 6).alias("dst"),
+            )
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 36 == 24).select(
+                F.concat(F.lit("n"), F.col("doc_id")).alias("src"),
+                F.concat(F.lit("n"), F.col("doc_id") - 24).alias("dst"),
+            )
+        )
+    )
+    return bowtie_classes(edges)
+
+
+_BOWTIE_EDGES_SQL = """
+SELECT 'n' || doc_id AS src,
+       'n' || ((doc_id - doc_id % 6) + ((doc_id % 6) + 1) % 6) AS dst
+FROM documents
+UNION ALL
+SELECT 'n' || doc_id AS src, 'n' || (doc_id + 6) AS dst
+FROM documents WHERE doc_id % 36 = 0
+UNION ALL
+SELECT 'n' || doc_id AS src, 'n' || (doc_id - 24) AS dst
+FROM documents WHERE doc_id % 36 = 24
+"""
+
+
+def _bowtie_sql() -> str:
+    from .operators.graph import bowtie_oracle_sql
+
+    return bowtie_oracle_sql(_BOWTIE_EDGES_SQL)
+
+
+SQL_WEB_BOWTIE = _bowtie_sql()
+
+
 def q_sketch_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV set-operation estimates (Beyer et al. 2007) between the five
     language vocabularies: union / intersection / Jaccard from k=256
@@ -8387,6 +8443,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_scc": q_kg_scc,
     "sim_kmeans_seed": q_sim_kmeans_seed,
     "olap_skyline": q_olap_skyline,
+    "web_bowtie": q_web_bowtie,
     "text_lm_score": q_text_lm_score,
     "corpus_histogram": q_corpus_histogram,
     "corpus_quartiles": q_corpus_quartiles,
@@ -8502,6 +8559,7 @@ _CHANGED_THIS_ROUND = [
     "kg_scc",                # NEW: direction-respecting SCC vs WCC
     "sim_kmeans_seed",       # NEW: k-means|| oversampling rounds
     "olap_skyline",          # NEW: Pareto-front dominance query
+    "web_bowtie",            # NEW: Broder bow-tie crawl-graph map
     # --- round 4f ---
     "kg_clustering",         # NEW: per-node local clustering coefficient
     "kg_rotate",             # NEW: RotatE complex-rotation KG scorer
@@ -8733,6 +8791,7 @@ ORACLES: dict[str, str] = {
     "kg_scc": SQL_KG_SCC,
     "sim_kmeans_seed": SQL_SIM_KMEANS_SEED,
     "olap_skyline": SQL_OLAP_SKYLINE,
+    "web_bowtie": SQL_WEB_BOWTIE,
     "text_lm_score": SQL_TEXT_LM_SCORE,
     "corpus_histogram": SQL_CORPUS_HISTOGRAM,
     "corpus_quartiles": SQL_CORPUS_QUARTILES,

@@ -3262,8 +3262,13 @@ mutual AS (
   SELECT c.src, c.dst FROM cl c
   WHERE EXISTS (SELECT 1 FROM cl b WHERE b.src = c.dst AND b.dst = c.src)
 ),
+-- explicit DISTINCT: under WITH RECURSIVE scope DuckDB 1.0 does not
+-- deduplicate a plain UNION inside a non-recursive CTE (harmless here
+-- thanks to the GROUP BY below, but kept unambiguous)
 nodes AS (
-  SELECT src AS node FROM scc_e UNION SELECT dst FROM scc_e
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM scc_e UNION ALL SELECT dst FROM scc_e
+  )
 ),
 ids AS (
   SELECT n.node,
@@ -3275,4 +3280,112 @@ SELECT ids.node, ids.scc_id, sz.scc_size
 FROM ids JOIN (
   SELECT scc_id, count(*)::BIGINT AS scc_size FROM ids GROUP BY scc_id
 ) sz USING (scc_id)
+"""
+
+
+def bowtie_classes(
+    edges: DataFrame, max_hops: int = CLOSURE_MAX_HOPS
+) -> DataFrame:
+    """Bow-tie decomposition of a directed graph -> (node, cls) with cls
+    in {core, in, out, other}: the Broder et al. (WWW 2000) structure
+    map of the web — the giant SCC at the center, IN = nodes that reach
+    the core without being reachable from it, OUT = the mirror image,
+    and everything else (tendrils/disconnected, collapsed to 'other').
+    The first analysis anyone runs on a fresh crawl's link graph.
+
+    Composition of two already-gated pieces: the core is the largest
+    component from :func:`strongly_connected_components` (ties broken by
+    min scc_id), and IN/OUT are two semi-joins of the shared
+    :func:`transitive_closure` against the core's node set. A node can
+    never be in both IN and OUT (it would be in the core), so the
+    when-chain classification is exact.
+
+    Scale shape: inherits the closure's cost profile (see its docstring
+    — at 10^12 edges you'd run frontier BFS from/to the core instead of
+    materializing the full closure; the classification dataflow below is
+    unchanged). Everything after the closure is two distinct semi-joins
+    plus one broadcast of a 1-row core id."""
+    scc = strongly_connected_components(edges, max_hops).localCheckpoint()
+    core = (
+        scc.orderBy(F.desc("scc_size"), F.asc("scc_id"))
+        .limit(1)
+        .select("scc_id")
+    )
+    core_nodes = scc.join(F.broadcast(core), "scc_id", "left_semi").select(
+        "node"
+    )
+    cl = transitive_closure(edges, max_hops).select("src", "dst")
+    reaches = (
+        cl.join(core_nodes.withColumnRenamed("node", "dst"), "dst", "left_semi")
+        .select(F.col("src").alias("node"))
+        .distinct()
+    )
+    reached = (
+        cl.join(core_nodes.withColumnRenamed("node", "src"), "src", "left_semi")
+        .select(F.col("dst").alias("node"))
+        .distinct()
+    )
+    flags = (
+        scc.select("node")
+        .join(core_nodes.withColumn("_c", F.lit(True)), "node", "left")
+        .join(reaches.withColumn("_i", F.lit(True)), "node", "left")
+        .join(reached.withColumn("_o", F.lit(True)), "node", "left")
+    )
+    cls = (
+        F.when(F.col("_c"), F.lit("core"))
+        .when(F.col("_i"), F.lit("in"))
+        .when(F.col("_o"), F.lit("out"))
+        .otherwise(F.lit("other"))
+    )
+    return flags.select("node", cls.alias("cls"))
+
+
+def bowtie_oracle_sql(edges_sql: str, max_hops: int = CLOSURE_MAX_HOPS) -> str:
+    """DuckDB replay of :func:`bowtie_classes`: shared closure/SCC CTEs,
+    largest-SCC core (min-id tie-break), IN/OUT membership tests."""
+    return f"""
+WITH RECURSIVE bt_e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({edges_sql})),
+r AS (
+  SELECT src, dst, 1 AS hops FROM bt_e
+  UNION
+  SELECT r.src, e.dst, r.hops + 1 FROM r JOIN bt_e e ON e.src = r.dst
+  WHERE r.hops < {max_hops}
+),
+cl AS MATERIALIZED (SELECT DISTINCT src, dst FROM r WHERE src <> dst),
+mutual AS (
+  SELECT c.src, c.dst FROM cl c
+  WHERE EXISTS (SELECT 1 FROM cl b WHERE b.src = c.dst AND b.dst = c.src)
+),
+-- explicit DISTINCT: under WITH RECURSIVE scope DuckDB 1.0 does not
+-- deduplicate a plain UNION inside a non-recursive CTE
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM bt_e UNION ALL SELECT dst FROM bt_e
+  )
+),
+ids AS (
+  SELECT n.node, min(least(n.node, coalesce(m.dst, n.node))) AS scc_id
+  FROM nodes n LEFT JOIN mutual m ON m.src = n.node
+  GROUP BY n.node
+),
+core AS (
+  SELECT scc_id FROM (
+    SELECT scc_id, count(*) AS n FROM ids GROUP BY scc_id
+  ) ORDER BY n DESC, scc_id LIMIT 1
+),
+core_nodes AS (SELECT node FROM ids WHERE scc_id = (SELECT scc_id FROM core)),
+reaches AS (
+  SELECT DISTINCT src AS node FROM cl
+  WHERE dst IN (SELECT node FROM core_nodes)
+),
+reached AS (
+  SELECT DISTINCT dst AS node FROM cl
+  WHERE src IN (SELECT node FROM core_nodes)
+)
+SELECT n.node,
+       CASE WHEN n.node IN (SELECT node FROM core_nodes) THEN 'core'
+            WHEN n.node IN (SELECT node FROM reaches) THEN 'in'
+            WHEN n.node IN (SELECT node FROM reached) THEN 'out'
+            ELSE 'other' END AS cls
+FROM nodes n
 """
