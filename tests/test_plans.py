@@ -559,3 +559,56 @@ def test_warc_build_is_jvm_parse_is_single_arrow_pass(spark):
     assert "EvalPython" not in build_plan and "ArrowEval" not in build_plan
     parse_plan = _plan(parse_warc(files))
     assert parse_plan.count("MapInPandas") == 1, parse_plan
+
+
+def test_r4g_ops_stay_jvm_keyed_joins(spark):
+    """simrank / strongly_connected_components / resolve_redirects /
+    skyline_2d: zero Python in every plan; the only nested-loop joins
+    allowed are 1-row broadcast scalars (simrank and skyline each
+    broadcast one scalar/offset table)."""
+    from vectrain_spark.operators.graph import (
+        simrank,
+        strongly_connected_components,
+    )
+    from vectrain_spark.operators.pareto import skyline_2d
+    from vectrain_spark.operators.webcorpus import resolve_redirects
+
+    edges = spark.createDataFrame(
+        [(f"v{i % 7}", f"v{(i * 3 + 1) % 11}") for i in range(30)],
+        "src string, dst string",
+    )
+    rows = spark.createDataFrame(
+        [(i, float(i % 13), (i * 7) % 17) for i in range(60)],
+        "id long, price double, size int",
+    )
+    for df in (
+        simrank(edges, rounds=2),
+        strongly_connected_components(edges, max_hops=6),
+        resolve_redirects(
+            spark.createDataFrame(
+                [(f"u{i}", f"u{i - 1}") for i in range(1, 20) if i % 5],
+                "src string, dst string",
+            )
+        ),
+        skyline_2d(rows, "price", "size"),
+    ):
+        plan = _plan(df)
+        assert "EvalPython" not in plan and "ArrowEval" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+
+
+def test_kmeans_parallel_seed_broadcasts_candidates(spark):
+    """k-means|| plan: candidates and the 1-row cost scalar broadcast
+    (BroadcastNestedLoopJoin over one row / a tiny candidate set is the
+    intended shape); the corpus side must never EvalPython and never
+    shuffle-sort — per-point minima are hash aggregates."""
+    from vectrain_spark.operators.similarity import kmeans_parallel_seed
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 5), float(i % 3)]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    plan = _plan(kmeans_parallel_seed(emb, l=4, rounds=2))
+    assert "EvalPython" not in plan and "ArrowEval" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastExchange" in plan, plan
