@@ -188,3 +188,27 @@ def test_bowtie_classes_textbook_shape(spark):
     assert got["i1"] == "in" and got["i2"] == "in"
     assert got["o1"] == "out" and got["o2"] == "out"
     assert got["z1"] == "other" and got["z2"] == "other"
+
+
+def test_word_entropy_hand_computed(spark):
+    """Entropy of hand-built distributions: uniform over 4 words = 2
+    bits; constant word = 0 bits; 'a a b' = H(2/3, 1/3)."""
+    import math
+
+    from vectrain_spark.operators.textstats import word_entropy
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d", "en"),
+            (2, "x x x x x", "en"),
+            (3, "a a b", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    got = {r["doc_id"]: r for r in word_entropy(docs).collect()}
+
+    assert got[1]["entropy"] == pytest.approx(2.0, abs=1e-6)
+    assert got[1]["ttr"] == 1.0 and got[1]["n_types"] == 4
+    assert got[2]["entropy"] == 0.0 and got[2]["n_tokens"] == 5
+    h3 = math.log2(3) - (2 * math.log2(2)) / 3
+    assert got[3]["entropy"] == pytest.approx(h3, abs=1e-6)

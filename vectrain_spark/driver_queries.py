@@ -3847,6 +3847,25 @@ LIMIT 20
 """
 
 
+def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Shannon word entropy + type-token ratio — the
+    all-scales repetition signal beside the fixed-window repetition
+    gate. log2 terms quantized to integer micro-units before summation,
+    so the aggregate is exact long arithmetic on both engines."""
+    from .operators.textstats import word_entropy
+
+    return word_entropy(_docs(spark, sf_dir))
+
+
+def _entropy_sql() -> str:
+    from .operators.textstats import word_entropy_oracle_sql
+
+    return word_entropy_oracle_sql(NORM_SQL)
+
+
+SQL_TEXT_ENTROPY = _entropy_sql()
+
+
 def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality filter: per-doc coverage under a corpus
     bigram model (pairs seen >= 5 times), DECIMAL-exact probability mass
@@ -8444,6 +8463,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_kmeans_seed": q_sim_kmeans_seed,
     "olap_skyline": q_olap_skyline,
     "web_bowtie": q_web_bowtie,
+    "text_entropy": q_text_entropy,
     "text_lm_score": q_text_lm_score,
     "corpus_histogram": q_corpus_histogram,
     "corpus_quartiles": q_corpus_quartiles,
@@ -8560,6 +8580,7 @@ _CHANGED_THIS_ROUND = [
     "sim_kmeans_seed",       # NEW: k-means|| oversampling rounds
     "olap_skyline",          # NEW: Pareto-front dominance query
     "web_bowtie",            # NEW: Broder bow-tie crawl-graph map
+    "text_entropy",          # NEW: exact-sum Shannon entropy + TTR
     # --- round 4f ---
     "kg_clustering",         # NEW: per-node local clustering coefficient
     "kg_rotate",             # NEW: RotatE complex-rotation KG scorer
@@ -8792,6 +8813,7 @@ ORACLES: dict[str, str] = {
     "sim_kmeans_seed": SQL_SIM_KMEANS_SEED,
     "olap_skyline": SQL_OLAP_SKYLINE,
     "web_bowtie": SQL_WEB_BOWTIE,
+    "text_entropy": SQL_TEXT_ENTROPY,
     "text_lm_score": SQL_TEXT_LM_SCORE,
     "corpus_histogram": SQL_CORPUS_HISTOGRAM,
     "corpus_quartiles": SQL_CORPUS_QUARTILES,

@@ -297,6 +297,76 @@ def lm_quality_score(docs: DataFrame, min_count: int = 5) -> DataFrame:
     )
 
 
+def word_entropy(docs: DataFrame) -> DataFrame:
+    """Per-document Shannon word entropy + type-token ratio ->
+    (doc_id, n_tokens, n_types, ttr, entropy): low entropy / low TTR
+    flags repetitive machine-generated spam the repetition-ratio gate's
+    fixed n-gram windows can miss (entropy integrates ALL repetition
+    scales at once).
+
+    Engine parity for a transcendental: H = log2(n) - sum(c*log2(c))/n
+    over per-word counts c, with every log2 quantized to integer
+    micro-units (floor(log2(x) * 1e8) -> BIGINT) BEFORE the sum — the
+    sum is then exact long arithmetic, order-independent across Spark's
+    and DuckDB's aggregation orders (same trick as kmeans_refine's
+    scaled-integer centroid means; the 8-dp quantization is the
+    pre-rounded-trig idiom rotate_scores gates). One explode + two
+    map-side-combining aggregates; all JVM."""
+    from .dedup import normalized_text, spread
+
+    words = spread(docs).select(
+        "doc_id", F.explode(F.split(normalized_text(), " ")).alias("w")
+    )
+    lgmu_c = F.floor(F.log2("c") * F.lit(1e8)).cast("long")
+    per = (
+        words.groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum(F.col("c") * lgmu_c).alias("_clg"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        "n_types",
+        F.round(F.col("n_types") / F.col("n"), 6).alias("ttr"),
+        F.round(
+            (
+                F.floor(F.log2("n") * F.lit(1e8))
+                - F.col("_clg") / F.col("n")
+            )
+            / F.lit(1e8),
+            6,
+        ).alias("entropy"),
+    )
+
+
+def word_entropy_oracle_sql(norm_sql: str) -> str:
+    """DuckDB replay of :func:`word_entropy` — identical micro-unit
+    quantization and arithmetic order."""
+    return f"""
+WITH went_w AS (
+  SELECT doc_id, unnest(string_split({norm_sql}, ' ')) AS w FROM documents
+),
+went_c AS (
+  SELECT doc_id, w, count(*)::BIGINT AS c FROM went_w GROUP BY 1, 2
+),
+went_per AS (
+  SELECT doc_id, sum(c)::BIGINT AS n, count(*)::BIGINT AS n_types,
+         sum(c * floor(log2(c) * 100000000.0)::BIGINT)::BIGINT AS clg
+  FROM went_c GROUP BY 1
+)
+SELECT doc_id, n AS n_tokens, n_types,
+       round(n_types / n, 6) AS ttr,
+       round((floor(log2(n) * 100000000.0) - clg / n) / 100000000.0, 6)
+         AS entropy
+FROM went_per
+"""
+
+
 def ccnet_buckets(docs: DataFrame) -> DataFrame:
     """CCNet-style quality terciles -> (doc_id, avg_p, bucket): rank the
     corpus by its LM coverage score (:func:`lm_quality_score`, higher =
