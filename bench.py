@@ -134,6 +134,15 @@ HEADLINE_QUERIES = [
     "kg_fact_fusion",
     "kg_anchor_aliases",
     "olap_min_cost_supplier",
+    # round 4g (same curation rule): simrank = recursive pair-score
+    # propagation, redirects = pointer-doubling fixpoint, scc =
+    # closure-intersect-reverse, skyline = two-phase prefix-MAX sweep;
+    # the other 4g gates (kn_lm, ccnet, entropy, kmeans_seed, bowtie)
+    # are near-variants of aggregate/broadcast/closure plans timed above
+    "text_simrank",
+    "web_redirects",
+    "kg_scc",
+    "olap_skyline",
 ]
 
 

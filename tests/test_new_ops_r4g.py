@@ -212,3 +212,42 @@ def test_word_entropy_hand_computed(spark):
     assert got[2]["entropy"] == 0.0 and got[2]["n_tokens"] == 5
     h3 = math.log2(3) - (2 * math.log2(2)) / 3
     assert got[3]["entropy"] == pytest.approx(h3, abs=1e-6)
+
+
+def test_image_ahash_near_dup_banding(spark):
+    """An image, a 3-byte-perturbed copy, an exact copy, and a corrupt
+    blob: the exact copy hashes identically (dist 0), the perturbed one
+    stays within a small Hamming distance and is FOUND by the banded
+    join, and the corrupt blob quarantines with a NULL hash."""
+    from vectrain_spark.operators.multimodal import (
+        ahash_dup_pairs,
+        encode_bmp,
+        image_ahash,
+    )
+
+    base = encode_bmp(7, 16, 16)
+    tweaked = bytearray(base)
+    for off in (54 + 10, 54 + 200, 54 + 500):
+        tweaked[off] = (tweaked[off] + 9) % 256
+    media = spark.createDataFrame(
+        [
+            (1, base),
+            (2, bytes(tweaked)),
+            (4, base),
+            (9, b"\x00not an image"),
+        ],
+        "media_id long, content binary",
+    )
+    hashes = image_ahash(media)
+    rows = {r["media_id"]: r for r in hashes.collect()}
+    assert rows[9]["error"] is not None and rows[9]["hash_hi"] is None
+    assert (rows[1]["hash_hi"], rows[1]["hash_lo"]) == (
+        rows[4]["hash_hi"],
+        rows[4]["hash_lo"],
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in ahash_dup_pairs(hashes, max_dist=6).collect()
+    }
+    assert pairs[(1, 4)] == 0            # exact copy: distance 0
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 6  # perturbed copy found

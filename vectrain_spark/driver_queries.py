@@ -5944,6 +5944,63 @@ def q_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash over the PNG corpus: 8x8 cell means vs
+    global mean, integer-exact cross-multiplied threshold, 64 bits as
+    two u32 longs — the near-duplicate image fingerprint. The oracle
+    recomputes every cell sum arithmetically from the deterministic
+    pixel formula, so the gate value-checks decode + downsample +
+    threshold + bit packing end to end."""
+    from .operators.multimodal import image_ahash, media_from_docs
+
+    return image_ahash(media_from_docs(_docs(spark, sf_dir), "png"))
+
+
+SQL_MULTIMODAL_AHASH = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         (16 + (doc_id * 7919) % 48)::BIGINT AS w,
+         (16 + (doc_id * 104729) % 48)::BIGINT AS h
+  FROM documents
+),
+px AS (
+  SELECT media_id, w, h, j AS p,
+         ((media_id * 31 + (3 * j) * 7) % 256
+          + (media_id * 31 + (3 * j + 1) * 7) % 256
+          + (media_id * 31 + (3 * j + 2) * 7) % 256)::BIGINT AS gray
+  FROM m JOIN generate_series(0, 63 * 63 - 1) t(j) ON j < w * h
+  WHERE media_id % 13 != 5
+),
+cells AS (
+  SELECT media_id,
+         ((p // w) * 8 // h) * 8 + ((p % w) * 8 // w) AS cell,
+         sum(gray)::BIGINT AS cs, count(*)::BIGINT AS cc
+  FROM px GROUP BY 1, 2
+),
+tot AS (
+  SELECT media_id, sum(cs)::BIGINT AS ts, sum(cc)::BIGINT AS tc
+  FROM cells GROUP BY 1
+),
+bits AS (
+  SELECT c.media_id, c.cell,
+         CASE WHEN c.cs * t.tc > t.ts * c.cc THEN 1 ELSE 0 END AS bit
+  FROM cells c JOIN tot t USING (media_id)
+),
+hashes AS (
+  SELECT media_id,
+         sum(CASE WHEN cell < 32 THEN bit::BIGINT << (31 - cell)
+             ELSE 0 END)::BIGINT AS hash_hi,
+         sum(CASE WHEN cell >= 32 THEN bit::BIGINT << (63 - cell)
+             ELSE 0 END)::BIGINT AS hash_lo
+  FROM bits GROUP BY media_id
+)
+SELECT media_id, hash_hi, hash_lo, NULL::VARCHAR AS error FROM hashes
+UNION ALL
+SELECT media_id, NULL::BIGINT, NULL::BIGINT, 'undecodable image'
+FROM m WHERE media_id % 13 = 5
+"""
+
+
 def q_multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio frame-sampling plumbing, same oracle idea as the image op."""
     from .operators.multimodal import audio_frame_sample, media_from_docs
@@ -8464,6 +8521,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "olap_skyline": q_olap_skyline,
     "web_bowtie": q_web_bowtie,
     "text_entropy": q_text_entropy,
+    "multimodal_image_ahash": q_multimodal_image_ahash,
     "text_lm_score": q_text_lm_score,
     "corpus_histogram": q_corpus_histogram,
     "corpus_quartiles": q_corpus_quartiles,
@@ -8581,6 +8639,7 @@ _CHANGED_THIS_ROUND = [
     "olap_skyline",          # NEW: Pareto-front dominance query
     "web_bowtie",            # NEW: Broder bow-tie crawl-graph map
     "text_entropy",          # NEW: exact-sum Shannon entropy + TTR
+    "multimodal_image_ahash",  # NEW: perceptual aHash image dedup
     # --- round 4f ---
     "kg_clustering",         # NEW: per-node local clustering coefficient
     "kg_rotate",             # NEW: RotatE complex-rotation KG scorer
@@ -8814,6 +8873,7 @@ ORACLES: dict[str, str] = {
     "olap_skyline": SQL_OLAP_SKYLINE,
     "web_bowtie": SQL_WEB_BOWTIE,
     "text_entropy": SQL_TEXT_ENTROPY,
+    "multimodal_image_ahash": SQL_MULTIMODAL_AHASH,
     "text_lm_score": SQL_TEXT_LM_SCORE,
     "corpus_histogram": SQL_CORPUS_HISTOGRAM,
     "corpus_quartiles": SQL_CORPUS_QUARTILES,

@@ -400,3 +400,103 @@ def media_from_docs(docs: DataFrame, kind: str = "image") -> DataFrame:
     return docs.select(F.col("doc_id")).mapInPandas(
         _gen_factory(kind), schema="media_id long, content binary"
     )
+
+
+AHASH_SCHEMA = "media_id long, hash_hi long, hash_lo long, error string"
+
+
+def image_ahash(media: DataFrame) -> DataFrame:
+    """Perceptual average-hash (aHash) -> (media_id, hash_hi, hash_lo,
+    error): 8x8 grid of per-cell grayscale means thresholded by the
+    image's global mean — 64 bits packed as two unsigned-32 longs, the
+    near-duplicate image fingerprint (re-encoded / slightly-edited
+    copies keep a small Hamming distance while cryptographic hashes
+    scatter). Decode is the real chunk-walk path (PNG inflate+unfilter /
+    BMP); the hash itself is INTEGER-EXACT: the cell-vs-global mean test
+    cross-multiplies (cell_sum * n_total > total_sum * n_cell), so no
+    float mean ever rounds differently between engines.
+
+    Scale shape: one Arrow mapInPandas over the binary column (same
+    batch shape as image_pixel_stats), emitting 25 bytes per image —
+    the downstream dedup joins never touch pixels. Corrupt blobs
+    quarantine with a NULL hash."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            out = {
+                "media_id": pdf["media_id"],
+                "hash_hi": [None] * n,
+                "hash_lo": [None] * n,
+                "error": [None] * n,
+            }
+            for i, blob in enumerate(pdf["content"]):
+                try:
+                    w, h, px = _decode_image(blob)
+                except ValueError as e:
+                    out["error"][i] = str(e)
+                    continue
+                flat = np.asarray(px, dtype=np.int64).reshape(-1)[: w * h * 3]
+                gray = flat.reshape(w * h, 3).sum(axis=1)
+                p = np.arange(w * h, dtype=np.int64)
+                cell = (p // w * 8 // h) * 8 + (p % w * 8 // w)
+                cs = np.bincount(cell, weights=gray.astype(np.float64),
+                                 minlength=64).astype(np.int64)
+                cc = np.bincount(cell, minlength=64).astype(np.int64)
+                ts, tc = int(gray.sum()), w * h
+                bits = (cs * tc) > (ts * cc)
+                out["hash_hi"][i] = sum(
+                    int(b) << (31 - k) for k, b in enumerate(bits[:32])
+                )
+                out["hash_lo"][i] = sum(
+                    int(b) << (31 - k) for k, b in enumerate(bits[32:])
+                )
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "content").mapInPandas(
+        _run, schema=AHASH_SCHEMA
+    )
+
+
+def ahash_dup_pairs(hashes: DataFrame, max_dist: int = 3) -> DataFrame:
+    """Near-duplicate image pairs -> (id_a, id_b, dist): Hamming distance
+    over aHash fingerprints, found by PIGEONHOLE BANDING — 4 bands of 16
+    bits; any pair within ``max_dist`` <= 3 bit flips must agree exactly
+    on at least one band, so candidate generation is 4 equi-joins on
+    (band_no, band_value), never an all-pairs compare. Exact bit_count
+    verification after the join (no false positives survive)."""
+    bands = hashes.filter(F.col("error").isNull()).select(
+        "media_id",
+        "hash_hi",
+        "hash_lo",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("b"), F.shiftright("hash_hi", 16).alias("v")),
+                F.struct(F.lit(1).alias("b"), (F.col("hash_hi") % 65536).alias("v")),
+                F.struct(F.lit(2).alias("b"), F.shiftright("hash_lo", 16).alias("v")),
+                F.struct(F.lit(3).alias("b"), (F.col("hash_lo") % 65536).alias("v")),
+            )
+        ).alias("band"),
+    )
+    a = bands.select(
+        F.col("media_id").alias("id_a"),
+        F.col("hash_hi").alias("hi_a"),
+        F.col("hash_lo").alias("lo_a"),
+        "band",
+    )
+    b = bands.select(
+        F.col("media_id").alias("id_b"),
+        F.col("hash_hi").alias("hi_b"),
+        F.col("hash_lo").alias("lo_b"),
+        "band",
+    )
+    dist = F.bit_count(
+        F.col("hi_a").bitwiseXOR(F.col("hi_b"))
+    ) + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+    return (
+        a.join(b, ["band"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", dist.alias("dist"))
+        .distinct()
+        .filter(F.col("dist") <= max_dist)
+    )
