@@ -251,3 +251,36 @@ def test_image_ahash_near_dup_banding(spark):
     }
     assert pairs[(1, 4)] == 0            # exact copy: distance 0
     assert (1, 2) in pairs and pairs[(1, 2)] <= 6  # perturbed copy found
+
+
+def test_events_sax_hand_series(spark, tmp_path):
+    """8 days, one per PAA window, counts [1x7, 9]: mean 2, population
+    std sqrt(7) -> the spike window z-scores to +2.6458 ('d'), the flat
+    days to -0.378 ('b')."""
+    import datetime
+
+    from vectrain_spark.driver_queries import q_events_sax
+
+    rows = []
+    eid = 0
+    for day in range(1, 9):
+        for _ in range(9 if day == 8 else 1):
+            rows.append(
+                (eid, datetime.datetime(2024, 1, day, 12), 1, "view", 1.0, "{}")
+            )
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    got = {r["w"]: r for r in q_events_sax(spark, str(tmp_path)).collect()}
+
+    assert len(got) == 8 and all(got[w]["n_days"] == 1 for w in got)
+    assert got[7]["symbol"] == "d"
+    assert got[7]["z"] == pytest.approx(7 / 7**0.5, abs=1e-6)
+    for w in range(7):
+        assert got[w]["symbol"] == "b"
+        assert got[w]["z"] == pytest.approx(-1 / 7**0.5, abs=1e-6)

@@ -5759,6 +5759,98 @@ FROM events GROUP BY 1
 """
 
 
+def q_events_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolic discretization (Lin et al., DMKD 2003) of the daily
+    event-count series: 8 equi-duration PAA windows, z-normalized
+    against the whole series, mapped to a 4-letter alphabet at the
+    gaussian breakpoints (-0.6745, 0, 0.6745) — the discretization
+    behind time-series motif/anomaly mining over metrics streams.
+
+    Engine parity: every statistic (day counts, window sums, n*s2 -
+    s1^2 variance numerator) is exact integer aggregation; the z-score
+    is one shared-shape double expression rounded to 6 dp BEFORE the
+    breakpoint compare, so a boundary flip cannot differ between
+    engines. No partition-less window anywhere: PAA windows come from
+    day EPOCH arithmetic against a broadcast 1-row (min, max) — time
+    segmentation, not ranking."""
+    ev = _events(spark, sf_dir)
+    daily = (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "ep", F.datediff("day", F.lit("1970-01-01").cast("date"))
+        )
+    )
+    stats = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+        F.min("ep").alias("ep0"),
+        F.max("ep").alias("ep1"),
+    )
+    seg = daily.crossJoin(F.broadcast(stats)).select(
+        F.expr("((ep - ep0) * 8) div (ep1 - ep0 + 1)").alias("ww"), "c"
+    )
+    win = seg.groupBy("ww").agg(
+        F.sum("c").alias("wsum"), F.count(F.lit(1)).alias("wcnt")
+    )
+    scored = win.crossJoin(F.broadcast(stats)).select(
+        F.col("ww").cast("int").alias("w"),
+        F.col("wcnt").alias("n_days"),
+        F.round(F.col("wsum") / F.col("wcnt"), 6).alias("paa"),
+        F.round(
+            ((F.col("wsum") / F.col("wcnt")) - (F.col("s1") / F.col("n")))
+            / (
+                F.sqrt(
+                    F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+                )
+                / F.col("n")
+            ),
+            6,
+        ).alias("z"),
+    )
+    symbol = (
+        F.when(F.col("z") < -0.6745, F.lit("a"))
+        .when(F.col("z") < 0.0, F.lit("b"))
+        .when(F.col("z") < 0.6745, F.lit("c"))
+        .otherwise(F.lit("d"))
+    )
+    return scored.select("w", "n_days", "paa", "z", symbol.alias("symbol"))
+
+
+SQL_EVENTS_SAX = """
+WITH sax_daily AS (
+  SELECT CAST(ts AS DATE) AS day, count(*)::BIGINT AS c,
+         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS ep
+  FROM events GROUP BY 1, 3
+),
+sax_st AS (
+  SELECT count(*)::BIGINT AS n, sum(c)::BIGINT AS s1,
+         sum(c * c)::BIGINT AS s2, min(ep) AS ep0, max(ep) AS ep1
+  FROM sax_daily
+),
+sax_seg AS (
+  SELECT ((d.ep - st.ep0) * 8) // (st.ep1 - st.ep0 + 1) AS ww, d.c
+  FROM sax_daily d CROSS JOIN sax_st st
+),
+sax_win AS (
+  SELECT ww, sum(c)::BIGINT AS wsum, count(*)::BIGINT AS wcnt
+  FROM sax_seg GROUP BY ww
+),
+sax_z AS (
+  SELECT ww::INTEGER AS w, wcnt AS n_days,
+         round(wsum / wcnt, 6) AS paa,
+         round(((wsum / wcnt) - (s1 / n))
+               / (sqrt(n * s2 - s1 * s1) / n), 6) AS z
+  FROM sax_win CROSS JOIN sax_st
+)
+SELECT w, n_days, paa, z,
+       CASE WHEN z < -0.6745 THEN 'a' WHEN z < 0.0 THEN 'b'
+            WHEN z < 0.6745 THEN 'c' ELSE 'd' END AS symbol
+FROM sax_z
+"""
+
+
 def q_events_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 7-day revenue per day: daily purchase totals (DECIMAL-exact)
     summed over the trailing week — the moving-aggregate shape every
@@ -8522,6 +8614,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "web_bowtie": q_web_bowtie,
     "text_entropy": q_text_entropy,
     "multimodal_image_ahash": q_multimodal_image_ahash,
+    "events_sax": q_events_sax,
     "text_lm_score": q_text_lm_score,
     "corpus_histogram": q_corpus_histogram,
     "corpus_quartiles": q_corpus_quartiles,
@@ -8640,6 +8733,7 @@ _CHANGED_THIS_ROUND = [
     "web_bowtie",            # NEW: Broder bow-tie crawl-graph map
     "text_entropy",          # NEW: exact-sum Shannon entropy + TTR
     "multimodal_image_ahash",  # NEW: perceptual aHash image dedup
+    "events_sax",            # NEW: SAX time-series discretization
     # --- round 4f ---
     "kg_clustering",         # NEW: per-node local clustering coefficient
     "kg_rotate",             # NEW: RotatE complex-rotation KG scorer
@@ -8874,6 +8968,7 @@ ORACLES: dict[str, str] = {
     "web_bowtie": SQL_WEB_BOWTIE,
     "text_entropy": SQL_TEXT_ENTROPY,
     "multimodal_image_ahash": SQL_MULTIMODAL_AHASH,
+    "events_sax": SQL_EVENTS_SAX,
     "text_lm_score": SQL_TEXT_LM_SCORE,
     "corpus_histogram": SQL_CORPUS_HISTOGRAM,
     "corpus_quartiles": SQL_CORPUS_QUARTILES,
