@@ -284,3 +284,31 @@ def test_events_sax_hand_series(spark, tmp_path):
     for w in range(7):
         assert got[w]["symbol"] == "b"
         assert got[w]["z"] == pytest.approx(-1 / 7**0.5, abs=1e-6)
+
+
+def test_betweenness_brandes_hand_cases(spark):
+    """Brandes from one seed on a path and on a diamond: the path gives
+    delta(b)=2, delta(c)=1, delta(d)=0; the diamond splits the two
+    shortest paths, giving each middle node 0.5."""
+    from vectrain_spark.operators.graph import betweenness_sampled
+
+    path = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string"
+    )
+    seeds = spark.createDataFrame([("a",)], "seed string")
+    got = {
+        r["v"]: r["betweenness"]
+        for r in betweenness_sampled(path, seeds).collect()
+    }
+    assert got == {"b": 2.0, "c": 1.0, "d": 0.0}
+
+    diamond = spark.createDataFrame(
+        [("s", "x"), ("s", "y"), ("x", "t"), ("y", "t")],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("s",)], "seed string")
+    got = {
+        r["v"]: r["betweenness"]
+        for r in betweenness_sampled(diamond, seeds).collect()
+    }
+    assert got == {"x": 0.5, "y": 0.5, "t": 0.0}

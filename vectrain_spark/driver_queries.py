@@ -8364,6 +8364,54 @@ def _bowtie_sql() -> str:
 SQL_WEB_BOWTIE = _bowtie_sql()
 
 
+def q_kg_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled Brandes betweenness over the ring-block graph from the 3
+    lexicographically-smallest nodes: batched multi-seed BFS with exact
+    path counts, then backward dependency accumulation — the bridge
+    nodes between blocks surface with the highest centrality, which is
+    exactly what betweenness is for. Oracle unrolls all 12 forward and
+    12 backward layers with identical per-layer rounding."""
+    from .operators.graph import betweenness_sampled
+
+    docs = _docs(spark, sf_dir)
+    cyc_dst = (F.col("doc_id") - F.col("doc_id") % 6) + (
+        (F.col("doc_id") % 6) + 1
+    ) % 6
+    edges = docs.select(
+        F.concat(F.lit("n"), F.col("doc_id")).alias("src"),
+        F.concat(F.lit("n"), cyc_dst).alias("dst"),
+    ).unionByName(
+        docs.filter(F.col("doc_id") % 36 == 0).select(
+            F.concat(F.lit("n"), F.col("doc_id")).alias("src"),
+            F.concat(F.lit("n"), F.col("doc_id") + 6).alias("dst"),
+        )
+    )
+    seeds = (
+        edges.select(F.col("src").alias("seed"))
+        .unionByName(edges.select(F.col("dst").alias("seed")))
+        .distinct()
+        .orderBy("seed")
+        .limit(3)
+    )
+    return betweenness_sampled(edges, seeds)
+
+
+def _betweenness_sql() -> str:
+    from .operators.graph import betweenness_oracle_sql
+
+    seeds_sql = """
+SELECT node AS seed FROM (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM bw_e UNION ALL SELECT dst FROM bw_e
+  )
+) ORDER BY node LIMIT 3
+"""
+    return betweenness_oracle_sql(_SCC_EDGES_SQL, seeds_sql)
+
+
+SQL_KG_BETWEENNESS = _betweenness_sql()
+
+
 def q_sketch_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV set-operation estimates (Beyer et al. 2007) between the five
     language vocabularies: union / intersection / Jaccard from k=256
@@ -8615,6 +8663,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_entropy": q_text_entropy,
     "multimodal_image_ahash": q_multimodal_image_ahash,
     "events_sax": q_events_sax,
+    "kg_betweenness": q_kg_betweenness,
     "text_lm_score": q_text_lm_score,
     "corpus_histogram": q_corpus_histogram,
     "corpus_quartiles": q_corpus_quartiles,
@@ -8734,6 +8783,7 @@ _CHANGED_THIS_ROUND = [
     "text_entropy",          # NEW: exact-sum Shannon entropy + TTR
     "multimodal_image_ahash",  # NEW: perceptual aHash image dedup
     "events_sax",            # NEW: SAX time-series discretization
+    "kg_betweenness",        # NEW: sampled Brandes betweenness
     # --- round 4f ---
     "kg_clustering",         # NEW: per-node local clustering coefficient
     "kg_rotate",             # NEW: RotatE complex-rotation KG scorer
@@ -8969,6 +9019,7 @@ ORACLES: dict[str, str] = {
     "text_entropy": SQL_TEXT_ENTROPY,
     "multimodal_image_ahash": SQL_MULTIMODAL_AHASH,
     "events_sax": SQL_EVENTS_SAX,
+    "kg_betweenness": SQL_KG_BETWEENNESS,
     "text_lm_score": SQL_TEXT_LM_SCORE,
     "corpus_histogram": SQL_CORPUS_HISTOGRAM,
     "corpus_quartiles": SQL_CORPUS_QUARTILES,

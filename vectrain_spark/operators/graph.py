@@ -3389,3 +3389,175 @@ SELECT n.node,
             ELSE 'other' END AS cls
 FROM nodes n
 """
+
+
+# ---------------------------------------------------------------------------
+# Sampled Brandes betweenness centrality
+# ---------------------------------------------------------------------------
+
+BRANDES_MAX_DEPTH = 12
+
+
+def betweenness_sampled(
+    edges: DataFrame, seeds: DataFrame, max_depth: int = BRANDES_MAX_DEPTH
+) -> DataFrame:
+    """Betweenness centrality from a seed sample -> (v, betweenness):
+    Brandes' algorithm (2001) restricted to ``seeds`` as sources — the
+    standard estimator at web scale, where exact betweenness (all
+    sources) is O(V*E) and hopeless, and k sampled sources give an
+    unbiased k/n-scaled estimate (Brandes & Pich 2007).
+
+    Both phases run ALL SEEDS AT ONCE, keyed by seed — the batched
+    multi-source form that turns k sequential BFS sweeps into one
+    dataflow whose rows are (seed, node) pairs:
+
+    * forward: BFS layers carrying sigma = #shortest paths (sum of
+      predecessor sigmas — exact longs); a per-seed left_anti join
+      against the visited set makes discovery-round = distance.
+    * backward: dependency accumulation layer by layer, delta(v) =
+      sum over successors w of (sigma_v / sigma_w) * (1 + delta_w),
+      rounded to 6 dp per layer so both engines iterate on the same
+      doubles (the pagerank idiom).
+
+    Scale shape: every join is a keyed equi-join on (seed, node) or the
+    edge key; frontier rows are O(k * |V|) total across layers;
+    localCheckpoint flattens the iterated plan. Hub fan-in collapses
+    map-side in the sigma/delta sums. The contribution of unreached
+    node pairs is exactly zero, so output is restricted to seed-reached
+    nodes (the oracle mirrors this)."""
+    e = edges.select("src", "dst").distinct().localCheckpoint()
+    cur = (
+        seeds.select(
+            F.col("seed"),
+            F.col("seed").alias("v"),
+            F.lit(1).cast("long").alias("sigma"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    layers = [cur]
+    visited = cur.select("seed", "v").localCheckpoint()
+    for _k in range(1, max_depth + 1):
+        grown = (
+            layers[-1]
+            .join(e, layers[-1]["v"] == e["src"])
+            .select("seed", F.col("dst").alias("nv"), "sigma")
+            .join(
+                visited.withColumnRenamed("v", "nv"),
+                ["seed", "nv"],
+                "left_anti",
+            )
+            .groupBy("seed", "nv")
+            .agg(F.sum("sigma").alias("sigma"))
+            .select("seed", F.col("nv").alias("v"), "sigma")
+            .localCheckpoint()
+        )
+        if not grown.take(1):
+            break
+        layers.append(grown)
+        visited = visited.unionByName(grown.select("seed", "v")).localCheckpoint()
+    estep = e.select(F.col("src").alias("v"), F.col("dst").alias("wv"))
+    dl = layers[-1].select("seed", "v", F.lit(0.0).alias("delta"))
+    acc = [dl]
+    for k in range(len(layers) - 2, -1, -1):
+        w = (
+            layers[k + 1]
+            .join(dl, ["seed", "v"])
+            .select(
+                "seed",
+                F.col("v").alias("wv"),
+                F.col("sigma").alias("wsig"),
+                "delta",
+            )
+        )
+        dl = (
+            layers[k]
+            .join(estep, "v", "left")
+            .join(w, ["seed", "wv"], "left")
+            .groupBy("seed", "v")
+            .agg(
+                F.round(
+                    F.coalesce(
+                        F.sum(
+                            (F.col("sigma") / F.col("wsig"))
+                            * (F.lit(1) + F.col("delta"))
+                        ),
+                        F.lit(0.0),
+                    ),
+                    6,
+                ).alias("delta")
+            )
+            .localCheckpoint()
+        )
+        acc.append(dl)
+    all_d = acc[0]
+    for part in acc[1:]:
+        all_d = all_d.unionByName(part)
+    return (
+        all_d.filter(F.col("v") != F.col("seed"))
+        .groupBy("v")
+        .agg(F.round(F.sum("delta"), 6).alias("betweenness"))
+    )
+
+
+def betweenness_oracle_sql(
+    edges_sql: str, seeds_sql: str, max_depth: int = BRANDES_MAX_DEPTH
+) -> str:
+    """DuckDB replay of :func:`betweenness_sampled`: unrolled BFS layers
+    with exact sigma sums, unrolled backward dependency accumulation
+    with identical per-layer rounding. ``seeds_sql`` must yield one
+    column named seed."""
+    parts = [
+        f"""
+WITH bw_e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({edges_sql})),
+bw_seeds AS MATERIALIZED ({seeds_sql}),
+l0 AS MATERIALIZED (SELECT seed, seed AS v, 1::BIGINT AS sigma FROM bw_seeds),
+vis0 AS MATERIALIZED (SELECT seed, v FROM l0)"""
+    ]
+    for k in range(1, max_depth + 1):
+        parts.append(
+            f""",
+l{k} AS MATERIALIZED (
+  SELECT p.seed, e.dst AS v, sum(p.sigma)::BIGINT AS sigma
+  FROM l{k - 1} p JOIN bw_e e ON e.src = p.v
+  WHERE NOT EXISTS (SELECT 1 FROM vis{k - 1} x
+                    WHERE x.seed = p.seed AND x.v = e.dst)
+  GROUP BY 1, 2
+),
+vis{k} AS MATERIALIZED (
+  SELECT seed, v FROM vis{k - 1} UNION ALL SELECT seed, v FROM l{k}
+)"""
+        )
+    parts.append(
+        f""",
+dl{max_depth} AS MATERIALIZED (
+  SELECT seed, v, 0.0 AS delta FROM l{max_depth}
+)"""
+    )
+    for k in range(max_depth - 1, -1, -1):
+        parts.append(
+            f""",
+dl{k} AS MATERIALIZED (
+  SELECT a.seed, a.v,
+         round(coalesce(sum((a.sigma / w.wsig) * (1 + w.delta)), 0.0), 6)
+           AS delta
+  FROM l{k} a
+  LEFT JOIN bw_e e ON e.src = a.v
+  LEFT JOIN (
+    SELECT l.seed, l.v AS wv, l.sigma AS wsig, d.delta
+    FROM l{k + 1} l JOIN dl{k + 1} d ON d.seed = l.seed AND d.v = l.v
+  ) w ON w.seed = a.seed AND w.wv = e.dst
+  GROUP BY 1, 2
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT seed, v, delta FROM dl{k}" for k in range(max_depth + 1)
+    )
+    parts.append(
+        f"""
+SELECT v, round(sum(delta), 6) AS betweenness
+FROM ({union})
+WHERE v <> seed
+GROUP BY v"""
+    )
+    return "".join(parts)
