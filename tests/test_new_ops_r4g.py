@@ -312,3 +312,24 @@ def test_betweenness_brandes_hand_cases(spark):
         for r in betweenness_sampled(diamond, seeds).collect()
     }
     assert got == {"x": 0.5, "y": 0.5, "t": 0.0}
+
+
+def test_quotient_graph_star_plus_triangle(spark):
+    """A 4-leaf star and a triangle: three role classes (hub, leaf,
+    triangle corner), one hub-leaf super-edge carrying 4 original
+    edges, one within-class triangle super-edge carrying 3."""
+    from vectrain_spark.operators.graph import quotient_graph
+
+    pairs = spark.createDataFrame(
+        [("hub", "l1"), ("hub", "l2"), ("hub", "l3"), ("hub", "l4"),
+         ("t1", "t2"), ("t1", "t3"), ("t2", "t3")],
+        "a string, b string",
+    )
+    rows = quotient_graph(pairs).collect()
+    by_edges = {r["n_edges"]: r for r in rows}
+    assert len(rows) == 2
+    star = by_edges[4]
+    assert {star["n_nodes_a"], star["n_nodes_b"]} == {1, 4}  # hub vs leaves
+    tri = by_edges[3]
+    assert tri["class_a"] == tri["class_b"]  # within-class super-loop
+    assert tri["n_nodes_a"] == 3

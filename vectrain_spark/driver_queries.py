@@ -1681,6 +1681,28 @@ def _wl_sql() -> str:
 SQL_KG_WL_COLORS = _wl_sql()
 
 
+def q_kg_quotient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quotient super-graph over the co-mention graph's 1-WL role
+    classes (SNAP-style structural summarization): super-nodes =
+    structurally equivalent entity sets, super-edges carry original
+    edge counts — the role-level compressed map of the KG."""
+    from .operators.graph import co_mentions, quotient_graph
+
+    pairs = co_mentions(_materialized_edges(spark, sf_dir)).select("a", "b")
+    return quotient_graph(pairs, rounds=2)
+
+
+def _quotient_sql() -> str:
+    from .operators.graph import quotient_graph_oracle_sql
+
+    return quotient_graph_oracle_sql(
+        f"SELECT a, b FROM ({SQL_KG_COOCCUR})", rounds=2
+    )
+
+
+SQL_KG_QUOTIENT = _quotient_sql()
+
+
 def _label_spread_sql() -> str:
     from .operators.graph import label_spread_oracle_sql
 
@@ -8664,6 +8686,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_image_ahash": q_multimodal_image_ahash,
     "events_sax": q_events_sax,
     "kg_betweenness": q_kg_betweenness,
+    "kg_quotient": q_kg_quotient,
     "text_lm_score": q_text_lm_score,
     "corpus_histogram": q_corpus_histogram,
     "corpus_quartiles": q_corpus_quartiles,
@@ -8784,6 +8807,7 @@ _CHANGED_THIS_ROUND = [
     "multimodal_image_ahash",  # NEW: perceptual aHash image dedup
     "events_sax",            # NEW: SAX time-series discretization
     "kg_betweenness",        # NEW: sampled Brandes betweenness
+    "kg_quotient",           # NEW: WL-class quotient summarization
     # --- round 4f ---
     "kg_clustering",         # NEW: per-node local clustering coefficient
     "kg_rotate",             # NEW: RotatE complex-rotation KG scorer
@@ -9020,6 +9044,7 @@ ORACLES: dict[str, str] = {
     "multimodal_image_ahash": SQL_MULTIMODAL_AHASH,
     "events_sax": SQL_EVENTS_SAX,
     "kg_betweenness": SQL_KG_BETWEENNESS,
+    "kg_quotient": SQL_KG_QUOTIENT,
     "text_lm_score": SQL_TEXT_LM_SCORE,
     "corpus_histogram": SQL_CORPUS_HISTOGRAM,
     "corpus_quartiles": SQL_CORPUS_QUARTILES,

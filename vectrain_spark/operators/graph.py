@@ -3561,3 +3561,68 @@ WHERE v <> seed
 GROUP BY v"""
     )
     return "".join(parts)
+
+
+def quotient_graph(pairs: DataFrame, rounds: int = 2) -> DataFrame:
+    """Structural graph summarization -> the QUOTIENT super-graph over
+    1-WL role classes: (class_a, class_b, n_edges, n_nodes_a,
+    n_nodes_b), one row per super-edge, classes named by their
+    :func:`wl_refinement` color. Nodes with identical r-ball structure
+    collapse into one super-node (SNAP-style summarization, Tian et al.
+    SIGMOD 2008) — the compressed map of a 10^12-edge crawl graph a
+    human (or a planner) can actually look at: mirror/template subgraphs
+    land in the same class by construction.
+
+    Scale shape: two node-table joins of the (a < b) edge list against
+    the color table + one two-phase count; the summary's size is bounded
+    by the number of DISTINCT ROLES, not nodes, so the output is
+    dashboard-sized however big the graph is."""
+    colors = wl_refinement(pairs, rounds)
+    e = pairs.select("a", "b").distinct()
+    nn = colors.groupBy("color").agg(F.count(F.lit(1)).alias("n_nodes"))
+    se = (
+        e.join(colors.select(F.col("id").alias("a"), F.col("color").alias("ca")), "a")
+        .join(colors.select(F.col("id").alias("b"), F.col("color").alias("cb")), "b")
+        .select(
+            F.least("ca", "cb").alias("class_a"),
+            F.greatest("ca", "cb").alias("class_b"),
+        )
+        .groupBy("class_a", "class_b")
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+    )
+    return (
+        se.join(
+            nn.select(F.col("color").alias("class_a"), F.col("n_nodes").alias("n_nodes_a")),
+            "class_a",
+        )
+        .join(
+            nn.select(F.col("color").alias("class_b"), F.col("n_nodes").alias("n_nodes_b")),
+            "class_b",
+        )
+        .select("class_a", "class_b", "n_edges", "n_nodes_a", "n_nodes_b")
+    )
+
+
+def quotient_graph_oracle_sql(pairs_sql: str, rounds: int = 2) -> str:
+    """DuckDB replay of :func:`quotient_graph` over the shared WL-color
+    oracle chain."""
+    wl_sql = wl_refinement_oracle_sql(pairs_sql, rounds)
+    return f"""
+WITH qg_colors AS MATERIALIZED ({wl_sql}),
+qg_e AS (SELECT DISTINCT a, b FROM ({pairs_sql})),
+qg_nn AS (SELECT color, count(*)::BIGINT AS n_nodes FROM qg_colors GROUP BY 1),
+qg_se AS (
+  SELECT least(ca.color, cb.color) AS class_a,
+         greatest(ca.color, cb.color) AS class_b,
+         count(*)::BIGINT AS n_edges
+  FROM qg_e e
+  JOIN qg_colors ca ON ca.id = e.a
+  JOIN qg_colors cb ON cb.id = e.b
+  GROUP BY 1, 2
+)
+SELECT s.class_a, s.class_b, s.n_edges,
+       na.n_nodes AS n_nodes_a, nb.n_nodes AS n_nodes_b
+FROM qg_se s
+JOIN qg_nn na ON na.color = s.class_a
+JOIN qg_nn nb ON nb.color = s.class_b
+"""
