@@ -143,6 +143,9 @@ HEADLINE_QUERIES = [
     "web_redirects",
     "kg_scc",
     "olap_skyline",
+    # brandes = layered BFS forward + layered backward accumulation (the
+    # only bidirectional-layer program in the headline)
+    "kg_betweenness",
 ]
 
 
