@@ -612,3 +612,41 @@ def test_kmeans_parallel_seed_broadcasts_candidates(spark):
     assert "EvalPython" not in plan and "ArrowEval" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastExchange" in plan, plan
+
+
+def test_r4h_ops_stay_jvm_keyed_joins(spark):
+    """snm_candidates / ontology_infer_types / functional_conflicts:
+    zero Python anywhere; no cartesian product; the SNM candidate join
+    and the conflicts self-join are hash-keyed; every window in the SNM
+    rank is partitioned (the two-phase rank never sorts globally)."""
+    from vectrain_spark.operators.graph import ontology_infer_types
+    from vectrain_spark.operators.linking import snm_candidates
+    from vectrain_spark.operators.temporal import functional_conflicts
+    import datetime as dt
+
+    recs = spark.createDataFrame(
+        [(i, f"name{i % 9}") for i in range(50)], "id long, name string"
+    )
+    hier = spark.createDataFrame(
+        [("A", "B"), ("B", "C")], "cls string, super string"
+    )
+    assertions = spark.createDataFrame(
+        [(f"e{i}", "A") for i in range(30)], "entity string, cls string"
+    )
+    hist = spark.createDataFrame(
+        [
+            (f"s{i % 5}", "p", f"o{i % 7}", dt.datetime(2024, 1, 1), None, True)
+            for i in range(35)
+        ],
+        "subj string, pred string, obj string, valid_from timestamp,"
+        " valid_to timestamp, is_current boolean",
+    )
+    for df in (
+        snm_candidates(recs, "name", "id", window=4),
+        ontology_infer_types(assertions, hier),
+        functional_conflicts(hist, ["subj", "pred"], "obj"),
+    ):
+        plan = _plan(df)
+        assert "EvalPython" not in plan and "ArrowEval" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoop" not in plan, plan

@@ -8554,6 +8554,238 @@ FROM documents WHERE doc_id % 2 = 1
 """
 
 
+def q_kg_link_snm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood (merge/purge) ER blocking over the SAME
+    four-class corrupted-mention fixture as kg_link_pr: typo'd vendor
+    surface forms sort adjacently, so a window-4 sweep of the global
+    (mention, doc_id) order surfaces the near-miss pairs LSH banding
+    misses — at a hard n*(window-1) pair budget. The Spark side ranks
+    with the two-phase range-partitioned plan and joins rank buckets;
+    the oracle is DuckDB's native ROW_NUMBER + inequality self-join — an
+    independent implementation of the same window semantics."""
+    from .operators.linking import snm_candidates
+
+    docs = _docs(spark, sf_dir)
+    base = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 7).alias("g"),
+        (F.col("doc_id") % 4).alias("cls"),
+        ((F.col("doc_id") % 6) + 1).cast("int").alias("p1"),
+        ((F.col("doc_id") % 5) + 1).cast("int").alias("p2"),
+    ).withColumn("m", F.concat(F.lit("Vendor"), F.col("g")))
+    mention = (
+        F.when(F.col("cls") == 0, F.col("m"))
+        .when(
+            F.col("cls") == 1,
+            F.concat(
+                F.expr("substring(m, 1, p1 - 1)"),
+                F.expr("substring(m, p1 + 1, 10)"),
+            ),
+        )
+        .when(F.col("cls") == 2, F.lit("Vendor"))
+        .otherwise(
+            F.concat(
+                F.expr("substring(m, 1, p2 - 1)"),
+                F.expr("substring(m, p2 + 2, 10)"),
+            )
+        )
+    )
+    recs = base.select(mention.alias("mention"), "doc_id")
+    out = snm_candidates(recs, "mention", "doc_id", window=4)
+    return out.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "key_a",
+        "key_b",
+        "dist",
+    )
+
+
+SQL_KG_LINK_SNM = """
+WITH raw AS (
+  SELECT doc_id, doc_id % 7 AS g, doc_id % 4 AS cls,
+         (doc_id % 6 + 1)::INT AS p1, (doc_id % 5 + 1)::INT AS p2,
+         'Vendor' || (doc_id % 7) AS m
+  FROM documents
+),
+inst AS (
+  SELECT doc_id,
+    CASE cls WHEN 0 THEN m
+             WHEN 1 THEN substr(m, 1, p1 - 1) || substr(m, p1 + 1)
+             WHEN 2 THEN 'Vendor'
+             ELSE substr(m, 1, p2 - 1) || substr(m, p2 + 2) END AS mention
+  FROM raw
+),
+ranked AS (
+  SELECT doc_id, mention,
+         row_number() OVER (ORDER BY mention, doc_id) - 1 AS rk
+  FROM inst
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       a.mention AS key_a, b.mention AS key_b,
+       (b.rk - a.rk)::BIGINT AS dist
+FROM ranked a JOIN ranked b
+  ON b.rk > a.rk AND b.rk - a.rk < 4
+"""
+
+
+_ONTOLOGY_EDGES = [
+    ("LocalVendor", "Vendor"),
+    ("GlobalVendor", "Vendor"),
+    ("Vendor", "Organization"),
+    ("Organization", "LegalEntity"),
+    ("Client", "Counterparty"),
+    ("Counterparty", "LegalEntity"),
+]
+
+
+def q_kg_ontology(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDFS subClassOf entailment: corpus-sized direct type assertions
+    (every doc asserts its vendor's locality class and its client's
+    Client class) x a schema-sized class hierarchy -> all (entity, type)
+    pairs rdfs9/rdfs11 derive. The Spark side closes the tiny hierarchy
+    semi-naively and broadcast-joins the assertion stream; the oracle is
+    a DuckDB recursive CTE over the same VALUES hierarchy."""
+    from .operators.graph import ontology_infer_types
+
+    docs = _docs(spark, sf_dir)
+    subj = docs.select(
+        F.concat(F.lit("Vendor"), F.col("doc_id") % 7).alias("entity"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("LocalVendor"))
+        .otherwise(F.lit("GlobalVendor"))
+        .alias("cls"),
+    )
+    obj = docs.select(
+        F.concat(F.lit("Client"), F.col("doc_id") % 13).alias("entity"),
+        F.lit("Client").alias("cls"),
+    )
+    hier = spark.createDataFrame(_ONTOLOGY_EDGES, "cls string, super string")
+    return ontology_infer_types(subj.unionByName(obj), hier)
+
+
+_ONTOLOGY_VALUES = ", ".join(f"('{c}', '{s}')" for c, s in _ONTOLOGY_EDGES)
+
+SQL_KG_ONTOLOGY = f"""
+WITH RECURSIVE hier(cls, super) AS (VALUES {_ONTOLOGY_VALUES}),
+anc(cls, type) AS (
+  SELECT cls, super FROM hier
+  UNION
+  SELECT a.cls, h.super FROM anc a JOIN hier h ON h.cls = a.type
+),
+assertions AS (
+  SELECT 'Vendor' || (doc_id % 7) AS entity,
+         CASE WHEN doc_id % 2 = 0 THEN 'LocalVendor'
+              ELSE 'GlobalVendor' END AS cls
+  FROM documents
+  UNION ALL
+  SELECT 'Client' || (doc_id % 13) AS entity, 'Client' AS cls
+  FROM documents
+)
+SELECT DISTINCT entity, type FROM (
+  SELECT entity, cls AS type FROM assertions
+  UNION ALL
+  SELECT s.entity, a.type FROM assertions s JOIN anc a USING (cls)
+) t
+"""
+
+
+def q_kg_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal functional-dependency conflicts: the REAL three-crawl
+    extraction (same snapshots as kg_fact_history), restricted to the
+    functional predicate ceo_of and fused to ENTITY level — fact_history
+    on (subj, pred, obj) derives each fact's validity runs, then
+    functional_conflicts pairs same-(subj, pred) versions asserting
+    different objects over overlapping intervals. Gap-and-island facts
+    (%11 churn) make the overlap windows non-trivial: a fact absent in
+    crawl 2 must NOT conflict during its gap."""
+    from .operators.temporal import fact_history, functional_conflicts
+    from .operators.webcorpus import THIRD_CRAWL_TS, third_crawl_documents
+
+    docs = _docs(spark, sf_dir)
+    crawls = [
+        (docs, "2024-01-01 00:00:00"),
+        (second_crawl_documents(docs), SECOND_CRAWL_TS),
+        (third_crawl_documents(docs), THIRD_CRAWL_TS),
+    ]
+    parts = []
+    for d, ts in crawls:
+        good, _ = split_quarantine(
+            extract_pages(pages_from_documents(d, warc_ts=ts))
+        )
+        parts.append(
+            extract_triples_df(good)
+            .filter(F.col("pred") == PREDS[0])
+            .select("subj", "pred", "obj")
+            .withColumn("warc_ts", F.to_timestamp(F.lit(ts)))
+        )
+    facts = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    hist = fact_history(facts, ["subj", "pred", "obj"])
+    conf = functional_conflicts(hist, ["subj", "pred"], "obj")
+    return conf.select(
+        "subj",
+        "pred",
+        "obj_a",
+        "obj_b",
+        F.date_format("overlap_from", "yyyy-MM-dd HH:mm:ss").alias(
+            "overlap_from"
+        ),
+        F.date_format("overlap_to", "yyyy-MM-dd HH:mm:ss").alias("overlap_to"),
+    )
+
+
+def _kg_conflicts_sql() -> str:
+    from .operators.webcorpus import THIRD_CRAWL_TS
+
+    return f"""
+WITH base AS (
+  SELECT d.doc_id,
+         'Vendor' || (d.doc_id % 7) AS subj,
+         '{PREDS[0]}' AS pred,
+         'Client' || (d.doc_id % 13) AS obj
+  FROM documents d
+  WHERE d.doc_id % 8 = 0 AND {_KG_PAGE_FILTER}
+),
+obs AS (
+  SELECT DISTINCT subj, pred, obj, idx, ts FROM (
+    SELECT subj, pred, obj, 0 AS idx,
+           TIMESTAMP '2024-01-01 00:00:00' AS ts FROM base
+    UNION ALL
+    SELECT subj, pred, obj, 1, TIMESTAMP '{SECOND_CRAWL_TS}'
+    FROM base WHERE doc_id % 11 <> 0
+    UNION ALL
+    SELECT subj, pred, obj, 2, TIMESTAMP '{THIRD_CRAWL_TS}'
+    FROM base WHERE doc_id % 11 <> 5
+  ) u
+),
+runs AS (
+  SELECT subj, pred, obj, ts, idx,
+         idx - row_number() OVER (
+           PARTITION BY subj, pred, obj ORDER BY idx) AS grp
+  FROM obs
+),
+iv AS (
+  SELECT subj, pred, obj, min(ts) AS valid_from,
+         CASE max(idx) WHEN 0 THEN TIMESTAMP '{SECOND_CRAWL_TS}'
+                       WHEN 1 THEN TIMESTAMP '{THIRD_CRAWL_TS}'
+                       ELSE TIMESTAMP '9999-12-31 23:59:59' END AS valid_to
+  FROM runs GROUP BY subj, pred, obj, grp
+)
+SELECT a.subj, a.pred, a.obj AS obj_a, b.obj AS obj_b,
+       strftime(greatest(a.valid_from, b.valid_from),
+                '%Y-%m-%d %H:%M:%S') AS overlap_from,
+       CASE WHEN least(a.valid_to, b.valid_to)
+                 = TIMESTAMP '9999-12-31 23:59:59' THEN NULL
+            ELSE strftime(least(a.valid_to, b.valid_to),
+                          '%Y-%m-%d %H:%M:%S') END AS overlap_to
+FROM iv a JOIN iv b
+  ON a.subj = b.subj AND a.pred = b.pred AND a.obj < b.obj
+ AND a.valid_from < b.valid_to AND b.valid_from < a.valid_to
+"""
+
+
+SQL_KG_CONFLICTS = _kg_conflicts_sql()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_substring": q_dedup_substring,
     "text_c4_filters": q_text_c4_filters,
@@ -8687,6 +8919,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sax": q_events_sax,
     "kg_betweenness": q_kg_betweenness,
     "kg_quotient": q_kg_quotient,
+    "kg_link_snm": q_kg_link_snm,
+    "kg_ontology": q_kg_ontology,
+    "kg_conflicts": q_kg_conflicts,
     "text_lm_score": q_text_lm_score,
     "corpus_histogram": q_corpus_histogram,
     "corpus_quartiles": q_corpus_quartiles,
@@ -8808,6 +9043,9 @@ _CHANGED_THIS_ROUND = [
     "events_sax",            # NEW: SAX time-series discretization
     "kg_betweenness",        # NEW: sampled Brandes betweenness
     "kg_quotient",           # NEW: WL-class quotient summarization
+    "kg_link_snm",           # NEW: sorted-neighborhood ER blocking
+    "kg_ontology",           # NEW: RDFS subClassOf type entailment
+    "kg_conflicts",          # NEW: temporal functional-conflict pairs
     # --- round 4f ---
     "kg_clustering",         # NEW: per-node local clustering coefficient
     "kg_rotate",             # NEW: RotatE complex-rotation KG scorer
@@ -9045,6 +9283,9 @@ ORACLES: dict[str, str] = {
     "events_sax": SQL_EVENTS_SAX,
     "kg_betweenness": SQL_KG_BETWEENNESS,
     "kg_quotient": SQL_KG_QUOTIENT,
+    "kg_link_snm": SQL_KG_LINK_SNM,
+    "kg_ontology": SQL_KG_ONTOLOGY,
+    "kg_conflicts": SQL_KG_CONFLICTS,
     "text_lm_score": SQL_TEXT_LM_SCORE,
     "corpus_histogram": SQL_CORPUS_HISTOGRAM,
     "corpus_quartiles": SQL_CORPUS_QUARTILES,

@@ -3626,3 +3626,37 @@ FROM qg_se s
 JOIN qg_nn na ON na.color = s.class_a
 JOIN qg_nn nb ON nb.color = s.class_b
 """
+
+
+def ontology_infer_types(
+    assertions: DataFrame,
+    subclass_of: DataFrame,
+    max_hops: int = CLOSURE_MAX_HOPS,
+) -> DataFrame:
+    """RDFS subClassOf materialization: direct type assertions
+    (entity, cls) + a class hierarchy (cls, super) -> every
+    (entity, type) the rdfs9/rdfs11 entailment rules derive, i.e. the
+    asserted class plus all of its transitive superclasses.
+
+    The KG-construction step that turns extracted types into queryable
+    ones ("X is a LocalVendor" must answer "list all Organizations");
+    vectrain stores class labels as opaque payload fields
+    (internal/domain/vector.go) — materialized entailment is the delta a
+    query engine needs.
+
+    Scale shape: the ontology is SCHEMA-sized (thousands of classes, not
+    data-sized), so its transitive closure runs the semi-naive
+    :func:`transitive_closure` on a frame that broadcasts everywhere;
+    the corpus-sized assertion side then pays ONE broadcast hash join
+    (fanout = depth of the class's ancestor chain, bounded by hierarchy
+    height) and one distinct keyed by (entity, type). No corpus-sized
+    self-join, no iteration over the instance data — 10^12 assertions
+    stream through a map-side join.
+    """
+    anc = transitive_closure(
+        subclass_of.select(F.col("cls").alias("src"), F.col("super").alias("dst")),
+        max_hops,
+    ).select(F.col("src").alias("cls"), F.col("dst").alias("type"))
+    direct = assertions.select("entity", F.col("cls").alias("type"))
+    inherited = assertions.join(F.broadcast(anc), "cls").select("entity", "type")
+    return direct.unionByName(inherited).distinct()

@@ -573,3 +573,76 @@ def link_eval_pr(
         F.round(r, 6).alias("recall"),
         F.round(f1, 6).alias("f1"),
     )
+
+
+def snm_candidates(
+    records: DataFrame, key_col: str, id_col: str, window: int = 4
+) -> DataFrame:
+    """Sorted-neighborhood blocking (the merge/purge method, Hernandez &
+    Stolfo SIGMOD 1995): rank every record by its blocking key globally,
+    then emit exactly the pairs within ``window`` positions of each other
+    -> (id_a, id_b, key_a, key_b, dist) with 1 <= dist < window.
+
+    The classic ER complement to LSH blocking (build_alias_bands):
+    typo-corrupted surface forms sort adjacently even when their hash
+    signatures diverge, so SNM recovers near-miss candidate pairs a
+    band-bucket join misses, at a hard O(n * window) pair budget.
+
+    Scale shape: the global rank is the two-phase plan
+    (repartitionByRange + per-range window via graph._global_sorted_rank
+    — NEVER a partition-less sort); candidates come from a bucket
+    equi-join (bucket = floor(rank / window), each left row probes its
+    own and the next bucket), so per-row fanout is <= 2*window and total
+    candidate rows are <= n*(window-1) REGARDLESS of key skew — a
+    million records sharing one key still emit only window-bounded
+    pairs, because ranking is over (key, id), which is unique. Compare
+    vectrain's all-pairs certainty-threshold search
+    (internal/app/services/search.go) — SNM is the bounded-candidate
+    alternative a 10^12-row merge needs.
+
+    ``id_col`` must be unique (it tie-breaks the sort); ids are assumed
+    non-negative and < 10^12 (zero-padded into the composite rank key).
+    """
+    from .graph import _global_sorted_rank
+
+    recs = records.select(
+        F.col(key_col).alias("_key"), F.col(id_col).alias("_id")
+    )
+    # composite rank key: lexicographic(_key \t zero-padded id) == tuple
+    # order (_key, _id) — '\t' sorts below every printable key char
+    keyed = recs.withColumn(
+        "_rk",
+        F.concat_ws("\t", F.col("_key"), F.lpad(F.col("_id").cast("string"), 12, "0")),
+    )
+    ranked, _n = _global_sorted_rank(keyed, "_rk", "_rank")
+    a = ranked.select(
+        F.col("_id").alias("id_a"),
+        F.col("_key").alias("key_a"),
+        F.col("_rank").alias("_ra"),
+        F.explode(
+            F.array(
+                F.floor(F.col("_rank") / window),
+                F.floor(F.col("_rank") / window) + 1,
+            )
+        ).alias("_b"),
+    )
+    b = ranked.select(
+        F.col("_id").alias("id_b"),
+        F.col("_key").alias("key_b"),
+        F.col("_rank").alias("_rb"),
+        F.floor(F.col("_rank") / window).alias("_b"),
+    )
+    return (
+        a.join(b, "_b")
+        .filter(
+            (F.col("_rb") > F.col("_ra"))
+            & (F.col("_rb") - F.col("_ra") < window)
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "key_a",
+            "key_b",
+            (F.col("_rb") - F.col("_ra")).cast("long").alias("dist"),
+        )
+    )

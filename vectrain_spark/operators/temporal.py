@@ -82,3 +82,52 @@ def fact_history(
             F.col("valid_to").isNull().alias("is_current"),
         )
     )
+
+
+_TEMPORAL_INF = "9999-12-31 23:59:59"
+
+
+def functional_conflicts(
+    hist: DataFrame, key_cols: list[str], obj_col: str
+) -> DataFrame:
+    """Temporal functional-dependency violations over SCD2 history:
+    pairs of fact versions that share ``key_cols`` (e.g. subj + a
+    functional predicate) but assert DIFFERENT ``obj_col`` values over
+    OVERLAPPING validity intervals -> (key_cols..., obj_a, obj_b,
+    overlap_from, overlap_to) with obj_a < obj_b and open intervals
+    (valid_to NULL) treated as unbounded.
+
+    The KB-quality gate every fusion pipeline runs before publishing: a
+    subject may change its value for a functional predicate over time,
+    but two values alive AT THE SAME INSTANT is a contradiction to
+    quarantine (cf. kg_fact_fusion, which picks a winner — this finds
+    what needs picking).
+
+    Scale shape: one self-equi-join HASH-keyed on key_cols. Input is
+    FUSED entity-level history (fact_history on (key..., obj)), so
+    versions per key are bounded by distinct-objects x presence-runs —
+    schema-bounded for functional predicates, never corpus-sized; the
+    interval-overlap predicate and the obj ordering are post-join
+    filters on that bounded set. No range join, no window, no explode.
+    """
+    cols = [*key_cols, obj_col, "valid_from", "valid_to"]
+    a = hist.select(*cols).toDF(*key_cols, "obj_a", "_fa", "_ta")
+    b = hist.select(*cols).toDF(*key_cols, "obj_b", "_fb", "_tb")
+    inf = F.lit(_TEMPORAL_INF).cast("timestamp")
+    ta = F.coalesce(F.col("_ta"), inf)
+    tb = F.coalesce(F.col("_tb"), inf)
+    out_to = F.least(ta, tb)
+    return (
+        a.join(b, key_cols)
+        .filter(F.col("obj_a") < F.col("obj_b"))
+        .filter((F.col("_fa") < tb) & (F.col("_fb") < ta))
+        .select(
+            *key_cols,
+            "obj_a",
+            "obj_b",
+            F.greatest(F.col("_fa"), F.col("_fb")).alias("overlap_from"),
+            F.when(out_to == inf, F.lit(None).cast("timestamp"))
+            .otherwise(out_to)
+            .alias("overlap_to"),
+        )
+    )
