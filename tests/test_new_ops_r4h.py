@@ -116,3 +116,42 @@ def test_functional_conflicts_hand_computed(spark):
         ("s1", "A", "B"): (t("2024-02-01"), t("2024-03-01")),
         ("s1", "B", "C"): (t("2024-04-01"), t("2024-05-01")),
     }
+
+
+def test_luby_mis_is_independent_and_maximal(spark):
+    """On a path-plus-triangle graph the selected set must be (a) an
+    independent set — no edge joins two members — and (b) maximal —
+    every non-member is adjacent to a member; 6 rounds decide every
+    node of this small graph."""
+    from vectrain_spark.operators.graph import luby_mis
+
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),  # path
+        ("x", "y"), ("y", "z"), ("x", "z"),              # triangle
+        ("e", "x"),                                       # bridge
+    ]
+    pairs = spark.createDataFrame(edges, "a string, b string")
+    mis = {r["id"] for r in luby_mis(pairs, rounds=6).collect()}
+    nodes = {n for e in edges for n in e}
+    adj = {n: set() for n in nodes}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    # independence
+    assert not any(b in mis for a in mis for b in adj[a])
+    # maximality
+    assert all(adj[n] & mis for n in nodes - mis)
+
+
+def test_luby_mis_deterministic_across_runs(spark):
+    """Seeded coins: two runs over the same graph select the identical
+    (id, round) schedule."""
+    from vectrain_spark.operators.graph import luby_mis
+
+    pairs = spark.createDataFrame(
+        [(f"v{i}", f"v{(i * 5 + 2) % 23}") for i in range(40) if i != (i * 5 + 2) % 23],
+        "a string, b string",
+    )
+    one = sorted(map(tuple, luby_mis(pairs, rounds=4).collect()))
+    two = sorted(map(tuple, luby_mis(pairs, rounds=4).collect()))
+    assert one == two and one

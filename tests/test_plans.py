@@ -650,3 +650,20 @@ def test_r4h_ops_stay_jvm_keyed_joins(spark):
         assert "EvalPython" not in plan and "ArrowEval" not in plan, plan
         assert "CartesianProduct" not in plan, plan
         assert "BroadcastNestedLoop" not in plan, plan
+
+
+def test_luby_mis_rounds_are_keyed_aggregates(spark):
+    """Each Luby round must be hash joins + a keyed min-aggregate:
+    no Python, no cartesian product, no window at all (the winner rule
+    is an aggregate, never a sort)."""
+    from vectrain_spark.operators.graph import luby_mis
+
+    pairs = spark.createDataFrame(
+        [(f"v{i}", f"v{(i + 1) % 30}") for i in range(30)],
+        "a string, b string",
+    )
+    plan = _plan(luby_mis(pairs, rounds=2))
+    assert "EvalPython" not in plan and "ArrowEval" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+    assert "WindowExec" not in plan, plan

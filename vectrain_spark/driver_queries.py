@@ -8786,6 +8786,46 @@ FROM iv a JOIN iv b
 SQL_KG_CONFLICTS = _kg_conflicts_sql()
 
 
+def q_kg_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luby maximal independent set over a deterministic doc-id lattice
+    (path edges i—i+1 plus skip chords i—i+7 — sparse, so selection
+    spreads across rounds; the word co-occurrence graph is a near-clique
+    whose MIS is a single node, useless as a value check): 4 seeded
+    lottery rounds, winners = strict md5-coin minima over self + active
+    neighborhood. The DuckDB oracle replays every round with the
+    identical coin keys — independence AND the per-round selection
+    schedule are both value-checked."""
+    from .operators.graph import luby_mis
+
+    ids = _docs(spark, sf_dir).select(F.col("doc_id").alias("a"))
+    nxt = ids.select(F.col("a").alias("b"))
+    pairs = (
+        ids.join(nxt, F.col("b") == F.col("a") + 1)
+        .unionAll(ids.join(nxt, F.col("b") == F.col("a") + 7))
+        .select(
+            F.concat(F.lit("n"), F.col("a")).alias("a"),
+            F.concat(F.lit("n"), F.col("b")).alias("b"),
+        )
+    )
+    return luby_mis(pairs)
+
+
+def _kg_mis_sql() -> str:
+    from .operators.graph import luby_mis_oracle_sql
+
+    pairs = """
+SELECT 'n' || d1.doc_id AS a, 'n' || d2.doc_id AS b
+FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
+UNION ALL
+SELECT 'n' || d1.doc_id, 'n' || d2.doc_id
+FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 7
+"""
+    return luby_mis_oracle_sql(pairs)
+
+
+SQL_KG_MIS = _kg_mis_sql()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_substring": q_dedup_substring,
     "text_c4_filters": q_text_c4_filters,
@@ -8922,6 +8962,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_link_snm": q_kg_link_snm,
     "kg_ontology": q_kg_ontology,
     "kg_conflicts": q_kg_conflicts,
+    "kg_mis": q_kg_mis,
     "text_lm_score": q_text_lm_score,
     "corpus_histogram": q_corpus_histogram,
     "corpus_quartiles": q_corpus_quartiles,
@@ -9046,6 +9087,7 @@ _CHANGED_THIS_ROUND = [
     "kg_link_snm",           # NEW: sorted-neighborhood ER blocking
     "kg_ontology",           # NEW: RDFS subClassOf type entailment
     "kg_conflicts",          # NEW: temporal functional-conflict pairs
+    "kg_mis",                # NEW: Luby maximal independent set
     # --- round 4f ---
     "kg_clustering",         # NEW: per-node local clustering coefficient
     "kg_rotate",             # NEW: RotatE complex-rotation KG scorer
@@ -9286,6 +9328,7 @@ ORACLES: dict[str, str] = {
     "kg_link_snm": SQL_KG_LINK_SNM,
     "kg_ontology": SQL_KG_ONTOLOGY,
     "kg_conflicts": SQL_KG_CONFLICTS,
+    "kg_mis": SQL_KG_MIS,
     "text_lm_score": SQL_TEXT_LM_SCORE,
     "corpus_histogram": SQL_CORPUS_HISTOGRAM,
     "corpus_quartiles": SQL_CORPUS_QUARTILES,

@@ -3660,3 +3660,138 @@ def ontology_infer_types(
     direct = assertions.select("entity", F.col("cls").alias("type"))
     inherited = assertions.join(F.broadcast(anc), "cls").select("entity", "type")
     return direct.unionByName(inherited).distinct()
+
+
+MIS_ROUNDS = 4
+
+
+def luby_mis(pairs: DataFrame, rounds: int = MIS_ROUNDS) -> DataFrame:
+    """Luby's maximal-independent-set algorithm (FOCS 1985) in its
+    seeded-deterministic form over an undirected (a, b) edge list ->
+    (id, mis_round): the round at which each selected node joined the
+    MIS. Symmetry breaking is THE primitive under distributed graph
+    coloring, scheduling, and correlation-clustering pivots — the
+    algorithm family (winner = local lottery minimum) the suite's
+    propagation/peeling operators don't cover.
+
+    Coin key ck(id, r) = md5(id || ':' || r) || ':' || id — portable
+    across engines, fresh every round, and UNIQUE by construction (the
+    id suffix breaks md5-collision ties), so "strictly smallest among
+    self + active neighbors" is a total, deterministic criterion. A
+    winner and all of its neighbors deactivate; survivors re-flip next
+    round. Nodes still active after ``rounds`` are undecided (Luby
+    removes an expected constant fraction of EDGES per round, so a
+    handful of rounds decides almost everything; callers size
+    ``rounds`` to their tail tolerance).
+
+    Scale shape: each round is one hash join of the active edge list
+    against node-sized coins, one min-aggregate keyed by node (map-side
+    combine collapses hub fan-in — a degree-10^6 hub costs its partial
+    minima, never a sorted neighbor list), and two anti-joins that
+    shrink the frontier; localCheckpoint truncates the iterated plan.
+    No window, no driver-side state, nothing proportional to degree^2.
+    """
+    e = pairs.select("a", "b").distinct()
+    sym = (
+        e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .select(F.col("a").alias("v"), F.col("b").alias("u"))
+        .localCheckpoint()
+    )
+    active_n = sym.select(F.col("v").alias("id")).distinct().localCheckpoint()
+    active_e = sym
+    out = None
+    for r in range(1, rounds + 1):
+        coins = active_n.select(
+            "id",
+            F.concat(
+                F.md5(F.concat(F.col("id"), F.lit(f":{r}"))),
+                F.lit(":"),
+                F.col("id"),
+            ).alias("ck"),
+        )
+        nbr_min = (
+            active_e.join(
+                coins.select(F.col("id").alias("u"), F.col("ck").alias("uck")),
+                "u",
+            )
+            .groupBy("v")
+            .agg(F.min("uck").alias("mn"))
+            .withColumnRenamed("v", "id")
+        )
+        sel = (
+            coins.join(nbr_min, "id", "left")
+            .filter(F.col("mn").isNull() | (F.col("ck") < F.col("mn")))
+            .select("id")
+            .localCheckpoint()
+        )
+        sel_r = sel.select("id", F.lit(r).alias("mis_round"))
+        out = sel_r if out is None else out.unionAll(sel_r)
+        removed = (
+            sel.unionAll(
+                active_e.join(
+                    sel.select(F.col("id").alias("u")), "u"
+                ).select(F.col("v").alias("id"))
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+        active_n = active_n.join(removed, "id", "left_anti").localCheckpoint()
+        active_e = (
+            active_e.join(
+                removed.select(F.col("id").alias("v")), "v", "left_anti"
+            )
+            .join(removed.select(F.col("id").alias("u")), "u", "left_anti")
+            .localCheckpoint()
+        )
+    return out
+
+
+def luby_mis_oracle_sql(pairs_sql: str, rounds: int = MIS_ROUNDS) -> str:
+    """Unrolled-round DuckDB replay of :func:`luby_mis` — identical
+    md5 coin keys, identical strict-minimum winner rule per round."""
+    parts = [
+        f"e AS MATERIALIZED (SELECT DISTINCT a, b FROM ({pairs_sql}))",
+        "sym AS MATERIALIZED (SELECT a AS v, b AS u FROM e"
+        " UNION ALL SELECT b, a FROM e)",
+        "n0 AS (SELECT DISTINCT v AS id FROM sym)",
+        "e0 AS (SELECT v, u FROM sym)",
+    ]
+    sel_terms = []
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"c{r} AS (SELECT id, md5(id || ':{r}') || ':' || id AS ck"
+            f" FROM n{r - 1})"
+        )
+        parts.append(
+            f"""m{r} AS (
+  SELECT ae.v AS id, min(cu.ck) AS mn
+  FROM e{r - 1} ae JOIN c{r} cu ON cu.id = ae.u
+  GROUP BY ae.v
+)"""
+        )
+        parts.append(
+            f"s{r} AS (SELECT c.id FROM c{r} c LEFT JOIN m{r} m USING (id)"
+            f" WHERE m.mn IS NULL OR c.ck < m.mn)"
+        )
+        parts.append(
+            f"""rm{r} AS (
+  SELECT DISTINCT id FROM (
+    SELECT id FROM s{r}
+    UNION ALL
+    SELECT ae.v FROM e{r - 1} ae JOIN s{r} s ON s.id = ae.u
+  ) t
+)"""
+        )
+        parts.append(
+            f"n{r} AS (SELECT id FROM n{r - 1}"
+            f" WHERE id NOT IN (SELECT id FROM rm{r}))"
+        )
+        parts.append(
+            f"e{r} AS (SELECT ae.v, ae.u FROM e{r - 1} ae"
+            f" WHERE ae.v NOT IN (SELECT id FROM rm{r})"
+            f" AND ae.u NOT IN (SELECT id FROM rm{r}))"
+        )
+        sel_terms.append(f"SELECT id, {r} AS mis_round FROM s{r}")
+    body = ",\n".join(parts)
+    union = "\nUNION ALL\n".join(sel_terms)
+    return f"WITH {body}\n{union}"
