@@ -8826,6 +8826,49 @@ FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 7
 SQL_KG_MIS = _kg_mis_sql()
 
 
+def q_events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point per event type over its daily-count series:
+    the Page statistic in its integer-scaled form (n*x_d - S running
+    sum is exact BIGINT in both engines), peak day argmax with
+    earliest-day tie-break — the drift monitor beside events_anomaly's
+    outlier z-gate."""
+    from .operators.events import cusum_changepoints
+
+    ev = _events(spark, sf_dir).withColumn("ts", F.col("ts").cast("timestamp"))
+    return cusum_changepoints(ev)
+
+
+def _events_changepoint_sql() -> str:
+    from .operators.events import cusum_oracle_sql
+
+    return cusum_oracle_sql()
+
+
+SQL_EVENTS_CHANGEPOINT = _events_changepoint_sql()
+
+
+def q_privacy_k_anon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datafly-style k-anonymity release verdict over the documents
+    corpus: each row is released at the finest quasi-identifier level
+    — (lang, source, size/10) -> (lang, size/20) -> (lang) — whose
+    equivalence class reaches k=5, else suppressed. Class-count tables
+    are lattice-sized, so all three levels are broadcast map-side
+    joins; the gate value-checks every document's level AND class
+    size."""
+    from .operators.privacy import datafly_k_anon
+
+    return datafly_k_anon(_docs(spark, sf_dir))
+
+
+def _privacy_k_anon_sql() -> str:
+    from .operators.privacy import datafly_oracle_sql
+
+    return datafly_oracle_sql()
+
+
+SQL_PRIVACY_K_ANON = _privacy_k_anon_sql()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_substring": q_dedup_substring,
     "text_c4_filters": q_text_c4_filters,
@@ -8963,6 +9006,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_ontology": q_kg_ontology,
     "kg_conflicts": q_kg_conflicts,
     "kg_mis": q_kg_mis,
+    "events_changepoint": q_events_changepoint,
+    "privacy_k_anon": q_privacy_k_anon,
     "text_lm_score": q_text_lm_score,
     "corpus_histogram": q_corpus_histogram,
     "corpus_quartiles": q_corpus_quartiles,
@@ -9088,6 +9133,9 @@ _CHANGED_THIS_ROUND = [
     "kg_ontology",           # NEW: RDFS subClassOf type entailment
     "kg_conflicts",          # NEW: temporal functional-conflict pairs
     "kg_mis",                # NEW: Luby maximal independent set
+    # --- round 4i: NEW operators ---
+    "events_changepoint",    # NEW: integer-exact CUSUM drift detection
+    "privacy_k_anon",        # NEW: Datafly k-anonymity release ladder
     # --- round 4f ---
     "kg_clustering",         # NEW: per-node local clustering coefficient
     "kg_rotate",             # NEW: RotatE complex-rotation KG scorer
@@ -9329,6 +9377,8 @@ ORACLES: dict[str, str] = {
     "kg_ontology": SQL_KG_ONTOLOGY,
     "kg_conflicts": SQL_KG_CONFLICTS,
     "kg_mis": SQL_KG_MIS,
+    "events_changepoint": SQL_EVENTS_CHANGEPOINT,
+    "privacy_k_anon": SQL_PRIVACY_K_ANON,
     "text_lm_score": SQL_TEXT_LM_SCORE,
     "corpus_histogram": SQL_CORPUS_HISTOGRAM,
     "corpus_quartiles": SQL_CORPUS_QUARTILES,

@@ -336,3 +336,98 @@ SELECT prev_type, next_type, cnt::BIGINT AS cnt,
        round(cnt / sum(cnt) OVER (PARTITION BY prev_type), 6) AS prob
 FROM cnt
 """
+
+
+def cusum_changepoints(events: DataFrame) -> DataFrame:
+    """CUSUM change-point detection over each event type's daily count
+    series -> (event_type, n_days, total_events, cp_day, cusum_peak):
+    the day at which the cumulative deviation from the series mean peaks
+    — the classic Page (1954) statistic for "did this stream's rate
+    shift, and when?", the monitoring primitive a crawl/ingest pipeline
+    runs over its own lineage counters (a topic's volume falling off a
+    cliff mid-crawl is a change point, not an outlier day — z-score
+    gates like events_anomaly can't see slow drifts that never leave
+    1.5 sigma).
+
+    Engine parity without transcendentals: with n days and S total
+    events, the mean-deviation of day d is x_d - S/n; scaling by n makes
+    it the INTEGER n*x_d - S, so the running statistic
+    C_d = sum_{i<=d} (n*x_i - S) is exact BIGINT arithmetic in both
+    engines (C_d = n * classicCUSUM_d; the argmax is invariant under
+    the positive scaling). Peak = max |C_d|, earliest day on ties.
+
+    Scale shape: one groupBy to days (map-side combine collapses the
+    raw stream), one broadcast of the per-type totals (type cardinality
+    is schema-sized), one window partitioned by event_type over DAYS
+    (bounded: days-per-type rows, never raw events), one per-type
+    argmax via max(struct). No partition-less window, no driver state.
+    """
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    tot = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("s")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = F.sum(F.col("n") * F.col("x") - F.col("s")).over(w)
+    scored = (
+        daily.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            "day",
+            "n",
+            "s",
+            F.abs(c).alias("abs_c"),
+            F.datediff(F.col("day"), F.lit("1970-01-01")).alias("dnum"),
+        )
+    )
+    best = scored.groupBy("event_type").agg(
+        F.max(F.struct(F.col("abs_c"), (-F.col("dnum")).alias("nd"))).alias(
+            "b"
+        ),
+        F.first("n").alias("n_days"),
+        F.first("s").alias("total_events"),
+    )
+    return best.select(
+        "event_type",
+        F.col("n_days").cast("long").alias("n_days"),
+        F.col("total_events").cast("long").alias("total_events"),
+        F.date_add(F.lit("1970-01-01"), -F.col("b.nd")).cast("string").alias(
+            "cp_day"
+        ),
+        F.col("b.abs_c").cast("long").alias("cusum_peak"),
+    )
+
+
+def cusum_oracle_sql(events_table: str = "events") -> str:
+    """DuckDB replay of :func:`cusum_changepoints` — identical integer
+    scaling (n*x - S) and (|C| DESC, day ASC) argmax."""
+    return f"""
+WITH cus_daily AS (
+  SELECT event_type, ts::DATE AS day, count(*)::BIGINT AS x
+  FROM {events_table} GROUP BY 1, 2
+),
+cus_tot AS (
+  SELECT event_type, count(*)::BIGINT AS n, sum(x)::BIGINT AS s
+  FROM cus_daily GROUP BY 1
+),
+cus_c AS (
+  SELECT d.event_type, d.day, t.n, t.s,
+         abs(sum(t.n * d.x - t.s) OVER (
+           PARTITION BY d.event_type ORDER BY d.day
+           ROWS UNBOUNDED PRECEDING))::BIGINT AS abs_c
+  FROM cus_daily d JOIN cus_tot t USING (event_type)
+),
+cus_r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY event_type ORDER BY abs_c DESC, day ASC) AS rn
+  FROM cus_c
+)
+SELECT event_type, n AS n_days, s AS total_events,
+       day::VARCHAR AS cp_day, abs_c AS cusum_peak
+FROM cus_r WHERE rn = 1
+"""
