@@ -92,3 +92,68 @@ def test_datafly_all_released_at_finest_when_classes_big(spark):
     )
     out = datafly_k_anon(docs, k=5).collect()
     assert all(r["anon_level"] == 0 and r["class_n"] == 10 for r in out)
+
+
+def test_sq_encode_endpoints_and_flat_dims(spark):
+    """1-D corpus {0, 0.5, 1}: codes 0, 127, 255; a constant dim
+    (mx == mn) encodes 0 everywhere."""
+    from vectrain_spark.operators.similarity import sq_encode
+
+    vecs = spark.createDataFrame(
+        [(0, [0.0, 7.0]), (1, [0.5, 7.0]), (2, [1.0, 7.0])],
+        "vec_id long, emb array<double>",
+    )
+    got = {r["vec_id"]: r["codes"] for r in sq_encode(vecs).collect()}
+    assert got == {0: [0, 0], 1: [127, 0], 2: [255, 0]}
+
+
+def test_sq_topk_ranks_by_integer_code_distance(spark):
+    """Two tight clusters far apart: each query's nearest neighbors in
+    code space are its own cluster, exact integer d2."""
+    from vectrain_spark.operators.similarity import sq_topk
+
+    rows = [(i, [0.0 + i * 0.01, 0.0]) for i in range(3)]
+    rows += [(i + 3, [10.0 + i * 0.01, 10.0]) for i in range(3)]
+    emb = spark.createDataFrame(rows, "vec_id long, emb array<double>")
+    got = sq_topk(emb, n_queries=1, k=2).collect()
+    assert [r["n_id"] for r in got] == [1, 2]
+    assert all(r["d2"] < 100 for r in got)
+
+
+def test_nb_langid_separable_corpus_diagonal_confusion(spark):
+    """Two languages with disjoint trigram inventories: every held-out
+    doc (doc_id % 5 == 0) lands on the diagonal."""
+    from vectrain_spark.operators.textstats import nb_langid_confusion
+
+    rows = []
+    for i in range(10):
+        rows.append((2 * i, "aa", "aaaa aaa aaaa aaa"))
+        rows.append((2 * i + 1, "bb", "bbbb bbb bbbb bbb"))
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {
+        (r["true_lang"], r["pred_lang"]): r["n_docs"]
+        for r in nb_langid_confusion(docs).collect()
+    }
+    assert set(got) == {("aa", "aa"), ("bb", "bb")}
+    assert sum(got.values()) == 4  # doc_ids 0,5,10,15 are held out
+
+
+def test_nb_langid_oov_doc_tie_breaks_to_first_lang(spark):
+    """A held-out doc whose trigrams never occur in training scores
+    t_d * lp0 for every language; with balanced training mass the
+    scores tie and the lexicographically first language wins."""
+    from vectrain_spark.operators.textstats import nb_langid_confusion
+
+    rows = [
+        (1, "aa", "aaaa aaaa"),
+        (2, "bb", "bbbb bbbb"),
+        (3, "aa", "aaaa aaaa"),
+        (4, "bb", "bbbb bbbb"),
+        (5, "bb", "zzzz zzzz"),  # held out, fully OOV
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {
+        (r["true_lang"], r["pred_lang"]): r["n_docs"]
+        for r in nb_langid_confusion(docs).collect()
+    }
+    assert got == {("bb", "aa"): 1}

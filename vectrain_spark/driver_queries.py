@@ -8869,6 +8869,47 @@ def _privacy_k_anon_sql() -> str:
 SQL_PRIVACY_K_ANON = _privacy_k_anon_sql()
 
 
+def q_sim_scalar_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar-quantized top-k: one global per-dim (min, max)
+    aggregate trains the quantizer, codes are int8, distances are
+    symmetric integer d2 — bit-exact ranking on both engines, one
+    shuffle-free scan of the 4x-compressed code table per query
+    batch (the storage-quantization path beside PQ's
+    codebook-quantization path)."""
+    from .operators.similarity import sq_topk
+
+    return sq_topk(_emb(spark, sf_dir))
+
+
+def _sim_scalar_quant_sql() -> str:
+    from .operators.similarity import sq_oracle_sql
+
+    return sq_oracle_sql()
+
+
+SQL_SIM_SCALAR_QUANT = _sim_scalar_quant_sql()
+
+
+def q_text_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained char-trigram Naive Bayes language ID, fit on 4/5 of the
+    corpus and evaluated on the held-out fifth, entirely in-engine ->
+    confusion matrix. Log-likelihood weights floor-quantized to 1e-8
+    log2 units so scores are exact BIGINT sums; the vocab-sized dense
+    model broadcasts onto one scan of the held-out trigram counts."""
+    from .operators.textstats import nb_langid_confusion
+
+    return nb_langid_confusion(_docs(spark, sf_dir))
+
+
+def _text_nb_langid_sql() -> str:
+    from .operators.textstats import nb_langid_oracle_sql
+
+    return nb_langid_oracle_sql(NORM_SQL)
+
+
+SQL_TEXT_NB_LANGID = _text_nb_langid_sql()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_substring": q_dedup_substring,
     "text_c4_filters": q_text_c4_filters,
@@ -9008,6 +9049,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_mis": q_kg_mis,
     "events_changepoint": q_events_changepoint,
     "privacy_k_anon": q_privacy_k_anon,
+    "sim_scalar_quant": q_sim_scalar_quant,
+    "text_nb_langid": q_text_nb_langid,
     "text_lm_score": q_text_lm_score,
     "corpus_histogram": q_corpus_histogram,
     "corpus_quartiles": q_corpus_quartiles,
@@ -9136,6 +9179,8 @@ _CHANGED_THIS_ROUND = [
     # --- round 4i: NEW operators ---
     "events_changepoint",    # NEW: integer-exact CUSUM drift detection
     "privacy_k_anon",        # NEW: Datafly k-anonymity release ladder
+    "sim_scalar_quant",      # NEW: SQ8 int8 quantization, integer top-k
+    "text_nb_langid",        # NEW: trained NB trigram langid, confusion
     # --- round 4f ---
     "kg_clustering",         # NEW: per-node local clustering coefficient
     "kg_rotate",             # NEW: RotatE complex-rotation KG scorer
@@ -9379,6 +9424,8 @@ ORACLES: dict[str, str] = {
     "kg_mis": SQL_KG_MIS,
     "events_changepoint": SQL_EVENTS_CHANGEPOINT,
     "privacy_k_anon": SQL_PRIVACY_K_ANON,
+    "sim_scalar_quant": SQL_SIM_SCALAR_QUANT,
+    "text_nb_langid": SQL_TEXT_NB_LANGID,
     "text_lm_score": SQL_TEXT_LM_SCORE,
     "corpus_histogram": SQL_CORPUS_HISTOGRAM,
     "corpus_quartiles": SQL_CORPUS_QUARTILES,

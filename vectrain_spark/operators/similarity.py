@@ -1018,3 +1018,122 @@ SELECT c.cand_id AS vec_id, c.round_added,
 FROM {prev} c LEFT JOIN w USING (cand_id)"""
     )
     return "".join(parts)
+
+
+def sq_encode(vecs: DataFrame) -> DataFrame:
+    """Per-dimension int8 scalar quantization (the SQ8 storage format
+    faiss/Qdrant ship beside PQ — the reference's Qdrant collections
+    take `quantization_config: scalar` on exactly the vectors vectrain
+    writes): train = one global per-dim (min, max) aggregate; encode =
+    code_i = floor((x_i - mn_i) * 255 / (mx_i - mn_i)) clamped to
+    [0, 255]. 4x smaller than float32 with no codebook to train.
+
+    Dataflow: the stats pass is posexplode -> groupBy(pos) with
+    map-side-combining min/max partials (n*d rows collapse inside each
+    scan task), folded into ONE broadcast row of (mns, mxs) arrays; the
+    encode pass is a shuffle-free projection via F.transform indexing
+    the broadcast arrays. Everything after the cast is integer.
+    """
+    stats = (
+        vecs.select(F.posexplode("emb").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    )
+    minmax = stats.agg(
+        F.array_sort(F.collect_list(F.struct("pos", "mn", "mx"))).alias("s")
+    ).select(
+        F.transform("s", lambda r: r["mn"]).alias("mns"),
+        F.transform("s", lambda r: r["mx"]).alias("mxs"),
+    )
+    enc = F.transform(
+        "emb",
+        lambda x, i: F.when(
+            F.element_at("mxs", i + 1) > F.element_at("mns", i + 1),
+            F.least(
+                F.lit(255),
+                F.floor(
+                    (x - F.element_at("mns", i + 1))
+                    * F.lit(255.0)
+                    / (
+                        F.element_at("mxs", i + 1)
+                        - F.element_at("mns", i + 1)
+                    )
+                ),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("int"),
+    )
+    return vecs.crossJoin(F.broadcast(minmax)).select(
+        "vec_id", enc.alias("codes")
+    )
+
+
+def sq_topk(
+    embeddings: DataFrame, n_queries: int = 10, k: int = 5
+) -> DataFrame:
+    """Symmetric-distance top-k over the SQ8 codes -> (q_id, n_id, d2,
+    rank): both sides quantized, d2 = sum (qc_i - c_i)^2 — pure BIGINT,
+    so ranking is bit-exact on both engines (the asymmetric float
+    variant trades that determinism for ~1 bit of recall; the recall
+    harness is sim_recall_eval's job). Queries = the n_queries lowest
+    vec_ids, broadcast onto ONE shuffle-free scan of the code table;
+    top-k via the per-query rank window. The code table is the only
+    corpus-sized operand anywhere — at 10^9 vectors it is 64 bytes/row
+    against 256 float bytes, the reason SQ exists."""
+    codes = sq_encode(_vecs(embeddings))
+    q = codes.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("codes").alias("q_codes")
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            "q_codes", "codes", lambda a, b: (a - b).cast("long") * (a - b)
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("d2"), F.asc("n_id"))
+    return (
+        codes.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id", F.col("vec_id").alias("n_id"), d2.alias("d2")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def sq_oracle_sql(n_queries: int = 10, k: int = 5) -> str:
+    """DuckDB replay of :func:`sq_topk` — identical double cast before
+    the quantization arithmetic, identical integer distance."""
+    return f"""
+WITH sq_pos AS (
+  SELECT e.vec_id, u.i::INT AS i, e.embedding[u.i]::DOUBLE AS x
+  FROM embeddings e,
+       unnest(generate_series(1, len(e.embedding))) AS u(i)
+),
+sq_st AS (
+  SELECT i, min(x) AS mn, max(x) AS mx FROM sq_pos GROUP BY i
+),
+sq_codes AS (
+  SELECT p.vec_id, p.i,
+         CASE WHEN st.mx > st.mn
+              THEN least(255, floor((p.x - st.mn) * 255.0 / (st.mx - st.mn)))::INT
+              ELSE 0 END AS c
+  FROM sq_pos p JOIN sq_st st USING (i)
+),
+sq_d AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         sum((q.c - c.c)::BIGINT * (q.c - c.c))::BIGINT AS d2
+  FROM sq_codes q JOIN sq_codes c ON q.i = c.i
+  WHERE q.vec_id < {n_queries} AND c.vec_id != q.vec_id
+  GROUP BY 1, 2
+),
+sq_r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY q_id ORDER BY d2 ASC, n_id ASC) AS rank
+  FROM sq_d
+)
+SELECT q_id, n_id, d2, rank::INT AS rank FROM sq_r WHERE rank <= {k}
+"""

@@ -8,7 +8,7 @@ double formula over integers, so Spark and DuckDB agree bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import normalized_text, shingles_col, spread
@@ -821,3 +821,185 @@ def readability(docs: DataFrame) -> DataFrame:
         F.round(F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 4).alias("flesch"),
         F.round(F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 4).alias("fk_grade"),
     )
+
+
+def nb_langid_confusion(docs: DataFrame) -> DataFrame:
+    """Trained char-trigram Naive Bayes language identifier, fit AND
+    evaluated in-engine -> confusion matrix (true_lang, pred_lang,
+    n_docs): train on the docs with doc_id % 5 != 0 (labels = the lang
+    column), predict the held-out fifth, Laplace-smoothed multinomial
+    scoring. The TRAINED counterpart of :func:`lang_id`'s fixed
+    stopword heuristic — fastText-style langid as a pure DataFrame
+    program (fit = one groupBy; predict = one broadcast join), the way
+    a 100 TB corpus actually gets language labels.
+
+    Engine parity for the log-likelihoods: every per-(trigram, lang)
+    weight floor-quantizes log2((cnt+1) / (n_lang+V)) to integer 1e-8
+    units BEFORE summation (the word_entropy idiom), so document scores
+    are exact BIGINT sums and the argmax is deterministic on both
+    engines; ties break to the lexicographically first language.
+    Out-of-vocabulary trigram occurrences score the per-language
+    Laplace default, counted as (T_doc - matched) in one subtraction —
+    no dense OOV rows anywhere.
+
+    Scale shape: the model is VOCAB-sized (bounded by charset^3 x
+    n_langs, never corpus-sized), built dense over (trigram x language)
+    so prediction needs no per-language outer join; it broadcasts onto
+    one scan of the held-out docs' trigram counts. Two
+    map-side-combining aggregates end-to-end; all JVM.
+    """
+    from .dedup import normalized_text, spread
+
+    base = spread(docs).select(
+        "doc_id", "lang", normalized_text().alias("t")
+    ).filter(F.length("t") >= 3)
+    tris = base.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("t") - 2),
+                lambda i: F.col("t").substr(i, F.lit(3)),
+            )
+        ).alias("tri"),
+    )
+    is_test = F.col("doc_id") % 5 == 0
+    train = tris.filter(~is_test)
+    cnt = train.groupBy("lang", "tri").agg(F.count(F.lit(1)).alias("cnt"))
+    nl = train.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
+    vt = train.select("tri").distinct()
+    vsize = vt.agg(F.count(F.lit(1)).alias("v"))
+    langs = nl.crossJoin(F.broadcast(vsize)).select(
+        "lang",
+        "n_l",
+        "v",
+        F.floor(-F.log2(F.col("n_l") + F.col("v")) * F.lit(1e8))
+        .cast("long")
+        .alias("lp0"),
+    )
+    model = (
+        vt.crossJoin(F.broadcast(langs.select("lang", "n_l", "v")))
+        .join(cnt, ["lang", "tri"], "left")
+        .select(
+            "tri",
+            "lang",
+            F.floor(
+                F.log2(
+                    (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(1))
+                    / (F.col("n_l") + F.col("v"))
+                )
+                * F.lit(1e8)
+            )
+            .cast("long")
+            .alias("lp"),
+        )
+    )
+    tc = (
+        tris.filter(is_test)
+        .groupBy("doc_id", F.col("lang").alias("true_lang"), "tri")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    td = tc.groupBy("doc_id", "true_lang").agg(F.sum("c").alias("t_d"))
+    matched = (
+        tc.join(F.broadcast(model), "tri")
+        .groupBy("doc_id", F.col("lang").alias("cand"))
+        .agg(
+            F.sum(F.col("c") * F.col("lp")).alias("s1"),
+            F.sum("c").alias("m"),
+        )
+    )
+    scored = (
+        td.crossJoin(
+            F.broadcast(langs.select(F.col("lang").alias("cand"), "lp0"))
+        )
+        .join(matched, ["doc_id", "cand"], "left")
+        .select(
+            "doc_id",
+            "true_lang",
+            "cand",
+            (
+                F.coalesce(F.col("s1"), F.lit(0))
+                + (F.col("t_d") - F.coalesce(F.col("m"), F.lit(0)))
+                * F.col("lp0")
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("cand")
+    )
+    pred = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    return (
+        pred.groupBy("true_lang", F.col("cand").alias("pred_lang"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
+def nb_langid_oracle_sql(norm_sql: str) -> str:
+    """DuckDB replay of :func:`nb_langid_confusion` — identical split,
+    smoothing, 1e-8 log2 quantization, and (score DESC, lang ASC)
+    argmax."""
+    return f"""
+WITH nb_base AS (
+  SELECT doc_id, lang, {norm_sql} AS t FROM documents
+  WHERE length({norm_sql}) >= 3
+),
+nb_tris AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(generate_series(1, length(t) - 2),
+                i -> substring(t, i, 3))) AS tri
+  FROM nb_base
+),
+nb_cnt AS (
+  SELECT lang, tri, count(*)::BIGINT AS cnt FROM nb_tris
+  WHERE doc_id % 5 != 0 GROUP BY 1, 2
+),
+nb_nl AS (
+  SELECT lang, count(*)::BIGINT AS n_l FROM nb_tris
+  WHERE doc_id % 5 != 0 GROUP BY 1
+),
+nb_vt AS (
+  SELECT DISTINCT tri FROM nb_tris WHERE doc_id % 5 != 0
+),
+nb_v AS (SELECT count(*)::BIGINT AS v FROM nb_vt),
+nb_langs AS (
+  SELECT lang, n_l, v,
+         floor(-log2((n_l + v)::DOUBLE) * 100000000.0)::BIGINT AS lp0
+  FROM nb_nl, nb_v
+),
+nb_model AS (
+  SELECT t.tri, l.lang,
+         floor(log2((coalesce(c.cnt, 0) + 1)::DOUBLE
+                    / (l.n_l + l.v)::DOUBLE) * 100000000.0)::BIGINT AS lp
+  FROM nb_vt t CROSS JOIN nb_langs l
+  LEFT JOIN nb_cnt c ON c.lang = l.lang AND c.tri = t.tri
+),
+nb_tc AS (
+  SELECT doc_id, lang AS true_lang, tri, count(*)::BIGINT AS c
+  FROM nb_tris WHERE doc_id % 5 = 0 GROUP BY 1, 2, 3
+),
+nb_td AS (
+  SELECT doc_id, true_lang, sum(c)::BIGINT AS t_d FROM nb_tc GROUP BY 1, 2
+),
+nb_matched AS (
+  SELECT tc.doc_id, m.lang AS cand,
+         sum(tc.c * m.lp)::BIGINT AS s1, sum(tc.c)::BIGINT AS m
+  FROM nb_tc tc JOIN nb_model m ON m.tri = tc.tri
+  GROUP BY 1, 2
+),
+nb_scored AS (
+  SELECT d.doc_id, d.true_lang, l.lang AS cand,
+         coalesce(mt.s1, 0)
+           + (d.t_d - coalesce(mt.m, 0)) * l.lp0 AS score
+  FROM nb_td d CROSS JOIN nb_langs l
+  LEFT JOIN nb_matched mt ON mt.doc_id = d.doc_id AND mt.cand = l.lang
+),
+nb_pred AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, cand ASC) AS rn
+  FROM nb_scored
+)
+SELECT true_lang, cand AS pred_lang, count(*)::BIGINT AS n_docs
+FROM nb_pred WHERE rn = 1 GROUP BY 1, 2
+"""
