@@ -157,3 +157,67 @@ def test_nb_langid_oov_doc_tie_breaks_to_first_lang(spark):
         for r in nb_langid_confusion(docs).collect()
     }
     assert got == {("bb", "aa"): 1}
+
+
+def _kruskal(nodes, edges):
+    """Reference MST: Kruskal under the same (w, a, b) total order."""
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    out = []
+    for w, a, b in sorted((w, a, b) for a, b, w in edges):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+            out.append((a, b, w))
+    return set(out)
+
+
+def test_boruvka_matches_kruskal_on_known_graph(spark):
+    """Square + diagonal: MST is the three cheapest edges."""
+    from vectrain_spark.operators.graph import boruvka_msf
+
+    edges = [
+        ("a", "b", 1),
+        ("b", "c", 2),
+        ("c", "d", 3),
+        ("a", "d", 4),
+        ("a", "c", 5),
+    ]
+    df = spark.createDataFrame(edges, "a string, b string, w long")
+    got = {(r["a"], r["b"], r["w"]) for r in boruvka_msf(df).collect()}
+    assert got == {("a", "b", 1), ("b", "c", 2), ("c", "d", 3)}
+
+
+def test_boruvka_matches_kruskal_on_random_graph(spark):
+    """27-node deterministic pseudo-random graph: Boruvka's forest ==
+    Kruskal's under the identical tie order, edge for edge."""
+    from vectrain_spark.operators.graph import boruvka_msf
+
+    nodes = [f"v{i:02d}" for i in range(27)]
+    edges = []
+    for i in range(27):
+        for j in range(i + 1, 27):
+            if (i * 31 + j * 17) % 5 == 0:
+                edges.append((nodes[i], nodes[j], (i * 13 + j * 7) % 40))
+    df = spark.createDataFrame(edges, "a string, b string, w long")
+    got = {(r["a"], r["b"], r["w"]) for r in boruvka_msf(df, rounds=5).collect()}
+    assert got == _kruskal(nodes, edges)
+
+
+def test_boruvka_equal_weights_deterministic_tie_break(spark):
+    """Triangle of weight-1 edges: the (w, a, b) order always keeps
+    (a,b) and (a,c)."""
+    from vectrain_spark.operators.graph import boruvka_msf
+
+    df = spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", 1), ("a", "c", 1)],
+        "a string, b string, w long",
+    )
+    got = {(r["a"], r["b"]) for r in boruvka_msf(df).collect()}
+    assert got == {("a", "b"), ("a", "c")}

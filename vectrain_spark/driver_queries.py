@@ -8910,6 +8910,105 @@ def _text_nb_langid_sql() -> str:
 SQL_TEXT_NB_LANGID = _text_nb_langid_sql()
 
 
+def q_olap_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-bucketed co-located join as a VALUE-checked gate (the
+    layout twin of olap_salted_join; the plan property — both exchanges
+    elided — is asserted in tests/test_layout.py): lineitem and orders
+    are written bucketBy(8, orderkey) at gate-build time, the fact-fact
+    join then reads the two bucketed tables and joins per-bucket with
+    NO shuffle of either side — at 100 TB this is the difference
+    between a join that moves 100 TB twice and one that moves nothing.
+    The oracle is the naive parquet join; parity proves the bucketed
+    layout is result-identical, in exact DECIMAL money."""
+    import shutil
+
+    root = "/tmp/vectrain_bucketed_gate"
+    shutil.rmtree(root, ignore_errors=True)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey",
+        (
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+        ).alias("rev"),
+    )
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    for name, df, key in (
+        ("bj_lineitem", li, "l_orderkey"),
+        ("bj_orders", od, "o_orderkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.bucketBy(8, key)
+            .sortBy(key)
+            .option("path", f"{root}/{name}")
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    j = spark.table("bj_lineitem").join(
+        spark.table("bj_orders"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("rev").cast("double").alias("revenue"),
+    )
+
+
+SQL_OLAP_BUCKETED_JOIN = """
+SELECT o_orderpriority, count(*)::BIGINT AS n_lines,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+"""
+
+
+def q_kg_mst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boruvka minimum spanning forest over the weighted doc-id lattice
+    (path edges i—i+1 at weight (7i mod 50), chords i—i+7 at
+    (11i mod 50)+1 — varied weights so per-component argmins differ
+    across rounds): 3 parallel rounds of pick-min-outgoing-edge +
+    component contraction via the engine's own connected-components
+    machinery. The DuckDB oracle replays every round with the identical
+    (w, a, b) total order, so edge selection AND the contraction
+    schedule are both value-checked."""
+    from .operators.graph import boruvka_msf
+
+    ids = _docs(spark, sf_dir).select(F.col("doc_id").alias("i"))
+    nxt = ids.select(F.col("i").alias("j"))
+    e1 = ids.join(nxt, F.col("j") == F.col("i") + 1).select(
+        F.concat(F.lit("n"), F.col("i")).alias("a"),
+        F.concat(F.lit("n"), F.col("j")).alias("b"),
+        ((F.col("i") * 7) % 50).cast("long").alias("w"),
+    )
+    e2 = ids.join(nxt, F.col("j") == F.col("i") + 7).select(
+        F.concat(F.lit("n"), F.col("i")).alias("a"),
+        F.concat(F.lit("n"), F.col("j")).alias("b"),
+        ((F.col("i") * 11) % 50 + 1).cast("long").alias("w"),
+    )
+    return boruvka_msf(e1.unionAll(e2))
+
+
+def _kg_mst_sql() -> str:
+    from .operators.graph import boruvka_oracle_sql
+
+    wedges = """
+SELECT 'n' || d1.doc_id AS a, 'n' || d2.doc_id AS b,
+       (d1.doc_id * 7) % 50 AS w
+FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
+UNION ALL
+SELECT 'n' || d1.doc_id, 'n' || d2.doc_id, (d1.doc_id * 11) % 50 + 1
+FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 7
+"""
+    return boruvka_oracle_sql(wedges)
+
+
+SQL_KG_MST = _kg_mst_sql()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_substring": q_dedup_substring,
     "text_c4_filters": q_text_c4_filters,
@@ -9051,6 +9150,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "privacy_k_anon": q_privacy_k_anon,
     "sim_scalar_quant": q_sim_scalar_quant,
     "text_nb_langid": q_text_nb_langid,
+    "olap_bucketed_join": q_olap_bucketed_join,
+    "kg_mst": q_kg_mst,
     "text_lm_score": q_text_lm_score,
     "corpus_histogram": q_corpus_histogram,
     "corpus_quartiles": q_corpus_quartiles,
@@ -9181,6 +9282,8 @@ _CHANGED_THIS_ROUND = [
     "privacy_k_anon",        # NEW: Datafly k-anonymity release ladder
     "sim_scalar_quant",      # NEW: SQ8 int8 quantization, integer top-k
     "text_nb_langid",        # NEW: trained NB trigram langid, confusion
+    "olap_bucketed_join",    # NEW: bucketed co-located join == naive join
+    "kg_mst",                # NEW: Boruvka minimum spanning forest
     # --- round 4f ---
     "kg_clustering",         # NEW: per-node local clustering coefficient
     "kg_rotate",             # NEW: RotatE complex-rotation KG scorer
@@ -9426,6 +9529,8 @@ ORACLES: dict[str, str] = {
     "privacy_k_anon": SQL_PRIVACY_K_ANON,
     "sim_scalar_quant": SQL_SIM_SCALAR_QUANT,
     "text_nb_langid": SQL_TEXT_NB_LANGID,
+    "olap_bucketed_join": SQL_OLAP_BUCKETED_JOIN,
+    "kg_mst": SQL_KG_MST,
     "text_lm_score": SQL_TEXT_LM_SCORE,
     "corpus_histogram": SQL_CORPUS_HISTOGRAM,
     "corpus_quartiles": SQL_CORPUS_QUARTILES,

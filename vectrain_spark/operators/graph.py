@@ -3795,3 +3795,162 @@ def luby_mis_oracle_sql(pairs_sql: str, rounds: int = MIS_ROUNDS) -> str:
     body = ",\n".join(parts)
     union = "\nUNION ALL\n".join(sel_terms)
     return f"WITH {body}\n{union}"
+
+
+BORUVKA_ROUNDS = 3
+
+
+def boruvka_msf(wedges: DataFrame, rounds: int = BORUVKA_ROUNDS) -> DataFrame:
+    """Boruvka's minimum-spanning-forest algorithm over an undirected
+    weighted (a, b, w) edge list -> (a, b, w, msf_round): the round at
+    which each forest edge was selected. THE spanning-structure
+    primitive the suite lacks (single-linkage clustering, network
+    backbone extraction, and graph sparsification are all MSF under the
+    hood), and the one classical MST algorithm that is natively
+    parallel — every component picks its minimum outgoing edge
+    simultaneously, components merge, repeat; O(log V) rounds ever
+    needed, ``rounds`` of them materialized here (callers size it to
+    their component-diameter tolerance, as with luby_mis).
+
+    Determinism without distinct-weight assumptions: edges totally
+    ordered by (w, a, b), so the per-component argmin and therefore the
+    whole forest are unique — both engines replay the identical order.
+
+    Scale shape per round: two hash joins stamp component labels onto
+    the edge list, ONE keyed min-aggregate (map-side combine collapses
+    hub components — a 10^6-edge component costs its per-partition
+    partial minima, never a sorted edge list), and the contraction runs
+    :func:`connected_components`' large/small-star rounds over the
+    COMPONENT graph — whose size is #components, collapsing
+    geometrically, never the corpus-sized edge list. localCheckpoint
+    truncates the iterated lineage exactly as pagerank/luby do.
+    """
+    from .canonicalize import connected_components
+
+    e = (
+        wedges.select("a", "b", "w")
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    comp = (
+        e.select(F.col("a").alias("id"))
+        .unionAll(e.select(F.col("b").alias("id")))
+        .distinct()
+        .select("id", F.col("id").alias("comp"))
+        .localCheckpoint()
+    )
+    out = None
+    for r in range(1, rounds + 1):
+        lab = (
+            e.join(
+                comp.select(F.col("id").alias("a"), F.col("comp").alias("ca")),
+                "a",
+            )
+            .join(
+                comp.select(F.col("id").alias("b"), F.col("comp").alias("cb")),
+                "b",
+            )
+            .filter(F.col("ca") != F.col("cb"))
+        )
+        sym = lab.select(
+            F.col("ca").alias("c"),
+            F.struct("w", "a", "b", F.col("cb").alias("other")).alias("cand"),
+        ).unionAll(
+            lab.select(
+                F.col("cb").alias("c"),
+                F.struct("w", "a", "b", F.col("ca").alias("other")).alias(
+                    "cand"
+                ),
+            )
+        )
+        mins = sym.groupBy("c").agg(F.min("cand").alias("m")).localCheckpoint()
+        sel = (
+            mins.select(
+                F.col("m.a").alias("a"),
+                F.col("m.b").alias("b"),
+                F.col("m.w").alias("w"),
+            )
+            .distinct()
+            .select("a", "b", "w", F.lit(r).alias("msf_round"))
+        )
+        out = sel if out is None else out.unionAll(sel)
+        cedges = mins.select(
+            F.col("c").alias("src"), F.col("m.other").alias("dst")
+        )
+        merged = connected_components(cedges).withColumnRenamed("id", "comp")
+        comp = (
+            comp.join(merged, "comp", "left")
+            .select("id", F.coalesce("canon", "comp").alias("comp"))
+            .localCheckpoint()
+        )
+    return out
+
+
+def boruvka_oracle_sql(wedges_sql: str, rounds: int = BORUVKA_ROUNDS) -> str:
+    """Unrolled-round DuckDB replay of :func:`boruvka_msf` — identical
+    (w, a, b) argmin order per component, identical min-label
+    contraction (one recursive reachability closure per round over the
+    component graph, which is component-sized, not edge-sized)."""
+    parts = [
+        f"bmsf_e AS MATERIALIZED (SELECT DISTINCT a, b, w FROM"
+        f" ({wedges_sql}) WHERE a <> b)",
+        "bmsf_c0 AS (SELECT id, id AS comp FROM"
+        " (SELECT a AS id FROM bmsf_e UNION SELECT b FROM bmsf_e))",
+    ]
+    sel_terms = []
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f"""bmsf_lab{r} AS MATERIALIZED (
+  SELECT e.a, e.b, e.w, ca.comp AS ca, cb.comp AS cb
+  FROM bmsf_e e
+  JOIN bmsf_c{p} ca ON ca.id = e.a
+  JOIN bmsf_c{p} cb ON cb.id = e.b
+  WHERE ca.comp <> cb.comp
+)"""
+        )
+        parts.append(
+            f"""bmsf_min{r} AS MATERIALIZED (
+  SELECT c, a, b, w, other FROM (
+    SELECT c, a, b, w, other, row_number() OVER (
+      PARTITION BY c ORDER BY w, a, b) AS rn
+    FROM (
+      SELECT ca AS c, a, b, w, cb AS other FROM bmsf_lab{r}
+      UNION ALL
+      SELECT cb, a, b, w, ca FROM bmsf_lab{r}
+    ) s
+  ) t WHERE rn = 1
+)"""
+        )
+        parts.append(
+            f"""bmsf_reach{r}(id, x) AS (
+  SELECT c, c FROM bmsf_min{r}
+  UNION
+  SELECT id, x FROM (
+    SELECT r.id AS id, g.dst AS x
+    FROM bmsf_reach{r} r
+    JOIN (
+      SELECT c AS src, other AS dst FROM bmsf_min{r}
+      UNION ALL
+      SELECT other, c FROM bmsf_min{r}
+    ) g ON g.src = r.x
+  ) step
+)"""
+        )
+        parts.append(
+            f"bmsf_m{r} AS (SELECT id, min(x) AS canon FROM bmsf_reach{r}"
+            f" GROUP BY id)"
+        )
+        parts.append(
+            f"""bmsf_c{r} AS MATERIALIZED (
+  SELECT c.id, coalesce(m.canon, c.comp) AS comp
+  FROM bmsf_c{p} c LEFT JOIN bmsf_m{r} m ON m.id = c.comp
+)"""
+        )
+        sel_terms.append(
+            f"SELECT DISTINCT a, b, w, {r} AS msf_round FROM bmsf_min{r}"
+        )
+    body = ",\n".join(parts)
+    union = "\nUNION ALL\n".join(sel_terms)
+    return f"WITH RECURSIVE {body}\n{union}"
