@@ -146,6 +146,13 @@ HEADLINE_QUERIES = [
     # brandes = layered BFS forward + layered backward accumulation (the
     # only bidirectional-layer program in the headline)
     "kg_betweenness",
+    # round 4i (same curation rule): mst = contraction rounds with CC
+    # nested per round (the only contract-and-recurse program in the
+    # headline), bucketed join = the one shuffle-FREE fact-fact join;
+    # the other 4i gates (cusum, k-anon, SQ8, NB langid) are
+    # window/broadcast/scan shapes already timed above
+    "kg_mst",
+    "olap_bucketed_join",
 ]
 
 
