@@ -221,3 +221,43 @@ def test_boruvka_equal_weights_deterministic_tie_break(spark):
     )
     got = {(r["a"], r["b"]) for r in boruvka_msf(df).collect()}
     assert got == {("a", "b"), ("a", "c")}
+
+
+def test_rpq_min_mid_hops_on_hand_graph(spark):
+    """s: a->b; m: b->c, c->d, d->b (cycle); e: b->x, d->y.
+    a reaches b at h=0 -> x; d at h=2 -> y; the b-revisit at h=3 must
+    NOT overwrite the h=0 minimum."""
+    from vectrain_spark.operators.graph import rpq_bounded
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b", "s"),
+            ("b", "c", "m"),
+            ("c", "d", "m"),
+            ("d", "b", "m"),
+            ("b", "x", "e"),
+            ("d", "y", "e"),
+        ],
+        "src string, dst string, pred string",
+    )
+    got = {
+        (r["src"], r["dst"]): r["min_mid_hops"]
+        for r in rpq_bounded(edges, "s", "m", "e").collect()
+    }
+    assert got == {("a", "x"): 0, ("a", "y"): 2}
+
+
+def test_rpq_zero_mid_hops_only(spark):
+    """No m edges at all: the Kleene segment contributes only the
+    empty path, so results are exactly s-then-e concatenations."""
+    from vectrain_spark.operators.graph import rpq_bounded
+
+    edges = spark.createDataFrame(
+        [("a", "b", "s"), ("b", "z", "e"), ("q", "w", "e")],
+        "src string, dst string, pred string",
+    )
+    got = [
+        (r["src"], r["dst"], r["min_mid_hops"])
+        for r in rpq_bounded(edges, "s", "m", "e").collect()
+    ]
+    assert got == [("a", "z", 0)]

@@ -9009,6 +9009,55 @@ FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 7
 SQL_KG_MST = _kg_mst_sql()
 
 
+def q_kg_rpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded regular path query s / m{0,3} / e — the SPARQL
+    property-path query shape — over a labeled doc-id lattice (the
+    pipeline's own canonical KG is bipartite Vendor->Client, so its
+    predicate chains are empty by construction; the lattice gives every
+    mid-hop count 0..3 real witnesses): s-edges i->i+1 on i%5==0,
+    m-edges i->i+2 everywhere, e-edges i->i+3 on i%4==0. Min
+    mid-segment length per result pair is value-checked against the
+    unrolled-level oracle."""
+    from .operators.graph import rpq_bounded
+
+    ids = _docs(spark, sf_dir).select(F.col("doc_id").alias("i"))
+    nxt = ids.select(F.col("i").alias("j"))
+
+    def _e(shift: int, mod: int, pred: str) -> DataFrame:
+        base = ids.join(nxt, F.col("j") == F.col("i") + shift)
+        if mod > 1:
+            base = base.filter(F.col("i") % mod == 0)
+        return base.select(
+            F.concat(F.lit("n"), F.col("i")).alias("src"),
+            F.concat(F.lit("n"), F.col("j")).alias("dst"),
+            F.lit(pred).alias("pred"),
+        )
+
+    edges = _e(1, 5, "s").unionAll(_e(2, 1, "m")).unionAll(_e(3, 4, "e"))
+    return rpq_bounded(edges, "s", "m", "e")
+
+
+def _kg_rpq_sql() -> str:
+    from .operators.graph import rpq_oracle_sql
+
+    lattice = """
+SELECT 'n' || d1.doc_id AS src, 'n' || d2.doc_id AS dst, 's' AS pred
+FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
+WHERE d1.doc_id % 5 = 0
+UNION ALL
+SELECT 'n' || d1.doc_id, 'n' || d2.doc_id, 'm'
+FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 2
+UNION ALL
+SELECT 'n' || d1.doc_id, 'n' || d2.doc_id, 'e'
+FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 3
+WHERE d1.doc_id % 4 = 0
+"""
+    return rpq_oracle_sql(lattice, "s", "m", "e")
+
+
+SQL_KG_RPQ = _kg_rpq_sql()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_substring": q_dedup_substring,
     "text_c4_filters": q_text_c4_filters,
@@ -9152,6 +9201,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_nb_langid": q_text_nb_langid,
     "olap_bucketed_join": q_olap_bucketed_join,
     "kg_mst": q_kg_mst,
+    "kg_rpq": q_kg_rpq,
     "text_lm_score": q_text_lm_score,
     "corpus_histogram": q_corpus_histogram,
     "corpus_quartiles": q_corpus_quartiles,
@@ -9284,6 +9334,7 @@ _CHANGED_THIS_ROUND = [
     "text_nb_langid",        # NEW: trained NB trigram langid, confusion
     "olap_bucketed_join",    # NEW: bucketed co-located join == naive join
     "kg_mst",                # NEW: Boruvka minimum spanning forest
+    "kg_rpq",                # NEW: bounded regular path query (a/b*/c)
     # --- round 4f ---
     "kg_clustering",         # NEW: per-node local clustering coefficient
     "kg_rotate",             # NEW: RotatE complex-rotation KG scorer
@@ -9531,6 +9582,7 @@ ORACLES: dict[str, str] = {
     "text_nb_langid": SQL_TEXT_NB_LANGID,
     "olap_bucketed_join": SQL_OLAP_BUCKETED_JOIN,
     "kg_mst": SQL_KG_MST,
+    "kg_rpq": SQL_KG_RPQ,
     "text_lm_score": SQL_TEXT_LM_SCORE,
     "corpus_histogram": SQL_CORPUS_HISTOGRAM,
     "corpus_quartiles": SQL_CORPUS_QUARTILES,

@@ -3954,3 +3954,91 @@ def boruvka_oracle_sql(wedges_sql: str, rounds: int = BORUVKA_ROUNDS) -> str:
     body = ",\n".join(parts)
     union = "\nUNION ALL\n".join(sel_terms)
     return f"WITH RECURSIVE {body}\n{union}"
+
+
+RPQ_MAX_MID = 3
+
+
+def rpq_bounded(
+    edges: DataFrame,
+    pred_start: str,
+    pred_mid: str,
+    pred_end: str,
+    max_mid: int = RPQ_MAX_MID,
+) -> DataFrame:
+    """Bounded regular path query ``start / mid{0,max_mid} / end`` over
+    the (src, dst, pred) edge table -> (src, dst, min_mid_hops): the
+    SPARQL property-path / Cypher variable-length-relationship query
+    shape a KG engine must answer ("the HQ city of every company my
+    company's CEO chain is transitively partnered with"), with the
+    Kleene segment bounded the way production RPQ engines bound it.
+    Reports the MINIMUM mid-segment length per result pair, so the gate
+    value-checks the path-length semantics, not just reachability.
+
+    Scale shape: per-predicate slices are filters on one scan; the
+    closure is ``max_mid`` keyed hash joins with a per-level DISTINCT
+    (frontier never carries duplicate (src, node) pairs forward, so a
+    diamond-shaped fan cannot multiply rows level over level); the
+    min-hop fold is one map-side-combining aggregate. localCheckpoint
+    truncates the iterated lineage as every iterative operator here
+    does. No window, nothing degree-squared.
+    """
+    e_start = edges.filter(F.col("pred") == pred_start).select(
+        "src", F.col("dst").alias("m")
+    )
+    e_mid = edges.filter(F.col("pred") == pred_mid).select(
+        F.col("src").alias("m"), F.col("dst").alias("m2")
+    )
+    e_end = edges.filter(F.col("pred") == pred_end).select(
+        F.col("src").alias("m"), "dst"
+    )
+    frontier = e_start.select("src", "m").distinct().localCheckpoint()
+    reach = frontier.select("src", "m", F.lit(0).alias("h"))
+    for i in range(1, max_mid + 1):
+        frontier = (
+            frontier.join(e_mid, "m")
+            .select("src", F.col("m2").alias("m"))
+            .distinct()
+            .localCheckpoint()
+        )
+        reach = reach.unionAll(
+            frontier.select("src", "m", F.lit(i).alias("h"))
+        )
+    reach_min = reach.groupBy("src", "m").agg(F.min("h").alias("h"))
+    return (
+        reach_min.join(e_end, "m")
+        .groupBy("src", "dst")
+        .agg(F.min("h").cast("int").alias("min_mid_hops"))
+    )
+
+
+def rpq_oracle_sql(
+    edges_sql: str,
+    pred_start: str,
+    pred_mid: str,
+    pred_end: str,
+    max_mid: int = RPQ_MAX_MID,
+) -> str:
+    """Unrolled DuckDB replay of :func:`rpq_bounded` — identical level
+    schedule and min-hop fold."""
+    parts = [
+        f"rpq_e AS MATERIALIZED ({edges_sql})",
+        f"rpq_r0 AS (SELECT DISTINCT src, dst AS m FROM rpq_e"
+        f" WHERE pred = '{pred_start}')",
+    ]
+    level_terms = ["SELECT src, m, 0 AS h FROM rpq_r0"]
+    for i in range(1, max_mid + 1):
+        parts.append(
+            f"rpq_r{i} AS (SELECT DISTINCT r.src, e.dst AS m"
+            f" FROM rpq_r{i - 1} r JOIN rpq_e e"
+            f" ON e.pred = '{pred_mid}' AND e.src = r.m)"
+        )
+        level_terms.append(f"SELECT src, m, {i} AS h FROM rpq_r{i}")
+    levels = "\nUNION ALL\n".join(level_terms)
+    body = ",\n".join(parts)
+    return f"""WITH {body},
+rpq_all AS ({levels}),
+rpq_min AS (SELECT src, m, min(h) AS h FROM rpq_all GROUP BY 1, 2)
+SELECT r.src, e.dst, min(r.h)::INT AS min_mid_hops
+FROM rpq_min r JOIN rpq_e e ON e.pred = '{pred_end}' AND e.src = r.m
+GROUP BY 1, 2"""
