@@ -64,7 +64,17 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
                    help="Z-order interleave for --maintain cluster "
                         "(exactly 2 NUMERIC --cols); default is plain "
                         "range-partition + sort clustering")
+    p.add_argument("--query", default=None,
+                   help="run one registered analytics query by name over "
+                        "--sf-dir instead of the pipeline; result is written "
+                        "to <out>/queries/<name> as parquet")
+    p.add_argument("--list-queries", action="store_true",
+                   help="print every registered analytics query name and exit")
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.01",
+                   help="driver-table directory for --query")
     args = p.parse_args(argv)
+    if args.list_queries:
+        return args
     if args.maintain == "cluster" and not args.cols:
         p.error("--maintain cluster requires --cols")
     if args.maintain == "delete" and not args.predicate:
@@ -94,6 +104,12 @@ def run_maintenance(spark, args) -> dict:
 
 def main(argv: list[str] | None = None) -> int:
     args = parse_args(argv if argv is not None else sys.argv[1:])
+    if args.list_queries:
+        from vectrain_spark.driver_queries import QUERIES
+
+        for name in sorted(QUERIES):
+            print(name)
+        return 0
     from pyspark.sql import SparkSession
 
     from vectrain_spark.pipeline import PipelineConfig, run_pipeline
@@ -130,6 +146,21 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     out = args.out or (job.sink.out if job else None)
+    if args.query:
+        from vectrain_spark.driver_queries import QUERIES
+
+        if args.query not in QUERIES:
+            print(f"unknown query {args.query!r}; see --list-queries",
+                  file=sys.stderr)
+            spark.stop()
+            return 2
+        dest = f"{out}/queries/{args.query}"
+        df = QUERIES[args.query](spark, args.sf_dir)
+        df.write.mode("overwrite").parquet(dest)
+        n = spark.read.parquet(dest).count()
+        print(json.dumps({"query": args.query, "rows": n, "out": dest}))
+        spark.stop()
+        return 0
     if args.maintain:
         args.out = out
         print(json.dumps(run_maintenance(spark, args)))

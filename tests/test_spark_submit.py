@@ -55,3 +55,57 @@ def test_spark_submit_roundtrip(tmp_path):
     assert stats2["groups_run"] == 0
     assert stats2["resumed_from"] == [0, 1]
     assert stats2["canonical_triples"] == stats["canonical_triples"]
+
+
+def test_cli_list_queries_enumerates_registry():
+    out = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "main.py"), "--list-queries"],
+        capture_output=True,
+        text=True,
+        cwd=ROOT,
+        check=True,
+    )
+    names = out.stdout.split()
+    assert "kg_canonical_triples" in names
+    assert "olap_pricing_summary" in names
+    assert len(names) >= 200
+
+
+def test_cli_query_runner_writes_parquet(tmp_path):
+    out_dir = str(tmp_path / "w")
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    out = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(ROOT, "main.py"),
+            "--query", "corpus_stats",
+            "--sf-dir", "/root/testdata/sf0.001",
+            "--out", out_dir,
+        ],
+        capture_output=True,
+        text=True,
+        cwd=ROOT,
+        env=env,
+        check=True,
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    rec = json.loads(line)
+    assert rec["query"] == "corpus_stats"
+    assert rec["rows"] > 0
+    assert os.path.isdir(rec["out"])
+
+
+def test_cli_query_unknown_name_errors(tmp_path):
+    out = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(ROOT, "main.py"),
+            "--query", "no_such_query",
+            "--out", str(tmp_path / "w"),
+        ],
+        capture_output=True,
+        text=True,
+        cwd=ROOT,
+    )
+    assert out.returncode == 2
+    assert "unknown query" in out.stderr
