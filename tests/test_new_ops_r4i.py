@@ -261,3 +261,37 @@ def test_rpq_zero_mid_hops_only(spark):
         for r in rpq_bounded(edges, "s", "m", "e").collect()
     ]
     assert got == [("a", "z", 0)]
+
+
+def test_ams_exact_join_size_and_register_sums(spark):
+    """Stream A = {x, x, y}, B = {x, z}: exact join size = 2 (the two
+    x's of A match the one x of B); every register is |c| <= stream
+    length and c parity == stream-length parity (sum of ±1's)."""
+    from vectrain_spark.operators.sketch import ams_join_size
+
+    a = spark.createDataFrame([("x",), ("x",), ("y",)], "k string")
+    b = spark.createDataFrame([("x",), ("z",)], "k string")
+    rows = ams_join_size(a, "k", b, "k", counters=4).collect()
+    assert len(rows) == 4
+    assert all(r["exact_join"] == 2 for r in rows)
+    for r in rows:
+        assert abs(r["c_a"]) <= 3 and r["c_a"] % 2 != 0  # 3 signs
+        assert abs(r["c_b"]) <= 2 and r["c_b"] % 2 == 0  # 2 signs
+        assert r["est"] == r["c_a"] * r["c_b"]
+    meds = {r["median_est"] for r in rows}
+    assert len(meds) == 1
+    ests = sorted(r["est"] for r in rows)
+    assert meds.pop() == ests[2]  # upper median of 4
+
+
+def test_ams_f2_unbiased_on_uniform_stream(spark):
+    """Self-join of 64 distinct keys: F2 = 64; the mean of the
+    squared registers should land near 64 (tug-of-war unbiasedness —
+    loose band, deterministic hashes so the assertion is stable)."""
+    from vectrain_spark.operators.sketch import ams_join_size
+
+    a = spark.createDataFrame([(f"k{i}",) for i in range(64)], "k string")
+    rows = ams_join_size(a, "k", a, "k", counters=8).collect()
+    assert all(r["exact_join"] == 64 for r in rows)
+    mean_est = sum(r["est"] for r in rows) / len(rows)
+    assert 16 <= mean_est <= 256

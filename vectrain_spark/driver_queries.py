@@ -9058,6 +9058,28 @@ WHERE d1.doc_id % 4 = 0
 SQL_KG_RPQ = _kg_rpq_sql()
 
 
+def q_sketch_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS tug-of-war self-join-size (F2) estimation over the events
+    user_id stream — the sketch a cost-based planner consults before
+    choosing a join strategy. Every ±1 register sum, per-counter
+    product, the exact join size, and the index-picked median estimate
+    are value-checked."""
+    from .operators.sketch import ams_join_size
+
+    ev = _events(spark, sf_dir)
+    return ams_join_size(ev, "user_id", ev, "user_id")
+
+
+def _sketch_join_size_sql() -> str:
+    from .operators.sketch import ams_oracle_sql
+
+    src = "SELECT user_id FROM events"
+    return ams_oracle_sql(src, "user_id", src, "user_id")
+
+
+SQL_SKETCH_JOIN_SIZE = _sketch_join_size_sql()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_substring": q_dedup_substring,
     "text_c4_filters": q_text_c4_filters,
@@ -9202,6 +9224,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "olap_bucketed_join": q_olap_bucketed_join,
     "kg_mst": q_kg_mst,
     "kg_rpq": q_kg_rpq,
+    "sketch_join_size": q_sketch_join_size,
     "text_lm_score": q_text_lm_score,
     "corpus_histogram": q_corpus_histogram,
     "corpus_quartiles": q_corpus_quartiles,
@@ -9335,6 +9358,7 @@ _CHANGED_THIS_ROUND = [
     "olap_bucketed_join",    # NEW: bucketed co-located join == naive join
     "kg_mst",                # NEW: Boruvka minimum spanning forest
     "kg_rpq",                # NEW: bounded regular path query (a/b*/c)
+    "sketch_join_size",      # NEW: AMS tug-of-war join-size / F2 sketch
     # --- round 4f ---
     "kg_clustering",         # NEW: per-node local clustering coefficient
     "kg_rotate",             # NEW: RotatE complex-rotation KG scorer
@@ -9583,6 +9607,7 @@ ORACLES: dict[str, str] = {
     "olap_bucketed_join": SQL_OLAP_BUCKETED_JOIN,
     "kg_mst": SQL_KG_MST,
     "kg_rpq": SQL_KG_RPQ,
+    "sketch_join_size": SQL_SKETCH_JOIN_SIZE,
     "text_lm_score": SQL_TEXT_LM_SCORE,
     "corpus_histogram": SQL_CORPUS_HISTOGRAM,
     "corpus_quartiles": SQL_CORPUS_QUARTILES,

@@ -572,3 +572,129 @@ SELECT sa, sb, n_m, rho, est_union,
        round(rho / n_m, 6) AS jaccard_est
 FROM est
 """
+
+
+AMS_COUNTERS = 8
+
+
+def _ams_sign(col: F.Column, j: int) -> F.Column:
+    # counter-j sign hash: md5 parity over a counter-tagged key -> ±1;
+    # identical construction in DuckDB (same tag, same substring)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"s{j}\x1f"), col.cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (F.lit(1) - F.lit(2) * (h % 2)).cast("long")
+
+
+def ams_join_size(
+    a: DataFrame,
+    a_col: str,
+    b: DataFrame,
+    b_col: str,
+    counters: int = AMS_COUNTERS,
+) -> DataFrame:
+    """AMS tug-of-war join-size estimation (Alon, Matias & Szegedy 1996;
+    Alon et al. 1999 for the join form) -> one row per counter
+    (j, c_a, c_b, est, exact_join, median_est): counter j of a stream is
+    the signed sum of seeded ±1 hashes over its join-key occurrences;
+    E[c_a * c_b] = SUM_k f_a(k) * f_b(k) = the JOIN OUTPUT SIZE — the
+    estimate a cost-based planner wants BEFORE committing to a join
+    strategy (and with a == b it is the second frequency moment F2, the
+    self-join size / skew measure). MERGEABLE: counters of two shards
+    add. The gate value-checks every register, every per-counter
+    product, the exact join size, and the median estimate.
+
+    Engine parity: signs are md5-parity integers, counters and products
+    are exact BIGINT, the median is the sorted-list upper median picked
+    by index (no fractional midpoint). Scale shape: each sketch is one
+    in-row explode to ``counters`` tagged signs fused with the scan plus
+    ONE aggregate onto a key space of ``counters`` rows — the shuffle
+    carries O(partitions * counters) rows; the exact join size exists
+    only to exhibit the estimator's error and is computed as two keyed
+    counts joined on the key (never the materialized join).
+    """
+
+    def _sk(df: DataFrame, col: str, out: str) -> DataFrame:
+        tagged = df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("j"),
+                            _ams_sign(F.col(col), j).alias("s"),
+                        )
+                        for j in range(counters)
+                    ]
+                )
+            ).alias("x")
+        ).select("x.j", "x.s")
+        return tagged.groupBy("j").agg(F.sum("s").alias(out))
+
+    ska = _sk(a, a_col, "c_a")
+    skb = _sk(b, b_col, "c_b")
+    ca = a.groupBy(F.col(a_col).alias("k")).agg(F.count(F.lit(1)).alias("na"))
+    cb = b.groupBy(F.col(b_col).alias("k")).agg(F.count(F.lit(1)).alias("nb"))
+    exact = ca.join(cb, "k").agg(
+        F.sum(F.col("na") * F.col("nb")).cast("long").alias("exact_join")
+    )
+    per = ska.join(skb, "j").select(
+        "j", "c_a", "c_b", (F.col("c_a") * F.col("c_b")).alias("est")
+    )
+    med = per.agg(
+        F.element_at(
+            F.sort_array(F.collect_list("est")), counters // 2 + 1
+        ).alias("median_est")
+    )
+    return (
+        per.crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(med))
+        .select("j", "c_a", "c_b", "est", "exact_join", "median_est")
+    )
+
+
+def ams_oracle_sql(
+    a_sql: str,
+    a_col: str,
+    b_sql: str,
+    b_col: str,
+    counters: int = AMS_COUNTERS,
+) -> str:
+    """DuckDB replay of :func:`ams_join_size` — identical sign hashes,
+    counter sums, and index-picked upper median."""
+    sign = (
+        "(1 - 2 * ((('0x' || substr(md5('s' || j::VARCHAR || chr(31)"
+        " || {col}::VARCHAR), 1, 15))::BIGINT) % 2))"
+    )
+    return f"""
+WITH ams_a AS ({a_sql}),
+ams_b AS ({b_sql}),
+ams_ska AS (
+  SELECT j, sum({sign.format(col=a_col)})::BIGINT AS c_a
+  FROM ams_a, generate_series(0, {counters - 1}) t(j) GROUP BY j
+),
+ams_skb AS (
+  SELECT j, sum({sign.format(col=b_col)})::BIGINT AS c_b
+  FROM ams_b, generate_series(0, {counters - 1}) t(j) GROUP BY j
+),
+ams_exact AS (
+  SELECT sum(na * nb)::BIGINT AS exact_join FROM
+    (SELECT {a_col} AS k, count(*)::BIGINT AS na FROM ams_a GROUP BY 1) xa
+    JOIN
+    (SELECT {b_col} AS k, count(*)::BIGINT AS nb FROM ams_b GROUP BY 1) xb
+    USING (k)
+),
+ams_per AS (
+  SELECT a.j, a.c_a, b.c_b, (a.c_a * b.c_b)::BIGINT AS est
+  FROM ams_ska a JOIN ams_skb b USING (j)
+),
+ams_med AS (
+  SELECT list_sort(list(est))[{counters // 2 + 1}]::BIGINT AS median_est
+  FROM ams_per
+)
+SELECT j::INT AS j, c_a, c_b, est, exact_join, median_est
+FROM ams_per, ams_exact, ams_med
+"""
