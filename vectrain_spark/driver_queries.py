@@ -9332,6 +9332,15 @@ _CHANGED_THIS_ROUND = [
     "kg_triangles",          # shares the refactored _oriented_wedges
     "sim_semantic_dedup",    # per-cell block-matrix cap
     "kg_link_fuzzy",         # length-bucket equi-join (no nested loop)
+    # --- round 4i: NEW operators ---
+    "events_changepoint",    # NEW: integer-exact CUSUM drift detection
+    "privacy_k_anon",        # NEW: Datafly k-anonymity release ladder
+    "sim_scalar_quant",      # NEW: SQ8 int8 quantization, integer top-k
+    "text_nb_langid",        # NEW: trained NB trigram langid, confusion
+    "olap_bucketed_join",    # NEW: bucketed co-located join == naive join
+    "kg_mst",                # NEW: Boruvka minimum spanning forest
+    "kg_rpq",                # NEW: bounded regular path query (a/b*/c)
+    "sketch_join_size",      # NEW: AMS tug-of-war join-size / F2 sketch
     # --- (3) round 4g: NEW operators (newest session) ---
     "text_kn_lm",            # NEW: interpolated Kneser-Ney bigram LM
     "web_redirects",         # NEW: pointer-doubling redirect resolution
@@ -9350,15 +9359,6 @@ _CHANGED_THIS_ROUND = [
     "kg_ontology",           # NEW: RDFS subClassOf type entailment
     "kg_conflicts",          # NEW: temporal functional-conflict pairs
     "kg_mis",                # NEW: Luby maximal independent set
-    # --- round 4i: NEW operators ---
-    "events_changepoint",    # NEW: integer-exact CUSUM drift detection
-    "privacy_k_anon",        # NEW: Datafly k-anonymity release ladder
-    "sim_scalar_quant",      # NEW: SQ8 int8 quantization, integer top-k
-    "text_nb_langid",        # NEW: trained NB trigram langid, confusion
-    "olap_bucketed_join",    # NEW: bucketed co-located join == naive join
-    "kg_mst",                # NEW: Boruvka minimum spanning forest
-    "kg_rpq",                # NEW: bounded regular path query (a/b*/c)
-    "sketch_join_size",      # NEW: AMS tug-of-war join-size / F2 sketch
     # --- round 4f ---
     "kg_clustering",         # NEW: per-node local clustering coefficient
     "kg_rotate",             # NEW: RotatE complex-rotation KG scorer
