@@ -460,3 +460,51 @@ def test_wap_publish_rechecks_fast_forward_under_commit_lock(spark, tmp_path):
             cat.publish_branch("t", "audit")
     finally:
         cat._head = orig_head
+
+
+def test_scan_prune_skips_files_and_preserves_result(spark, tmp_path):
+    """write_with_stats range-partitions into 8 files with per-file
+    n min/max in the manifest; a narrow range scan must open FEWER
+    files than the table holds and return exactly the naive filter."""
+    from pyspark.sql import functions as F
+
+    cat = Catalog(str(tmp_path))
+    df = spark.range(10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    cat.write_with_stats(spark, "t", df, ["k"], mode="replace", files=8)
+    got, report = cat.scan(spark, "t", "k", lo=100, hi=200)
+    assert report["files_total"] == 8
+    assert report["files_read"] < report["files_total"]
+    rows = sorted(r["k"] for r in got.collect())
+    assert rows == list(range(100, 201))
+
+
+def test_scan_prune_unbounded_and_empty_ranges(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    cat = Catalog(str(tmp_path))
+    df = spark.range(1_000).select(F.col("id").alias("k"))
+    cat.write_with_stats(spark, "t", df, ["k"], mode="replace", files=4)
+    full, rep = cat.scan(spark, "t", "k")
+    assert rep["files_read"] == rep["files_total"] == 4
+    assert full.count() == 1_000
+    none, rep2 = cat.scan(spark, "t", "k", lo=5_000)
+    assert rep2["files_read"] == 0
+    assert none.count() == 0
+
+
+def test_scan_reads_statless_snapshots_conservatively(spark, tmp_path):
+    """An append committed WITHOUT stats must always be read — pruning
+    may never drop a file it knows nothing about."""
+    from pyspark.sql import functions as F
+
+    cat = Catalog(str(tmp_path))
+    a = spark.range(100).select(F.col("id").alias("k"))
+    cat.write_with_stats(spark, "t", a, ["k"], mode="replace", files=2)
+    b = spark.range(100, 200).select(F.col("id").alias("k"))
+    cat.write("t", b, mode="append")  # plain write: no stats
+    got, rep = cat.scan(spark, "t", "k", lo=150, hi=160)
+    # both stats files prunable, but every statless file must be kept
+    assert rep["files_read"] < rep["files_total"]
+    assert sorted(r["k"] for r in got.collect()) == list(range(150, 161))

@@ -164,6 +164,133 @@ class Catalog:
         df.write.mode("overwrite").parquet(data_dir)
         return self._commit_staged(table, data_dir, mode, meta)
 
+    def write_with_stats(
+        self,
+        spark: SparkSession,
+        table: str,
+        df: DataFrame,
+        stats_cols: list[str],
+        mode: str = "append",
+        meta: dict | None = None,
+        files: int = 8,
+    ) -> int:
+        """Commit df with PER-FILE column min/max stats in the manifest —
+        the Iceberg data-skipping contract (manifests carry file-level
+        value ranges; the planner prunes files before any footer or row
+        is touched). At 100 TB this is the difference between a
+        range-predicate scan that opens every file and one that opens
+        the few whose range overlaps.
+
+        Layout: ``repartitionByRange(files, *stats_cols)`` so each file
+        carries a TIGHT, mostly-disjoint range of the leading stats
+        column (random layout would give every file the full value range
+        and stats would prune nothing). Stats are collected in ONE
+        Spark pass over the staged files (groupBy input_file_name —
+        ``files`` rows, a manifest-sized collect) and stored as
+        ``file_stats`` in the manifest; :meth:`scan` consults them.
+        """
+        data_dir = os.path.join(
+            self._tdir(table), "data", f"w-{uuid.uuid4().hex}"
+        )
+        (
+            df.repartitionByRange(files, *[F.col(c) for c in stats_cols])
+            .write.mode("overwrite")
+            .parquet(data_dir)
+        )
+        staged = spark.read.parquet(data_dir)
+        aggs = []
+        for c in stats_cols:
+            aggs.append(F.min(c).alias(f"mn_{c}"))
+            aggs.append(F.max(c).alias(f"mx_{c}"))
+        rows = (
+            staged.groupBy(F.input_file_name().alias("file"))
+            .agg(*aggs)
+            .collect()
+        )
+        file_stats = {
+            r["file"]: {c: [r[f"mn_{c}"], r[f"mx_{c}"]] for c in stats_cols}
+            for r in rows
+        }
+
+        def build(parent: int | None) -> dict:
+            if mode == "append" and parent is not None:
+                pm = self._manifest(table, parent)
+                dirs = pm["data_dirs"] + [data_dir]
+                stats = dict(pm.get("file_stats", {}))
+            else:
+                dirs = [data_dir]
+                stats = {}
+            stats.update(file_stats)
+            return {
+                "op": mode,
+                "data_dirs": dirs,
+                "file_stats": stats,
+                "meta": meta or {},
+            }
+
+        with self._commit_lock:
+            return self._commit_manifest(table, build)
+
+    def scan(
+        self,
+        spark: SparkSession,
+        table: str,
+        col: str,
+        lo=None,
+        hi=None,
+        snapshot_id: int | None = None,
+    ) -> tuple[DataFrame, dict]:
+        """Manifest-stats file pruning scan: read ONLY the files whose
+        recorded [min, max] for ``col`` overlaps [lo, hi] (either bound
+        may be None = unbounded), then apply the row-level predicate on
+        top — stats pruning is a superset filter, so the result is
+        EXACTLY the naive filtered read (the gate value-checks that).
+        Returns (df, report) where report = {"files_total",
+        "files_read"}; files from snapshots committed without stats are
+        conservatively always read. A table NONE of whose files carry
+        stats degrades to a plain filtered read, never to a wrong one.
+        """
+        head = snapshot_id if snapshot_id is not None else self._head(table)
+        if head is None:
+            raise FileNotFoundError(f"table {table} has no committed snapshot")
+        m = self._manifest(table, head)
+        stats = m.get("file_stats", {})
+        all_files = []
+        for d in m["data_dirs"]:
+            all_files.extend(
+                os.path.join(d, f)
+                for f in os.listdir(d)
+                if f.endswith(".parquet")
+            )
+        keep = []
+        for f in all_files:
+            st = None
+            for key, v in stats.items():
+                if os.path.basename(key) == os.path.basename(f):
+                    st = v.get(col)
+                    break
+            if st is None:
+                keep.append(f)  # no stats recorded: must read
+                continue
+            mn, mx = st
+            if mn is None or mx is None:
+                keep.append(f)
+                continue
+            if (lo is not None and mx < lo) or (hi is not None and mn > hi):
+                continue  # file's whole range misses the predicate
+            keep.append(f)
+        report = {"files_total": len(all_files), "files_read": len(keep)}
+        if not keep:
+            df = spark.read.parquet(*all_files).limit(0)
+        else:
+            df = spark.read.parquet(*keep)
+        pred = F.lit(True)
+        if lo is not None:
+            pred = pred & (F.col(col) >= lo)
+        if hi is not None:
+            pred = pred & (F.col(col) <= hi)
+        return df.filter(pred), report
+
     def _commit_staged(
         self, table: str, data_dir: str, mode: str, meta: dict | None
     ) -> int:
@@ -173,10 +300,20 @@ class Catalog:
 
         def build(parent: int | None) -> dict:
             if mode == "append" and parent is not None:
-                dirs = self._manifest(table, parent)["data_dirs"] + [data_dir]
+                pm = self._manifest(table, parent)
+                dirs = pm["data_dirs"] + [data_dir]
+                # carry forward the parent's per-file stats: the appended
+                # dir's files simply have none (scan reads them always),
+                # but dropping RECORDED stats would silently disable
+                # pruning for the whole table after one plain append
+                stats = pm.get("file_stats", {})
             else:
                 dirs = [data_dir]
-            return {"op": mode, "data_dirs": dirs, "meta": meta or {}}
+                stats = {}
+            out = {"op": mode, "data_dirs": dirs, "meta": meta or {}}
+            if stats:
+                out["file_stats"] = stats
+            return out
 
         with self._commit_lock:
             return self._commit_manifest(table, build)

@@ -9080,6 +9080,32 @@ def _sketch_join_size_sql() -> str:
 SQL_SKETCH_JOIN_SIZE = _sketch_join_size_sql()
 
 
+def q_catalog_scan_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-stats data skipping (the Iceberg file-pruning contract):
+    documents committed via write_with_stats (range-partitioned files,
+    per-file n_chars min/max in the manifest), then a range scan that
+    opens only overlapping files. The oracle is the naive WHERE — stats
+    pruning must be invisible in the result; the files-actually-pruned
+    property is asserted in tests/test_catalog.py."""
+    import shutil
+
+    from .catalog import Catalog
+
+    root = "/tmp/vectrain_scanprune_gate"
+    shutil.rmtree(root, ignore_errors=True)
+    cat = Catalog(root)
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    cat.write_with_stats(spark, "docs", docs, ["n_chars"], mode="replace")
+    df, _report = cat.scan(spark, "docs", "n_chars", lo=100, hi=300)
+    return df
+
+
+SQL_CATALOG_SCAN_PRUNE = """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE n_chars BETWEEN 100 AND 300
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_substring": q_dedup_substring,
     "text_c4_filters": q_text_c4_filters,
@@ -9225,6 +9251,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_mst": q_kg_mst,
     "kg_rpq": q_kg_rpq,
     "sketch_join_size": q_sketch_join_size,
+    "catalog_scan_prune": q_catalog_scan_prune,
     "text_lm_score": q_text_lm_score,
     "corpus_histogram": q_corpus_histogram,
     "corpus_quartiles": q_corpus_quartiles,
@@ -9341,6 +9368,7 @@ _CHANGED_THIS_ROUND = [
     "kg_mst",                # NEW: Boruvka minimum spanning forest
     "kg_rpq",                # NEW: bounded regular path query (a/b*/c)
     "sketch_join_size",      # NEW: AMS tug-of-war join-size / F2 sketch
+    "catalog_scan_prune",    # NEW: manifest-stats file-pruning scan
     # --- (3) round 4g: NEW operators (newest session) ---
     "text_kn_lm",            # NEW: interpolated Kneser-Ney bigram LM
     "web_redirects",         # NEW: pointer-doubling redirect resolution
@@ -9608,6 +9636,7 @@ ORACLES: dict[str, str] = {
     "kg_mst": SQL_KG_MST,
     "kg_rpq": SQL_KG_RPQ,
     "sketch_join_size": SQL_SKETCH_JOIN_SIZE,
+    "catalog_scan_prune": SQL_CATALOG_SCAN_PRUNE,
     "text_lm_score": SQL_TEXT_LM_SCORE,
     "corpus_histogram": SQL_CORPUS_HISTOGRAM,
     "corpus_quartiles": SQL_CORPUS_QUARTILES,
