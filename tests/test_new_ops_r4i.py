@@ -295,3 +295,37 @@ def test_ams_f2_unbiased_on_uniform_stream(spark):
     assert all(r["exact_join"] == 64 for r in rows)
     mean_est = sum(r["est"] for r in rows) / len(rows)
     assert 16 <= mean_est <= 256
+
+
+def test_unimax_waterfill_caps_small_langs_and_splits_rest(spark):
+    """Corpora 10/20/1000 chars, budget 50% (=515), cap 2 epochs:
+    'aa' capped at 20, 'bb' capped at 40, 'cc' takes the remaining
+    455 (under its 2000 cap) -> uncapped, epochs 0.455."""
+    from vectrain_spark.operators.corpus import unimax_allocation
+
+    docs = spark.createDataFrame(
+        [(1, "aa", 10), (2, "bb", 20), (3, "cc", 1000)],
+        "doc_id long, lang string, n_chars long",
+    )
+    got = {r["lang"]: r for r in unimax_allocation(docs).collect()}
+    assert got["aa"]["allocated"] == 20 and got["aa"]["capped"]
+    assert got["bb"]["allocated"] == 40 and got["bb"]["capped"]
+    assert got["cc"]["allocated"] == 455 and not got["cc"]["capped"]
+    assert got["cc"]["epochs_used_ppm"] == 455000
+    # no language exceeds its epoch cap
+    for r in got.values():
+        assert r["epochs_used_ppm"] <= 2_000_000
+
+
+def test_unimax_equal_langs_split_evenly(spark):
+    """Four equal languages: nobody hits the 2-epoch cap at a 50%
+    budget; each gets exactly budget/4 (= half an epoch)."""
+    from vectrain_spark.operators.corpus import unimax_allocation
+
+    docs = spark.createDataFrame(
+        [(i, f"l{i}", 100) for i in range(4)],
+        "doc_id long, lang string, n_chars long",
+    )
+    got = unimax_allocation(docs).collect()
+    assert all(not r["capped"] and r["allocated"] == 50 for r in got)
+    assert all(r["epochs_used_ppm"] == 500000 for r in got)

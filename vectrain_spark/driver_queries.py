@@ -9106,6 +9106,26 @@ WHERE n_chars BETWEEN 100 AND 300
 """
 
 
+def q_corpus_unimax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax fair language-sampling allocation (Chung et al. 2023):
+    waterfill a 50% character budget across languages with a 2-epoch
+    repeat cap — small languages take their cap, the remainder splits
+    equally among the uncapped — in closed form (cross-multiplied cap
+    test + prefix sums), pure BIGINT end to end."""
+    from .operators.corpus import unimax_allocation
+
+    return unimax_allocation(_docs(spark, sf_dir))
+
+
+def _corpus_unimax_sql() -> str:
+    from .operators.corpus import unimax_oracle_sql
+
+    return unimax_oracle_sql()
+
+
+SQL_CORPUS_UNIMAX = _corpus_unimax_sql()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_substring": q_dedup_substring,
     "text_c4_filters": q_text_c4_filters,
@@ -9252,6 +9272,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_rpq": q_kg_rpq,
     "sketch_join_size": q_sketch_join_size,
     "catalog_scan_prune": q_catalog_scan_prune,
+    "corpus_unimax": q_corpus_unimax,
     "text_lm_score": q_text_lm_score,
     "corpus_histogram": q_corpus_histogram,
     "corpus_quartiles": q_corpus_quartiles,
@@ -9369,6 +9390,7 @@ _CHANGED_THIS_ROUND = [
     "kg_rpq",                # NEW: bounded regular path query (a/b*/c)
     "sketch_join_size",      # NEW: AMS tug-of-war join-size / F2 sketch
     "catalog_scan_prune",    # NEW: manifest-stats file-pruning scan
+    "corpus_unimax",         # NEW: UniMax waterfill language budgets
     # --- (3) round 4g: NEW operators (newest session) ---
     "text_kn_lm",            # NEW: interpolated Kneser-Ney bigram LM
     "web_redirects",         # NEW: pointer-doubling redirect resolution
@@ -9637,6 +9659,7 @@ ORACLES: dict[str, str] = {
     "kg_rpq": SQL_KG_RPQ,
     "sketch_join_size": SQL_SKETCH_JOIN_SIZE,
     "catalog_scan_prune": SQL_CATALOG_SCAN_PRUNE,
+    "corpus_unimax": SQL_CORPUS_UNIMAX,
     "text_lm_score": SQL_TEXT_LM_SCORE,
     "corpus_histogram": SQL_CORPUS_HISTOGRAM,
     "corpus_quartiles": SQL_CORPUS_QUARTILES,

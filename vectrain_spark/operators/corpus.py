@@ -27,7 +27,7 @@ is kept here because the gate demands bit-reproducibility.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # Java-regex / RE2 common-subset patterns (no lookaround, no \b needed —
@@ -686,4 +686,141 @@ FROM {table}
 WHERE CAST({weight_col} AS DOUBLE) > 0
 ORDER BY priority DESC, {key_col}
 LIMIT {k}
+"""
+
+
+UNIMAX_EPOCH_CAP = 2
+
+
+def unimax_allocation(
+    docs: DataFrame,
+    budget_frac_pct: int = 50,
+    epoch_cap: int = UNIMAX_EPOCH_CAP,
+) -> DataFrame:
+    """UniMax language-sampling allocation (Chung et al. 2023) ->
+    (lang, corpus_chars, cap, allocated, capped, epochs_used_ppm): split
+    a total training-character budget across languages so no language
+    repeats more than ``epoch_cap`` epochs and the remainder is shared
+    EQUALLY among the uncapped (large) languages — the sampling policy
+    that replaced temperature mixing for multilingual LLM pretraining
+    (temperature over-samples mid-size languages and still over-repeats
+    tail ones; UniMax is the fair waterfill).
+
+    Closed-form waterfill instead of the paper's sequential loop: sort
+    languages by cap ascending; language at rank r is CAPPED iff
+    cap_r * (n - r + 1) + prefix_cap_{r-1} < B (pure BIGINT — the
+    sequential "remaining budget / remaining languages" comparison
+    cross-multiplied), capped languages take their cap, every uncapped
+    language takes floor((B - sum_of_capped_caps) / n_uncapped). All
+    integer arithmetic; epochs_used reported in exact parts-per-million
+    (allocated * 1e6 // corpus_chars).
+
+    Scale shape: one map-side-combining aggregate collapses the corpus
+    to one row per language; everything after runs on the LANGUAGE
+    table, which is schema-sized (the single-partition rank window over
+    it is over #languages rows, never the corpus — same dispensation as
+    every lattice/vocab-sized frame here).
+    """
+    per = docs.groupBy("lang").agg(
+        F.sum("n_chars").cast("long").alias("corpus_chars")
+    )
+    tot = per.agg(
+        F.sum("corpus_chars").alias("t"),
+        F.count(F.lit(1)).alias("n"),
+    ).select(
+        F.floor(F.col("t") * budget_frac_pct / 100).cast("long").alias("b"),
+        "n"
+    )
+    w = Window.orderBy("cap", "lang")
+    ranked = (
+        per.select(
+            "lang",
+            "corpus_chars",
+            (F.col("corpus_chars") * epoch_cap).alias("cap"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .withColumn("r", F.row_number().over(w))
+        .withColumn(
+            "prefix",
+            F.coalesce(
+                F.sum("cap").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "capped",
+            F.col("cap") * (F.col("n") - F.col("r") + 1) + F.col("prefix")
+            < F.col("b"),
+        )
+    )
+    pool = ranked.agg(
+        F.sum(F.when(F.col("capped"), F.col("cap")).otherwise(0)).alias(
+            "cap_sum"
+        ),
+        F.sum(F.when(F.col("capped"), 0).otherwise(1)).alias("n_unc"),
+    )
+    alloc = F.when(F.col("capped"), F.col("cap")).otherwise(
+        F.floor((F.col("b") - F.col("cap_sum")) / F.col("n_unc")).cast("long")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(pool))
+        .select(
+            "lang",
+            "corpus_chars",
+            F.col("cap").cast("long").alias("cap"),
+            alloc.cast("long").alias("allocated"),
+            "capped",
+            (alloc * 1000000 / F.col("corpus_chars"))
+            .cast("long")
+            .alias("epochs_used_ppm"),
+        )
+    )
+
+
+def unimax_oracle_sql(
+    docs_table: str = "documents",
+    budget_frac_pct: int = 50,
+    epoch_cap: int = UNIMAX_EPOCH_CAP,
+) -> str:
+    """DuckDB replay of :func:`unimax_allocation` — identical rank
+    order, cross-multiplied cap test, and integer division."""
+    return f"""
+WITH um_per AS (
+  SELECT lang, sum(n_chars)::BIGINT AS corpus_chars
+  FROM {docs_table} GROUP BY 1
+),
+um_tot AS (
+  SELECT (sum(corpus_chars) * {budget_frac_pct} // 100)::BIGINT AS b,
+         count(*)::BIGINT AS n
+  FROM um_per
+),
+um_rk AS (
+  SELECT p.lang, p.corpus_chars,
+         (p.corpus_chars * {epoch_cap})::BIGINT AS cap, t.b, t.n,
+         row_number() OVER (
+           ORDER BY p.corpus_chars * {epoch_cap}, p.lang) AS r,
+         coalesce(sum(p.corpus_chars * {epoch_cap}) OVER (
+           ORDER BY p.corpus_chars * {epoch_cap}, p.lang
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+           AS prefix
+  FROM um_per p, um_tot t
+),
+um_c AS (
+  SELECT *, (cap * (n - r + 1) + prefix < b) AS capped FROM um_rk
+),
+um_pool AS (
+  SELECT sum(CASE WHEN capped THEN cap ELSE 0 END)::BIGINT AS cap_sum,
+         sum(CASE WHEN capped THEN 0 ELSE 1 END)::BIGINT AS n_unc
+  FROM um_c
+)
+SELECT lang, corpus_chars, cap,
+       (CASE WHEN capped THEN cap
+             ELSE ((b - cap_sum) // n_unc) END)::BIGINT AS allocated,
+       capped,
+       ((CASE WHEN capped THEN cap
+              ELSE ((b - cap_sum) // n_unc) END) * 1000000
+        // corpus_chars)::BIGINT AS epochs_used_ppm
+FROM um_c, um_pool
 """
