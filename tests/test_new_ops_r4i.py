@@ -329,3 +329,32 @@ def test_unimax_equal_langs_split_evenly(spark):
     got = unimax_allocation(docs).collect()
     assert all(not r["capped"] and r["allocated"] == 50 for r in got)
     assert all(r["epochs_used_ppm"] == 500000 for r in got)
+
+
+def test_cusum_detects_total_stop_via_densified_days(spark):
+    """100 events/day on days 1-3, silence on days 4-6 (another type
+    keeps the global calendar open): with zero-filled days the series
+    is 100,100,100,0,0,0 -> n=6, S=300, devs 300,300,300,-300,-300,-300
+    -> C peaks at |900| on day 3, the last pre-cliff day."""
+    import datetime as dt
+
+    from vectrain_spark.operators.events import cusum_changepoints
+
+    rows = []
+    eid = 0
+    for day in (1, 2, 3):
+        for _ in range(100):
+            rows.append((eid, dt.datetime(2024, 3, day), "click"))
+            eid += 1
+    for day in range(1, 7):  # keeps min..max span at 6 days
+        rows.append((eid, dt.datetime(2024, 3, day), "view"))
+        eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string"
+    )
+    got = {r["event_type"]: r for r in cusum_changepoints(ev).collect()}
+    click = got["click"]
+    assert click["n_days"] == 6
+    assert click["total_events"] == 300
+    assert click["cp_day"] == "2024-03-03"
+    assert click["cusum_peak"] == 900

@@ -262,13 +262,21 @@ class Catalog:
                 for f in os.listdir(d)
                 if f.endswith(".parquet")
             )
+        # index stats by normalized FULL path (input_file_name records a
+        # file: URI): basename-only matching would be O(files x stats)
+        # and a basename collision across data dirs could apply another
+        # file's range and wrongly prune rows
+        def _norm(p: str) -> str:
+            for pre in ("file://", "file:"):
+                if p.startswith(pre):
+                    p = p[len(pre):]
+                    break
+            return os.path.normpath(p)
+
+        by_path = {_norm(k): v for k, v in stats.items()}
         keep = []
         for f in all_files:
-            st = None
-            for key, v in stats.items():
-                if os.path.basename(key) == os.path.basename(f):
-                    st = v.get(col)
-                    break
+            st = by_path.get(_norm(os.path.abspath(f)), {}).get(col)
             if st is None:
                 keep.append(f)  # no stats recorded: must read
                 continue

@@ -712,8 +712,13 @@ def unimax_allocation(
     sequential "remaining budget / remaining languages" comparison
     cross-multiplied), capped languages take their cap, every uncapped
     language takes floor((B - sum_of_capped_caps) / n_uncapped). All
-    integer arithmetic; epochs_used reported in exact parts-per-million
-    (allocated * 1e6 // corpus_chars).
+    integer arithmetic (SQL ``div``, never float ``/``); epochs_used is
+    exact parts-per-million computed as two bounded BIGINT terms —
+    (alloc div chars) * 1e6 + (alloc mod chars) * 1e6 div chars — so it
+    never forms alloc*1e6 (which would wrap past 2^63 for a language
+    above ~9.2e12 allocated chars; the mod term is bounded by chars, so
+    the safe per-language corpus bound is ~9.2e12 chars ≈ 9 TB of text
+    in ONE language, stated here rather than silently wrapped).
 
     Scale shape: one map-side-combining aggregate collapses the corpus
     to one row per language; everything after runs on the LANGUAGE
@@ -728,7 +733,7 @@ def unimax_allocation(
         F.sum("corpus_chars").alias("t"),
         F.count(F.lit(1)).alias("n"),
     ).select(
-        F.floor(F.col("t") * budget_frac_pct / 100).cast("long").alias("b"),
+        F.expr(f"t * {budget_frac_pct} div 100").cast("long").alias("b"),
         "n"
     )
     w = Window.orderBy("cap", "lang")
@@ -762,19 +767,25 @@ def unimax_allocation(
         F.sum(F.when(F.col("capped"), 0).otherwise(1)).alias("n_unc"),
     )
     alloc = F.when(F.col("capped"), F.col("cap")).otherwise(
-        F.floor((F.col("b") - F.col("cap_sum")) / F.col("n_unc")).cast("long")
+        F.expr("(b - cap_sum) div greatest(n_unc, 1)").cast("long")
     )
     return (
         ranked.crossJoin(F.broadcast(pool))
+        .withColumn("allocated", alloc.cast("long"))
         .select(
             "lang",
             "corpus_chars",
             F.col("cap").cast("long").alias("cap"),
-            alloc.cast("long").alias("allocated"),
+            "allocated",
             "capped",
-            (alloc * 1000000 / F.col("corpus_chars"))
-            .cast("long")
-            .alias("epochs_used_ppm"),
+            (
+                F.expr("allocated div corpus_chars").cast("long")
+                * 1000000
+                + F.expr(
+                    "(allocated % corpus_chars) * 1000000"
+                    " div corpus_chars"
+                ).cast("long")
+            ).alias("epochs_used_ppm"),
         )
     )
 
@@ -814,13 +825,18 @@ um_pool AS (
   SELECT sum(CASE WHEN capped THEN cap ELSE 0 END)::BIGINT AS cap_sum,
          sum(CASE WHEN capped THEN 0 ELSE 1 END)::BIGINT AS n_unc
   FROM um_c
+),
+um_a AS (
+  SELECT lang, corpus_chars, cap,
+         (CASE WHEN capped THEN cap
+               ELSE ((b - cap_sum) // greatest(n_unc, 1)) END)::BIGINT
+           AS allocated,
+         capped
+  FROM um_c, um_pool
 )
-SELECT lang, corpus_chars, cap,
-       (CASE WHEN capped THEN cap
-             ELSE ((b - cap_sum) // n_unc) END)::BIGINT AS allocated,
-       capped,
-       ((CASE WHEN capped THEN cap
-              ELSE ((b - cap_sum) // n_unc) END) * 1000000
-        // corpus_chars)::BIGINT AS epochs_used_ppm
-FROM um_c, um_pool
+SELECT lang, corpus_chars, cap, allocated, capped,
+       ((allocated // corpus_chars) * 1000000
+        + ((allocated % corpus_chars) * 1000000) // corpus_chars)::BIGINT
+         AS epochs_used_ppm
+FROM um_a
 """

@@ -356,15 +356,37 @@ def cusum_changepoints(events: DataFrame) -> DataFrame:
     engines (C_d = n * classicCUSUM_d; the argmax is invariant under
     the positive scaling). Peak = max |C_d|, earliest day on ties.
 
+    The day series is DENSIFIED over the stream's global [min_day,
+    max_day] span before anything else: a type that stops emitting
+    entirely — the cleanest possible cliff — contributes x=0 rows for
+    its silent days instead of silently vanishing from its own series
+    (with only observed days, a 100/day -> total-stop type would show
+    n*x-S = 0 everywhere and no change point at all).
+
     Scale shape: one groupBy to days (map-side combine collapses the
-    raw stream), one broadcast of the per-type totals (type cardinality
-    is schema-sized), one window partitioned by event_type over DAYS
-    (bounded: days-per-type rows, never raw events), one per-type
-    argmax via max(struct). No partition-less window, no driver state.
+    raw stream), one calendar explode bounded by span-days x types
+    (series-sized, never event-sized), one broadcast of the per-type
+    totals (type cardinality is schema-sized), one window partitioned
+    by event_type over DAYS, one per-type argmax via max(struct). No
+    partition-less window, no driver state.
     """
-    daily = events.groupBy(
+    observed = events.groupBy(
         "event_type", F.to_date("ts").alias("day")
     ).agg(F.count(F.lit(1)).alias("x"))
+    span = observed.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    calendar = span.select(
+        F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    daily = (
+        observed.select("event_type").distinct()
+        .crossJoin(F.broadcast(calendar))
+        .join(observed, ["event_type", "day"], "left")
+        .select(
+            "event_type", "day", F.coalesce("x", F.lit(0)).alias("x")
+        )
+    )
     tot = daily.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"), F.sum("x").alias("s")
     )
@@ -407,9 +429,20 @@ def cusum_oracle_sql(events_table: str = "events") -> str:
     """DuckDB replay of :func:`cusum_changepoints` — identical integer
     scaling (n*x - S) and (|C| DESC, day ASC) argmax."""
     return f"""
-WITH cus_daily AS (
+WITH cus_obs AS (
   SELECT event_type, ts::DATE AS day, count(*)::BIGINT AS x
   FROM {events_table} GROUP BY 1, 2
+),
+cus_cal AS (
+  SELECT unnest(generate_series(min(day), max(day),
+                INTERVAL 1 DAY))::DATE AS day
+  FROM cus_obs
+),
+cus_daily AS (
+  SELECT t.event_type, c.day, coalesce(o.x, 0)::BIGINT AS x
+  FROM (SELECT DISTINCT event_type FROM cus_obs) t
+  CROSS JOIN cus_cal c
+  LEFT JOIN cus_obs o ON o.event_type = t.event_type AND o.day = c.day
 ),
 cus_tot AS (
   SELECT event_type, count(*)::BIGINT AS n, sum(x)::BIGINT AS s

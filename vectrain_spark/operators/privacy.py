@@ -13,11 +13,11 @@ Reference analog: none — vectrain stores payloads verbatim
 (internal/domain/vector.go); this is the release gate a corpus
 distribution step needs on top.
 
-Scale shape: the class-count tables are CLASS-sized (bounded by the
-generalization lattice, orders of magnitude smaller than the corpus), so
-every level's counts broadcast and the corpus streams through map-side
-hash joins — no corpus-sized shuffle at any level. The level choice is a
-pure projection (coalesce down the ladder).
+Scale shape: class-count tables are bounded by the generalization
+lattice — the coarsest (per-language) level broadcasts; finer levels
+scale with distinct (source x bucket) combinations, so they join
+co-keyed and AQE promotes them to broadcast only when runtime-small.
+The level choice is a pure projection (coalesce down the ladder).
 """
 
 from __future__ import annotations
@@ -53,9 +53,14 @@ def datafly_k_anon(docs: DataFrame, k: int = K_ANON_DEFAULT) -> DataFrame:
     )
     c1 = base.groupBy("lang", "b20").agg(F.count(F.lit(1)).alias("n1"))
     c2 = base.groupBy("lang").agg(F.count(F.lit(1)).alias("n2"))
+    # c2 is language-sized -> broadcast unconditionally; c0/c1 grow with
+    # distinct (source x bucket) combinations — up to corpus-sized on a
+    # web crawl with millions of domains — so they join co-keyed (AQE
+    # downgrades to broadcast from the RUNTIME size when they are small,
+    # which is the only safe direction at 100 TB)
     j = (
-        base.join(F.broadcast(c0), ["lang", "source", "b10"])
-        .join(F.broadcast(c1), ["lang", "b20"])
+        base.join(c0, ["lang", "source", "b10"])
+        .join(c1, ["lang", "b20"])
         .join(F.broadcast(c2), ["lang"])
     )
     lvl = (

@@ -639,7 +639,9 @@ def ams_join_size(
     ca = a.groupBy(F.col(a_col).alias("k")).agg(F.count(F.lit(1)).alias("na"))
     cb = b.groupBy(F.col(b_col).alias("k")).agg(F.count(F.lit(1)).alias("nb"))
     exact = ca.join(cb, "k").agg(
-        F.sum(F.col("na") * F.col("nb")).cast("long").alias("exact_join")
+        F.coalesce(F.sum(F.col("na") * F.col("nb")), F.lit(0))
+        .cast("long")
+        .alias("exact_join")  # disjoint key sets -> 0, never NULL
     )
     per = ska.join(skb, "j").select(
         "j", "c_a", "c_b", (F.col("c_a") * F.col("c_b")).alias("est")
@@ -681,7 +683,7 @@ ams_skb AS (
   FROM ams_b, generate_series(0, {counters - 1}) t(j) GROUP BY j
 ),
 ams_exact AS (
-  SELECT sum(na * nb)::BIGINT AS exact_join FROM
+  SELECT coalesce(sum(na * nb), 0)::BIGINT AS exact_join FROM
     (SELECT {a_col} AS k, count(*)::BIGINT AS na FROM ams_a GROUP BY 1) xa
     JOIN
     (SELECT {b_col} AS k, count(*)::BIGINT AS nb FROM ams_b GROUP BY 1) xb
