@@ -9126,6 +9126,43 @@ def _corpus_unimax_sql() -> str:
 SQL_CORPUS_UNIMAX = _corpus_unimax_sql()
 
 
+def q_kg_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-sweep pseudo-diameter over the doc-id lattice (path +
+    skip-7 chords): BFS from the min node, re-BFS from its farthest
+    node — both sweeps hop-bounded at 8 rounds, so the reported bound
+    is min(true pseudo-diameter, 8); the composed argmax-feeds-seed
+    program is what the gate value-checks."""
+    from .operators.graph import pseudo_diameter
+
+    ids = _docs(spark, sf_dir).select(F.col("doc_id").alias("i"))
+    nxt = ids.select(F.col("i").alias("j"))
+    edges = (
+        ids.join(nxt, F.col("j") == F.col("i") + 1)
+        .unionAll(ids.join(nxt, F.col("j") == F.col("i") + 7))
+        .select(
+            F.concat(F.lit("n"), F.col("i")).alias("src"),
+            F.concat(F.lit("n"), F.col("j")).alias("dst"),
+        )
+    )
+    return pseudo_diameter(edges)
+
+
+def _kg_diameter_sql() -> str:
+    from .operators.graph import pseudo_diameter_oracle_sql
+
+    lattice = """
+SELECT 'n' || d1.doc_id AS src, 'n' || d2.doc_id AS dst
+FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
+UNION ALL
+SELECT 'n' || d1.doc_id, 'n' || d2.doc_id
+FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 7
+"""
+    return pseudo_diameter_oracle_sql(lattice)
+
+
+SQL_KG_DIAMETER = _kg_diameter_sql()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_substring": q_dedup_substring,
     "text_c4_filters": q_text_c4_filters,
@@ -9273,6 +9310,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_join_size": q_sketch_join_size,
     "catalog_scan_prune": q_catalog_scan_prune,
     "corpus_unimax": q_corpus_unimax,
+    "kg_diameter": q_kg_diameter,
     "text_lm_score": q_text_lm_score,
     "corpus_histogram": q_corpus_histogram,
     "corpus_quartiles": q_corpus_quartiles,
@@ -9391,6 +9429,7 @@ _CHANGED_THIS_ROUND = [
     "sketch_join_size",      # NEW: AMS tug-of-war join-size / F2 sketch
     "catalog_scan_prune",    # NEW: manifest-stats file-pruning scan
     "corpus_unimax",         # NEW: UniMax waterfill language budgets
+    "kg_diameter",           # NEW: double-sweep pseudo-diameter
     # --- (3) round 4g: NEW operators (newest session) ---
     "text_kn_lm",            # NEW: interpolated Kneser-Ney bigram LM
     "web_redirects",         # NEW: pointer-doubling redirect resolution
@@ -9660,6 +9699,7 @@ ORACLES: dict[str, str] = {
     "sketch_join_size": SQL_SKETCH_JOIN_SIZE,
     "catalog_scan_prune": SQL_CATALOG_SCAN_PRUNE,
     "corpus_unimax": SQL_CORPUS_UNIMAX,
+    "kg_diameter": SQL_KG_DIAMETER,
     "text_lm_score": SQL_TEXT_LM_SCORE,
     "corpus_histogram": SQL_CORPUS_HISTOGRAM,
     "corpus_quartiles": SQL_CORPUS_QUARTILES,

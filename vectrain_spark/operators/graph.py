@@ -1643,40 +1643,46 @@ def shortest_paths(
 
 def shortest_paths_oracle_sql(
     edges_sql: str, seeds_sql: str, rounds: int = SSSP_ROUNDS,
-    weight_sql: str | None = None,
+    weight_sql: str | None = None, prefix: str = "",
 ) -> str:
     """Unrolled-CTE DuckDB reconstruction of :func:`shortest_paths` —
-    identical per-hop rounding and MIN combine per level."""
+    identical per-hop rounding and MIN combine per level. ``prefix``
+    disambiguates the internal CTE names so two instances can nest
+    (pseudo_diameter feeds one sweep's argmax into the next sweep's
+    seed subquery — DuckDB rejects duplicate CTE aliases across the
+    nesting otherwise)."""
+    pe, pd = f"{prefix}e", f"{prefix}d"
     if weight_sql is None:
         e_cte = (
-            "e AS MATERIALIZED (SELECT src, dst, 1.0::DOUBLE AS w"
+            f"{pe} AS MATERIALIZED (SELECT src, dst, 1.0::DOUBLE AS w"
             f" FROM (SELECT DISTINCT src, dst FROM ({edges_sql})))"
         )
     else:
         e_cte = (
-            "e AS MATERIALIZED (SELECT src, dst,"
+            f"{pe} AS MATERIALIZED (SELECT src, dst,"
             f" round(1.0 / sum({weight_sql})::DOUBLE, 6) AS w"
             f" FROM ({edges_sql}) GROUP BY src, dst)"
         )
     parts = [
         e_cte,
-        f"d0 AS (SELECT seed, seed AS id, 0.0::DOUBLE AS dist FROM ({seeds_sql}))",
+        f"{pd}0 AS (SELECT seed, seed AS id, 0.0::DOUBLE AS dist"
+        f" FROM ({seeds_sql}))",
     ]
     for i in range(1, rounds + 1):
         parts.append(
-            f"""d{i} AS MATERIALIZED (
+            f"""{pd}{i} AS MATERIALIZED (
   SELECT seed, id, min(dist) AS dist FROM (
-    SELECT seed, id, dist FROM d{i-1}
+    SELECT seed, id, dist FROM {pd}{i-1}
     UNION ALL
     SELECT d.seed, e.dst AS id, round(d.dist + e.w, {ITER_ROUND}) AS dist
-    FROM d{i-1} d JOIN e ON e.src = d.id
+    FROM {pd}{i-1} d JOIN {pe} e ON e.src = d.id
   ) GROUP BY seed, id
 )"""
         )
     body = ",\n".join(parts)
     return (
         f"WITH {body}\n"
-        f"SELECT seed, id, round(dist, {OUT_ROUND}) AS dist FROM d{rounds}"
+        f"SELECT seed, id, round(dist, {OUT_ROUND}) AS dist FROM {pd}{rounds}"
     )
 
 
@@ -4042,3 +4048,76 @@ rpq_min AS (SELECT src, m, min(h) AS h FROM rpq_all GROUP BY 1, 2)
 SELECT r.src, e.dst, min(r.h)::INT AS min_mid_hops
 FROM rpq_min r JOIN rpq_e e ON e.pred = '{pred_end}' AND e.src = r.m
 GROUP BY 1, 2"""
+
+
+def pseudo_diameter(edges: DataFrame, rounds: int = 8) -> DataFrame:
+    """Double-sweep pseudo-diameter (Magnien/Latapy/Habib 2009 — the
+    standard cheap lower bound graph frameworks report as "diameter"):
+    BFS from the minimum node id, hop to the farthest reachable node
+    (ties -> smallest id), BFS again from there; the second
+    eccentricity is the bound -> ONE row (seed_node, far_node, ecc1,
+    far2_node, diameter_lb). Exercises :func:`shortest_paths` as a
+    COMPOSED program — the argmax of one BFS feeds the seed frame of
+    the next with no driver-side collect anywhere.
+
+    Scale shape: two hop-bounded BFS sweeps (each is `rounds` keyed
+    joins with MIN combine), plus two scalar-aggregate/broadcast-join
+    argmax folds (max dist -> tie-broken min id) — each argmax is one
+    map-side-combining aggregate and one broadcast semi-join, never a
+    global sort or window over the node set.
+    """
+    sym = edges.select("src", "dst").unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+    def _far(dists: DataFrame) -> DataFrame:
+        mx = dists.agg(F.max("dist").alias("mx"))
+        return (
+            dists.crossJoin(F.broadcast(mx))
+            .filter(F.col("dist") == F.col("mx"))
+            .agg(F.min("id").alias("seed"))
+        )
+
+    seed0 = sym.agg(F.min("src").alias("seed"))
+    d1 = shortest_paths(sym, seed0, rounds)
+    far1 = _far(d1)
+    d2 = shortest_paths(sym, far1, rounds)
+    ecc1 = d1.agg(F.max("dist").alias("ecc1"))
+    far2 = (
+        d2.crossJoin(F.broadcast(d2.agg(F.max("dist").alias("mx"))))
+        .filter(F.col("dist") == F.col("mx"))
+        .agg(
+            F.min("id").alias("far2_node"),
+            F.first("mx").alias("diameter_lb"),
+        )
+    )
+    return (
+        seed0.select(F.col("seed").alias("seed_node"))
+        .crossJoin(F.broadcast(far1.select(F.col("seed").alias("far_node"))))
+        .crossJoin(F.broadcast(ecc1))
+        .crossJoin(F.broadcast(far2))
+    )
+
+
+def pseudo_diameter_oracle_sql(edges_sql: str, rounds: int = 8) -> str:
+    """DuckDB replay of :func:`pseudo_diameter` — the two BFS oracles
+    composed exactly as the DataFrame program composes them."""
+    sym = (
+        f"SELECT src, dst FROM ({edges_sql})"
+        f" UNION ALL SELECT dst, src FROM ({edges_sql})"
+    )
+    seeds0 = f"SELECT min(src) AS seed FROM ({sym})"
+    o1 = shortest_paths_oracle_sql(sym, seeds0, rounds, prefix="pd1_")
+    far1 = (
+        f"SELECT min(id) AS seed FROM ({o1}) WHERE dist ="
+        f" (SELECT max(dist) FROM ({o1}))"
+    )
+    o2 = shortest_paths_oracle_sql(sym, far1, rounds, prefix="pd2_")
+    return f"""
+SELECT ({seeds0}) AS seed_node,
+       ({far1}) AS far_node,
+       (SELECT max(dist) FROM ({o1})) AS ecc1,
+       (SELECT min(id) FROM ({o2}) WHERE dist =
+          (SELECT max(dist) FROM ({o2}))) AS far2_node,
+       (SELECT max(dist) FROM ({o2})) AS diameter_lb
+"""
