@@ -667,3 +667,25 @@ def test_luby_mis_rounds_are_keyed_aggregates(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoop" not in plan, plan
     assert "WindowExec" not in plan, plan
+
+
+def test_r4i_gates_stay_jvm_side(spark):
+    """Round-4i operators: no row-at-a-time Python anywhere; the NB
+    model and SQ quantizer ride broadcast joins, never a shuffle of the
+    model; RPQ's Kleene closure is keyed hash joins, not a cartesian."""
+    from vectrain_spark.driver_queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    for name in (
+        "events_changepoint",
+        "privacy_k_anon",
+        "sim_scalar_quant",
+        "text_nb_langid",
+        "corpus_unimax",
+        "kg_rpq",
+        "sketch_join_size",
+    ):
+        plan = _plan(QUERIES[name](spark, sf))
+        assert "EvalPython" not in plan, (name, plan)
+    rpq_plan = _plan(QUERIES["kg_rpq"](spark, sf))
+    assert "CartesianProduct" not in rpq_plan, rpq_plan
