@@ -393,3 +393,49 @@ def test_pseudo_diameter_second_sweep_improves_bound(spark):
     assert r["far_node"] == "d"  # tie (d, e) -> min id
     assert r["diameter_lb"] == 4.0  # d..e path length
     assert r["far2_node"] == "e"
+
+
+def test_bm25_hand_computed_single_term(spark):
+    """Three docs, query {'cat'}: N=3, df=2 -> idf_micro =
+    floor(ln((3-2+.5)/(2+.5)+1)*1e6) = floor(ln(1.6)*1e6) = 470003.
+    S=6 tokens, doc 1 (dl=2, tf=1): 470003*22*1*6 // (10*6*1+3*6+9*2*3)
+    = 62040396 // 132 = 470003*132... check: denominator
+    10*6+18+54 = 132, numerator 470003*132 = 62040396 -> score 470003.
+    doc 2 (dl=3, tf=2): num 470003*22*2*6 = 124080792,
+    den 10*6*2+18+9*3*3 = 219 -> 566578."""
+    from vectrain_spark.operators.index import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "cat dog"),
+            (2, "cat cat mouse"),
+            (3, "bird"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in bm25_topk(docs, ("cat",), k=5).collect()}
+    assert set(got) == {1, 2}
+    assert got[1]["score_micro"] == 470003
+    assert got[2]["score_micro"] == 124080792 // 219
+    assert got[2]["rank"] == 1  # higher tf, shorter-normalized
+
+
+def test_bm25_multi_term_sums_and_ranks(spark):
+    """Docs hitting both query terms outrank single-hit docs of equal
+    length; ties break to the smaller doc_id."""
+    from vectrain_spark.operators.index import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark table"),
+            (2, "spark spark"),
+            (3, "table мир"),
+            (4, "nothing here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = bm25_topk(docs, ("spark", "table"), k=4).collect()
+    by_rank = [r["doc_id"] for r in rows]
+    assert by_rank[0] == 1  # two hits beats one
+    assert 4 not in by_rank
+    assert all(r["n_hits"] >= 1 for r in rows)

@@ -9163,6 +9163,25 @@ FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 7
 SQL_KG_DIAMETER = _kg_diameter_sql()
 
 
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval for a fixed 3-term query, scored entirely
+    in BIGINT (rational k1/b multiplied through, idf floor-quantized to
+    micro-units) — the lexical-search half beside the vector-similarity
+    operators, top-10 with deterministic tie order."""
+    from .operators.index import bm25_topk
+
+    return bm25_topk(_docs(spark, sf_dir))
+
+
+def _text_bm25_sql() -> str:
+    from .operators.index import bm25_oracle_sql
+
+    return bm25_oracle_sql(NORM_SQL)
+
+
+SQL_TEXT_BM25 = _text_bm25_sql()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_substring": q_dedup_substring,
     "text_c4_filters": q_text_c4_filters,
@@ -9311,6 +9330,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "catalog_scan_prune": q_catalog_scan_prune,
     "corpus_unimax": q_corpus_unimax,
     "kg_diameter": q_kg_diameter,
+    "text_bm25": q_text_bm25,
     "text_lm_score": q_text_lm_score,
     "corpus_histogram": q_corpus_histogram,
     "corpus_quartiles": q_corpus_quartiles,
@@ -9430,6 +9450,7 @@ _CHANGED_THIS_ROUND = [
     "catalog_scan_prune",    # NEW: manifest-stats file-pruning scan
     "corpus_unimax",         # NEW: UniMax waterfill language budgets
     "kg_diameter",           # NEW: double-sweep pseudo-diameter
+    "text_bm25",             # NEW: integer-exact BM25 ranked retrieval
     # --- (3) round 4g: NEW operators (newest session) ---
     "text_kn_lm",            # NEW: interpolated Kneser-Ney bigram LM
     "web_redirects",         # NEW: pointer-doubling redirect resolution
@@ -9700,6 +9721,7 @@ ORACLES: dict[str, str] = {
     "catalog_scan_prune": SQL_CATALOG_SCAN_PRUNE,
     "corpus_unimax": SQL_CORPUS_UNIMAX,
     "kg_diameter": SQL_KG_DIAMETER,
+    "text_bm25": SQL_TEXT_BM25,
     "text_lm_score": SQL_TEXT_LM_SCORE,
     "corpus_histogram": SQL_CORPUS_HISTOGRAM,
     "corpus_quartiles": SQL_CORPUS_QUARTILES,
