@@ -439,3 +439,49 @@ def test_bm25_multi_term_sums_and_ranks(spark):
     assert by_rank[0] == 1  # two hits beats one
     assert 4 not in by_rank
     assert all(r["n_hits"] >= 1 for r in rows)
+
+
+def test_single_linkage_equals_direct_components(spark):
+    """MSF-route clusters == direct sub-threshold CC on a graph where
+    the threshold severs the only bridge: {a,b,c} chained cheap, bridge
+    c-d expensive, {d,e} cheap."""
+    from vectrain_spark.operators.canonicalize import connected_components
+    from vectrain_spark.operators.graph import single_linkage_clusters
+
+    edges = [
+        ("a", "b", 1),
+        ("b", "c", 2),
+        ("c", "d", 9),  # above threshold: severed
+        ("d", "e", 3),
+        ("a", "c", 8),  # redundant heavy edge the MSF drops anyway
+    ]
+    df = spark.createDataFrame(edges, "a string, b string, w long")
+    got = {
+        r["id"]: r["cluster"]
+        for r in single_linkage_clusters(df, threshold=5).collect()
+    }
+    direct = spark.createDataFrame(
+        [(a, b) for a, b, w in edges if w <= 5], "src string, dst string"
+    )
+    want = {
+        r["id"]: r["canon"] for r in connected_components(direct).collect()
+    }
+    want.setdefault("a", "a")
+    assert got == want
+    assert got["a"] == got["b"] == got["c"]
+    assert got["d"] == got["e"]
+    assert got["a"] != got["d"]
+
+
+def test_single_linkage_isolated_nodes_self_cluster(spark):
+    """Every edge above threshold: every node is its own cluster."""
+    from vectrain_spark.operators.graph import single_linkage_clusters
+
+    df = spark.createDataFrame(
+        [("x", "y", 99), ("y", "z", 99)], "a string, b string, w long"
+    )
+    got = {
+        r["id"]: r["cluster"]
+        for r in single_linkage_clusters(df, threshold=5).collect()
+    }
+    assert got == {"x": "x", "y": "y", "z": "z"}

@@ -9182,6 +9182,55 @@ def _text_bm25_sql() -> str:
 SQL_TEXT_BM25 = _text_bm25_sql()
 
 
+def q_kg_single_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-linkage clusters at threshold 25 over a weighted 100-node
+    sub-lattice, computed via the MSF shortcut (cluster the V-1 forest
+    edges, not the E graph edges); the oracle takes the direct route —
+    reachability over ALL sub-threshold edges — so the Gower-Ross
+    MST-equivalence itself is value-checked. 8 Boruvka rounds fully
+    contract 100 nodes (2^8 > 100), so the forest is complete."""
+    from .operators.graph import single_linkage_clusters
+
+    ids = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") % 5 == 0)
+        .select(F.col("doc_id").alias("i"))
+    )
+    nxt = ids.select(F.col("i").alias("j"))
+    e1 = ids.join(nxt, F.col("j") == F.col("i") + 5).select(
+        F.concat(F.lit("n"), F.col("i")).alias("a"),
+        F.concat(F.lit("n"), F.col("j")).alias("b"),
+        ((F.col("i") * 7) % 50).cast("long").alias("w"),
+    )
+    e2 = ids.join(nxt, F.col("j") == F.col("i") + 35).select(
+        F.concat(F.lit("n"), F.col("i")).alias("a"),
+        F.concat(F.lit("n"), F.col("j")).alias("b"),
+        ((F.col("i") * 11) % 50 + 1).cast("long").alias("w"),
+    )
+    return single_linkage_clusters(
+        e1.unionAll(e2), threshold=25, msf_rounds=8
+    )
+
+
+def _kg_single_linkage_sql() -> str:
+    from .operators.graph import single_linkage_oracle_sql
+
+    wedges = """
+SELECT 'n' || d1.doc_id AS a, 'n' || d2.doc_id AS b,
+       (d1.doc_id * 7) % 50 AS w
+FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 5
+WHERE d1.doc_id % 5 = 0
+UNION ALL
+SELECT 'n' || d1.doc_id, 'n' || d2.doc_id, (d1.doc_id * 11) % 50 + 1
+FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 35
+WHERE d1.doc_id % 5 = 0
+"""
+    return single_linkage_oracle_sql(wedges, threshold=25)
+
+
+SQL_KG_SINGLE_LINKAGE = _kg_single_linkage_sql()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_substring": q_dedup_substring,
     "text_c4_filters": q_text_c4_filters,
@@ -9331,6 +9380,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_unimax": q_corpus_unimax,
     "kg_diameter": q_kg_diameter,
     "text_bm25": q_text_bm25,
+    "kg_single_linkage": q_kg_single_linkage,
     "text_lm_score": q_text_lm_score,
     "corpus_histogram": q_corpus_histogram,
     "corpus_quartiles": q_corpus_quartiles,
@@ -9451,6 +9501,7 @@ _CHANGED_THIS_ROUND = [
     "corpus_unimax",         # NEW: UniMax waterfill language budgets
     "kg_diameter",           # NEW: double-sweep pseudo-diameter
     "text_bm25",             # NEW: integer-exact BM25 ranked retrieval
+    "kg_single_linkage",     # NEW: single-linkage via MSF == direct CC
     # --- (3) round 4g: NEW operators (newest session) ---
     "text_kn_lm",            # NEW: interpolated Kneser-Ney bigram LM
     "web_redirects",         # NEW: pointer-doubling redirect resolution
@@ -9722,6 +9773,7 @@ ORACLES: dict[str, str] = {
     "corpus_unimax": SQL_CORPUS_UNIMAX,
     "kg_diameter": SQL_KG_DIAMETER,
     "text_bm25": SQL_TEXT_BM25,
+    "kg_single_linkage": SQL_KG_SINGLE_LINKAGE,
     "text_lm_score": SQL_TEXT_LM_SCORE,
     "corpus_histogram": SQL_CORPUS_HISTOGRAM,
     "corpus_quartiles": SQL_CORPUS_QUARTILES,

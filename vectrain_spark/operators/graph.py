@@ -4121,3 +4121,57 @@ SELECT ({seeds0}) AS seed_node,
           (SELECT max(dist) FROM ({o2}))) AS far2_node,
        (SELECT max(dist) FROM ({o2})) AS diameter_lb
 """
+
+
+def single_linkage_clusters(
+    wedges: DataFrame, threshold: int, msf_rounds: int = 6
+) -> DataFrame:
+    """Single-linkage clustering at a distance threshold, computed the
+    scale-correct way: connected components over the MINIMUM SPANNING
+    FOREST's sub-threshold edges -> (id, cluster). Correct because
+    single-linkage dendrograms are exactly the MST's merge structure
+    (Gower & Ross 1969): cutting ALL edges at t and cutting only MSF
+    edges at t yield identical components — but the MSF route carries
+    V-1 edges into the clustering join instead of E, which at web scale
+    (E ~ 100-1000x V for similarity graphs) is the difference between
+    clustering the corpus and clustering a spanning sketch of it. The
+    gate's oracle deliberately takes the OTHER route (closure over all
+    sub-threshold edges), so the equivalence itself is value-checked.
+    """
+    from .canonicalize import connected_components
+
+    forest = boruvka_msf(wedges, rounds=msf_rounds)
+    nodes = (
+        wedges.select(F.col("a").alias("id"))
+        .unionAll(wedges.select(F.col("b").alias("id")))
+        .distinct()
+    )
+    kept = forest.filter(F.col("w") <= threshold).select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    )
+    labels = connected_components(kept).withColumnRenamed("canon", "cluster")
+    return nodes.join(labels, "id", "left").select(
+        "id", F.coalesce("cluster", "id").alias("cluster")
+    )
+
+
+def single_linkage_oracle_sql(wedges_sql: str, threshold: int) -> str:
+    """DuckDB oracle for :func:`single_linkage_clusters` via the DIRECT
+    definition — min-label reachability over ALL edges at w <= t (not
+    over the forest), so the MSF shortcut's correctness is what the
+    comparison proves."""
+    return f"""
+WITH RECURSIVE sl_e AS MATERIALIZED (
+  SELECT a, b FROM ({wedges_sql}) WHERE w <= {threshold} AND a <> b
+),
+sl_n AS (SELECT DISTINCT id FROM
+  (SELECT a AS id FROM ({wedges_sql})
+   UNION SELECT b FROM ({wedges_sql}))),
+sl_sym AS (SELECT a, b FROM sl_e UNION SELECT b, a FROM sl_e),
+sl_reach(id, r) AS (
+  SELECT id, id FROM sl_n
+  UNION
+  SELECT sl_reach.id, s.b FROM sl_reach JOIN sl_sym s ON s.a = sl_reach.r
+)
+SELECT id, min(r) AS cluster FROM sl_reach GROUP BY id
+"""
