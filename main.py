@@ -72,6 +72,11 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
                    help="print every registered analytics query name and exit")
     p.add_argument("--sf-dir", default="/root/testdata/sf0.01",
                    help="driver-table directory for --query")
+    p.add_argument("--explain", action="store_true",
+                   help="with --query: print the formatted physical plan "
+                        "instead of executing (plan-audit surface — check "
+                        "PushedFilters / WholeStageCodegen / Exchange count "
+                        "before paying for the run)")
     args = p.parse_args(argv)
     if args.list_queries:
         return args
@@ -154,8 +159,16 @@ def main(argv: list[str] | None = None) -> int:
                   file=sys.stderr)
             spark.stop()
             return 2
-        dest = f"{out}/queries/{args.query}"
         df = QUERIES[args.query](spark, args.sf_dir)
+        if args.explain:
+            print(df._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "formatted"
+                )
+            ))
+            spark.stop()
+            return 0
+        dest = f"{out}/queries/{args.query}"
         df.write.mode("overwrite").parquet(dest)
         n = spark.read.parquet(dest).count()
         print(json.dumps({"query": args.query, "rows": n, "out": dest}))

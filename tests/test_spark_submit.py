@@ -109,3 +109,24 @@ def test_cli_query_unknown_name_errors(tmp_path):
     )
     assert out.returncode == 2
     assert "unknown query" in out.stderr
+
+
+def test_cli_query_explain_prints_plan_without_executing(tmp_path):
+    out = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(ROOT, "main.py"),
+            "--query", "olap_pricing_summary",
+            "--sf-dir", "/root/testdata/sf0.001",
+            "--out", str(tmp_path / "w"),
+            "--explain",
+        ],
+        capture_output=True,
+        text=True,
+        cwd=ROOT,
+        env=dict(os.environ, SPARK_GRAFT_CPUS="4"),
+        check=True,
+    )
+    assert "Physical Plan" in out.stdout
+    assert "PushedFilters" in out.stdout
+    assert not os.path.exists(str(tmp_path / "w" / "queries"))
