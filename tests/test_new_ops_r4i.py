@@ -485,3 +485,57 @@ def test_single_linkage_isolated_nodes_self_cluster(spark):
         for r in single_linkage_clusters(df, threshold=5).collect()
     }
     assert got == {"x": "x", "y": "y", "z": "z"}
+
+
+def test_attribution_removal_effect_hand_computed(spark):
+    """Two-channel funnel: u1 view->click->purchase, u2 view->null.
+    Matrix: start->view 1.0; view->click .5, view->null .5;
+    click->conv 1.0. Full p_conv = .5. Removing 'view' kills the only
+    path (start->view redirects to null): p=0, effect 1. Removing
+    'click': view->click redirects to null: p=0, effect 1."""
+    import datetime as dt
+
+    from vectrain_spark.operators.events import attribution_removal_effect
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0), 1, "view"),
+        (2, dt.datetime(2024, 1, 1, 1), 1, "click"),
+        (3, dt.datetime(2024, 1, 1, 2), 1, "purchase"),
+        (4, dt.datetime(2024, 1, 1, 0), 2, "view"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = {
+        r["channel"]: r for r in attribution_removal_effect(ev).collect()
+    }
+    assert set(got) == {"view", "click"}
+    for ch in ("view", "click"):
+        assert got[ch]["p_conv_full"] == 0.5
+        assert got[ch]["p_conv_removed"] == 0.0
+        assert got[ch]["removal_effect"] == 1.0
+
+
+def test_attribution_partial_removal_effect(spark):
+    """Two disjoint converting paths (view->purchase, click->purchase)
+    with equal traffic: removing either channel halves p_conv ->
+    removal effect 0.5 each."""
+    import datetime as dt
+
+    from vectrain_spark.operators.events import attribution_removal_effect
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0), 1, "view"),
+        (2, dt.datetime(2024, 1, 1, 1), 1, "purchase"),
+        (3, dt.datetime(2024, 1, 1, 0), 2, "click"),
+        (4, dt.datetime(2024, 1, 1, 1), 2, "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = {
+        r["channel"]: r for r in attribution_removal_effect(ev).collect()
+    }
+    assert got["view"]["p_conv_full"] == 1.0
+    assert got["view"]["removal_effect"] == 0.5
+    assert got["click"]["removal_effect"] == 0.5

@@ -9231,6 +9231,28 @@ WHERE d1.doc_id % 5 = 0
 SQL_KG_SINGLE_LINKAGE = _kg_single_linkage_sql()
 
 
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain attribution with removal effects: per-user journeys
+    truncated at first purchase build a first-order transition matrix;
+    each channel's credit = the drop in start->conv absorption when its
+    inbound edges redirect to null. All removal variants propagate
+    through the same 12 keyed-join steps via a 'removed' key column;
+    per-step 1e-8 rounding keeps both engines on identical doubles."""
+    from .operators.events import attribution_removal_effect
+
+    ev = _events(spark, sf_dir).withColumn("ts", F.col("ts").cast("timestamp"))
+    return attribution_removal_effect(ev)
+
+
+def _events_attribution_sql() -> str:
+    from .operators.events import attribution_oracle_sql
+
+    return attribution_oracle_sql()
+
+
+SQL_EVENTS_ATTRIBUTION = _events_attribution_sql()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_substring": q_dedup_substring,
     "text_c4_filters": q_text_c4_filters,
@@ -9381,6 +9403,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_diameter": q_kg_diameter,
     "text_bm25": q_text_bm25,
     "kg_single_linkage": q_kg_single_linkage,
+    "events_attribution": q_events_attribution,
     "text_lm_score": q_text_lm_score,
     "corpus_histogram": q_corpus_histogram,
     "corpus_quartiles": q_corpus_quartiles,
@@ -9502,6 +9525,7 @@ _CHANGED_THIS_ROUND = [
     "kg_diameter",           # NEW: double-sweep pseudo-diameter
     "text_bm25",             # NEW: integer-exact BM25 ranked retrieval
     "kg_single_linkage",     # NEW: single-linkage via MSF == direct CC
+    "events_attribution",    # NEW: Markov removal-effect attribution
     # --- (3) round 4g: NEW operators (newest session) ---
     "text_kn_lm",            # NEW: interpolated Kneser-Ney bigram LM
     "web_redirects",         # NEW: pointer-doubling redirect resolution
@@ -9774,6 +9798,7 @@ ORACLES: dict[str, str] = {
     "kg_diameter": SQL_KG_DIAMETER,
     "text_bm25": SQL_TEXT_BM25,
     "kg_single_linkage": SQL_KG_SINGLE_LINKAGE,
+    "events_attribution": SQL_EVENTS_ATTRIBUTION,
     "text_lm_score": SQL_TEXT_LM_SCORE,
     "corpus_histogram": SQL_CORPUS_HISTOGRAM,
     "corpus_quartiles": SQL_CORPUS_QUARTILES,

@@ -464,3 +464,223 @@ SELECT event_type, n AS n_days, s AS total_events,
        day::VARCHAR AS cp_day, abs_c AS cusum_peak
 FROM cus_r WHERE rn = 1
 """
+
+
+MARKOV_STEPS = 12
+
+
+def attribution_removal_effect(
+    events: DataFrame, steps: int = MARKOV_STEPS
+) -> DataFrame:
+    """Markov-chain attribution with removal effects (Anderl et al.
+    2016 — the data-driven alternative to last-touch): per-user event
+    journeys (truncated at the first purchase, which absorbs into
+    'conv'; journeys that end otherwise absorb into 'null') build a
+    first-order transition matrix; each channel's credit is how much
+    the start->conv absorption probability DROPS when that channel's
+    inbound edges are redirected to 'null' ->
+    (channel, p_conv_removed, p_conv_full, removal_effect).
+
+    Determinism: transition probabilities round to 6 dp, the absorption
+    vector iterates ``steps`` times with per-step 1e-8 rounding (the
+    pagerank idiom — both engines iterate the same doubles), and the
+    final effect rounds to 6 dp. Absorbing states carry explicit
+    p=1 self-loops so mass persists across steps.
+
+    Scale shape: journey construction is one user-keyed window pass
+    over the raw events; everything after runs on the TYPE-level
+    matrix, which is schema-sized (states x states x channels rows) —
+    the removal variants ride a single 'removed' key column through the
+    iteration, so all channels propagate in the same `steps` keyed
+    joins instead of one rerun per channel.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", "conv")
+        .otherwise(F.col("event_type"))
+        .alias("state"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("prior_conv"),
+    ).filter(F.col("prior_conv") == 0)
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = flagged.select(
+        "user_id",
+        "state",
+        F.coalesce(F.lag("state").over(w2), F.lit("start")).alias("prev"),
+        F.row_number().over(
+            Window.partitionBy("user_id").orderBy(
+                F.desc("ts"), F.desc("event_id")
+            )
+        ).alias("rn_last"),
+    )
+    steps_t = seq.select(F.col("prev").alias("src"), F.col("state").alias("dst"))
+    terminal = seq.filter(
+        (F.col("rn_last") == 1) & (F.col("state") != "conv")
+    ).select(F.col("state").alias("src"), F.lit("null").alias("dst"))
+    trans = steps_t.unionAll(terminal)
+    cnt = trans.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("src").agg(F.sum("c").alias("t"))
+    matrix = cnt.join(tot, "src").select(
+        "src", "dst", F.round(F.col("c") / F.col("t"), 6).alias("p")
+    )
+    loops = matrix.sparkSession.createDataFrame(
+        [("conv", "conv", 1.0), ("null", "null", 1.0)],
+        "src string, dst string, p double",
+    )
+    matrix = matrix.unionByName(loops)
+    channels = (
+        trans.select(F.col("dst").alias("channel"))
+        .filter(~F.col("channel").isin("conv", "null"))
+        .distinct()
+    )
+    variants = channels.unionAll(
+        channels.sparkSession.createDataFrame(
+            [("__none__",)], "channel string"
+        )
+    ).withColumnRenamed("channel", "removed")
+    edges = (
+        variants.crossJoin(matrix)
+        .filter(F.col("src") != F.col("removed"))
+        .select(
+            "removed",
+            "src",
+            F.when(F.col("dst") == F.col("removed"), "null")
+            .otherwise(F.col("dst"))
+            .alias("dst"),
+            "p",
+        )
+    )
+    edges_r = edges.select(
+        F.col("removed").alias("e_removed"),
+        F.col("src").alias("e_src"),
+        "dst",
+        "p",
+    ).localCheckpoint()
+    v = variants.select(
+        "removed", F.lit("start").alias("state"), F.lit(1.0).alias("v")
+    )
+    for _ in range(steps):
+        v = (
+            v.join(
+                edges_r,
+                (F.col("removed") == F.col("e_removed"))
+                & (F.col("state") == F.col("e_src")),
+            )
+            .groupBy("e_removed", "dst")
+            .agg(F.round(F.sum(F.col("v") * F.col("p")), 8).alias("v"))
+            .select(
+                F.col("e_removed").alias("removed"),
+                F.col("dst").alias("state"),
+                "v",
+            )
+            .localCheckpoint()
+        )
+    # LEFT join from the variant list: a channel whose removal zeroes
+    # conversion has NO conv row in v — it must surface as p_conv=0,
+    # removal_effect=1 (the single most important channel), not vanish
+    pconv = variants.join(
+        v.filter(F.col("state") == "conv").select(
+            "removed", F.col("v").alias("p_conv")
+        ),
+        "removed",
+        "left",
+    ).select("removed", F.coalesce("p_conv", F.lit(0.0)).alias("p_conv"))
+    full = pconv.filter(F.col("removed") == "__none__").select(
+        F.col("p_conv").alias("p_full")
+    )
+    return (
+        pconv.filter(F.col("removed") != "__none__")
+        .crossJoin(F.broadcast(full))
+        .select(
+            F.col("removed").alias("channel"),
+            F.col("p_conv").alias("p_conv_removed"),
+            F.col("p_full").alias("p_conv_full"),
+            F.round(
+                F.lit(1.0) - F.col("p_conv") / F.col("p_full"), 6
+            ).alias("removal_effect"),
+        )
+    )
+
+
+def attribution_oracle_sql(
+    events_table: str = "events", steps: int = MARKOV_STEPS
+) -> str:
+    """Unrolled DuckDB replay of :func:`attribution_removal_effect` —
+    identical journey truncation, matrix rounding, step count and
+    per-step rounding."""
+    parts = [
+        f"""att_fl AS MATERIALIZED (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'purchase' THEN 'conv'
+              ELSE event_type END AS state,
+         coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS prior_conv
+  FROM {events_table}
+)""",
+        """att_seq AS MATERIALIZED (
+  SELECT user_id, state,
+         coalesce(lag(state) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id), 'start') AS prev,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn_last
+  FROM att_fl WHERE prior_conv = 0
+)""",
+        """att_tr AS MATERIALIZED (
+  SELECT prev AS src, state AS dst FROM att_seq
+  UNION ALL
+  SELECT state, 'null' FROM att_seq WHERE rn_last = 1 AND state != 'conv'
+)""",
+        """att_m AS MATERIALIZED (
+  SELECT src, dst, round(c * 1.0 / t, 6) AS p FROM
+    (SELECT src, dst, count(*)::BIGINT AS c FROM att_tr GROUP BY 1, 2) x
+    JOIN (SELECT src, count(*)::BIGINT AS t FROM att_tr GROUP BY 1) y
+    USING (src)
+  UNION ALL SELECT 'conv', 'conv', 1.0
+  UNION ALL SELECT 'null', 'null', 1.0
+)""",
+        """att_ch AS (
+  SELECT DISTINCT dst AS removed FROM att_tr
+  WHERE dst NOT IN ('conv', 'null')
+  UNION ALL SELECT '__none__'
+)""",
+        """att_e AS MATERIALIZED (
+  SELECT ch.removed, m.src,
+         CASE WHEN m.dst = ch.removed THEN 'null' ELSE m.dst END AS dst,
+         m.p
+  FROM att_ch ch CROSS JOIN att_m m
+  WHERE m.src != ch.removed
+)""",
+        "att_v0 AS (SELECT removed, 'start' AS state, 1.0::DOUBLE AS v"
+        " FROM att_ch)",
+    ]
+    for i in range(1, steps + 1):
+        parts.append(
+            f"""att_v{i} AS MATERIALIZED (
+  SELECT e.removed, e.dst AS state, round(sum(v.v * e.p), 8) AS v
+  FROM att_v{i - 1} v
+  JOIN att_e e ON e.removed = v.removed AND e.src = v.state
+  GROUP BY 1, 2
+)"""
+        )
+    body = ",\n".join(parts)
+    return f"""WITH {body},
+att_pc AS (
+  SELECT ch.removed, coalesce(x.v, 0.0) AS p_conv
+  FROM att_ch ch LEFT JOIN (
+    SELECT removed, v FROM att_v{steps} WHERE state = 'conv'
+  ) x ON x.removed = ch.removed
+),
+att_full AS (SELECT p_conv AS p_full FROM att_pc WHERE removed = '__none__')
+SELECT removed AS channel, p_conv AS p_conv_removed, p_full AS p_conv_full,
+       round(1.0 - p_conv / p_full, 6) AS removal_effect
+FROM att_pc, att_full WHERE removed != '__none__'
+"""
