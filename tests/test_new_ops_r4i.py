@@ -539,3 +539,58 @@ def test_attribution_partial_removal_effect(spark):
     assert got["view"]["p_conv_full"] == 1.0
     assert got["view"]["removal_effect"] == 0.5
     assert got["click"]["removal_effect"] == 0.5
+
+
+def test_fellegi_sunter_separates_matches_from_nonmatches(spark):
+    """Pairs where matches agree on every field and non-matches on
+    none: m=(3+1)/(3+2)=.8, u=(0+1)/(3+2)=.2 per field -> agreement
+    weight log2(4)=2.0 (2_000_000 micro), disagreement log2(.2/.8)=-2
+    -> match score 6e6, non-match -6e6."""
+    import math
+
+    from vectrain_spark.operators.linking import fellegi_sunter_scores
+
+    pairs = spark.createDataFrame(
+        [
+            (1, 2, "abcx", "abcx", True),
+            (3, 4, "defy", "defy", True),
+            (5, 6, "ghiz", "ghiz", True),
+            (7, 8, "abcx", "zz", False),
+            (9, 10, "defy", "qqqqq", False),
+            (11, 12, "ghiz", "pp", False),
+        ],
+        "id_a long, id_b long, key_a string, key_b string, is_match boolean",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r
+        for r in fellegi_sunter_scores(pairs).collect()
+    }
+    m, u = (3 + 1.0) / (3 + 2.0), (0 + 1.0) / (3 + 2.0)
+    wa = math.floor(math.log2(m / u) * 1e6)
+    wd = math.floor(math.log2((1.0 - m) / (1.0 - u)) * 1e6)
+    for k, r in got.items():
+        if r["is_match"]:
+            assert r["score_micro"] == 3 * wa == 6_000_000
+            assert r["a_prefix3"] and r["a_length"] and r["a_lastchar"]
+        else:
+            assert r["score_micro"] == 3 * wd  # -6000003: float 0.2/0.8
+
+
+def test_fellegi_sunter_mixed_agreement_scores_between(spark):
+    """A non-match pair that coincidentally agrees on length scores
+    higher than a full disagreement but lower than a full match."""
+    from vectrain_spark.operators.linking import fellegi_sunter_scores
+
+    pairs = spark.createDataFrame(
+        [
+            (1, 2, "abcx", "abcx", True),
+            (3, 4, "abcx", "zzzz", False),  # length agrees only
+            (5, 6, "abcx", "qq", False),
+        ],
+        "id_a long, id_b long, key_a string, key_b string, is_match boolean",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["score_micro"]
+        for r in fellegi_sunter_scores(pairs).collect()
+    }
+    assert got[(5, 6)] < got[(3, 4)] < got[(1, 2)]

@@ -9253,6 +9253,34 @@ def _events_attribution_sql() -> str:
 SQL_EVENTS_ATTRIBUTION = _events_attribution_sql()
 
 
+def q_kg_link_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic linkage scoring over the SNM
+    blocking gate's candidate pairs (same corrupted-mention fixture):
+    gold match = same underlying vendor (doc_id % 7), per-field m/u
+    estimated in-engine with Laplace smoothing, pair scores as exact
+    BIGINT sums of 1e-6-quantized log2 weights — blocking proposes,
+    Fellegi-Sunter disposes."""
+    from .operators.linking import fellegi_sunter_scores
+
+    pairs = q_kg_link_snm(spark, sf_dir).withColumn(
+        "is_match", (F.col("id_a") % 7) == (F.col("id_b") % 7)
+    )
+    return fellegi_sunter_scores(pairs)
+
+
+def _kg_link_fs_sql() -> str:
+    from .operators.linking import fellegi_sunter_oracle_sql
+
+    pairs = f"""
+SELECT id_a, id_b, key_a, key_b, (id_a % 7 = id_b % 7) AS is_match
+FROM ({SQL_KG_LINK_SNM})
+"""
+    return fellegi_sunter_oracle_sql(pairs)
+
+
+SQL_KG_LINK_FS = _kg_link_fs_sql()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_substring": q_dedup_substring,
     "text_c4_filters": q_text_c4_filters,
@@ -9404,6 +9432,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bm25": q_text_bm25,
     "kg_single_linkage": q_kg_single_linkage,
     "events_attribution": q_events_attribution,
+    "kg_link_fs": q_kg_link_fs,
     "text_lm_score": q_text_lm_score,
     "corpus_histogram": q_corpus_histogram,
     "corpus_quartiles": q_corpus_quartiles,
@@ -9526,6 +9555,7 @@ _CHANGED_THIS_ROUND = [
     "text_bm25",             # NEW: integer-exact BM25 ranked retrieval
     "kg_single_linkage",     # NEW: single-linkage via MSF == direct CC
     "events_attribution",    # NEW: Markov removal-effect attribution
+    "kg_link_fs",            # NEW: Fellegi-Sunter linkage weights
     # --- (3) round 4g: NEW operators (newest session) ---
     "text_kn_lm",            # NEW: interpolated Kneser-Ney bigram LM
     "web_redirects",         # NEW: pointer-doubling redirect resolution
@@ -9799,6 +9829,7 @@ ORACLES: dict[str, str] = {
     "text_bm25": SQL_TEXT_BM25,
     "kg_single_linkage": SQL_KG_SINGLE_LINKAGE,
     "events_attribution": SQL_EVENTS_ATTRIBUTION,
+    "kg_link_fs": SQL_KG_LINK_FS,
     "text_lm_score": SQL_TEXT_LM_SCORE,
     "corpus_histogram": SQL_CORPUS_HISTOGRAM,
     "corpus_quartiles": SQL_CORPUS_QUARTILES,

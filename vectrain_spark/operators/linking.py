@@ -646,3 +646,121 @@ def snm_candidates(
             (F.col("_rb") - F.col("_ra")).cast("long").alias("dist"),
         )
     )
+
+
+FS_FIELDS = ("prefix3", "length", "lastchar")
+
+
+def fellegi_sunter_scores(pairs: DataFrame) -> DataFrame:
+    """Fellegi-Sunter probabilistic record-linkage scoring (JASA 1969;
+    the model behind Splink and every census-grade ER system) over a
+    candidate-pair frame (id_a, id_b, key_a, key_b, is_match) ->
+    per-pair (id_a, id_b, is_match, a_prefix3, a_length, a_lastchar,
+    score_micro): per-field m = P(agree | match) and u = P(agree |
+    non-match) are estimated from the pairs themselves (Laplace +1/+2),
+    each field contributes the agreement weight log2(m/u) or the
+    disagreement weight log2((1-m)/(1-u)), floor-quantized to 1e-6
+    log2 units so pair scores are exact BIGINT sums — blocking
+    (SNM/LSH) proposes, Fellegi-Sunter DISPOSES.
+
+    Scale shape: the m/u estimation is ONE map-side-combining aggregate
+    over the candidate pairs collapsed to a single broadcast row of six
+    counters; scoring is a pure projection over the pair stream. The
+    expensive part of ER stays in the blocking operators; this adds one
+    scan.
+    """
+    a1 = F.substring("key_a", 1, 3) == F.substring("key_b", 1, 3)
+    a2 = F.length("key_a") == F.length("key_b")
+    a3 = F.expr("substring(key_a, length(key_a), 1)") == F.expr(
+        "substring(key_b, length(key_b), 1)"
+    )
+    tagged = pairs.select(
+        "id_a",
+        "id_b",
+        "is_match",
+        a1.alias("a_prefix3"),
+        a2.alias("a_length"),
+        a3.alias("a_lastchar"),
+    )
+    aggs = [
+        F.sum(F.when(F.col("is_match"), 1).otherwise(0)).alias("nm"),
+        F.sum(F.when(F.col("is_match"), 0).otherwise(1)).alias("nu"),
+    ]
+    for f in FS_FIELDS:
+        aggs.append(
+            F.sum(
+                F.when(F.col("is_match") & F.col(f"a_{f}"), 1).otherwise(0)
+            ).alias(f"cm_{f}")
+        )
+        aggs.append(
+            F.sum(
+                F.when(~F.col("is_match") & F.col(f"a_{f}"), 1).otherwise(0)
+            ).alias(f"cu_{f}")
+        )
+    stats = tagged.agg(*aggs)
+    scored = tagged.crossJoin(F.broadcast(stats))
+    score = F.lit(0).cast("long")
+    for f in FS_FIELDS:
+        m = (F.col(f"cm_{f}") + F.lit(1.0)) / (F.col("nm") + F.lit(2.0))
+        u = (F.col(f"cu_{f}") + F.lit(1.0)) / (F.col("nu") + F.lit(2.0))
+        wa = F.floor(F.log2(m / u) * F.lit(1e6)).cast("long")
+        wd = F.floor(
+            F.log2((F.lit(1.0) - m) / (F.lit(1.0) - u)) * F.lit(1e6)
+        ).cast("long")
+        score = score + F.when(F.col(f"a_{f}"), wa).otherwise(wd)
+    return scored.select(
+        "id_a",
+        "id_b",
+        "is_match",
+        "a_prefix3",
+        "a_length",
+        "a_lastchar",
+        score.alias("score_micro"),
+    )
+
+
+def fellegi_sunter_oracle_sql(pairs_sql: str) -> str:
+    """DuckDB replay of :func:`fellegi_sunter_scores` — identical
+    agreement predicates, Laplace estimates, and 1e-6 log2 floors."""
+    terms = []
+    for f in FS_FIELDS:
+        terms.append(
+            f"CASE WHEN a_{f} THEN"
+            f" floor(log2(((cm_{f} + 1.0) / (nm + 2.0))"
+            f" / ((cu_{f} + 1.0) / (nu + 2.0))) * 1000000.0)::BIGINT"
+            f" ELSE floor(log2((1.0 - (cm_{f} + 1.0) / (nm + 2.0))"
+            f" / (1.0 - (cu_{f} + 1.0) / (nu + 2.0))) * 1000000.0)::BIGINT"
+            f" END"
+        )
+    stat_cols = ", ".join(
+        [
+            "sum(CASE WHEN is_match THEN 1 ELSE 0 END)::BIGINT AS nm",
+            "sum(CASE WHEN is_match THEN 0 ELSE 1 END)::BIGINT AS nu",
+        ]
+        + [
+            f"sum(CASE WHEN is_match AND a_{f} THEN 1 ELSE 0 END)::BIGINT"
+            f" AS cm_{f}"
+            for f in FS_FIELDS
+        ]
+        + [
+            f"sum(CASE WHEN NOT is_match AND a_{f} THEN 1 ELSE 0 END)"
+            f"::BIGINT AS cu_{f}"
+            for f in FS_FIELDS
+        ]
+    )
+    score = " + ".join(terms)
+    return f"""
+WITH fs_p AS MATERIALIZED ({pairs_sql}),
+fs_t AS MATERIALIZED (
+  SELECT id_a, id_b, is_match,
+         substr(key_a, 1, 3) = substr(key_b, 1, 3) AS a_prefix3,
+         length(key_a) = length(key_b) AS a_length,
+         substr(key_a, length(key_a), 1) = substr(key_b, length(key_b), 1)
+           AS a_lastchar
+  FROM fs_p
+),
+fs_s AS (SELECT {stat_cols} FROM fs_t)
+SELECT id_a, id_b, is_match, a_prefix3, a_length, a_lastchar,
+       ({score})::BIGINT AS score_micro
+FROM fs_t, fs_s
+"""
