@@ -73,13 +73,19 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     p.add_argument("--sf-dir", default="/root/testdata/sf0.01",
                    help="driver-table directory for --query")
     p.add_argument("--explain", action="store_true",
-                   help="with --query: print the formatted physical plan "
-                        "instead of executing (plan-audit surface — check "
-                        "PushedFilters / WholeStageCodegen / Exchange count "
-                        "before paying for the run)")
+                   help="with --query: print the result's formatted physical "
+                        "plan and skip the output write. Scan/agg/join "
+                        "queries are plan-only (check PushedFilters / "
+                        "WholeStageCodegen / Exchange count); ITERATIVE "
+                        "queries (pagerank, mst, diameter, ...) still "
+                        "execute their checkpointed rounds while the plan is "
+                        "built, and the printed plan starts from the "
+                        "checkpointed stages")
     args = p.parse_args(argv)
     if args.list_queries:
         return args
+    if args.explain and not args.query:
+        p.error("--explain requires --query")
     if args.maintain == "cluster" and not args.cols:
         p.error("--maintain cluster requires --cols")
     if args.maintain == "delete" and not args.predicate:
@@ -161,11 +167,7 @@ def main(argv: list[str] | None = None) -> int:
             return 2
         df = QUERIES[args.query](spark, args.sf_dir)
         if args.explain:
-            print(df._jdf.queryExecution().explainString(
-                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-                    "formatted"
-                )
-            ))
+            df.explain(mode="formatted")
             spark.stop()
             return 0
         dest = f"{out}/queries/{args.query}"

@@ -378,12 +378,13 @@ def test_pseudo_diameter_on_path_graph(spark):
 
 
 def test_pseudo_diameter_second_sweep_improves_bound(spark):
-    """Star-with-tail: seed 'a' sits mid-structure (ecc 2), but the
-    re-sweep from its farthest node spans the true diameter 3."""
+    """Seed 'a' sits mid-structure (ecc 2); the re-sweep from its
+    farthest node 'd' spans the true diameter 4 (path d-c-a-b-e) —
+    the double sweep doubles the first sweep's bound here."""
     from vectrain_spark.operators.graph import pseudo_diameter
 
-    # a-b, a-c, c-d, b-e : from a ecc=2 (d, e); from d: d-c-a-b-e = 4? no:
-    # distances from d: c=1, a=2, b=3, e=4 -> bound 4? path d-c-a-b-e.
+    # a-b, a-c, c-d, b-e: from 'a' both d and e are at 2 (tie -> 'd');
+    # from 'd': c=1, a=2, b=3, e=4 -> diameter_lb 4, exact here
     edges = spark.createDataFrame(
         [("a", "b"), ("a", "c"), ("c", "d"), ("b", "e")],
         "src string, dst string",

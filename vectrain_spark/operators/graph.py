@@ -4071,31 +4071,37 @@ def pseudo_diameter(edges: DataFrame, rounds: int = 8) -> DataFrame:
     )
 
     def _far(dists: DataFrame) -> DataFrame:
+        """argmax dist (ties -> min id) -> ONE row (seed, ecc)."""
         mx = dists.agg(F.max("dist").alias("mx"))
         return (
             dists.crossJoin(F.broadcast(mx))
             .filter(F.col("dist") == F.col("mx"))
-            .agg(F.min("id").alias("seed"))
+            .agg(
+                F.min("id").alias("seed"),
+                F.first("mx").alias("ecc"),
+            )
         )
 
     seed0 = sym.agg(F.min("src").alias("seed"))
-    d1 = shortest_paths(sym, seed0, rounds)
-    far1 = _far(d1)
-    d2 = shortest_paths(sym, far1, rounds)
-    ecc1 = d1.agg(F.max("dist").alias("ecc1"))
-    far2 = (
-        d2.crossJoin(F.broadcast(d2.agg(F.max("dist").alias("mx"))))
-        .filter(F.col("dist") == F.col("mx"))
-        .agg(
-            F.min("id").alias("far2_node"),
-            F.first("mx").alias("diameter_lb"),
-        )
-    )
+    far1 = _far(shortest_paths(sym, seed0, rounds))
+    far2 = _far(shortest_paths(sym, far1.select("seed"), rounds))
     return (
         seed0.select(F.col("seed").alias("seed_node"))
-        .crossJoin(F.broadcast(far1.select(F.col("seed").alias("far_node"))))
-        .crossJoin(F.broadcast(ecc1))
-        .crossJoin(F.broadcast(far2))
+        .crossJoin(
+            F.broadcast(
+                far1.select(
+                    F.col("seed").alias("far_node"), F.col("ecc").alias("ecc1")
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                far2.select(
+                    F.col("seed").alias("far2_node"),
+                    F.col("ecc").alias("diameter_lb"),
+                )
+            )
+        )
     )
 
 
@@ -4124,7 +4130,7 @@ SELECT ({seeds0}) AS seed_node,
 
 
 def single_linkage_clusters(
-    wedges: DataFrame, threshold: int, msf_rounds: int = 6
+    wedges: DataFrame, threshold: int, msf_rounds: int | None = None
 ) -> DataFrame:
     """Single-linkage clustering at a distance threshold, computed the
     scale-correct way: connected components over the MINIMUM SPANNING
@@ -4137,15 +4143,27 @@ def single_linkage_clusters(
     clustering the corpus and clustering a spanning sketch of it. The
     gate's oracle deliberately takes the OTHER route (closure over all
     sub-threshold edges), so the equivalence itself is value-checked.
+
+    The equivalence REQUIRES a complete forest: Boruvka guarantees only
+    component-halving per round, so with too few rounds a >2^rounds
+    component would silently over-split. ``msf_rounds=None`` (default)
+    sizes the rounds from the node count (ceil(log2 n)) — one cheap
+    count against the node set, correctness by construction; pass an
+    explicit value only when the caller knows the component bound.
     """
+    import math
+
     from .canonicalize import connected_components
 
-    forest = boruvka_msf(wedges, rounds=msf_rounds)
     nodes = (
         wedges.select(F.col("a").alias("id"))
         .unionAll(wedges.select(F.col("b").alias("id")))
         .distinct()
     )
+    if msf_rounds is None:
+        n = nodes.count()
+        msf_rounds = max(1, math.ceil(math.log2(max(2, n))))
+    forest = boruvka_msf(wedges, rounds=msf_rounds)
     kept = forest.filter(F.col("w") <= threshold).select(
         F.col("a").alias("src"), F.col("b").alias("dst")
     )
