@@ -595,3 +595,49 @@ def test_fellegi_sunter_mixed_agreement_scores_between(spark):
         for r in fellegi_sunter_scores(pairs).collect()
     }
     assert got[(5, 6)] < got[(3, 4)] < got[(1, 2)]
+
+
+def test_rendezvous_minimal_disruption_invariant(spark):
+    """Growing 8 -> 10 shards: every moved key lands on a NEW shard
+    (8 or 9) — old shards never trade keys — and the moved fraction
+    sits near the theoretical 2/10."""
+    from pyspark.sql import functions as F
+
+    from vectrain_spark.operators.skew import rendezvous_assign
+
+    keys = spark.range(2000).select(F.col("id").alias("k"))
+    a = {
+        r["key"]: r["shard"]
+        for r in rendezvous_assign(keys, "k", 8).collect()
+    }
+    b = {
+        r["key"]: r["shard"]
+        for r in rendezvous_assign(keys, "k", 10).collect()
+    }
+    moved = [k for k in a if a[k] != b[k]]
+    assert all(b[k] >= 8 for k in moved)  # moves only onto new shards
+    frac = len(moved) / len(a)
+    assert 0.12 <= frac <= 0.28  # ~0.2 expected
+    # balance: each of the 8 shards holds a sane share
+    from collections import Counter
+
+    hist = Counter(a.values())
+    assert set(hist) == set(range(8))
+    assert min(hist.values()) > 2000 / 8 * 0.6
+
+
+def test_rendezvous_assignment_is_deterministic(spark):
+    from pyspark.sql import functions as F
+
+    from vectrain_spark.operators.skew import rendezvous_assign
+
+    keys = spark.range(100).select(F.col("id").alias("k"))
+    one = sorted(
+        (r["key"], r["shard"])
+        for r in rendezvous_assign(keys, "k", 5).collect()
+    )
+    two = sorted(
+        (r["key"], r["shard"])
+        for r in rendezvous_assign(keys, "k", 5).collect()
+    )
+    assert one == two

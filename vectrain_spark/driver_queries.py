@@ -9281,6 +9281,30 @@ FROM ({SQL_KG_LINK_SNM})
 SQL_KG_LINK_FS = _kg_link_fs_sql()
 
 
+def q_olap_rendezvous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (HRW) sharding of the document keys at 8 shards plus
+    the 8->10 resize delta per shard: deterministic md5 weights, one
+    explode + max_by per assignment. The minimal-disruption invariant
+    (only ~2/10 of keys move, and old shards never trade keys among
+    themselves) is value-checked per shard; the pytest asserts the
+    invariant explicitly."""
+    from .operators.skew import rendezvous_rebalance_report
+
+    keys = _docs(spark, sf_dir).select("doc_id")
+    return rendezvous_rebalance_report(keys, "doc_id", 8, 10)
+
+
+def _olap_rendezvous_sql() -> str:
+    from .operators.skew import rendezvous_oracle_sql
+
+    return rendezvous_oracle_sql(
+        "SELECT doc_id FROM documents", "doc_id", 8, 10
+    )
+
+
+SQL_OLAP_RENDEZVOUS = _olap_rendezvous_sql()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_substring": q_dedup_substring,
     "text_c4_filters": q_text_c4_filters,
@@ -9433,6 +9457,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_single_linkage": q_kg_single_linkage,
     "events_attribution": q_events_attribution,
     "kg_link_fs": q_kg_link_fs,
+    "olap_rendezvous": q_olap_rendezvous,
     "text_lm_score": q_text_lm_score,
     "corpus_histogram": q_corpus_histogram,
     "corpus_quartiles": q_corpus_quartiles,
@@ -9556,6 +9581,7 @@ _CHANGED_THIS_ROUND = [
     "kg_single_linkage",     # NEW: single-linkage via MSF == direct CC
     "events_attribution",    # NEW: Markov removal-effect attribution
     "kg_link_fs",            # NEW: Fellegi-Sunter linkage weights
+    "olap_rendezvous",       # NEW: HRW sharding, minimal-move resize
     # --- (3) round 4g: NEW operators (newest session) ---
     "text_kn_lm",            # NEW: interpolated Kneser-Ney bigram LM
     "web_redirects",         # NEW: pointer-doubling redirect resolution
@@ -9830,6 +9856,7 @@ ORACLES: dict[str, str] = {
     "kg_single_linkage": SQL_KG_SINGLE_LINKAGE,
     "events_attribution": SQL_EVENTS_ATTRIBUTION,
     "kg_link_fs": SQL_KG_LINK_FS,
+    "olap_rendezvous": SQL_OLAP_RENDEZVOUS,
     "text_lm_score": SQL_TEXT_LM_SCORE,
     "corpus_histogram": SQL_CORPUS_HISTOGRAM,
     "corpus_quartiles": SQL_CORPUS_QUARTILES,

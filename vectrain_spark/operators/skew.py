@@ -96,3 +96,105 @@ def two_phase_agg(
     return phase1.groupBy(key).agg(
         *[refin[fn](out).alias(out) for out, (fn, _) in parsed.items()]
     )
+
+
+def rendezvous_assign(
+    keys: DataFrame, key_col: str, n_shards: int
+) -> DataFrame:
+    """Highest-random-weight (rendezvous) hashing (Thaler & Ravishankar
+    1998) -> (key, shard): each key goes to the shard with the maximal
+    md5(key, shard) weight. THE assignment scheme behind consistent
+    partition placement: deterministic, coordination-free, and — unlike
+    modulo hashing, which remaps (N-1)/N of all keys when a shard is
+    added — moves only ~1/(N+1) of keys on a resize (every key's old
+    winner stays unless the NEW shard out-weighs it). One in-row explode
+    to n_shards weights + one max_by aggregate with map-side combine.
+    """
+    tagged = keys.select(
+        F.col(key_col).alias("key"),
+        F.explode(
+            F.array(*[F.lit(j) for j in range(n_shards)])
+        ).alias("j"),
+    ).select(
+        "key",
+        "j",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("key").cast("string"),
+                        F.lit(":"),
+                        F.col("j").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("w"),
+    )
+    return tagged.groupBy("key").agg(
+        F.max_by("j", "w").cast("int").alias("shard")
+    )
+
+
+def rendezvous_rebalance_report(
+    keys: DataFrame, key_col: str, n_from: int, n_to: int
+) -> DataFrame:
+    """Shard histogram under ``n_from`` shards plus how many of each
+    shard's keys MOVE when resizing to ``n_to`` -> (shard, n_keys,
+    n_moved). The minimal-disruption invariant is the value check: with
+    HRW every moved key must land on a NEW shard id (>= n_from) when
+    growing — old shards never exchange keys among themselves — and the
+    expected moved fraction is (n_to - n_from) / n_to.
+    """
+    a = rendezvous_assign(keys, key_col, n_from).withColumnRenamed(
+        "shard", "shard_a"
+    )
+    b = rendezvous_assign(keys, key_col, n_to).withColumnRenamed(
+        "shard", "shard_b"
+    )
+    return (
+        a.join(b, "key")
+        .groupBy(F.col("shard_a").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum(
+                F.when(F.col("shard_a") != F.col("shard_b"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_moved"),
+        )
+    )
+
+
+def rendezvous_oracle_sql(
+    keys_sql: str, key_col: str, n_from: int, n_to: int
+) -> str:
+    """DuckDB replay of :func:`rendezvous_rebalance_report` — identical
+    md5 weights and arg_max winner rule."""
+
+    def assign(n: int, alias: str) -> str:
+        return f"""
+{alias} AS (
+  SELECT key, arg_max(j, w) AS shard FROM (
+    SELECT k.key, t.j,
+           ('0x' || substr(md5(k.key::VARCHAR || ':' || t.j::VARCHAR),
+                           1, 15))::BIGINT AS w
+    FROM (SELECT {key_col} AS key FROM ({keys_sql})) k,
+         generate_series(0, {n - 1}) t(j)
+  ) GROUP BY key
+)"""
+
+    return f"""
+WITH {assign(n_from, "hrw_a")},
+{assign(n_to, "hrw_b")}
+SELECT a.shard::INT AS shard, count(*)::BIGINT AS n_keys,
+       sum(CASE WHEN a.shard != b.shard THEN 1 ELSE 0 END)::BIGINT
+         AS n_moved
+FROM hrw_a a JOIN hrw_b b USING (key)
+GROUP BY 1
+"""
