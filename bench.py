@@ -724,10 +724,67 @@ Determinism: {"every trial at every level emitted the same triple count"
     )
 
 
+def _emit_default(result: dict) -> None:
+    """Print the full result, then a compact LAST line the driver can parse.
+
+    Round-4 postmortem (VERDICT r4 "What's wrong" #1): the single JSON
+    stdout line grew past the driver's ~2 KB tail capture, so BENCH_r04
+    shipped `"parsed": null` — the headline figures survived only by field
+    ordering. The driver keeps the tail of stdout and parses the LAST
+    line, so the contract here is: full result first (humans, logs, and
+    the repo's own BENCH/ archive), then one compact line ≤1.5 KB carrying
+    everything adjudication needs — kg throughput, the pre/post host
+    controls that normalize it, the per-stage kg breakdown, and the
+    top-10 slowest queries. The full per-query map lives in
+    BENCH/full_latest.json (committed per round).
+    """
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/full_latest.json", "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result))
+    q = result.get("queries", {})
+    slowest = dict(
+        sorted(q.items(), key=lambda kv: kv[1], reverse=True)[:10]
+    )
+    if "kg_pipeline" in q:
+        slowest["kg_pipeline"] = q["kg_pipeline"]
+    compact = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": result["unit"],
+        "sf": result["sf"],
+        "cores": result["cores"],
+        "n_queries_timed": len(q),
+        "queries": slowest,
+        "queries_full": "BENCH/full_latest.json",
+        "kg_pages": result["kg_pages"],
+        "kg_triples": result["kg_triples"],
+        "kg_canonical_triples": result["kg_canonical_triples"],
+        "triples_per_sec": result["triples_per_sec"],
+        "pages_per_sec": result["pages_per_sec"],
+        "host_control_units_per_sec": result["host_control_units_per_sec"],
+        "host_control_pre_kg": result["host_control_pre_kg"],
+        "host_control_post_kg": result["host_control_post_kg"],
+        "triples_per_sec_per_control_unit": result[
+            "triples_per_sec_per_control_unit"
+        ],
+        "kg_stage_sec": result["kg_stage_sec"],
+    }
+    line = json.dumps(compact)
+    # hard guarantee: the driver's capture window is ~2000 chars; stay
+    # under 1500 by dropping the least-essential fields in order
+    for drop in ("kg_stage_sec", "queries"):
+        if len(line) <= 1500:
+            break
+        compact.pop(drop, None)
+        line = json.dumps(compact)
+    print(line)
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         run_scaling()
     elif "--gen-corpus" in sys.argv:
         run_gen_corpus()
     else:
-        print(json.dumps(run_default(kg_only="--kg-only" in sys.argv)))
+        _emit_default(run_default(kg_only="--kg-only" in sys.argv))

@@ -86,6 +86,9 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
         return args
     if args.explain and not args.query:
         p.error("--explain requires --query")
+    if args.query and not args.explain and not (args.out or args.config):
+        p.error("--query needs a sink: pass --out (or sink.out via"
+                " --config), or use --explain for a plan-only run")
     if args.maintain == "cluster" and not args.cols:
         p.error("--maintain cluster requires --cols")
     if args.maintain == "delete" and not args.predicate:
@@ -170,6 +173,11 @@ def main(argv: list[str] | None = None) -> int:
             df.explain(mode="formatted")
             spark.stop()
             return 0
+        if not out:
+            print("--query needs a sink: the --config file has no sink.out"
+                  " and --out was not given", file=sys.stderr)
+            spark.stop()
+            return 2
         dest = f"{out}/queries/{args.query}"
         df.write.mode("overwrite").parquet(dest)
         n = spark.read.parquet(dest).count()

@@ -288,6 +288,15 @@ class Catalog:
                 continue  # file's whole range misses the predicate
             keep.append(f)
         report = {"files_total": len(all_files), "files_read": len(keep)}
+        if not all_files:
+            # a committed snapshot whose data dirs hold no parquet files
+            # (e.g. an all-rows-deleted rewrite): spark.read.parquet(*[])
+            # raises an opaque "cannot infer schema" — fail with the real
+            # cause instead (ADVICE r4)
+            raise FileNotFoundError(
+                f"table {table} snapshot has no data files under "
+                f"{m['data_dirs']}"
+            )
         if not keep:
             df = spark.read.parquet(*all_files).limit(0)
         else:

@@ -8921,8 +8921,14 @@ def q_olap_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle is the naive parquet join; parity proves the bucketed
     layout is result-identical, in exact DECIMAL money."""
     import shutil
+    import uuid
 
-    root = "/tmp/vectrain_bucketed_gate"
+    # per-run unique root + table names: two concurrent gate/driver runs
+    # on one machine must not clobber each other's bucketed tables
+    # mid-join (ADVICE r4), and the metastore entries are dropped in the
+    # finally below so nothing leaks past the query
+    run_tag = uuid.uuid4().hex[:10]
+    root = f"/tmp/vectrain_bucketed_gate_{run_tag}"
     shutil.rmtree(root, ignore_errors=True)
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
         "l_orderkey",
@@ -8934,26 +8940,36 @@ def q_olap_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     od = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
         "o_orderkey", "o_orderpriority"
     )
-    for name, df, key in (
-        ("bj_lineitem", li, "l_orderkey"),
-        ("bj_orders", od, "o_orderkey"),
-    ):
-        spark.sql(f"DROP TABLE IF EXISTS {name}")
-        (
-            df.write.bucketBy(8, key)
-            .sortBy(key)
-            .option("path", f"{root}/{name}")
-            .mode("overwrite")
-            .saveAsTable(name)
+    t_li, t_od = f"bj_lineitem_{run_tag}", f"bj_orders_{run_tag}"
+    try:
+        for name, df, key in (
+            (t_li, li, "l_orderkey"),
+            (t_od, od, "o_orderkey"),
+        ):
+            (
+                df.write.bucketBy(8, key)
+                .sortBy(key)
+                .option("path", f"{root}/{name}")
+                .mode("overwrite")
+                .saveAsTable(name)
+            )
+        j = spark.table(t_li).join(
+            spark.table(t_od),
+            F.col("l_orderkey") == F.col("o_orderkey"),
         )
-    j = spark.table("bj_lineitem").join(
-        spark.table("bj_orders"),
-        F.col("l_orderkey") == F.col("o_orderkey"),
-    )
-    return j.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n_lines"),
-        F.sum("rev").cast("double").alias("revenue"),
-    )
+        agg = j.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("rev").cast("double").alias("revenue"),
+        )
+        # materialize the (priority-count-sized, ~5 rows) result BEFORE
+        # dropping the tables, so the returned frame carries no dangling
+        # metastore reference and the registration is strictly query-scoped
+        rows = agg.collect()
+        return spark.createDataFrame(rows, schema=agg.schema)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t_li}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_od}")
+        shutil.rmtree(root, ignore_errors=True)
 
 
 SQL_OLAP_BUCKETED_JOIN = """
@@ -9536,151 +9552,39 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # Registry ordered by VERIFICATION VALUE (see the list's own comment).
 _CHANGED_THIS_ROUND = [
     # The driver's correctness run caps at ~50 rows, so ordering IS the
-    # verification budget. Round 4 added ~70 new gates — more than the
-    # cap — so the allocation is: (1) the 24 gates that have NEVER had a
-    # driver CORRECTNESS row across all rounds (VERDICT r3 ask #5 —
-    # "Done = CORRECTNESS_r04 rows for all 24"); (2) gates whose
-    # BEHAVIOR changed this round (ADVICE fixes + skew-cap plan
-    # rewrites: semantics moved, driver re-verification is worth most);
-    # (3) this round's new operators, newest (least-soaked) first. The
-    # round-4 new gates past the cap are all multiply replica-verified
-    # (tools/check_driver_queries.py, identical check) across the
-    # round's sessions.
-    # --- (1) driver-verification ROTATION (VERDICT r3 #5) ---
-    "events_asof", "events_funnel", "events_json", "events_pivot",
-    "events_retention", "events_anomaly", "payload_coerce",
-    "web_crawl_drift", "corpus_cube", "sketch_distinct", "ingest_jsonl",
-    "text_vocab", "text_bigram_lm", "corpus_histogram",
-    "olap_nation_revenue", "olap_pricing_summary",
-    "sim_maxsim", "dedup_embedding_lsh", "corpus_quartiles",
-    "ingest_csv", "text_lm_score", "sim_knn_euclid", "sim_knn_dot",
-    "dedup_embedding_euclid",
-    # --- (2) round 4: behavior/plan changes needing re-verification ---
-    "kg_transe",             # sqrt clamp (ADVICE r3) — both engines
-    "web_frontier",          # base derived from src host (ADVICE r3)
-    "catalog_cdc",           # presence-marker classification (ADVICE r3)
-    "catalog_merge",         # duplicate-source-key guard (ADVICE r3)
-    "catalog_wap",           # in-lock fast-forward re-check (ADVICE r3)
-    "kg_neighbor_jaccard",   # degree-oriented wedge rewrite (hub cap)
-    "kg_triangles",          # shares the refactored _oriented_wedges
-    "sim_semantic_dedup",    # per-cell block-matrix cap
-    "kg_link_fuzzy",         # length-bucket equi-join (no nested loop)
-    # --- round 4i: NEW operators ---
-    "events_changepoint",    # NEW: integer-exact CUSUM drift detection
-    "privacy_k_anon",        # NEW: Datafly k-anonymity release ladder
-    "sim_scalar_quant",      # NEW: SQ8 int8 quantization, integer top-k
-    "text_nb_langid",        # NEW: trained NB trigram langid, confusion
-    "olap_bucketed_join",    # NEW: bucketed co-located join == naive join
-    "kg_mst",                # NEW: Boruvka minimum spanning forest
-    "kg_rpq",                # NEW: bounded regular path query (a/b*/c)
-    "sketch_join_size",      # NEW: AMS tug-of-war join-size / F2 sketch
-    "catalog_scan_prune",    # NEW: manifest-stats file-pruning scan
-    "corpus_unimax",         # NEW: UniMax waterfill language budgets
-    "kg_diameter",           # NEW: double-sweep pseudo-diameter
-    "text_bm25",             # NEW: integer-exact BM25 ranked retrieval
-    "kg_single_linkage",     # NEW: single-linkage via MSF == direct CC
-    "events_attribution",    # NEW: Markov removal-effect attribution
-    "kg_link_fs",            # NEW: Fellegi-Sunter linkage weights
-    "olap_rendezvous",       # NEW: HRW sharding, minimal-move resize
-    # --- (3) round 4g: NEW operators (newest session) ---
-    "text_kn_lm",            # NEW: interpolated Kneser-Ney bigram LM
-    "web_redirects",         # NEW: pointer-doubling redirect resolution
-    "text_simrank",          # NEW: recursive SimRank word similarity
-    "text_ccnet_buckets",    # NEW: CCNet head/middle/tail quality cut
-    "kg_scc",                # NEW: direction-respecting SCC vs WCC
-    "sim_kmeans_seed",       # NEW: k-means|| oversampling rounds
-    "olap_skyline",          # NEW: Pareto-front dominance query
-    "web_bowtie",            # NEW: Broder bow-tie crawl-graph map
-    "text_entropy",          # NEW: exact-sum Shannon entropy + TTR
-    "multimodal_image_ahash",  # NEW: perceptual aHash image dedup
-    "events_sax",            # NEW: SAX time-series discretization
-    "kg_betweenness",        # NEW: sampled Brandes betweenness
-    "kg_quotient",           # NEW: WL-class quotient summarization
-    "kg_link_snm",           # NEW: sorted-neighborhood ER blocking
-    "kg_ontology",           # NEW: RDFS subClassOf type entailment
-    "kg_conflicts",          # NEW: temporal functional-conflict pairs
-    "kg_mis",                # NEW: Luby maximal independent set
-    # --- round 4f ---
-    "kg_clustering",         # NEW: per-node local clustering coefficient
-    "kg_rotate",             # NEW: RotatE complex-rotation KG scorer
-    "kg_wl_colors",          # NEW: 1-WL structural-role refinement
-    "ingest_warc",           # NEW: WARC 1.0 build/parse round trip
-    "kg_modularity",         # NEW: Newman Q decomposition of LPA labels
-    "kg_label_spread",       # NEW: seeded semi-supervised entity typing
-    "kg_sage_features",      # NEW: one-hop mean embedding propagation
-    "kg_katz",               # NEW: Katz attenuated-path centrality
-    "text_textrank",         # NEW: TextRank over the word co-occurrence graph
-    "text_bpe_train",        # NEW: 3-round BPE tokenizer-training loop
-    "text_bpe_encode",       # NEW: BPE apply + subword-token histogram
-    # --- round 4e: NEW operators ---
-    "dedup_substring",       # NEW: content-defined exact-substring dedup
-    "text_c4_filters",       # NEW: C4 line/doc cleaning verdicts
-    "catalog_evolution",     # NEW: field-id rename + default-filled add
-    "web_robots",            # NEW: robots.txt crawl-permission filter
-    "sketch_set_ops",        # NEW: KMV union/intersect/Jaccard estimates
-    "kg_assortativity",      # NEW: degree assortativity scalar
-    "text_readability",      # NEW: Flesch / FK-grade map stage
-    # --- round 4d: NEW operators ---
-    "kg_anchor_aliases",     # NEW: anchor-text alias dictionary + commonness
-    "kg_char_sets",          # NEW: characteristic sets (entity shapes)
-    "corpus_quantile_sketch",  # NEW: mergeable histogram quantiles
-    "stream_join_outer",     # NEW: left-outer stream-stream join (eviction)
-    "kg_neighborhood_function",  # NEW: HyperBall effective-diameter sketch
-    "olap_salted_join",      # NEW: salted hub-key join == naive join
-    "events_hot_key_agg",    # NEW: two-phase skew agg == one-phase
-    "kg_fact_fusion",        # NEW: TruthFinder-style weighted fact fusion
-    "kg_neighbor_minhash",   # NEW: MinHash-LSH neighbor-set similarity
-    "olap_min_cost_supplier",  # NEW: TPC-H Q2 shape (decorrelated argmin)
-    "olap_important_parts",  # NEW: TPC-H Q11 shape (global-scalar probe)
-    "olap_supplier_variety", # NEW: TPC-H Q16 shape (anti-join + distinct)
-    "olap_part_promotion",   # NEW: TPC-H Q20 shape (agg -> semi-join chain)
-    # --- round 4c: NEW operators ---
-    "kg_reciprocity",        # NEW: per-predicate symmetry/inverse profile
-    "kg_distmult",           # NEW: bilinear-diagonal KG scorer (vs TransE)
-    "kg_ntriples",           # NEW: W3C N-Triples export of canonical edges
-    "sample_weighted",       # NEW: priority sampling (DLT 2007), IPPS
-    "olap_market_share",     # NEW: TPC-H Q8 shape
-    "olap_product_profit",   # NEW: TPC-H Q9 shape (retailprice cost proxy)
-    "olap_priority_lines",   # NEW: TPC-H Q12 shape (returnflag classes)
-    "olap_waiting_orders",   # NEW: TPC-H Q21 shape as ONE conditional agg
-    "events_markov",         # NEW: first-order event transition matrix
-    "corpus_zipf",           # NEW: Zipf OLS fit over the top-100 vocab
-    "sim_recall_eval",       # NEW: IVF recall@5 vs exact, in-engine
-    # --- round 4 (first session): NEW operators ---
-    "kg_transe_train",       # NEW: TransE SGD epoch (margin loss, grads)
-    "kg_walks_node2vec",     # NEW: biased walks (integer p/q weights)
-    "kg_adamic_adar",        # NEW: AA/RA link-prediction indices
-    "olap_returned_items",   # NEW: TPC-H Q10 shape
-    "olap_small_qty_revenue",  # NEW: TPC-H Q17 shape
-    "olap_discount_revenue",  # NEW: TPC-H Q19 shape
-    "olap_global_sales",     # NEW: TPC-H Q22 shape
-    "olap_top_supplier",     # NEW: TPC-H Q15 shape
-    "olap_volume_shipping",  # NEW: TPC-H Q7 shape
-    "corpus_mixture",        # NEW: temperature-scaled domain mixing
-    "kg_pred_assoc",         # NEW: association rules over (subj, pred)
-    "kg_truss",              # NEW: fixed-round 4-truss peeling
-    "sim_ivfpq",             # NEW: IVF-PQ (coarse probe + ADC codes)
-    "kg_pred_cardinality",   # NEW: AMIE functionality constraint mining
-    "kg_rules",              # NEW: length-1 Horn rule confidence (dir+inv)
-    "kg_metapath",           # NEW: PRA 2-hop path stats, hub cap engaged
-    "kg_transe_eval",        # NEW: MRR/Hits@k link-prediction eval
-    "corpus_dsir",           # NEW: DSIR hashed-unigram importance weights
-    "sim_mmr",               # NEW: MMR diversified re-ranking
-    "kg_cc_incremental",     # NEW: super-node-contraction incremental CC
-    "events_sequences",      # NEW: adjacent-sequence pattern mining
-    "kg_fact_history",       # NEW: SCD2 validity intervals over 3 crawls
-    "kg_link_pr",            # NEW: linking P/R/F1 threshold sweep vs gold
-    "catalog_ivm",           # NEW: incremental view maintenance from CDC
-    "corpus_quality_probe",  # NEW: in-engine trained linear quality probe
-    "kg_entity_cards",       # NEW: entity-card (infobox) materialization
-    # --- round-3 additions, driver-verified in r03, kept high while young ---
-    "sim_pq", "kg_degree_hist", "text_bpe_pairs",
-    "kg_walks", "kg_walk_pairs",
-    "kg_hits", "kg_communities", "kg_sssp", "kg_ppr",
-    "kg_closure", "kg_star",
-    "dedup_sentences", "stream_topk", "kg_link_dispatch",
-    "kg_incremental", "kg_lineage", "kg_stream_triples",
+    # verification budget. Round-5 allocation (VERDICT r4 ask #2): the 84
+    # gates that have NEVER had a driver CORRECTNESS row across rounds
+    # 1-4 come FIRST, oldest additions first, so the ~49-row cap clears
+    # the oldest 49 of the backlog; round-5 NEW operators go AFTER them
+    # and ride the replica tool (tools/check_driver_queries.py, the
+    # identical rows/columns/values check) for one round. Gates whose
+    # behavior changed in round 5 (the SCC forward-backward rewrite)
+    # are already in the backlog (kg_scc, web_bowtie).
+    # --- (1) never-driver-verified backlog, oldest first ---
+    "dedup_substring", "text_c4_filters", "catalog_evolution", "web_robots",
+    "sketch_set_ops", "kg_assortativity", "text_readability", "kg_anchor_aliases",
+    "kg_char_sets", "corpus_quantile_sketch", "stream_join_outer", "kg_neighborhood_function",
+    "olap_salted_join", "events_hot_key_agg", "kg_fact_fusion", "kg_neighbor_minhash",
+    "olap_min_cost_supplier", "olap_important_parts", "olap_supplier_variety", "olap_part_promotion",
+    "kg_pred_assoc", "kg_pred_cardinality", "kg_rules", "kg_metapath",
+    "kg_adamic_adar", "kg_clustering", "kg_wl_colors", "ingest_warc",
+    "kg_modularity", "kg_label_spread", "kg_sage_features", "kg_katz",
+    "text_textrank", "text_bpe_train", "text_bpe_encode", "kg_truss",
+    "kg_cc_incremental", "kg_transe_eval", "kg_transe_train", "kg_walks_node2vec",
+    "corpus_mixture", "corpus_dsir", "web_redirects", "text_simrank",
+    "text_ccnet_buckets", "kg_scc", "sim_kmeans_seed", "olap_skyline",
+    "web_bowtie", "text_entropy", "multimodal_image_ahash", "events_sax",
+    "kg_betweenness", "kg_quotient", "kg_link_snm", "kg_ontology",
+    "kg_conflicts", "kg_mis", "olap_returned_items", "olap_small_qty_revenue",
+    "olap_discount_revenue", "olap_global_sales", "olap_top_supplier", "olap_volume_shipping",
+    "sim_ivfpq", "sim_mmr", "events_sequences", "kg_fact_history",
+    "kg_link_pr", "kg_entity_cards", "catalog_ivm", "corpus_quality_probe",
+    "kg_reciprocity", "kg_distmult", "kg_rotate", "kg_ntriples",
+    "sample_weighted", "olap_market_share", "olap_product_profit", "olap_priority_lines",
+    "olap_waiting_orders", "events_markov", "corpus_zipf", "sim_recall_eval",
+    # --- (2) round-5 NEW operators (replica-verified this round) ---
 ]
+
 _DRIVER_VERIFIED_R2 = 50  # entries past this index never ran driver-side
 
 

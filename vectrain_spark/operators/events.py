@@ -602,8 +602,14 @@ def attribution_removal_effect(
             F.col("removed").alias("channel"),
             F.col("p_conv").alias("p_conv_removed"),
             F.col("p_full").alias("p_conv_full"),
-            F.round(
-                F.lit(1.0) - F.col("p_conv") / F.col("p_full"), 6
+            # p_full = 0 (no conversions at all, or start->conv mass that
+            # rounds to 0 within the step budget): removal effect is
+            # undefined — report NULL explicitly on BOTH engines rather
+            # than inherit divide-by-zero semantics that differ between
+            # Spark (NULL) and DuckDB (error/inf)
+            F.when(
+                F.col("p_full") != 0.0,
+                F.round(F.lit(1.0) - F.col("p_conv") / F.col("p_full"), 6),
             ).alias("removal_effect"),
         )
     )
@@ -681,6 +687,7 @@ att_pc AS (
 ),
 att_full AS (SELECT p_conv AS p_full FROM att_pc WHERE removed = '__none__')
 SELECT removed AS channel, p_conv AS p_conv_removed, p_full AS p_conv_full,
-       round(1.0 - p_conv / p_full, 6) AS removal_effect
+       CASE WHEN p_full = 0 THEN NULL
+            ELSE round(1.0 - p_conv / p_full, 6) END AS removal_effect
 FROM att_pc, att_full WHERE removed != '__none__'
 """

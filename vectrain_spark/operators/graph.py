@@ -1641,16 +1641,14 @@ def shortest_paths(
     return dist.select("seed", "id", F.round("dist", OUT_ROUND).alias("dist"))
 
 
-def shortest_paths_oracle_sql(
+def _shortest_paths_cte_parts(
     edges_sql: str, seeds_sql: str, rounds: int = SSSP_ROUNDS,
     weight_sql: str | None = None, prefix: str = "",
-) -> str:
-    """Unrolled-CTE DuckDB reconstruction of :func:`shortest_paths` —
-    identical per-hop rounding and MIN combine per level. ``prefix``
-    disambiguates the internal CTE names so two instances can nest
-    (pseudo_diameter feeds one sweep's argmax into the next sweep's
-    seed subquery — DuckDB rejects duplicate CTE aliases across the
-    nesting otherwise)."""
+) -> tuple[list[str], str]:
+    """CTE bodies + final SELECT for the unrolled BFS oracle, so callers
+    that compose several sweeps (pseudo_diameter) can flatten them into
+    ONE ``WITH`` and materialize each sweep exactly once instead of
+    inlining the full chain per scalar subquery (ADVICE r4)."""
     pe, pd = f"{prefix}e", f"{prefix}d"
     if weight_sql is None:
         e_cte = (
@@ -1679,11 +1677,25 @@ def shortest_paths_oracle_sql(
   ) GROUP BY seed, id
 )"""
         )
-    body = ",\n".join(parts)
-    return (
-        f"WITH {body}\n"
+    final = (
         f"SELECT seed, id, round(dist, {OUT_ROUND}) AS dist FROM {pd}{rounds}"
     )
+    return parts, final
+
+
+def shortest_paths_oracle_sql(
+    edges_sql: str, seeds_sql: str, rounds: int = SSSP_ROUNDS,
+    weight_sql: str | None = None, prefix: str = "",
+) -> str:
+    """Unrolled-CTE DuckDB reconstruction of :func:`shortest_paths` —
+    identical per-hop rounding and MIN combine per level. ``prefix``
+    disambiguates the internal CTE names so two instances can coexist
+    in one statement (see :func:`pseudo_diameter_oracle_sql`)."""
+    parts, final = _shortest_paths_cte_parts(
+        edges_sql, seeds_sql, rounds, weight_sql, prefix
+    )
+    body = ",\n".join(parts)
+    return f"WITH {body}\n{final}"
 
 
 # ---------------------------------------------------------------------------
@@ -4113,19 +4125,29 @@ def pseudo_diameter_oracle_sql(edges_sql: str, rounds: int = 8) -> str:
         f" UNION ALL SELECT dst, src FROM ({edges_sql})"
     )
     seeds0 = f"SELECT min(src) AS seed FROM ({sym})"
-    o1 = shortest_paths_oracle_sql(sym, seeds0, rounds, prefix="pd1_")
+    # ONE WITH: each 8-round sweep materializes exactly once (pd1_res,
+    # pd2_res) and every scalar below reads the materialized result —
+    # previously the full unrolled chain was inlined per scalar subquery
+    # and DuckDB re-ran each sweep up to 3x (ADVICE r4)
+    parts1, tail1 = _shortest_paths_cte_parts(sym, seeds0, rounds, prefix="pd1_")
     far1 = (
-        f"SELECT min(id) AS seed FROM ({o1}) WHERE dist ="
-        f" (SELECT max(dist) FROM ({o1}))"
+        "SELECT min(id) AS seed FROM pd1_res WHERE dist ="
+        " (SELECT max(dist) FROM pd1_res)"
     )
-    o2 = shortest_paths_oracle_sql(sym, far1, rounds, prefix="pd2_")
-    return f"""
+    parts2, tail2 = _shortest_paths_cte_parts(sym, far1, rounds, prefix="pd2_")
+    body = ",\n".join(
+        parts1
+        + [f"pd1_res AS MATERIALIZED ({tail1})"]
+        + parts2
+        + [f"pd2_res AS MATERIALIZED ({tail2})"]
+    )
+    return f"""WITH {body}
 SELECT ({seeds0}) AS seed_node,
-       ({far1}) AS far_node,
-       (SELECT max(dist) FROM ({o1})) AS ecc1,
-       (SELECT min(id) FROM ({o2}) WHERE dist =
-          (SELECT max(dist) FROM ({o2}))) AS far2_node,
-       (SELECT max(dist) FROM ({o2})) AS diameter_lb
+       ({far1.replace(' AS seed ', ' ')}) AS far_node,
+       (SELECT max(dist) FROM pd1_res) AS ecc1,
+       (SELECT min(id) FROM pd2_res WHERE dist =
+          (SELECT max(dist) FROM pd2_res)) AS far2_node,
+       (SELECT max(dist) FROM pd2_res) AS diameter_lb
 """
 
 
