@@ -1,0 +1,124 @@
+"""Round-5 operators: forward-backward/coloring SCC scale properties,
+unigram-LM tokenizer training, sketch-costed link dispatch, suffix-array
+substring dedup, and streaming incremental dedup."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_scc_giant_component_no_closure_sized_intermediate(spark):
+    """A 24-node BIDIRECTIONAL ring is one giant SCC whose transitive
+    closure holds 24*24 = 576 pairs; the coloring/FB implementation
+    must never materialize a frame anywhere near that — every
+    intermediate (colors, frontiers, reached sets, live edges) is
+    O(V + E) = 72 rows. The stats hook records the largest frame."""
+    from vectrain_spark.operators.graph import strongly_connected_components
+
+    n = 24
+    fwd = [(f"v{i:02d}", f"v{(i + 1) % n:02d}") for i in range(n)]
+    edges = spark.createDataFrame(
+        fwd + [(b, a) for a, b in fwd], "src string, dst string"
+    )
+    stats: dict = {}
+    rows = strongly_connected_components(edges, stats=stats).collect()
+    assert len(rows) == n
+    assert {r["scc_id"] for r in rows} == {"v00"}
+    assert all(r["scc_size"] == n for r in rows)
+    v, e = n, 2 * n
+    assert stats["max_frame_rows"] <= 2 * (v + e), stats
+    assert stats["max_frame_rows"] < n * n / 4  # nowhere near the closure
+
+
+def test_scc_chain_of_cycles_multiple_pivot_rounds(spark):
+    """Five 4-cycles chained by one-way bridges: the condensation is a
+    path, so coloring needs several outer rounds (upstream colors mask
+    downstream roots) — exercises the remove-and-recurse loop, and every
+    cycle must still come out as its own component."""
+    from vectrain_spark.operators.graph import strongly_connected_components
+
+    edges = []
+    for c in range(5):
+        ids = [f"c{c}n{j}" for j in range(4)]
+        edges += [(ids[j], ids[(j + 1) % 4]) for j in range(4)]
+        if c < 4:
+            edges.append((f"c{c}n0", f"c{c + 1}n0"))  # one-way bridge
+    e = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r for r in strongly_connected_components(e).collect()}
+    assert len(got) == 20
+    for c in range(5):
+        ids = {f"c{c}n{j}" for j in range(4)}
+        assert {got[i]["scc_id"] for i in ids} == {f"c{c}n0"}
+        assert all(got[i]["scc_size"] == 4 for i in ids)
+
+
+def test_bowtie_reach_sweeps_no_closure(spark):
+    """Bow-tie over a core cycle with a long IN chain and a long OUT
+    chain (depth 15 each — past the old 12-hop closure cap): the BFS
+    sweeps run to drain, so the full chains classify as in/out, and the
+    largest materialized frame stays linear."""
+    from vectrain_spark.operators.graph import bowtie_classes
+
+    core = [(f"k{i}", f"k{(i + 1) % 3}") for i in range(3)]
+    chain_in = [(f"i{j}", f"i{j + 1}") for j in range(14)] + [("i14", "k0")]
+    chain_out = [("k1", "o0")] + [(f"o{j}", f"o{j + 1}") for j in range(14)]
+    e = spark.createDataFrame(
+        core + chain_in + chain_out, "src string, dst string"
+    )
+    stats: dict = {}
+    got = {r["node"]: r["cls"] for r in bowtie_classes(e, stats=stats).collect()}
+    assert {got[f"k{i}"] for i in range(3)} == {"core"}
+    assert {got[f"i{j}"] for j in range(15)} == {"in"}
+    assert {got[f"o{j}"] for j in range(15)} == {"out"}
+    n_nodes, n_edges = 33, len(core + chain_in + chain_out)
+    assert stats["max_frame_rows"] <= 2 * (n_nodes + n_edges), stats
+
+
+def test_unigram_lm_segmentations_cover_and_scores_drop_unused(spark):
+    """A toy corpus where 'abab' repeats: the seed vocabulary holds every
+    <=4-char substring; after EM the winning pieces must (a) concatenate
+    back to their words exactly (the Viterbi fold is a full-cover DP) and
+    (b) carry counts that sum to the corpus's segmented piece mass —
+    while pieces no winning path uses drop out of the table."""
+    from vectrain_spark.operators.textstats import (
+        UNIGRAM_CAP,
+        _unigram_viterbi,
+        _unigram_words,
+        unigram_lm_train,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "abab abab cd"), (2, "abab cd cd"), (3, "ababab")],
+        "doc_id long, text string",
+    )
+    pieces = unigram_lm_train(docs, iters=2, top_n=100)
+    rows = pieces.collect()
+    assert rows, "empty piece table"
+    got = {r["piece"]: r["cnt"] for r in rows}
+    # every surviving piece is a substring of some corpus word
+    for p in got:
+        assert any(p in w for w in ("abab", "cd", "ababab")), p
+    # segmentations reassemble their words and only use surviving pieces
+    segs = _unigram_viterbi(
+        _unigram_words(docs), pieces
+    ).collect()
+    for r in segs:
+        assert "".join(r["seg"].split(" ")) == r["w"][:UNIGRAM_CAP]
+        for p in r["seg"].split(" "):
+            assert p in got, (r["w"], r["seg"], p)
+    # piece usage mass equals segmented mass (counts are f-weighted)
+    seg_mass = sum(len(r["seg"].split(" ")) * r["f"] for r in segs)
+    assert sum(got.values()) == seg_mass
+
+
+def test_unigram_lm_deterministic_across_runs(spark):
+    """Two independent trainings over the same frame produce the
+    identical table — quantized BIGINT scores leave no float path."""
+    from vectrain_spark.operators.textstats import unigram_lm_train
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 5} shared tokens w{i % 3}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, unigram_lm_train(docs).collect()))
+    b = sorted(map(tuple, unigram_lm_train(docs).collect()))
+    assert a == b

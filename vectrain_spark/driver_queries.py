@@ -8291,8 +8291,9 @@ def q_kg_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph (each 6-doc block forms a directed cycle; every 36th doc adds
     a ONE-WAY bridge into the next block): the bridge makes WCC merge
     block pairs while SCC must keep them apart — the direction-respecting
-    behavior the gate checks per node. Closure-intersect-reverse with
-    min-id reduction, vs a recursive-CTE replay."""
+    behavior the gate checks per node. Forward-backward reach COLORING
+    (Fleischer et al. 2000 / Orzan — round 5; never the transitive
+    closure) with min-id reduction, vs a recursive-CTE replay."""
     from .operators.graph import strongly_connected_components
 
     docs = _docs(spark, sf_dir)
@@ -9321,6 +9322,102 @@ def _olap_rendezvous_sql() -> str:
 SQL_OLAP_RENDEZVOUS = _olap_rendezvous_sql()
 
 
+def q_text_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style, Kudo 2018) tokenizer TRAINING:
+    substring-seeded vocabulary, then hard-EM rounds of Viterbi
+    segmentation (in-row integer-quantized DP) + frequency re-estimation
+    — the learned top-30 piece table, every EM round replayed verbatim
+    by unrolled DuckDB CTEs. Completes the tokenizer family beside BPE
+    train/encode and the KN bigram LM (VERDICT r4 ask #4)."""
+    from .operators.textstats import unigram_lm_train
+
+    return unigram_lm_train(_docs(spark, sf_dir))
+
+
+def _text_unigram_lm_sql() -> str:
+    from .operators.textstats import unigram_lm_oracle_sql
+
+    return unigram_lm_oracle_sql(NORM_SQL)
+
+
+SQL_TEXT_UNIGRAM_LM = _text_unigram_lm_sql()
+
+
+def q_kg_link_costed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-COSTED linking dispatch (VERDICT r4 ask #5: the AMS
+    join-size sketch existed but nothing consulted it): the linker is
+    chosen by the AMS estimate of the exact-hit count over the ACTUAL
+    surfaces, not by dictionary size alone. Output rows carry the links
+    from the sketch-chosen path plus the chosen strategy; the oracle
+    replays the identical md5-sign counters, upper-median, and
+    integer-ratio dispatch rule in SQL, so a wrong estimate OR a wrong
+    decision hash-mismatches — and the links themselves are checked
+    against the naive exact join."""
+    from .operators.linking import make_costed_linker
+
+    pages = pages_from_documents(_docs(spark, sf_dir))
+    good, _ = split_quarantine(extract_pages(pages))
+    surfaces = mention_surfaces(extract_triples_df(good))
+    linker, strategy, _info = make_costed_linker(
+        spark, surfaces, corpus_aliases(spark)
+    )
+    return linker(surfaces).select(
+        "surface", "entity_id", F.lit(strategy).alias("strategy")
+    )
+
+
+def _kg_link_costed_sql() -> str:
+    from .operators.linking import (
+        BROADCAST_DICT_MAX,
+        COSTED_HIT_DEN,
+        COSTED_HIT_NUM,
+    )
+    from .operators.sketch import AMS_COUNTERS
+
+    sign = (
+        "(1 - 2 * ((('0x' || substr(md5('s' || j::VARCHAR || chr(31)"
+        " || {col}::VARCHAR), 1, 15))::BIGINT) % 2))"
+    )
+    return f"""
+WITH aliases AS ({corpus_aliases_sql()}),
+mentions AS (
+  SELECT DISTINCT 'Vendor' || (doc_id % 7) AS surface FROM documents WHERE {_KG_PAGE_FILTER}
+  UNION
+  SELECT DISTINCT 'Client' || (doc_id % 13) FROM documents WHERE {_KG_PAGE_FILTER}
+),
+links AS (
+  SELECT m.surface AS surface, min(a.entity_id) AS entity_id
+  FROM mentions m JOIN aliases a ON a.alias = m.surface
+  GROUP BY m.surface
+),
+al AS (SELECT DISTINCT alias FROM aliases),
+lc_ska AS (
+  SELECT j, sum({sign.format(col="surface")})::BIGINT AS c_a
+  FROM mentions, generate_series(0, {AMS_COUNTERS - 1}) t(j) GROUP BY j
+),
+lc_skb AS (
+  SELECT j, sum({sign.format(col="alias")})::BIGINT AS c_b
+  FROM al, generate_series(0, {AMS_COUNTERS - 1}) t(j) GROUP BY j
+),
+lc_med AS (
+  SELECT list_sort(list((c_a * c_b)::BIGINT))[{AMS_COUNTERS // 2 + 1}]::BIGINT AS est
+  FROM lc_ska JOIN lc_skb USING (j)
+),
+lc_strat AS (
+  SELECT CASE
+    WHEN (SELECT count(*) FROM aliases) > {BROADCAST_DICT_MAX} THEN 'join'
+    WHEN est * {COSTED_HIT_DEN} >= (SELECT count(*) FROM mentions) * {COSTED_HIT_NUM}
+      THEN 'join'
+    ELSE 'broadcast' END AS strategy
+  FROM lc_med
+)
+SELECT l.surface, l.entity_id, s.strategy FROM links l, lc_strat s
+"""
+
+
+SQL_KG_LINK_COSTED = _kg_link_costed_sql()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_substring": q_dedup_substring,
     "text_c4_filters": q_text_c4_filters,
@@ -9547,6 +9644,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_markov": q_events_markov,
     "corpus_zipf": q_corpus_zipf,
     "sim_recall_eval": q_sim_recall_eval,
+    "text_unigram_lm": q_text_unigram_lm,
 }
 
 # Registry ordered by VERIFICATION VALUE (see the list's own comment).
@@ -9583,6 +9681,7 @@ _CHANGED_THIS_ROUND = [
     "sample_weighted", "olap_market_share", "olap_product_profit", "olap_priority_lines",
     "olap_waiting_orders", "events_markov", "corpus_zipf", "sim_recall_eval",
     # --- (2) round-5 NEW operators (replica-verified this round) ---
+    "text_unigram_lm",
 ]
 
 _DRIVER_VERIFIED_R2 = 50  # entries past this index never ran driver-side
@@ -9839,4 +9938,5 @@ ORACLES: dict[str, str] = {
     "events_markov": SQL_EVENTS_MARKOV,
     "corpus_zipf": SQL_CORPUS_ZIPF,
     "sim_recall_eval": SQL_SIM_RECALL_EVAL,
+    "text_unigram_lm": SQL_TEXT_UNIGRAM_LM,
 }

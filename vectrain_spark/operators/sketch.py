@@ -590,6 +590,54 @@ def _ams_sign(col: F.Column, j: int) -> F.Column:
     return (F.lit(1) - F.lit(2) * (h % 2)).cast("long")
 
 
+def _ams_counters(
+    df: DataFrame, col: str, out: str, counters: int
+) -> DataFrame:
+    """One AMS sketch pass: ``counters`` signed sums over the join-key
+    occurrences of ``df[col]`` — one scan, one aggregate onto a key
+    space of ``counters`` rows (shared by the exhibit gate and the
+    planner-consult path)."""
+    tagged = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        _ams_sign(F.col(col), j).alias("s"),
+                    )
+                    for j in range(counters)
+                ]
+            )
+        ).alias("x")
+    ).select("x.j", "x.s")
+    return tagged.groupBy("j").agg(F.sum("s").alias(out))
+
+
+def ams_estimate(
+    a: DataFrame,
+    a_col: str,
+    b: DataFrame,
+    b_col: str,
+    counters: int = AMS_COUNTERS,
+) -> int:
+    """Scalar AMS join-size estimate — the number a cost-based planner
+    actually consults: the sorted-upper-median of the per-counter
+    products, as a Python int. Costs one scan + counters-row aggregate
+    per side and ONE driver collect of ``counters`` rows (the same
+    convergence-check-sized collect budget the iterative operators use);
+    at 100 TB the per-shard counters are mergeable, so a catalog can
+    maintain them per wave and the consult becomes free."""
+    per = (
+        _ams_counters(a, a_col, "c_a", counters)
+        .join(_ams_counters(b, b_col, "c_b", counters), "j")
+        .select((F.col("c_a") * F.col("c_b")).alias("est"))
+        .collect()
+    )
+    ests = sorted(r["est"] for r in per)
+    # disjoint/empty sides produce no counter rows on one side -> est 0
+    return int(ests[counters // 2]) if len(ests) == counters else 0
+
+
 def ams_join_size(
     a: DataFrame,
     a_col: str,
@@ -618,24 +666,8 @@ def ams_join_size(
     counts joined on the key (never the materialized join).
     """
 
-    def _sk(df: DataFrame, col: str, out: str) -> DataFrame:
-        tagged = df.select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(j).alias("j"),
-                            _ams_sign(F.col(col), j).alias("s"),
-                        )
-                        for j in range(counters)
-                    ]
-                )
-            ).alias("x")
-        ).select("x.j", "x.s")
-        return tagged.groupBy("j").agg(F.sum("s").alias(out))
-
-    ska = _sk(a, a_col, "c_a")
-    skb = _sk(b, b_col, "c_b")
+    ska = _ams_counters(a, a_col, "c_a", counters)
+    skb = _ams_counters(b, b_col, "c_b", counters)
     ca = a.groupBy(F.col(a_col).alias("k")).agg(F.count(F.lit(1)).alias("na"))
     cb = b.groupBy(F.col(b_col).alias("k")).agg(F.count(F.lit(1)).alias("nb"))
     exact = ca.join(cb, "k").agg(

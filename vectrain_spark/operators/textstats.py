@@ -1003,3 +1003,283 @@ nb_pred AS (
 SELECT true_lang, cand AS pred_lang, count(*)::BIGINT AS n_docs
 FROM nb_pred WHERE rn = 1 GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM (SentencePiece-style) tokenizer training
+# ---------------------------------------------------------------------------
+
+UNIGRAM_CAP = 10        # words truncated to this many chars on both engines
+UNIGRAM_PIECE_LEN = 4   # max piece length in the seed vocabulary
+UNIGRAM_MIN_COUNT = 2   # multi-char seed pieces below this are dropped
+UNIGRAM_ITERS = 2       # Viterbi-EM refinement rounds
+UNIGRAM_TOP_N = 30
+_UQ_SCALE = 1e8         # 1e-8 log2 quantization units (the nb_langid idiom)
+
+
+def _unigram_words(docs: DataFrame) -> DataFrame:
+    """Corpus collapsed to its capped weighted vocabulary (w, f): the
+    two-phase wordcount — every downstream stage touches DISTINCT capped
+    words, never occurrences."""
+    from .dedup import normalized_text, spread
+
+    return (
+        spread(docs)
+        .select(F.explode(F.split(normalized_text(), " ")).alias("w0"))
+        .filter(F.col("w0") != "")
+        .select(F.substring("w0", 1, UNIGRAM_CAP).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+
+
+def _unigram_quantize(counted: DataFrame) -> DataFrame:
+    """(piece, cnt) -> (piece, cnt, logp_q): floor-quantized log2
+    relative frequency in 1e-8 units, so Viterbi scores are exact BIGINT
+    sums and the argmax is deterministic on both engines."""
+    total = counted.agg(F.sum("cnt").alias("tot"))
+    return counted.crossJoin(F.broadcast(total)).select(
+        "piece",
+        "cnt",
+        F.floor(F.log2(F.col("cnt") / F.col("tot")) * F.lit(_UQ_SCALE))
+        .cast("long")
+        .alias("logp_q"),
+    )
+
+
+def _unigram_viterbi(words: DataFrame, pieces: DataFrame) -> DataFrame:
+    """Viterbi segmentation of every distinct word under the current
+    piece scores -> (w, f, seg): the candidate (position, length) grid
+    explodes per word (<= CAP x PIECE_LEN cells), joins the broadcast
+    piece table once, folds back to a per-word score map, and the DP
+    itself runs as ONE in-row F.aggregate over positions — O(CAP x
+    PIECE_LEN) per word, all JVM, no token self-joins (the bpe_encode
+    fold idiom). Ties break by the lexicographically largest
+    segmentation string: best[i] = max(struct(score, seg))."""
+    n = F.length("w")
+    entries = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.filter(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(UNIGRAM_PIECE_LEN)),
+                    lambda L: F.when(
+                        i + L - F.lit(1) <= n,
+                        F.struct(
+                            (i * 16 + L).alias("k"),
+                            F.col("w").substr(i, L).alias("p"),
+                        ),
+                    ),
+                ),
+                lambda x: x.isNotNull(),
+            ),
+        )
+    )
+    cand = words.select("w", "f", F.explode(entries).alias("e")).select(
+        "w", "f", F.col("e.k").alias("k"), F.col("e.p").alias("piece")
+    )
+    wmap = (
+        cand.join(F.broadcast(pieces.select("piece", "logp_q")), "piece")
+        .groupBy("w", "f")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("k", "logp_q"))
+            ).alias("m")
+        )
+    )
+
+    init = F.array(
+        F.when(
+            F.lit(True),
+            F.struct(F.lit(0).cast("long").alias("q"), F.lit("").alias("seg")),
+        )
+    )
+
+    def step(acc, i):
+        cands = []
+        for L in range(1, UNIGRAM_PIECE_LEN + 1):
+            start = i - F.lit(L) + F.lit(1)
+            prev = F.element_at(acc, start.cast("int"))
+            pq = F.element_at(F.col("m"), start * 16 + F.lit(L))
+            piece = F.col("w").substr(start, F.lit(L))
+            cands.append(
+                F.when(
+                    (i >= F.lit(L)) & prev.isNotNull() & pq.isNotNull(),
+                    F.struct(
+                        (prev["q"] + pq).alias("q"),
+                        F.concat(prev["seg"], F.lit(" "), piece).alias("seg"),
+                    ),
+                )
+            )
+        return F.concat(acc, F.array(F.greatest(*cands)))
+
+    return wmap.select(
+        "w",
+        "f",
+        F.trim(
+            F.element_at(
+                F.aggregate(F.sequence(F.lit(1), F.length("w")), init, step),
+                (F.length("w") + 1).cast("int"),
+            )["seg"]
+        ).alias("seg"),
+    )
+
+
+def unigram_lm_train(
+    docs: DataFrame,
+    iters: int = UNIGRAM_ITERS,
+    top_n: int = UNIGRAM_TOP_N,
+) -> DataFrame:
+    """Unigram-LM tokenizer TRAINING (Kudo 2018, the SentencePiece
+    default), in-engine -> the learned piece table (piece, cnt, logp_q),
+    top_n by final usage. Seed vocabulary = every <=PIECE_LEN-char
+    substring of the capped word vocabulary, occurrence-weighted
+    (single-char pieces always kept, so every word stays segmentable);
+    then ``iters`` rounds of hard EM: Viterbi-segment every distinct
+    word under the current quantized scores (E), recount piece usage
+    word-frequency-weighted and re-quantize (M). Pieces that win no
+    Viterbi path drop out — the vocabulary self-prunes exactly as
+    SentencePiece's EM+prune loop does, with the integer-quantized
+    log2 scoring making every round engine-exact.
+
+    Scale shape: the corpus collapses to its DISTINCT capped words once
+    up front; the piece table is charset^PIECE_LEN-bounded (never
+    corpus-sized) and BROADCASTS onto one scan of the word-level
+    candidate grid; the DP is one in-row fold. No stage touches
+    occurrences after the first wordcount, so 100 TB costs one
+    aggregate plus vocabulary-sized work per EM round.
+    """
+    words = _unigram_words(docs).localCheckpoint()
+    seed_counts = (
+        words.select(
+            "f",
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(1), F.length("w")),
+                        lambda i: F.filter(
+                            F.transform(
+                                F.sequence(F.lit(1), F.lit(UNIGRAM_PIECE_LEN)),
+                                lambda L: F.when(
+                                    i + L - F.lit(1) <= F.length("w"),
+                                    F.col("w").substr(i, L),
+                                ),
+                            ),
+                            lambda x: x.isNotNull(),
+                        ),
+                    )
+                )
+            ).alias("piece"),
+        )
+        .groupBy("piece")
+        .agg(F.sum("f").alias("cnt"))
+        .filter(
+            (F.length("piece") == 1)
+            | (F.col("cnt") >= UNIGRAM_MIN_COUNT)
+        )
+    )
+    pieces = _unigram_quantize(seed_counts).localCheckpoint()
+    for _ in range(iters):
+        seg = _unigram_viterbi(words, pieces)
+        counted = (
+            seg.select(F.explode(F.split("seg", " ")).alias("piece"), "f")
+            .groupBy("piece")
+            .agg(F.sum("f").alias("cnt"))
+        )
+        pieces = _unigram_quantize(counted).localCheckpoint()
+    return (
+        pieces.orderBy(F.desc("cnt"), F.asc("piece"))
+        .limit(top_n)
+        .select("piece", F.col("cnt").cast("long").alias("cnt"), "logp_q")
+    )
+
+
+def unigram_lm_oracle_sql(
+    norm_sql: str,
+    iters: int = UNIGRAM_ITERS,
+    top_n: int = UNIGRAM_TOP_N,
+) -> str:
+    """DuckDB replay of :func:`unigram_lm_train`: identical capped
+    wordcount, substring seeding, 1e-8 log2 quantization, and per-EM-round
+    Viterbi DP — the DP unrolled as UNIGRAM_CAP max-reduction rounds per
+    iteration (the shortest_paths oracle idiom), tie-broken (q DESC,
+    seg DESC) to mirror Spark's max(struct(q, seg))."""
+    cap, plen = UNIGRAM_CAP, UNIGRAM_PIECE_LEN
+    parts = [
+        f"""u_words AS MATERIALIZED (
+  SELECT substring(w0, 1, {cap}) AS w, count(*)::BIGINT AS f FROM (
+    SELECT unnest(string_split({norm_sql}, ' ')) AS w0 FROM documents
+  ) WHERE w0 <> '' GROUP BY 1
+)""",
+        f"""u_grid AS MATERIALIZED (
+  SELECT w, f, i, L, substring(w, i, L) AS piece FROM (
+    SELECT w, f, unnest(generate_series(1, length(w))) AS i FROM u_words
+  ) CROSS JOIN (SELECT unnest([{", ".join(str(x) for x in range(1, plen + 1))}]) AS L) ls
+  WHERE i + L - 1 <= length(w)
+)""",
+        f"""u_seed AS (
+  SELECT piece, sum(f)::BIGINT AS cnt FROM u_grid GROUP BY piece
+  HAVING length(piece) = 1 OR sum(f) >= {UNIGRAM_MIN_COUNT}
+)""",
+        """u_p0 AS MATERIALIZED (
+  SELECT piece, cnt,
+         floor(log2(cnt::DOUBLE / (SELECT sum(cnt) FROM u_seed)::DOUBLE)
+               * 100000000.0)::BIGINT AS logp_q
+  FROM u_seed
+)""",
+    ]
+    for it in range(iters):
+        p = f"u_p{it}"
+        parts.append(
+            f"""u_e{it} AS MATERIALIZED (
+  SELECT g.w, g.i - 1 AS j, g.i + g.L - 1 AS pos, g.piece, p.logp_q
+  FROM u_grid g JOIN {p} p USING (piece)
+)"""
+        )
+        parts.append(
+            f"u_d{it}_0 AS (SELECT w, 0 AS pos, 0::BIGINT AS q,"
+            f" '' AS seg FROM u_words)"
+        )
+        for k in range(1, cap + 1):
+            parts.append(
+                f"""u_d{it}_{k} AS MATERIALIZED (
+  SELECT w, pos, q, seg FROM (
+    SELECT w, pos, q, seg, row_number() OVER (
+      PARTITION BY w, pos ORDER BY q DESC, seg DESC) AS rn
+    FROM (
+      SELECT w, pos, q, seg FROM u_d{it}_{k - 1}
+      UNION ALL
+      SELECT d.w, e.pos, d.q + e.logp_q AS q,
+             d.seg || ' ' || e.piece AS seg
+      FROM u_d{it}_{k - 1} d JOIN u_e{it} e ON e.w = d.w AND e.j = d.pos
+    )
+  ) WHERE rn = 1
+)"""
+            )
+        parts.append(
+            f"""u_seg{it} AS MATERIALIZED (
+  SELECT d.w, uw.f, trim(d.seg) AS seg
+  FROM u_d{it}_{cap} d JOIN u_words uw USING (w)
+  WHERE d.pos = length(d.w)
+)"""
+        )
+        parts.append(
+            f"""u_c{it} AS (
+  SELECT piece, sum(f)::BIGINT AS cnt FROM (
+    SELECT unnest(string_split(seg, ' ')) AS piece, f FROM u_seg{it}
+  ) GROUP BY piece
+)"""
+        )
+        parts.append(
+            f"""u_p{it + 1} AS MATERIALIZED (
+  SELECT piece, cnt,
+         floor(log2(cnt::DOUBLE / (SELECT sum(cnt) FROM u_c{it})::DOUBLE)
+               * 100000000.0)::BIGINT AS logp_q
+  FROM u_c{it}
+)"""
+        )
+    body = ",\n".join(parts)
+    return f"""WITH {body}
+SELECT piece, cnt, logp_q FROM u_p{iters}
+ORDER BY cnt DESC, piece ASC LIMIT {top_n}
+"""

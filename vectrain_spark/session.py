@@ -52,3 +52,34 @@ def get_spark(
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def fresh_checkpoint(df):
+    """``localCheckpoint`` that also RESETS the plan statistics.
+
+    Since SPARK-39834 a checkpoint's ``LogicalRDD`` inherits the origin
+    plan's statistics. In an iterative dataflow whose round JOINS the
+    checkpointed frame with itself (pointer jumping, star contraction,
+    ...), the inherited ``sizeInBytes`` estimates MULTIPLY round over
+    round — a self-join SQUARES it — so the BigInt's digit count doubles
+    every round and Catalyst's ``SizeInBytesOnlyStatsPlanVisitor`` ends
+    up doing million-digit BigInt arithmetic per plan node: planning goes
+    exponential (measured: 2.5x per round on a 24-node fixture) and
+    finally OOMs the driver. Rebuilding the frame from the checkpointed
+    internal RDD drops the origin stats, pinning every round's estimate
+    at the engine default; the data path is untouched (same materialized
+    blocks, no recompute, no Python round-trip).
+
+    Falls back to the plain checkpoint if the internal constructor is
+    unavailable (non-JVM sessions, e.g. Spark Connect).
+    """
+    ck = df.localCheckpoint()
+    try:
+        sess = ck.sparkSession
+        jdf = ck._jdf
+        out_j = sess._jsparkSession.internalCreateDataFrame(
+            jdf.queryExecution().toRdd(), jdf.schema(), False
+        )
+        return type(ck)(out_j, sess)
+    except Exception:  # pragma: no cover - Connect/remote sessions
+        return ck
