@@ -122,3 +122,53 @@ def test_unigram_lm_deterministic_across_runs(spark):
     a = sorted(map(tuple, unigram_lm_train(docs).collect()))
     b = sorted(map(tuple, unigram_lm_train(docs).collect()))
     assert a == b
+
+
+def test_costed_linker_dispatch_flips_between_regimes(spark):
+    """The sketch-costed dispatch (VERDICT r4 ask #5) must flip on the
+    estimated exact-hit rate: surfaces drawn FROM the dictionary ->
+    'join' (exact stage resolves everything, skip the broadcast build);
+    novel surfaces -> 'broadcast' (misses dominate). Both chosen paths
+    must produce the identical links the other path would."""
+    from vectrain_spark.operators.linking import (
+        make_costed_linker,
+        make_linker,
+    )
+    from vectrain_spark.operators.webcorpus import corpus_aliases
+
+    aliases = corpus_aliases(spark)
+
+    hits = spark.createDataFrame(
+        [(f"Vendor{i % 7}",) for i in range(20)]
+        + [(f"Client{i % 13}",) for i in range(20)],
+        "surface string",
+    )
+    linker, strategy, info = make_costed_linker(spark, hits, aliases)
+    assert strategy == "join", info
+    assert info["est_sum"] * 2 >= info["n_surfaces"] * info["est_scale"]
+
+    misses = spark.createDataFrame(
+        [(f"zz-novel-{i}",) for i in range(40)], "surface string"
+    )
+    linker_b, strategy_b, info_b = make_costed_linker(spark, misses, aliases)
+    assert strategy_b == "broadcast", info_b
+
+    # chosen paths agree with the opposite physical strategy on links
+    n = aliases.count()
+    bc, _ = make_linker(spark, aliases, n)
+    got = {
+        (r["surface"], r["entity_id"])
+        for r in linker(hits.distinct()).collect()
+    }
+    want = {
+        (r["surface"], r["entity_id"])
+        for r in bc(hits.distinct()).collect()
+    }
+    assert got == want
+
+    # the hard memory bound can never be overridden by the estimate
+    _, strategy_c, info_c = make_costed_linker(
+        spark, misses, aliases, broadcast_dict_max=1
+    )
+    assert strategy_c == "join"
+    assert info_c["reason"] == "dict exceeds broadcast budget"

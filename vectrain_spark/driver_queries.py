@@ -9372,8 +9372,9 @@ def _kg_link_costed_sql() -> str:
         COSTED_HIT_DEN,
         COSTED_HIT_NUM,
     )
-    from .operators.sketch import AMS_COUNTERS
+    from .operators.sketch import AMS_EST_GROUP_SIZE, AMS_EST_GROUPS
 
+    counters = AMS_EST_GROUPS * AMS_EST_GROUP_SIZE
     sign = (
         "(1 - 2 * ((('0x' || substr(md5('s' || j::VARCHAR || chr(31)"
         " || {col}::VARCHAR), 1, 15))::BIGINT) % 2))"
@@ -9393,20 +9394,27 @@ links AS (
 al AS (SELECT DISTINCT alias FROM aliases),
 lc_ska AS (
   SELECT j, sum({sign.format(col="surface")})::BIGINT AS c_a
-  FROM mentions, generate_series(0, {AMS_COUNTERS - 1}) t(j) GROUP BY j
+  FROM mentions, generate_series(0, {counters - 1}) t(j) GROUP BY j
 ),
 lc_skb AS (
   SELECT j, sum({sign.format(col="alias")})::BIGINT AS c_b
-  FROM al, generate_series(0, {AMS_COUNTERS - 1}) t(j) GROUP BY j
+  FROM al, generate_series(0, {counters - 1}) t(j) GROUP BY j
+),
+-- median-of-means, UNDIVIDED: per-group product sums, upper median;
+-- the dispatch compares med_sum * DEN >= n * NUM * group_size in exact
+-- BIGINTs (no division: DuckDB // truncates, Python floors)
+lc_g AS (
+  SELECT a.j // {AMS_EST_GROUP_SIZE} AS g, sum((c_a * c_b)::BIGINT)::BIGINT AS s
+  FROM lc_ska a JOIN lc_skb USING (j) GROUP BY 1
 ),
 lc_med AS (
-  SELECT list_sort(list((c_a * c_b)::BIGINT))[{AMS_COUNTERS // 2 + 1}]::BIGINT AS est
-  FROM lc_ska JOIN lc_skb USING (j)
+  SELECT list_sort(list(s))[{AMS_EST_GROUPS // 2 + 1}]::BIGINT AS med_sum FROM lc_g
 ),
 lc_strat AS (
   SELECT CASE
     WHEN (SELECT count(*) FROM aliases) > {BROADCAST_DICT_MAX} THEN 'join'
-    WHEN est * {COSTED_HIT_DEN} >= (SELECT count(*) FROM mentions) * {COSTED_HIT_NUM}
+    WHEN med_sum * {COSTED_HIT_DEN}
+         >= (SELECT count(*) FROM mentions) * {COSTED_HIT_NUM} * {AMS_EST_GROUP_SIZE}
       THEN 'join'
     ELSE 'broadcast' END AS strategy
   FROM lc_med
@@ -9645,6 +9653,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_zipf": q_corpus_zipf,
     "sim_recall_eval": q_sim_recall_eval,
     "text_unigram_lm": q_text_unigram_lm,
+    "kg_link_costed": q_kg_link_costed,
 }
 
 # Registry ordered by VERIFICATION VALUE (see the list's own comment).
@@ -9682,6 +9691,7 @@ _CHANGED_THIS_ROUND = [
     "olap_waiting_orders", "events_markov", "corpus_zipf", "sim_recall_eval",
     # --- (2) round-5 NEW operators (replica-verified this round) ---
     "text_unigram_lm",
+    "kg_link_costed",
 ]
 
 _DRIVER_VERIFIED_R2 = 50  # entries past this index never ran driver-side
@@ -9939,4 +9949,5 @@ ORACLES: dict[str, str] = {
     "corpus_zipf": SQL_CORPUS_ZIPF,
     "sim_recall_eval": SQL_SIM_RECALL_EVAL,
     "text_unigram_lm": SQL_TEXT_UNIGRAM_LM,
+    "kg_link_costed": SQL_KG_LINK_COSTED,
 }

@@ -613,29 +613,49 @@ def _ams_counters(
     return tagged.groupBy("j").agg(F.sum("s").alias(out))
 
 
+AMS_EST_GROUPS = 8
+AMS_EST_GROUP_SIZE = 8
+
+
 def ams_estimate(
     a: DataFrame,
     a_col: str,
     b: DataFrame,
     b_col: str,
-    counters: int = AMS_COUNTERS,
-) -> int:
-    """Scalar AMS join-size estimate — the number a cost-based planner
-    actually consults: the sorted-upper-median of the per-counter
-    products, as a Python int. Costs one scan + counters-row aggregate
-    per side and ONE driver collect of ``counters`` rows (the same
-    convergence-check-sized collect budget the iterative operators use);
-    at 100 TB the per-shard counters are mergeable, so a catalog can
-    maintain them per wave and the consult becomes free."""
+    groups: int = AMS_EST_GROUPS,
+    group_size: int = AMS_EST_GROUP_SIZE,
+) -> tuple[int, int]:
+    """Scalar AMS join-size estimate, MEDIAN-OF-MEANS form — the number a
+    cost-based planner actually consults. A single tug-of-war product has
+    sd ~ sqrt(F2(a) * F2(b)): at planner-relevant scales that is a small
+    relative error, but a decision threshold needs the textbook variance
+    reduction too — ``groups`` groups of ``group_size`` counters,
+    AVERAGE within a group (sd shrinks by sqrt(group_size)), upper
+    MEDIAN across groups (outlier-robust). Returns
+    ``(median_group_sum, group_size)`` — the UNDIVIDED group sum plus
+    its scale, so callers compare ``median_group_sum * k >= bound *
+    group_size`` in exact integers (DuckDB ``//`` truncates toward zero
+    while Python floors, so any division would diverge on negative
+    estimates). Costs one scan + (groups*group_size)-row aggregate per
+    side and ONE collect of that many rows (convergence-check-sized);
+    per-shard counters are mergeable, so at 100 TB a catalog maintains
+    them per wave and the consult is free."""
+    counters = groups * group_size
     per = (
         _ams_counters(a, a_col, "c_a", counters)
         .join(_ams_counters(b, b_col, "c_b", counters), "j")
-        .select((F.col("c_a") * F.col("c_b")).alias("est"))
+        .select("j", (F.col("c_a") * F.col("c_b")).alias("est"))
         .collect()
     )
-    ests = sorted(r["est"] for r in per)
-    # disjoint/empty sides produce no counter rows on one side -> est 0
-    return int(ests[counters // 2]) if len(ests) == counters else 0
+    if len(per) != counters:
+        # disjoint/empty sides produce no counter rows on one side
+        return 0, group_size
+    gsum: dict[int, int] = {}
+    for r in per:
+        g = r["j"] // group_size
+        gsum[g] = gsum.get(g, 0) + int(r["est"])
+    sums = sorted(gsum.values())
+    return sums[groups // 2], group_size
 
 
 def ams_join_size(
