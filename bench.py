@@ -53,7 +53,6 @@ HEADLINE_QUERIES = [
     "kg_canonical_triples",
     "dedup_exact",
     "dedup_minhash",
-    "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_clusters",
     "text_langid",
@@ -80,7 +79,6 @@ HEADLINE_QUERIES = [
     "events_rolling",
     "text_bigram_lm",
     "text_lm_score",
-    "events_pivot",
     "events_retention",
     "dedup_incremental",
     "kg_link_fuzzy",
@@ -157,6 +155,16 @@ HEADLINE_QUERIES = [
     # window/broadcast/scan shapes already timed above
     "kg_mst",
     "olap_bucketed_join",
+    # round 5 (same curation rule): suffix dedup = positional-gram pair
+    # join + diagonal run-merge (the only window-islands-over-pair-
+    # diagonal program), unigram LM = in-engine EM fixpoint with Viterbi
+    # fold; kg_link_costed is a near-variant of kg_link_dispatch (already
+    # timed) and stays out. To keep the total flat, two near-variants
+    # retired: dedup_simhash (bit-banded signature join — identical plan
+    # shape to dedup_minhash's banding) and events_pivot (single
+    # groupBy-pivot, covered by events_retention's cohort pivot).
+    "dedup_suffix_exact",
+    "text_unigram_lm",
 ]
 
 

@@ -172,3 +172,51 @@ def test_costed_linker_dispatch_flips_between_regimes(spark):
     )
     assert strategy_c == "join"
     assert info_c["reason"] == "dict exceeds broadcast budget"
+
+
+def test_suffix_dup_spans_maximal_exact_offsets(spark):
+    """Planted duplication: a whole-document copy must surface as ONE
+    maximal span covering every token; an offset-shifted excerpt as a
+    span whose a/b starts differ by exactly the shift; below-threshold
+    overlap yields nothing."""
+    from vectrain_spark.operators.dedup import suffix_dup_spans
+
+    base = " ".join(f"tok{i:03d}" for i in range(40))  # 40 tokens
+    shifted = "x1 x2 x3 " + " ".join(f"tok{i:03d}" for i in range(10, 40))
+    short = " ".join(f"tok{i:03d}" for i in range(12)) + " other tail here"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, base), (3, shifted), (4, short), (5, "unrelated words only")],
+        "doc_id long, text string",
+    )
+    rows = suffix_dup_spans(corpus, min_match=20).collect()
+    spans = {(r["a"], r["b"]): r for r in rows}
+
+    full = spans[(1, 2)]
+    assert (full["a_start"], full["b_start"], full["match_len"]) == (1, 1, 40)
+
+    # doc3 = 3 junk tokens + tokens 10..39 of base: shared run is 30 tokens,
+    # starting at base position 11 (1-based) and shifted position 4.
+    sh = spans[(1, 3)]
+    assert (sh["a_start"], sh["b_start"], sh["match_len"]) == (11, 4, 30)
+    assert spans[(2, 3)]["match_len"] == 30
+
+    # doc4 shares only 12 tokens with base — below min_match, absent.
+    assert not any(4 in k for k in spans)
+    assert not any(5 in k for k in spans)
+
+
+def test_suffix_dup_spans_internal_repeat_two_diagonals(spark):
+    """A document that contains the same passage twice pairs with a
+    single-copy document along TWO diagonals — the run-merge must keep
+    them as separate maximal spans, not fuse them."""
+    from vectrain_spark.operators.dedup import suffix_dup_spans
+
+    passage = " ".join(f"p{i:02d}" for i in range(20))
+    corpus = spark.createDataFrame(
+        [(1, passage), (2, passage + " mid break word " + passage)],
+        "doc_id long, text string",
+    )
+    rows = suffix_dup_spans(corpus, min_match=20).collect()
+    assert len(rows) == 2
+    starts = sorted((r["a_start"], r["b_start"], r["match_len"]) for r in rows)
+    assert starts == [(1, 1, 20), (1, 24, 20)]

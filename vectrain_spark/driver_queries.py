@@ -9426,6 +9426,44 @@ SELECT l.surface, l.entity_id, s.strategy FROM links l, lc_strat s
 SQL_KG_LINK_COSTED = _kg_link_costed_sql()
 
 
+def q_dedup_suffix_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT shared-substring SPANS (Lee et al. 2022's suffix-array
+    primitive, VERDICT r4 ask #6) over the planted-duplication corpus:
+    full copies must surface as one maximal whole-document span per
+    pair, appended-tail variants as a prefix-long span, and the
+    offset-shifted excerpts as spans whose a/b offsets differ — the
+    diagonal run-merge's reason to exist. Every maximal span's exact
+    token offsets and length are value-checked against the DuckDB
+    replay."""
+    from .operators.dedup import dedup_corpus, suffix_dup_spans
+
+    docs = _docs(spark, sf_dir)
+    shifted = docs.filter(F.col("doc_id") % 11 == 3).select(
+        (F.col("doc_id") + 6_000_000).alias("doc_id"),
+        F.concat(
+            F.lit("shifted excerpt copy "), F.expr("substring(text, 21)")
+        ).alias("text"),
+    )
+    return suffix_dup_spans(dedup_corpus(docs).unionByName(shifted))
+
+
+def _dedup_suffix_exact_sql() -> str:
+    from .operators.dedup import suffix_dup_oracle_sql
+
+    corpus = """
+    SELECT doc_id, text FROM documents
+    UNION ALL SELECT doc_id + 1000000, text FROM documents
+    UNION ALL SELECT doc_id + 2000000, text || ' extra trailing tokens appended'
+      FROM documents WHERE doc_id % 5 = 0
+    UNION ALL SELECT doc_id + 6000000, 'shifted excerpt copy ' || substr(text, 21)
+      FROM documents WHERE doc_id % 11 = 3
+    """
+    return suffix_dup_oracle_sql(corpus)
+
+
+SQL_DEDUP_SUFFIX_EXACT = _dedup_suffix_exact_sql()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_substring": q_dedup_substring,
     "text_c4_filters": q_text_c4_filters,
@@ -9654,6 +9692,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_recall_eval": q_sim_recall_eval,
     "text_unigram_lm": q_text_unigram_lm,
     "kg_link_costed": q_kg_link_costed,
+    "dedup_suffix_exact": q_dedup_suffix_exact,
 }
 
 # Registry ordered by VERIFICATION VALUE (see the list's own comment).
@@ -9692,6 +9731,7 @@ _CHANGED_THIS_ROUND = [
     # --- (2) round-5 NEW operators (replica-verified this round) ---
     "text_unigram_lm",
     "kg_link_costed",
+    "dedup_suffix_exact",
 ]
 
 _DRIVER_VERIFIED_R2 = 50  # entries past this index never ran driver-side
@@ -9950,4 +9990,5 @@ ORACLES: dict[str, str] = {
     "sim_recall_eval": SQL_SIM_RECALL_EVAL,
     "text_unigram_lm": SQL_TEXT_UNIGRAM_LM,
     "kg_link_costed": SQL_KG_LINK_COSTED,
+    "dedup_suffix_exact": SQL_DEDUP_SUFFIX_EXACT,
 }

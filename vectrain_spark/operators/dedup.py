@@ -709,3 +709,149 @@ def substring_dup_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring dedup at token granularity: maximal shared spans
+# ---------------------------------------------------------------------------
+
+SUFFIX_MIN_MATCH = 20   # tokens a shared span must reach to count
+SUFFIX_MAX_POSTING = 50  # df-cut shared with substring_dup_pairs
+
+
+def suffix_dup_spans(
+    corpus: DataFrame,
+    min_match: int = SUFFIX_MIN_MATCH,
+    max_posting: int = SUFFIX_MAX_POSTING,
+) -> DataFrame:
+    """EXACT shared-substring spans at token granularity ->
+    (a, b, a_start, b_start, match_len): every MAXIMAL run of >=
+    ``min_match`` consecutive tokens two documents share verbatim, with
+    1-based token offsets in each. The exact complement (VERDICT r4 ask
+    #6) of :func:`substring_dup_pairs`' content-defined SAMPLING: Rabin
+    anchors make a copied passage *detectable*; this reports every
+    duplicated span and its exact extent — the primitive Lee et al. 2022
+    build a corpus-wide suffix array for.
+
+    Same answer, join-native shape: a suffix array finds length-L shared
+    substrings as suffixes that stay adjacent through rank-L ordering;
+    equivalently, two suffixes share >= L tokens iff their first-L-token
+    grams are EQUAL — so the gram table (one md5 key per token position,
+    O(total tokens) rows, the same cardinality a suffix array sorts) is
+    grouped instead of globally sorted: equal keys meet in one keyed
+    shuffle, no two-phase global ranking needed. Overlapping matched
+    positions collapse to maximal spans per (a, b, diagonal): along
+    diagonal d = a_pos - b_pos, matched positions form runs, and a run
+    from i..j certifies tokens [i, j + min_match - 1] shared — one
+    bounded window (position - row_number is constant within a run)
+    per pair-diagonal, never a per-document sort.
+
+    Skew control is the operator contract, like
+    :func:`substring_dup_pairs`: grams seen in more than ``max_posting``
+    documents are dropped before the pair join (boilerplate kills any
+    posting-list join), and BOTH engines apply the cut, so results match
+    exactly. md5 equality stands in for token-run equality on both
+    engines identically.
+    """
+    toks = spread(corpus).select(
+        "doc_id", F.split(normalized_text(), " ").alias("w")
+    )
+    gram = F.md5(
+        F.concat_ws(
+            " ",
+            F.slice(F.col("w"), F.col("p"), F.lit(min_match)),
+        )
+    )
+    pos = (
+        # docs shorter than min_match emit nothing (Spark's sequence()
+        # DESCENDS when start > stop, so the bound can't just clamp to 0)
+        toks.filter(F.size("w") >= min_match)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.size("w") - F.lit(min_match - 1))
+            ).alias("p"),
+            "w",
+        )
+        .select("doc_id", "p", gram.alias("g"))
+    )
+    df_ok = (
+        pos.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") <= max_posting)
+        .select("g")
+    )
+    kept = pos.join(df_ok, "g")
+    hits = (
+        kept.select("g", F.col("doc_id").alias("a"), F.col("p").alias("ia"))
+        .join(
+            kept.select("g", F.col("doc_id").alias("b"), F.col("p").alias("ib")),
+            "g",
+        )
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "ia", "ib")
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    wnd = Window.partitionBy("a", "b", (F.col("ia") - F.col("ib"))).orderBy("ia")
+    runs = hits.withColumn("run", F.col("ia") - F.row_number().over(wnd))
+    return (
+        runs.groupBy("a", "b", (F.col("ia") - F.col("ib")).alias("diag"), "run")
+        .agg(F.min("ia").alias("a_start"), F.max("ia").alias("a_end"))
+        .select(
+            "a",
+            "b",
+            "a_start",
+            (F.col("a_start") - F.col("diag")).alias("b_start"),
+            (F.col("a_end") - F.col("a_start") + F.lit(min_match)).alias(
+                "match_len"
+            ),
+        )
+    )
+
+
+def suffix_dup_oracle_sql(
+    corpus_sql: str,
+    min_match: int = SUFFIX_MIN_MATCH,
+    max_posting: int = SUFFIX_MAX_POSTING,
+) -> str:
+    """DuckDB replay of :func:`suffix_dup_spans`: identical token grams,
+    df-cut, diagonal run-merge (row_number islands), 1-based offsets."""
+    return f"""
+WITH sfx_corpus AS ({corpus_sql}),
+sfx_w AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM sfx_corpus
+),
+sfx_pos AS (
+  SELECT doc_id, p,
+         md5(array_to_string(w[p : p + {min_match} - 1], ' ')) AS g
+  FROM (
+    SELECT doc_id, w,
+           unnest(generate_series(1, greatest(len(w) - {min_match - 1}, 0))) AS p
+    FROM sfx_w
+  )
+),
+sfx_ok AS (
+  SELECT g FROM sfx_pos GROUP BY g
+  HAVING count(DISTINCT doc_id) <= {max_posting}
+),
+sfx_kept AS (SELECT p.* FROM sfx_pos p JOIN sfx_ok USING (g)),
+sfx_hits AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b, l.p AS ia, r.p AS ib
+  FROM sfx_kept l JOIN sfx_kept r USING (g)
+  WHERE l.doc_id < r.doc_id
+),
+sfx_runs AS (
+  SELECT a, b, ia, ib, (ia - ib) AS diag,
+         ia - row_number() OVER (PARTITION BY a, b, (ia - ib) ORDER BY ia) AS run
+  FROM sfx_hits
+)
+SELECT a, b,
+       min(ia) AS a_start,
+       (min(ia) - diag) AS b_start,
+       (max(ia) - min(ia) + {min_match})::BIGINT AS match_len
+FROM sfx_runs GROUP BY a, b, diag, run
+"""
