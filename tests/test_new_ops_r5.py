@@ -220,3 +220,103 @@ def test_suffix_dup_spans_internal_repeat_two_diagonals(spark):
     assert len(rows) == 2
     starts = sorted((r["a_start"], r["b_start"], r["match_len"]) for r in rows)
     assert starts == [(1, 1, 20), (1, 24, 20)]
+
+
+def _write_wave(df, in_dir, i):
+    import os
+    import shutil
+
+    stage = f"{in_dir}_stage{i}"
+    df.coalesce(1).write.parquet(stage)
+    part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+    dst = f"{in_dir}/wave{i}.parquet"
+    shutil.move(f"{stage}/{part}", dst)
+    os.utime(dst, (1_700_000_000 + 60 * i,) * 2)
+
+
+def test_stream_dedup_equals_batch_incremental(spark, tmp_path):
+    """Replaying waves through start_dedup_ingest must emit exactly the
+    pairs the batch incremental path finds wave by wave."""
+    import os
+
+    from vectrain_spark.catalog import Catalog
+    from vectrain_spark.operators.dedup import incremental_minhash_pairs
+    from vectrain_spark.streaming import start_dedup_ingest
+
+    base = " ".join(f"w{i:02d}" for i in range(30))
+    w0 = spark.createDataFrame(
+        [(1, base), (2, base + " tail one"), (3, "totally different words " * 8)],
+        "doc_id long, text string",
+    )
+    w1 = spark.createDataFrame(
+        [(10, base), (11, "fresh unrelated content " * 7), (12, base)],
+        "doc_id long, text string",
+    )
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    _write_wave(w0, in_dir, 0)
+    _write_wave(w1, in_dir, 1)
+
+    q = start_dedup_ingest(
+        spark, in_dir, str(tmp_path / "cat"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["a"], r["b"], r["jaccard"], r["wave"])
+        for r in Catalog(str(tmp_path / "cat"))
+        .read(spark, "dedup_pairs")
+        .collect()
+    }
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    batch0 = incremental_minhash_pairs(empty, w0)
+    batch1 = incremental_minhash_pairs(w0, w1)
+    want = {
+        (r["a"], r["b"], r["jaccard"], i)
+        for i, b in enumerate([batch0, batch1])
+        for r in b.collect()
+    }
+    assert got == want
+    assert any(w == 1 for _, _, _, w in got)  # cross-wave matches exist
+
+
+def test_stream_dedup_crash_replay_completes_index_without_dup_pairs(
+    spark, tmp_path
+):
+    """Crash after batch 0's pairs commit, before its index appends: the
+    replay must finish the index tables without re-emitting pairs, and
+    later waves must still dedup against the completed index."""
+    import os
+
+    import pytest as _pytest
+
+    from vectrain_spark.catalog import Catalog
+    from vectrain_spark.streaming import start_dedup_ingest
+
+    base = " ".join(f"q{i:02d}" for i in range(25))
+    w0 = spark.createDataFrame(
+        [(1, base), (2, base)], "doc_id long, text string"
+    )
+    w1 = spark.createDataFrame([(10, base)], "doc_id long, text string")
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    _write_wave(w0, in_dir, 0)
+    _write_wave(w1, in_dir, 1)
+
+    out = str(tmp_path / "cat")
+    ckpt = str(tmp_path / "ckpt")
+    q = start_dedup_ingest(
+        spark, in_dir, out, ckpt, _test_fail_between_commits=0
+    )
+    with _pytest.raises(Exception):
+        q.awaitTermination(300)
+    cat = Catalog(out)
+    assert cat.exists("dedup_pairs") and not cat.exists("dedup_sigs")
+
+    q2 = start_dedup_ingest(spark, in_dir, out, ckpt)
+    q2.awaitTermination(300)
+    pairs = cat.read(spark, "dedup_pairs").collect()
+    got = sorted((r["a"], r["b"], r["wave"]) for r in pairs)
+    assert got == [(2, 1, 0), (10, 1, 1), (10, 2, 1)]
+    assert len(pairs) == len(set(got))  # no double-appended pairs
+    assert cat.read(spark, "dedup_sigs").select("doc_id").distinct().count() == 3

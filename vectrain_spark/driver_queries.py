@@ -9464,6 +9464,106 @@ def _dedup_suffix_exact_sql() -> str:
 SQL_DEDUP_SUFFIX_EXACT = _dedup_suffix_exact_sql()
 
 
+def q_stream_dedup_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental dedup gate (VERDICT r4 ask #7): three crawl
+    waves replayed through the Structured Streaming file source, one
+    micro-batch per wave, each deduped against the PERSISTED MinHash
+    signature index accumulated in the catalog — wave 0 the base corpus,
+    wave 1 appended-tail variants + exact copies, wave 2 exact re-copies
+    of wave 1's variants + fresh docs. The emitted (a, b, jaccard, wave)
+    set must equal the batch incremental result on the same waves, which
+    the oracle states directly as exact Jaccard over all
+    (later-wave, earlier-wave) and same-wave a>b pairs."""
+    import os
+    import shutil
+
+    from .catalog import Catalog
+    from .streaming import start_dedup_ingest
+
+    root = "/tmp/vectrain_streamdedup_gate"
+    shutil.rmtree(root, ignore_errors=True)
+    docs = _docs(spark, sf_dir)
+    tail = F.concat(
+        F.col("text"), F.lit(" extra trailing tokens appended")
+    ).alias("text")
+    waves = [
+        docs.select("doc_id", "text"),
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .select((F.col("doc_id") + 3_000_000).alias("doc_id"), tail)
+        .unionByName(
+            docs.filter(F.col("doc_id") % 7 == 0).select(
+                (F.col("doc_id") + 4_000_000).alias("doc_id"), "text"
+            )
+        ),
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .select((F.col("doc_id") + 7_000_000).alias("doc_id"), tail)
+        .unionByName(
+            docs.filter(F.col("doc_id") % 97 == 1).select(
+                (F.col("doc_id") + 5_000_000).alias("doc_id"),
+                F.concat(F.lit("fresh document "), F.md5("text")).alias(
+                    "text"
+                ),
+            )
+        ),
+    ]
+    in_dir = f"{root}/in"
+    os.makedirs(in_dir)
+    for i, w in enumerate(waves):
+        stage = f"{root}/w{i}"
+        w.coalesce(1).write.parquet(stage)
+        part = next(
+            f for f in os.listdir(stage) if f.endswith(".parquet")
+        )
+        dst = f"{in_dir}/wave{i}.parquet"
+        shutil.move(f"{stage}/{part}", dst)
+        # distinct ascending mtimes pin the file -> micro-batch order
+        os.utime(dst, (1_700_000_000 + 60 * i, 1_700_000_000 + 60 * i))
+    q = start_dedup_ingest(spark, in_dir, f"{root}/cat", f"{root}/ckpt")
+    q.awaitTermination()
+    return (
+        Catalog(f"{root}/cat")
+        .read(spark, "dedup_pairs")
+        .select("a", "b", "jaccard", "wave")
+    )
+
+
+SQL_STREAM_DEDUP_INC = f"""
+WITH corpus AS (
+  SELECT doc_id, text, 0 AS wave FROM documents
+  UNION ALL
+  SELECT doc_id + 3000000, text || ' extra trailing tokens appended', 1
+  FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 4000000, text, 1 FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 7000000, text || ' extra trailing tokens appended', 2
+  FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 5000000, 'fresh document ' || md5(text), 2
+  FROM documents WHERE doc_id % 97 = 1
+),
+{SHINGLES_SQL},
+flags AS (SELECT doc_id, wave FROM corpus),
+pairs AS (
+  SELECT e1.doc_id AS a, e2.doc_id AS b, f1.wave AS wave, count(*) AS inter
+  FROM e e1
+  JOIN flags f1 ON f1.doc_id = e1.doc_id
+  JOIN e e2 ON e2.s = e1.s
+  JOIN flags f2 ON f2.doc_id = e2.doc_id
+  WHERE f1.wave > f2.wave
+     OR (f1.wave = f2.wave AND e1.doc_id > e2.doc_id)
+  GROUP BY 1, 2, 3
+),
+sizes AS (SELECT doc_id, len(shingles) AS n FROM sh)
+SELECT a, b,
+       round((pairs.inter * 1.0) / (sa.n + sb.n - pairs.inter), 6) AS jaccard,
+       wave
+FROM pairs JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+WHERE round((pairs.inter * 1.0) / (sa.n + sb.n - pairs.inter), 6)
+      >= {JACCARD_THRESHOLD}
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_substring": q_dedup_substring,
     "text_c4_filters": q_text_c4_filters,
@@ -9693,6 +9793,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_unigram_lm": q_text_unigram_lm,
     "kg_link_costed": q_kg_link_costed,
     "dedup_suffix_exact": q_dedup_suffix_exact,
+    "stream_dedup_inc": q_stream_dedup_inc,
 }
 
 # Registry ordered by VERIFICATION VALUE (see the list's own comment).
@@ -9732,6 +9833,7 @@ _CHANGED_THIS_ROUND = [
     "text_unigram_lm",
     "kg_link_costed",
     "dedup_suffix_exact",
+    "stream_dedup_inc",
 ]
 
 _DRIVER_VERIFIED_R2 = 50  # entries past this index never ran driver-side
@@ -9991,4 +10093,5 @@ ORACLES: dict[str, str] = {
     "text_unigram_lm": SQL_TEXT_UNIGRAM_LM,
     "kg_link_costed": SQL_KG_LINK_COSTED,
     "dedup_suffix_exact": SQL_DEDUP_SUFFIX_EXACT,
+    "stream_dedup_inc": SQL_STREAM_DEDUP_INC,
 }

@@ -263,6 +263,7 @@ def incremental_minhash_pairs(
     n_hashes: int = N_MINHASH,
     n_bands: int = N_MINHASH_BANDS,
     old_index: tuple[DataFrame, DataFrame] | None = None,
+    new_index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Wave-incremental near-dup detection: (a, b, jaccard) where ``a`` is
     a NEW doc and ``b`` is its match in the existing corpus or the same
@@ -285,6 +286,11 @@ def incremental_minhash_pairs(
     caches, so cache lifecycle stays with the caller (ADVICE r2 fix: the
     old behavior leaked one persisted working set per wave, per side).
 
+    ``new_index``: the wave's own ``(hashed, sigs)`` pair, when the caller
+    has already signed it (the streaming ingest signs each micro-batch
+    once, appends it to the catalog index, and passes it here — signing
+    twice would double the wave's Arrow work per batch).
+
     Precondition: doc_ids are globally unique across waves (they key both
     the pair output and the verification join) — enforced with a cheap
     id-only semi-join check.
@@ -293,15 +299,19 @@ def incremental_minhash_pairs(
         ho, old_sigs = old_index
     else:
         ho, old_sigs = minhash_signature_index(old, n_hashes, n_bands)
-    hn = _hashed_shingles(new, persist=False)
+    if new_index is not None:
+        hn, sigs_new = new_index
+    else:
+        hn = _hashed_shingles(new, persist=False)
+        sigs_new = hn.mapInPandas(
+            _minhash_udf_factory(n_hashes, n_bands),
+            schema="doc_id long, band int, sig long",
+        )
     if hn.join(ho, "doc_id", "left_semi").limit(1).count():
         raise ValueError(
             "incremental_minhash_pairs: new wave reuses doc_ids already in "
             "the old corpus — ids must be globally unique across waves"
         )
-    udf = _minhash_udf_factory(n_hashes, n_bands)
-    schema = "doc_id long, band int, sig long"
-    sigs_new = hn.mapInPandas(udf, schema=schema)
     index = (
         old_sigs.withColumn("is_new", F.lit(False))
         .unionByName(sigs_new.withColumn("is_new", F.lit(True)))

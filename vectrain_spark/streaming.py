@@ -193,6 +193,139 @@ def start_ingest(
     return writer.start()
 
 
+DEDUP_DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def docs_stream(
+    spark: SparkSession, docs_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over a growing directory of document parquet.
+
+    One file per crawl wave + ``maxFilesPerTrigger=1`` gives a
+    deterministic wave-per-micro-batch mapping (Spark's file source
+    admits files oldest-modification-first)."""
+    return (
+        spark.readStream.schema(DEDUP_DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(docs_dir)
+    )
+
+
+def start_dedup_ingest(
+    spark: SparkSession,
+    docs_dir: str,
+    out_root: str,
+    checkpoint_dir: str,
+    threshold: float | None = None,
+    max_files_per_trigger: int = 1,
+    trigger_available_now: bool = True,
+    _test_fail_between_commits: int | None = None,
+):
+    """Streaming-side incremental near-dup detection: each micro-batch
+    (crawl wave) is deduped against the PERSISTED MinHash signature index
+    in the catalog — the same O(new)-per-wave guarantee the batch path
+    gets from :func:`~vectrain_spark.operators.dedup.
+    incremental_minhash_pairs`, now at the push/stream front-end. Per
+    batch: sign the wave ONCE, band-join it against the accumulated
+    ``dedup_sigs`` index plus itself, verify candidates with exact
+    Jaccard, append the pairs (tagged with the wave = batch id), then
+    append the wave's shingle sets and signatures to the index tables.
+    The old corpus is never re-shingled: per-wave cost is O(|wave| +
+    matching-band index rows).
+
+    Exactly-once per micro-batch, same discipline as :func:`start_ingest`:
+    Spark's checkpoint tracks file offsets; catalog commits are
+    idempotent on replay via per-table ``stream_batch`` guards. Commit
+    ORDER is the correctness invariant — pairs BEFORE index: a crash
+    after the index append would otherwise leave the replayed batch
+    finding its own doc_ids already in the index (the globally-unique-id
+    precondition) and the pair computation reading a poisoned old side.
+
+    ``_test_fail_between_commits``: test-only hook — raise after that
+    batch's pairs commit, before its index appends (the worst-case crash
+    point: replay must complete the index without re-emitting pairs)."""
+    from .operators.dedup import (
+        JACCARD_THRESHOLD,
+        incremental_minhash_pairs,
+        minhash_signature_index,
+    )
+
+    thr = JACCARD_THRESHOLD if threshold is None else threshold
+    cat = Catalog(out_root)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        done_pairs = batch_id in _committed_batches(cat, "dedup_pairs")
+        done_h = batch_id in _committed_batches(cat, "dedup_hashed")
+        done_s = batch_id in _committed_batches(cat, "dedup_sigs")
+        if done_pairs and done_h and done_s:
+            return
+        new = batch_df.select("doc_id", "text")
+        hn, sn = minhash_signature_index(new)
+        hn, sn = hn.persist(), sn.persist()
+        try:
+            if not done_pairs:
+                # the index cannot contain this batch yet: pairs commit
+                # strictly precedes the index appends
+                if cat.exists("dedup_sigs"):
+                    ho = cat.read(spark, "dedup_hashed")
+                    so = cat.read(spark, "dedup_sigs")
+                else:
+                    ho = spark.createDataFrame(
+                        [], "doc_id long, hsh array<bigint>"
+                    )
+                    so = spark.createDataFrame(
+                        [], "doc_id long, band int, sig long"
+                    )
+                pairs = incremental_minhash_pairs(
+                    None,
+                    None,
+                    threshold=thr,
+                    old_index=(ho, so),
+                    new_index=(hn, sn),
+                ).withColumn("wave", F.lit(batch_id).cast("int"))
+                cat.write(
+                    "dedup_pairs",
+                    pairs,
+                    mode="append",
+                    meta={"stream_batch": batch_id},
+                )
+            if _test_fail_between_commits == batch_id:
+                raise RuntimeError(
+                    f"injected crash between commits of batch {batch_id}"
+                )
+            if not done_h:
+                cat.write(
+                    "dedup_hashed",
+                    hn,
+                    mode="append",
+                    meta={"stream_batch": batch_id},
+                )
+            if not done_s:
+                cat.write(
+                    "dedup_sigs",
+                    sn,
+                    mode="append",
+                    meta={"stream_batch": batch_id},
+                )
+        finally:
+            hn.unpersist()
+            sn.unpersist()
+
+    writer = (
+        docs_stream(spark, docs_dir, max_files_per_trigger)
+        .writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 # ---------------------------------------------------------------------------
 # Event-time analytics and stateful operators over the page stream
 # ---------------------------------------------------------------------------
