@@ -732,7 +732,7 @@ Determinism: {"every trial at every level emitted the same triple count"
     )
 
 
-def _emit_default(result: dict) -> None:
+def _emit_default(result: dict, write_full: bool = True) -> None:
     """Print the full result, then a compact LAST line the driver can parse.
 
     Round-4 postmortem (VERDICT r4 "What's wrong" #1): the single JSON
@@ -746,9 +746,12 @@ def _emit_default(result: dict) -> None:
     top-10 slowest queries. The full per-query map lives in
     BENCH/full_latest.json (committed per round).
     """
-    os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/full_latest.json", "w") as f:
-        json.dump(result, f, indent=1)
+    if write_full:
+        # kg-only invocations (the scaling sweep's per-leg subprocesses)
+        # must not clobber the committed full-headline map
+        os.makedirs("BENCH", exist_ok=True)
+        with open("BENCH/full_latest.json", "w") as f:
+            json.dump(result, f, indent=1)
     print(json.dumps(result))
     q = result.get("queries", {})
     slowest = dict(
@@ -795,4 +798,5 @@ if __name__ == "__main__":
     elif "--gen-corpus" in sys.argv:
         run_gen_corpus()
     else:
-        _emit_default(run_default(kg_only="--kg-only" in sys.argv))
+        kg_only = "--kg-only" in sys.argv
+        _emit_default(run_default(kg_only=kg_only), write_full=not kg_only)
