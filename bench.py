@@ -527,13 +527,29 @@ def _run_leg(cores: int) -> dict:
     env["SPARK_GRAFT_CPUS"] = str(cores)
     env["SPARK_GRAFT_BENCH_PAGES"] = str(SCALE_PAGES)
     env["SPARK_GRAFT_BENCH_OUT"] = f"/tmp/vectrain_bench_scale_{cores}"
-    out = subprocess.run(
-        [sys.executable, __file__, "--kg-only"],
-        capture_output=True,
-        text=True,
-        env=env,
-        check=True,
-    )
+    last_err: Exception | None = None
+    for attempt in range(2):
+        # one retry: a transient leg failure (OOM-killed JVM, torn temp
+        # dir) must not discard an hours-long multi-leg sweep
+        try:
+            out = subprocess.run(
+                [sys.executable, __file__, "--kg-only"],
+                capture_output=True,
+                text=True,
+                env=env,
+                check=True,
+            )
+            break
+        except subprocess.CalledProcessError as e:
+            last_err = e
+            print(
+                f"leg local[{cores}] attempt {attempt + 1} failed "
+                f"(rc={e.returncode}); stderr tail: "
+                f"{(e.stderr or '')[-500:]}",
+                file=sys.stderr,
+            )
+    else:
+        raise last_err
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
     return json.loads(line)
 
@@ -586,6 +602,18 @@ def run_scaling() -> None:
             file=sys.stderr,
         )
         time.sleep(min(300, 60 * (attempt + 1)))
+    if not gate_ok and os.environ.get("SPARK_GRAFT_SCALE_REQUIRE_GATE"):
+        # opt-in hard gate: when a previous gate-PASSED table is already
+        # committed, an hours-long sweep on a host that cannot even scale
+        # its own burn control would only replace good evidence with
+        # uninterpretable evidence — abort cheaply instead
+        print(
+            "control gate failed every attempt and "
+            "SPARK_GRAFT_SCALE_REQUIRE_GATE is set: aborting without "
+            "touching BENCH/BASELINE.md",
+            file=sys.stderr,
+        )
+        sys.exit(3)
     # Engine-free Spark JVM ceiling per level (shuffle-free codegen agg
     # in a fresh subprocess): the upper bound this VM gives ANY Spark
     # job at that parallelism — the burn control can't see JVM memory-/
