@@ -320,3 +320,88 @@ def test_stream_dedup_crash_replay_completes_index_without_dup_pairs(
     assert got == [(2, 1, 0), (10, 1, 1), (10, 2, 1)]
     assert len(pairs) == len(set(got))  # no double-appended pairs
     assert cat.read(spark, "dedup_sigs").select("doc_id").distinct().count() == 3
+
+
+def _tarjan_sccs(nodes, edge_list):
+    """Reference SCC: iterative Tarjan over adjacency lists."""
+    adj = {n: [] for n in nodes}
+    for a, b in edge_list:
+        adj[a].append(b)
+    index = {}
+    low = {}
+    on_stack = set()
+    stack = []
+    comp_of = {}
+    counter = [0]
+
+    def strongconnect(v0):
+        work = [(v0, iter(adj[v0]))]
+        index[v0] = low[v0] = counter[0]
+        counter[0] += 1
+        stack.append(v0)
+        on_stack.add(v0)
+        while work:
+            v, it = work[-1]
+            advanced = False
+            for w in it:
+                if w not in index:
+                    index[w] = low[w] = counter[0]
+                    counter[0] += 1
+                    stack.append(w)
+                    on_stack.add(w)
+                    work.append((w, iter(adj[w])))
+                    advanced = True
+                    break
+                elif w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if advanced:
+                continue
+            work.pop()
+            if work:
+                u = work[-1][0]
+                low[u] = min(low[u], low[v])
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                root = min(comp)
+                for w in comp:
+                    comp_of[w] = (root, len(comp))
+
+    for n in nodes:
+        if n not in index:
+            strongconnect(n)
+    return comp_of
+
+
+def test_scc_randomized_against_tarjan(spark):
+    """Seeded random digraphs (mixed density, self-loops, isolated-ish
+    tails) cross-checked node-for-node against an in-test Tarjan: the
+    coloring implementation must agree on every scc_id and scc_size."""
+    import random
+
+    from vectrain_spark.operators.graph import strongly_connected_components
+
+    for seed, n, m in [(7, 18, 30), (11, 25, 60), (13, 30, 35)]:
+        rng = random.Random(seed)
+        nodes = [f"n{i:02d}" for i in range(n)]
+        edge_list = list(
+            {
+                (rng.choice(nodes), rng.choice(nodes))
+                for _ in range(m)
+            }
+        )
+        edge_list.sort()
+        want = _tarjan_sccs(nodes, edge_list)
+        edges = spark.createDataFrame(edge_list, "src string, dst string")
+        got = {
+            r["node"]: (r["scc_id"], r["scc_size"])
+            for r in strongly_connected_components(edges).collect()
+        }
+        touched = {a for a, _ in edge_list} | {b for _, b in edge_list}
+        for v in touched:
+            assert got[v] == want[v], (seed, v, got[v], want[v])

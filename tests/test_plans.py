@@ -689,3 +689,18 @@ def test_r4i_gates_stay_jvm_side(spark):
         assert "EvalPython" not in plan, (name, plan)
     rpq_plan = _plan(QUERIES["kg_rpq"](spark, sf))
     assert "CartesianProduct" not in rpq_plan, rpq_plan
+
+
+def test_r5_suffix_and_unigram_stay_jvm_side(spark):
+    """Round-5 operators: the exact-substring span dedup and the
+    unigram-LM trainer are pure JVM dataflows (md5 grams / quantized
+    log-prob folds — zero Python eval anywhere), and the span pair join
+    is a keyed hash join on the gram, never a nested-loop."""
+    from vectrain_spark.driver_queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    for name in ("dedup_suffix_exact", "text_unigram_lm"):
+        plan = _plan(QUERIES[name](spark, sf))
+        assert "EvalPython" not in plan, (name, plan)
+        assert "BroadcastNestedLoop" not in plan, (name, plan)
+        assert "CartesianProduct" not in plan, (name, plan)
