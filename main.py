@@ -93,7 +93,9 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
         p.error("--maintain cluster requires --cols")
     if args.maintain == "delete" and not args.predicate:
         p.error("--maintain delete requires --predicate")
-    if not args.config and not args.out:
+    if not args.query and not args.config and not args.out:
+        # pipeline/maintenance modes need a sink root; --query carries its
+        # own sink check above, and --explain is plan-only by design
         p.error("--out is required (or provide sink.out via --config)")
     return args
 
