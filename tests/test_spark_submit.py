@@ -130,3 +130,37 @@ def test_cli_query_explain_prints_plan_without_executing(tmp_path):
     assert "Physical Plan" in out.stdout
     assert "PushedFilters" in out.stdout
     assert not os.path.exists(str(tmp_path / "w" / "queries"))
+
+
+def test_cli_explain_needs_no_sink(tmp_path):
+    """--explain is plan-only: it must work without --out/--config, and
+    --query WITHOUT --explain must still demand a sink."""
+    out = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(ROOT, "main.py"),
+            "--query", "olap_pricing_summary",
+            "--sf-dir", "/root/testdata/sf0.001",
+            "--explain",
+        ],
+        capture_output=True,
+        text=True,
+        cwd=ROOT,
+        env=dict(os.environ, SPARK_GRAFT_CPUS="4"),
+        check=True,
+    )
+    assert "Physical Plan" in out.stdout
+
+    bad = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(ROOT, "main.py"),
+            "--query", "olap_pricing_summary",
+            "--sf-dir", "/root/testdata/sf0.001",
+        ],
+        capture_output=True,
+        text=True,
+        cwd=ROOT,
+    )
+    assert bad.returncode == 2
+    assert "needs a sink" in bad.stderr
