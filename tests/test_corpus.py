@@ -164,3 +164,47 @@ def test_mixture_weights_sqrt_temperature(spark):
     assert rows["books"]["mix_weight"] == round(w_books / (w_web + w_books), 6)
     # tempering moves weight toward the minority domain
     assert rows["books"]["mix_weight"] > 4 / 24
+
+
+def test_chunk_documents_hand_computed(spark):
+    """10 tokens, size 4, stride 3: ceil((10-4)/3) = 2 extra windows, so
+    starts 1/4/7 and the LAST window (7..10) already covers the tail —
+    no degenerate 4th window; an 11th token would add one (start 10,
+    2-token tail). A 3-token doc yields one whole-doc chunk; overlap
+    between consecutive windows is exactly size - stride."""
+    from vectrain_spark.operators.corpus import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "x y z")],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["doc_id"], r["chunk_idx"]): r
+        for r in chunk_documents(docs, size=4, stride=3).collect()
+    }
+    got1 = [
+        (rows[(1, k)]["tok_start"], rows[(1, k)]["tok_end"],
+         rows[(1, k)]["n_tokens"], rows[(1, k)]["chunk_text"])
+        for k in range(3)
+    ]
+    assert got1 == [
+        (1, 4, 4, "a b c d"),
+        (4, 7, 4, "d e f g"),
+        (7, 10, 4, "g h i j"),
+    ]
+    assert (2, 0) in rows and rows[(2, 0)]["chunk_text"] == "x y z"
+    assert rows[(2, 0)]["n_tokens"] == 3
+    assert len(rows) == 4
+
+    docs11 = spark.createDataFrame(
+        [(3, "a b c d e f g h i j k")], "doc_id long, text string"
+    )
+    tail = {
+        r["chunk_idx"]: r
+        for r in chunk_documents(docs11, size=4, stride=3).collect()
+    }
+    assert len(tail) == 4
+    assert (
+        tail[3]["tok_start"], tail[3]["tok_end"],
+        tail[3]["n_tokens"], tail[3]["chunk_text"],
+    ) == (10, 11, 2, "j k")

@@ -9564,6 +9564,25 @@ WHERE round((pairs.inter * 1.0) / (sa.n + sb.n - pairs.inter), 6)
 """
 
 
+def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context-window chunking over the documents table
+    (size 64, stride 48 -> 16-token overlap): every chunk's exact
+    1-based token offsets, tail-chunk lengths, and reassembled chunk
+    text are value-checked against the DuckDB replay."""
+    from .operators.corpus import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
+def _text_chunks_sql() -> str:
+    from .operators.corpus import chunk_oracle_sql
+
+    return chunk_oracle_sql("SELECT doc_id, text FROM documents")
+
+
+SQL_TEXT_CHUNKS = _text_chunks_sql()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_substring": q_dedup_substring,
     "text_c4_filters": q_text_c4_filters,
@@ -9794,6 +9813,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_link_costed": q_kg_link_costed,
     "dedup_suffix_exact": q_dedup_suffix_exact,
     "stream_dedup_inc": q_stream_dedup_inc,
+    "text_chunks": q_text_chunks,
 }
 
 # Registry ordered by VERIFICATION VALUE (see the list's own comment).
@@ -9834,6 +9854,7 @@ _CHANGED_THIS_ROUND = [
     "kg_link_costed",
     "dedup_suffix_exact",
     "stream_dedup_inc",
+    "text_chunks",
 ]
 
 _DRIVER_VERIFIED_R2 = 50  # entries past this index never ran driver-side
@@ -10094,4 +10115,5 @@ ORACLES: dict[str, str] = {
     "kg_link_costed": SQL_KG_LINK_COSTED,
     "dedup_suffix_exact": SQL_DEDUP_SUFFIX_EXACT,
     "stream_dedup_inc": SQL_STREAM_DEDUP_INC,
+    "text_chunks": SQL_TEXT_CHUNKS,
 }

@@ -840,3 +840,98 @@ SELECT lang, corpus_chars, cap, allocated, capped,
          AS epochs_used_ppm
 FROM um_a
 """
+
+
+# ---------------------------------------------------------------------------
+# Overlapping context-window chunking
+# ---------------------------------------------------------------------------
+
+CHUNK_SIZE = 64
+CHUNK_STRIDE = 48
+
+
+def chunk_documents(
+    docs: DataFrame,
+    size: int = CHUNK_SIZE,
+    stride: int = CHUNK_STRIDE,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document overlapping token windows -> (doc_id, chunk_idx,
+    tok_start, tok_end, n_tokens, chunk_text): window k starts at token
+    1 + k*stride (1-based), holds ``size`` tokens (the last window keeps
+    the tail and may be shorter), and windows are emitted up to
+    k = ceil(max(n - size, 0) / stride) — so every token is covered,
+    consecutive windows overlap by ``size - stride`` tokens, and a doc
+    no longer than ``size`` yields exactly one whole-doc chunk. The
+    context-window splitter a training/embedding pipeline runs between
+    cleaning and tokenization (RAG passage windows, long-doc embedding,
+    fixed-context pretraining all use this shape); the complement of
+    :func:`pack_sequences`, which CONCATENATES short docs — this SPLITS
+    long ones.
+
+    Tokens are single-space splits (the engine's cheap tokenizer
+    contract shared with :func:`pack_sequences`; identical in DuckDB).
+    Scale shape: pure map work — split, a per-row sequence explode of
+    ceil(n/stride) window indices, slice, concat — fused into the scan;
+    no shuffle, no window function, no Python anywhere. Chunk counts
+    and offsets are exact BIGINT arithmetic (ceil via (a + b - 1) div b,
+    never float), so the DuckDB replay matches bit-for-bit.
+    """
+    w = F.split(F.col(text_col), " ")
+    over = F.greatest(F.size(w) - F.lit(size), F.lit(0))
+    # ceil(over / stride) in exact integer arithmetic
+    k_max = ((over.cast("long") + stride - 1) / stride).cast("long")
+    start = F.lit(1) + F.col("k") * stride
+    length = F.least(F.lit(size), F.size(F.col("w")) - start + 1)
+    return (
+        docs.select(F.col(key_col).alias("doc_id"), w.alias("w"), k_max.alias("km"))
+        .select(
+            "doc_id",
+            "w",
+            F.explode(F.sequence(F.lit(0).cast("long"), F.col("km"))).alias("k"),
+        )
+        .select(
+            "doc_id",
+            F.col("k").cast("int").alias("chunk_idx"),
+            start.cast("int").alias("tok_start"),
+            (start + length - 1).cast("int").alias("tok_end"),
+            length.cast("int").alias("n_tokens"),
+            F.concat_ws(" ", F.slice(F.col("w"), start, length)).alias(
+                "chunk_text"
+            ),
+        )
+    )
+
+
+def chunk_oracle_sql(
+    corpus_sql: str,
+    size: int = CHUNK_SIZE,
+    stride: int = CHUNK_STRIDE,
+) -> str:
+    """DuckDB replay of :func:`chunk_documents`: same single-space
+    tokens, same integer-exact window count, 1-based inclusive slices."""
+    return f"""
+WITH chk_corpus AS ({corpus_sql}),
+chk_w AS (
+  SELECT doc_id, string_split(text, ' ') AS w,
+         len(string_split(text, ' ')) AS n
+  FROM chk_corpus
+),
+chk_k AS (
+  SELECT doc_id, w, n,
+         unnest(generate_series(
+           0, (greatest(n - {size}, 0) + {stride - 1}) // {stride})) AS k
+  FROM chk_w
+)
+SELECT doc_id,
+       k::INT AS chunk_idx,
+       (1 + k * {stride})::INT AS tok_start,
+       least(1 + k * {stride} + {size - 1}, n)::INT AS tok_end,
+       (least(1 + k * {stride} + {size - 1}, n) - k * {stride})::INT
+         AS n_tokens,
+       array_to_string(w[(1 + k * {stride}) :
+                         least(1 + k * {stride} + {size - 1}, n)], ' ')
+         AS chunk_text
+FROM chk_k
+"""
