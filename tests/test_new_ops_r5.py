@@ -20,7 +20,9 @@ def test_scc_giant_component_no_closure_sized_intermediate(spark):
         fwd + [(b, a) for a, b in fwd], "src string, dst string"
     )
     stats: dict = {}
-    rows = strongly_connected_components(edges, stats=stats).collect()
+    rows = strongly_connected_components(
+        edges, stats=stats, small_graph_max_edges=0  # force the scale path
+    ).collect()
     assert len(rows) == n
     assert {r["scc_id"] for r in rows} == {"v00"}
     assert all(r["scc_size"] == n for r in rows)
@@ -43,7 +45,12 @@ def test_scc_chain_of_cycles_multiple_pivot_rounds(spark):
         if c < 4:
             edges.append((f"c{c}n0", f"c{c + 1}n0"))  # one-way bridge
     e = spark.createDataFrame(edges, "src string, dst string")
-    got = {r["node"]: r for r in strongly_connected_components(e).collect()}
+    got = {
+        r["node"]: r
+        for r in strongly_connected_components(
+            e, small_graph_max_edges=0  # force the scale path
+        ).collect()
+    }
     assert len(got) == 20
     for c in range(5):
         ids = {f"c{c}n{j}" for j in range(4)}
@@ -400,8 +407,31 @@ def test_scc_randomized_against_tarjan(spark):
         edges = spark.createDataFrame(edge_list, "src string, dst string")
         got = {
             r["node"]: (r["scc_id"], r["scc_size"])
-            for r in strongly_connected_components(edges).collect()
+            for r in strongly_connected_components(
+                edges, small_graph_max_edges=0  # force the scale path
+            ).collect()
         }
         touched = {a for a, _ in edge_list} | {b for _, b in edge_list}
         for v in touched:
             assert got[v] == want[v], (seed, v, got[v], want[v])
+
+
+def test_scc_small_graph_dispatch_matches_scale_path(spark):
+    """The round-6 cost-based dispatch (driver Tarjan at or under
+    SCC_SMALL_GRAPH_EDGES deduped pairs, distributed FB coloring above)
+    must be invisible in the results: identical rows AND schema from
+    both paths on the same graph — self-loops, bridges, and singleton-
+    component tails included."""
+    from vectrain_spark.operators.graph import strongly_connected_components
+
+    edges = []
+    for c in range(3):
+        ids = [f"c{c}n{j}" for j in range(4)]
+        edges += [(ids[j], ids[(j + 1) % 4]) for j in range(4)]
+    edges += [("c0n0", "c1n0"), ("x0", "x0"), ("c2n1", "y0")]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    local = strongly_connected_components(e)  # n_pairs << threshold
+    dist = strongly_connected_components(e, small_graph_max_edges=0)
+    assert local.schema == dist.schema
+    key = lambda r: (r["node"], r["scc_id"], r["scc_size"])  # noqa: E731
+    assert sorted(map(key, local.collect())) == sorted(map(key, dist.collect()))

@@ -583,7 +583,9 @@ def test_r4g_ops_stay_jvm_keyed_joins(spark):
     )
     for df in (
         simrank(edges, rounds=2),
-        strongly_connected_components(edges, max_hops=6),
+        # force the distributed path: the plan property under test is the
+        # scale shape, not the small-graph Tarjan dispatch
+        strongly_connected_components(edges, max_hops=6, small_graph_max_edges=0),
         resolve_redirects(
             spark.createDataFrame(
                 [(f"u{i}", f"u{i - 1}") for i in range(1, 20) if i % 5],

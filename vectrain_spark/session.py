@@ -54,7 +54,10 @@ def get_spark(
     return spark
 
 
-def fresh_checkpoint(df):
+_FALLBACK_WARNED = False
+
+
+def fresh_checkpoint(df, eager: bool = True):
     """``localCheckpoint`` that also RESETS the plan statistics.
 
     Since SPARK-39834 a checkpoint's ``LogicalRDD`` inherits the origin
@@ -70,16 +73,59 @@ def fresh_checkpoint(df):
     at the engine default; the data path is untouched (same materialized
     blocks, no recompute, no Python round-trip).
 
+    ``eager=False`` defers materialization to the first consuming job
+    (the RDD persists on first compute, and Spark's local-checkpoint
+    cleanup pass fills any partitions a short-circuiting first job
+    skipped) — one fewer job submission per loop round for callers whose
+    next round consumes the frame anyway.
+
+    The checkpointed JVM-side RDD handle is attached to the returned
+    frame so :func:`release_checkpoint` can free its blocks as soon as a
+    loop supersedes it — otherwise every round's blocks stay resident
+    until GC, which VERDICT r5 measured as a 5.3x constant factor on
+    kg_scc and suspected of degrading every query after it in a shared
+    session.
+
     Falls back to the plain checkpoint if the internal constructor is
     unavailable (non-JVM sessions, e.g. Spark Connect).
     """
-    ck = df.localCheckpoint()
+    global _FALLBACK_WARNED
+    ck = df.localCheckpoint(eager)
     try:
         sess = ck.sparkSession
         jdf = ck._jdf
+        jrdd = jdf.queryExecution().analyzed().rdd()
         out_j = sess._jsparkSession.internalCreateDataFrame(
             jdf.queryExecution().toRdd(), jdf.schema(), False
         )
-        return type(ck)(out_j, sess)
+        out = type(ck)(out_j, sess)
+        out._fresh_ckpt_jrdd = jrdd
+        return out
     except Exception:  # pragma: no cover - Connect/remote sessions
+        if not _FALLBACK_WARNED:
+            _FALLBACK_WARNED = True
+            import warnings
+
+            warnings.warn(
+                "fresh_checkpoint fell back to a plain localCheckpoint: "
+                "plan-statistics reset is OFF (iterative self-join loops "
+                "may plan exponentially; see SPARK-39834)",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         return ck
+
+
+def release_checkpoint(df) -> None:
+    """Free the storage blocks of a frame returned by
+    :func:`fresh_checkpoint`, once every consumer of the frame has
+    materialized. A local checkpoint's lineage is truncated, so this
+    must only be called when the frame is genuinely dead — a later job
+    over it cannot recompute. No-op for non-checkpoint frames and on
+    the fallback path."""
+    jrdd = getattr(df, "_fresh_ckpt_jrdd", None)
+    if jrdd is not None:
+        try:
+            jrdd.unpersist(False)
+        except Exception:  # pragma: no cover - session already stopped
+            pass
