@@ -37,6 +37,42 @@ ITER_ROUND = 8
 OUT_ROUND = 6
 
 
+def _finalize_iterative(out: DataFrame, persisted: list[DataFrame]) -> DataFrame:
+    """Materialize a fixed-round loop's result ONCE and release its
+    cached inputs.
+
+    Round-6 measurement: on this engine every eager per-round
+    ``localCheckpoint`` is a full job submission with a ~0.4 s floor at
+    local[32], so a 5-round loop paid 5 job round-trips plus retained
+    every round's blocks until GC. A fixed-round loop whose round
+    references the previous state exactly once (pagerank/katz/ppr/LPA
+    shape) unrolls into ONE lazy plan — linear in round count, stats
+    growing multiplicatively in VALUE but linearly in digit count, so no
+    SPARK-39834 pathology — and this helper executes it as a single job
+    via a stats-reset checkpoint, then unpersists the loop's shared
+    frames (edge table, degrees, node set). States that a round
+    references more than once must be ``persist()``-ed by the caller
+    (lazy — the cache manager dedupes them inside the same job) and
+    passed here for release."""
+    from ..session import fresh_checkpoint
+
+    res = fresh_checkpoint(out)
+    for df in persisted:
+        df.unpersist()
+    return res
+
+
+def _materialize(*dfs: DataFrame) -> None:
+    """Populate lazily-persisted shared loop frames BEFORE the single
+    materializing job: concurrent stages inside that job would otherwise
+    race to fill the same cache and recompute the frame's whole lineage
+    per consumer (measured 2x on label propagation's symmetrized edge
+    cache). One cheap count per frame; later frames reuse earlier ones'
+    cached blocks."""
+    for df in dfs:
+        df.count()
+
+
 def pagerank(
     edges: DataFrame,
     n_iter: int = N_ITER,
@@ -81,8 +117,13 @@ def pagerank(
         .distinct()
         .persist()
     )
+    _materialize(nodes, outdeg)  # nodes' pass also populates e's cache
     ranks = nodes.select("id", F.lit(1.0).alias("rank"))
     base = 1.0 - damping
+    # each round references the previous ranks exactly ONCE, so the whole
+    # loop unrolls into one lazy plan executed as a single job by
+    # _finalize_iterative — no per-round job submissions or retained
+    # per-round checkpoint blocks (round-6, guide §2.4/§5)
     for _ in range(n_iter):
         contribs = (
             e.join(ranks.withColumnRenamed("id", "src"), "src")
@@ -100,13 +141,9 @@ def pagerank(
                     ITER_ROUND,
                 ).alias("rank"),
             )
-            .localCheckpoint()
         )
     out = ranks.select("id", F.round("rank", OUT_ROUND).alias("rank"))
-    e.unpersist()
-    outdeg.unpersist()
-    nodes.unpersist()
-    return out
+    return _finalize_iterative(out, [e, outdeg, nodes])
 
 
 def pagerank_oracle_sql(
@@ -196,6 +233,7 @@ def katz_centrality(
         .distinct()
         .persist()
     )
+    _materialize(nodes)  # nodes' pass also populates e's cache
     x = nodes.select("id", F.lit(beta).alias("katz"))
     for _ in range(n_iter):
         contribs = (
@@ -212,12 +250,10 @@ def katz_centrality(
                     ITER_ROUND,
                 ).alias("katz"),
             )
-            .localCheckpoint()
         )
+    # single-reference rounds -> one lazy plan, one job (round-6)
     out = x.select("id", F.round("katz", OUT_ROUND).alias("katz"))
-    e.unpersist()
-    nodes.unpersist()
-    return out
+    return _finalize_iterative(out, [e, nodes])
 
 
 def katz_oracle_sql(
@@ -1121,10 +1157,21 @@ def hits(edges: DataFrame, n_iter: int = HITS_ITER) -> DataFrame:
         .distinct()
         .persist()
     )
+    _materialize(nodes)  # nodes' pass also populates e's cache
     hubs = nodes.select("id", F.lit(1.0).alias("hub"))
     auths = None
+    # per half-round the raw score frame feeds BOTH the L1 total and the
+    # normalize. The total is a 1-row scalar, so it is collected off the
+    # lazily-checkpointed raw frame — that collect IS the materializing
+    # job (one job per half-round, down from an eager checkpoint whose
+    # plan re-computed the raw frame inside a broadcast subtree) — and
+    # inlined as a literal: identical doubles, no crossJoin, no
+    # broadcast exchange. Superseded half-round frames are released as
+    # soon as their successor has materialized (round-6).
+    a_raw = h_raw = None
+    pending: list[DataFrame] = []
     for _ in range(n_iter):
-        a_raw = (
+        a_raw = _fckpt(
             nodes.join(
                 e.join(hubs.withColumnRenamed("id", "src"), "src")
                 .groupBy(F.col("dst").alias("id"))
@@ -1132,17 +1179,17 @@ def hits(edges: DataFrame, n_iter: int = HITS_ITER) -> DataFrame:
                 "id",
                 "left",
             )
-            .select("id", F.coalesce("s", F.lit(0.0)).alias("raw"))
+            .select("id", F.coalesce("s", F.lit(0.0)).alias("raw")),
+            eager=False,
         )
-        a_tot = a_raw.agg(F.sum("raw").alias("tot"))
-        auths = (
-            a_raw.crossJoin(F.broadcast(a_tot))
-            .select(
-                "id", F.round(F.col("raw") / F.col("tot"), ITER_ROUND).alias("auth")
-            )
-            .localCheckpoint()
+        a_tot = a_raw.agg(F.sum("raw").alias("tot")).collect()[0]["tot"]
+        for h in pending:
+            _release(h)
+        pending = []
+        auths = a_raw.select(
+            "id", F.round(F.col("raw") / F.lit(a_tot), ITER_ROUND).alias("auth")
         )
-        h_raw = (
+        h_raw = _fckpt(
             nodes.join(
                 e.join(auths.withColumnRenamed("id", "dst"), "dst")
                 .groupBy(F.col("src").alias("id"))
@@ -1150,16 +1197,14 @@ def hits(edges: DataFrame, n_iter: int = HITS_ITER) -> DataFrame:
                 "id",
                 "left",
             )
-            .select("id", F.coalesce("s", F.lit(0.0)).alias("raw"))
+            .select("id", F.coalesce("s", F.lit(0.0)).alias("raw")),
+            eager=False,
         )
-        h_tot = h_raw.agg(F.sum("raw").alias("tot"))
-        hubs = (
-            h_raw.crossJoin(F.broadcast(h_tot))
-            .select(
-                "id", F.round(F.col("raw") / F.col("tot"), ITER_ROUND).alias("hub")
-            )
-            .localCheckpoint()
+        h_tot = h_raw.agg(F.sum("raw").alias("tot")).collect()[0]["tot"]
+        hubs = h_raw.select(
+            "id", F.round(F.col("raw") / F.lit(h_tot), ITER_ROUND).alias("hub")
         )
+        pending = [a_raw, h_raw]
     out = (
         hubs.join(auths, "id")
         .select(
@@ -1168,9 +1213,10 @@ def hits(edges: DataFrame, n_iter: int = HITS_ITER) -> DataFrame:
             F.round("auth", OUT_ROUND).alias("auth"),
         )
     )
-    e.unpersist()
-    nodes.unpersist()
-    return out
+    res = _finalize_iterative(out, [e, nodes])
+    for h in pending:
+        _release(h)
+    return res
 
 
 def hits_oracle_sql(edges_sql: str, n_iter: int = HITS_ITER) -> str:
@@ -1264,29 +1310,38 @@ def label_propagation(pairs: DataFrame, rounds: int = LPA_ROUNDS) -> DataFrame:
         parts, "u"
     ).persist()
     nodes = sym.select(F.col("v").alias("id")).distinct().persist()
+    _materialize(nodes)  # nodes' pass also populates sym's cache
     labels = nodes.select("id", F.col("id").alias("label"))
     from pyspark.sql import Window
 
     w = Window.partitionBy("v").orderBy(F.desc("cnt"), F.asc("label"))
+    # per-round EAGER materialization, deliberately: a lazily-unrolled
+    # 4-window chain was measured ~2x slower here (AQE re-optimizes the
+    # whole remaining deep plan after every stage), so each round stays
+    # one short job — but superseded label tables are now released as
+    # soon as the next round has materialized (round-6)
+    prev: DataFrame | None = None
     for _ in range(rounds):
         counts = (
             sym.join(labels.withColumnRenamed("id", "u"), "u")
             .groupBy("v", "label")
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
-        labels = (
+        labels = _fckpt(
             counts.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select(F.col("v").alias("id"), "label")
-            .localCheckpoint()
         )
+        if prev is not None:
+            _release(prev)
+        prev = labels
     size = labels.groupBy("label").agg(F.count(F.lit(1)).alias("community_size"))
     out = labels.join(F.broadcast(size), "label").select(
         "id", "label", "community_size"
     )
-    sym.unpersist()
-    nodes.unpersist()
-    return out
+    res = _finalize_iterative(out, [sym, nodes])
+    _release(labels)
+    return res
 
 
 def neighbor_mean_embeddings(
@@ -1619,9 +1674,15 @@ def shortest_paths(
         1, min(spark.sparkContext.defaultParallelism, n_edges // 50_000 + 1)
     )
     e = e.repartition(parts, "src").persist()
+    _materialize(e)
     dist = seeds.select(
         F.col("seed"), F.col("seed").alias("id"), F.lit(0.0).alias("dist")
     )
+    # each round references the previous dist TWICE (relax + carry), so
+    # every level gets a lazy persist — deduped by the cache manager
+    # inside the single final job (round-6: was one eager checkpoint job
+    # per round)
+    levels: list[DataFrame] = []
     for _ in range(rounds):
         relaxed = (
             dist.join(e.withColumnRenamed("src", "id"), "id")
@@ -1635,10 +1696,11 @@ def shortest_paths(
             dist.unionByName(relaxed)
             .groupBy("seed", "id")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint()
+            .persist()
         )
-    e.unpersist()
-    return dist.select("seed", "id", F.round("dist", OUT_ROUND).alias("dist"))
+        levels.append(dist)
+    out = dist.select("seed", "id", F.round("dist", OUT_ROUND).alias("dist"))
+    return _finalize_iterative(out, [e, *levels])
 
 
 def _shortest_paths_cte_parts(
@@ -1748,6 +1810,7 @@ def personalized_pagerank(
         "id",
         F.when(F.col("_s"), F.lit(base_mass)).otherwise(F.lit(0.0)).alias("b"),
     ).persist()
+    _materialize(nodes, outdeg, base)  # nodes' pass also populates e's cache
     ranks = base.select("id", F.col("b").alias("rank"))
     for _ in range(n_iter):
         contribs = (
@@ -1766,14 +1829,10 @@ def personalized_pagerank(
                     ITER_ROUND,
                 ).alias("rank"),
             )
-            .localCheckpoint()
         )
+    # single-reference rounds -> one lazy plan, one job (round-6)
     out = ranks.select("id", F.round("rank", OUT_ROUND).alias("rank"))
-    e.unpersist()
-    outdeg.unpersist()
-    nodes.unpersist()
-    base.unpersist()
-    return out
+    return _finalize_iterative(out, [e, outdeg, nodes, base])
 
 
 def personalized_pagerank_oracle_sql(
