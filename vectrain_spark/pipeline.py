@@ -250,12 +250,20 @@ def _run_group(
     _prof(f"group {group} stage extracted", tp)
 
     good, _quarantine = split_quarantine(ext)
-    tri = extract_triples_df(good)
+    # the triple set feeds BOTH the surface/link chain and the final
+    # canonical join — persist + materialize it once so the Python
+    # (Arrow) triple-extraction pass over the staged text runs exactly
+    # once per group (round-6: it ran once per consumer, and the two
+    # broadcast map builds below raced to fill the lazy cache and
+    # re-derived the whole chain each)
+    tp = time.time()
+    tri = extract_triples_df(good).persist()
+    tri.count()
 
     # Linking: distinct surfaces (small) -> broadcast probe UDF -> tiny maps
-    tp = time.time()
     surfaces = mention_surfaces(tri)
     linked_m = linker(surfaces).persist()
+    linked_m.count()
     subj_map = linked_m.select(
         F.col("surface").alias("subj"),
         F.col("entity_id").alias("subj_id"),
@@ -305,6 +313,7 @@ def _run_group(
         _prof(f"group {group} write triples", tp)
     finally:
         linked_m.unpersist()
+        tri.unpersist()
     return {"group": group, "wall_sec": time.time() - t0}
 
 
