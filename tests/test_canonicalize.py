@@ -26,12 +26,33 @@ def test_cc_tiny_chain(spark):
 
 def test_cc_hub_skew(spark):
     """One hub connected to 500 nodes plus a long path — converges in
-    O(log n) rounds without straggler blowup (SURVEY.md §5.2 item 5)."""
+    O(log n) rounds without straggler blowup (SURVEY.md §5.2 item 5).
+    Forces the distributed star contraction (the property under test is
+    the scale path, not the small-graph union-find dispatch)."""
     edges = [(1, i) for i in range(2, 502)]  # star on hub 1
     edges += [(i, i + 1) for i in range(600, 700)]  # path component
-    got = _cc_dict(spark, edges)
+    df = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
+    got = {
+        r["id"]: r["canon"]
+        for r in connected_components(df, small_graph_max_edges=0).collect()
+    }
     assert all(got[i] == 1 for i in range(1, 502))
     assert all(got[i] == 600 for i in range(600, 701))
+
+
+def test_cc_small_graph_dispatch_matches_scale_path(spark):
+    """The round-6 cost-based dispatch (driver union-find at or under
+    CC_SMALL_GRAPH_EDGES deduped pairs, star contraction above) must be
+    invisible in the results: identical (id, canon) rows from both paths,
+    self-loops and singletons included."""
+    edges = [(2, 1), (3, 2), (4, 3), (11, 10), (7, 7), (20, 21), (21, 20)]
+    df = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
+    local = {(r["id"], r["canon"]) for r in connected_components(df).collect()}
+    dist = {
+        (r["id"], r["canon"])
+        for r in connected_components(df, small_graph_max_edges=0).collect()
+    }
+    assert local == dist
 
 
 def test_cc_matches_union_find_on_aliases(spark, aliases_df, small_fixture):
