@@ -333,3 +333,51 @@ def test_quotient_graph_star_plus_triangle(spark):
     tri = by_edges[3]
     assert tri["class_a"] == tri["class_b"]  # within-class super-loop
     assert tri["n_nodes_a"] == 3
+
+
+def test_betweenness_small_graph_dispatch_matches_scale_path(spark):
+    """The round-6 cost-based dispatch (driver-side layered Brandes at or
+    under SCC_SMALL_GRAPH_EDGES deduped edges) must match the batched
+    dataflow: identical node sets, and values equal up to one ulp of the
+    6-dp per-layer rounding (summation order at an exact .xxxxxx5
+    boundary is the one freedom BOTH engines already tolerate — the
+    driver gate fixture is sigma=1/integer-delta, where the paths are
+    bit-identical; the unique-shortest-path fixture below asserts exact
+    equality)."""
+    import random
+
+    from vectrain_spark.operators.graph import betweenness_sampled
+
+    # branching random digraphs: values may sit on rounding boundaries
+    for seed_n, n, m in [(3, 16, 40), (5, 22, 55)]:
+        rng = random.Random(seed_n)
+        nodes = [f"v{i:02d}" for i in range(n)]
+        edge_list = sorted({(rng.choice(nodes), rng.choice(nodes)) for _ in range(m)})
+        e = spark.createDataFrame(edge_list, "src string, dst string")
+        seeds = spark.createDataFrame([(nodes[0],), (nodes[1],), (nodes[2],)], "seed string")
+        local = {
+            r["v"]: r["betweenness"]
+            for r in betweenness_sampled(e, seeds).collect()
+        }
+        dist = {
+            r["v"]: r["betweenness"]
+            for r in betweenness_sampled(e, seeds, small_graph_max_edges=0).collect()
+        }
+        assert local.keys() == dist.keys(), (seed_n, local, dist)
+        for v in local:
+            assert abs(local[v] - dist[v]) <= 1.1e-6, (seed_n, v, local[v], dist[v])
+
+    # unique-shortest-path fixture (the gate's regime: sigma = 1
+    # everywhere, integer deltas): both paths must agree EXACTLY
+    ring = [(f"r{i}", f"r{(i + 1) % 6}") for i in range(6)]
+    ring += [("r0", "s0"), ("s0", "s1"), ("s1", "s2")]
+    e = spark.createDataFrame(ring, "src string, dst string")
+    seeds = spark.createDataFrame([("r0",), ("r1",)], "seed string")
+    local = {
+        r["v"]: r["betweenness"] for r in betweenness_sampled(e, seeds).collect()
+    }
+    dist = {
+        r["v"]: r["betweenness"]
+        for r in betweenness_sampled(e, seeds, small_graph_max_edges=0).collect()
+    }
+    assert local == dist, (local, dist)

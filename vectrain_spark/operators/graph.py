@@ -3865,7 +3865,10 @@ BRANDES_MAX_DEPTH = 12
 
 
 def betweenness_sampled(
-    edges: DataFrame, seeds: DataFrame, max_depth: int = BRANDES_MAX_DEPTH
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_depth: int = BRANDES_MAX_DEPTH,
+    small_graph_max_edges: int | None = None,
 ) -> DataFrame:
     """Betweenness centrality from a seed sample -> (v, betweenness):
     Brandes' algorithm (2001) restricted to ``seeds`` as sources — the
@@ -3890,8 +3893,81 @@ def betweenness_sampled(
     localCheckpoint flattens the iterated plan. Hub fan-in collapses
     map-side in the sigma/delta sums. The contribution of unreached
     node pairs is exactly zero, so output is restricted to seed-reached
-    nodes (the oracle mirrors this)."""
-    e = edges.select("src", "dst").distinct().localCheckpoint()
+    nodes (the oracle mirrors this).
+
+    Cost-based dispatch (round-6, same shape as
+    :func:`strongly_connected_components`): at or under
+    SCC_SMALL_GRAPH_EDGES deduped edges the layered sweep runs
+    driver-side — identical layer structure, exact long sigmas, and the
+    same per-layer 6-dp delta rounding that already pins the Spark and
+    DuckDB engines to common doubles — instead of paying ~2 job
+    submissions per BFS layer. The batched dataflow below remains the
+    scale path."""
+    from ..session import fresh_checkpoint, release_checkpoint
+
+    if small_graph_max_edges is None:
+        small_graph_max_edges = SCC_SMALL_GRAPH_EDGES
+    e_all = fresh_checkpoint(edges.select("src", "dst").distinct())
+    n_pairs = e_all.count()
+    if 0 < n_pairs <= small_graph_max_edges:
+        pdf = e_all.toPandas()
+        release_checkpoint(e_all)
+        seed_vals = sorted(
+            {r[0] for r in seeds.select("seed").distinct().collect()}
+        )
+        adj: dict = {}
+        for s, d in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
+            adj.setdefault(s, []).append(d)
+        total: dict = {}
+        for seed in seed_vals:
+            # forward: BFS layers with exact path counts
+            sigma = {seed: 1}
+            layers = [[seed]]
+            visited = {seed}
+            for _k in range(max_depth):
+                nxt: dict = {}
+                for v in layers[-1]:
+                    for w in adj.get(v, ()):
+                        if w not in visited:
+                            nxt[w] = nxt.get(w, 0) + sigma[v]
+                if not nxt:
+                    break
+                layers.append(sorted(nxt))
+                sigma.update(nxt)
+                visited.update(nxt)
+            # backward: per-layer dependency accumulation, 6-dp rounded;
+            # every reached (seed, v) pair contributes a delta row (the
+            # deepest layer's zeros included), exactly like the batched
+            # dataflow's union of per-layer frames
+            delta = {v: 0.0 for v in layers[-1]}
+            for v in layers[-1]:
+                if v != seed:
+                    total[v] = total.get(v, 0.0) + 0.0
+            for k in range(len(layers) - 2, -1, -1):
+                above = set(layers[k + 1])
+                nd: dict = {}
+                for v in layers[k]:
+                    acc = 0.0
+                    for w in adj.get(v, ()):
+                        if w in above:
+                            acc += (sigma[v] / sigma[w]) * (1.0 + delta[w])
+                    nd[v] = round(acc, 6)
+                delta = nd
+                for v, dv in nd.items():
+                    if v != seed:
+                        total[v] = total.get(v, 0.0) + dv
+        from pyspark.sql import types as T
+
+        src_type = edges.schema["src"].dataType
+        schema = T.StructType(
+            [
+                T.StructField("v", src_type),
+                T.StructField("betweenness", T.DoubleType()),
+            ]
+        )
+        rows = [(v, round(dv, 6)) for v, dv in total.items()]
+        return edges.sparkSession.createDataFrame(rows, schema)
+    e = e_all
     cur = (
         seeds.select(
             F.col("seed"),
