@@ -175,9 +175,21 @@ def minhash_pairs(
     (~1 - 5e-8 at J >= threshold).
     """
     hashed = _hashed_shingles(corpus)
-    sigs = hashed.mapInPandas(
-        _minhash_udf_factory(n_hashes, n_bands), schema="doc_id long, band int, sig long"
-    ).select("doc_id", "band", "sig")
+    # materialize the shared frames once: the band self-join references
+    # the signature frame twice and the verify join references the
+    # shingle cache twice more — left lazy, concurrent stages race to
+    # fill the cache and re-run the shingle scan / signature UDF per
+    # consumer (round-6)
+    hashed.count()
+    sigs = (
+        hashed.mapInPandas(
+            _minhash_udf_factory(n_hashes, n_bands),
+            schema="doc_id long, band int, sig long",
+        )
+        .select("doc_id", "band", "sig")
+        .persist()
+    )
+    sigs.count()
     left = sigs.alias("l")
     right = sigs.alias("r")
     cand = (
@@ -392,6 +404,9 @@ def ngram_jaccard_pairs(
         .filter(F.size("hsh") > 0)
         .persist()
     )
+    # materialize once: prefix explode (twice) + verify (twice) otherwise
+    # race the lazy cache and re-run the shingle/df chain per consumer
+    hashed.count()
     eps = 1e-9
     plen = (
         F.size("hsh") - F.ceil(F.size("hsh") * F.lit(t) - F.lit(eps)) + 1
@@ -468,6 +483,8 @@ def containment_pairs(
         .filter(F.size("hsh") > 0)
         .persist()
     )
+    # materialize once (same rationale as ngram_jaccard_pairs)
+    hashed.count()
     eps = 1e-9
     plen = (
         F.size("hsh") - F.ceil(F.size("hsh") * F.lit(t) - F.lit(eps)) + 1
@@ -577,8 +594,11 @@ def simhash_pairs(corpus: DataFrame, max_hamming: int = MAX_HAMMING) -> DataFram
     one equal chunk, so recall is exactly 1.0 — the Spark result is
     set-equal to the O(n^2) oracle by construction, at O(n) shuffle cost.
     """
-    # persist: the banded self-join references the signature table twice
+    # persist + materialize: the banded self-join references the
+    # signature table twice; left lazy, both sides would race the cache
+    # and re-run the simhash scan (round-6)
     sim = simhash_docs(corpus).persist()
+    sim.count()
     chunks = F.array(
         *[
             F.shiftright(F.col("simhash"), 15 * i).bitwiseAND(F.lit(0x7FFF))
