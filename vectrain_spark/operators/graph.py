@@ -62,15 +62,25 @@ def _finalize_iterative(out: DataFrame, persisted: list[DataFrame]) -> DataFrame
     return res
 
 
-def _materialize(*dfs: DataFrame) -> None:
+def _materialize(*dfs: DataFrame) -> list[int]:
     """Populate lazily-persisted shared loop frames BEFORE the single
     materializing job: concurrent stages inside that job would otherwise
     race to fill the same cache and recompute the frame's whole lineage
     per consumer (measured 2x on label propagation's symmetrized edge
     cache). One cheap count per frame; later frames reuse earlier ones'
-    cached blocks."""
-    for df in dfs:
-        df.count()
+    cached blocks. Returns the counts — the loops reuse them as the
+    size signal for broadcast-vs-shuffle join dispatch."""
+    return [df.count() for df in dfs]
+
+
+def _bc_if(cond: bool, df: DataFrame) -> DataFrame:
+    """Size-adaptive broadcast hint (guide §3.1): node-sized loop state
+    frames ride broadcast joins when the measured node count fits
+    ITER_BCAST_MAX_ROWS — a stats-reset checkpoint estimates at the
+    engine default, so the planner would otherwise sort-merge 347-row
+    rank tables against the cached edge list every iteration. Identical
+    results either way; bigger graphs keep the keyed shuffle plan."""
+    return F.broadcast(df) if cond else df
 
 
 def pagerank(
@@ -117,23 +127,28 @@ def pagerank(
         .distinct()
         .persist()
     )
-    _materialize(nodes, outdeg)  # nodes' pass also populates e's cache
+    n_nodes, _ = _materialize(nodes, outdeg)  # nodes' pass also fills e's cache
+    small = n_nodes <= ITER_BCAST_MAX_ROWS
     ranks = nodes.select("id", F.lit(1.0).alias("rank"))
     base = 1.0 - damping
     # each round references the previous ranks exactly ONCE, so the whole
     # loop unrolls into one lazy plan executed as a single job by
     # _finalize_iterative — no per-round job submissions or retained
-    # per-round checkpoint blocks (round-6, guide §2.4/§5)
+    # per-round checkpoint blocks; node-sized state rides broadcast joins
+    # when it fits, so the cached edge table never re-exchanges
+    # (round-6, guide §2.4/§3.1/§5)
     for _ in range(n_iter):
         contribs = (
-            e.join(ranks.withColumnRenamed("id", "src"), "src")
-            .join(outdeg, "src")
+            e.join(_bc_if(small, ranks.withColumnRenamed("id", "src")), "src")
+            .join(_bc_if(small, outdeg), "src")
             .select("dst", (F.col("rank") * F.col("w") / F.col("outw")).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
         ranks = (
-            nodes.join(contribs.withColumnRenamed("dst", "id"), "id", "left")
+            nodes.join(
+                _bc_if(small, contribs.withColumnRenamed("dst", "id")), "id", "left"
+            )
             .select(
                 "id",
                 F.round(
@@ -233,16 +248,19 @@ def katz_centrality(
         .distinct()
         .persist()
     )
-    _materialize(nodes)  # nodes' pass also populates e's cache
+    (n_nodes,) = _materialize(nodes)  # nodes' pass also populates e's cache
+    small = n_nodes <= ITER_BCAST_MAX_ROWS
     x = nodes.select("id", F.lit(beta).alias("katz"))
     for _ in range(n_iter):
         contribs = (
-            e.join(x.withColumnRenamed("id", "src"), "src")
+            e.join(_bc_if(small, x.withColumnRenamed("id", "src")), "src")
             .groupBy("dst")
             .agg(F.sum("katz").alias("s"))
         )
         x = (
-            nodes.join(contribs.withColumnRenamed("dst", "id"), "id", "left")
+            nodes.join(
+                _bc_if(small, contribs.withColumnRenamed("dst", "id")), "id", "left"
+            )
             .select(
                 "id",
                 F.round(
@@ -1157,7 +1175,8 @@ def hits(edges: DataFrame, n_iter: int = HITS_ITER) -> DataFrame:
         .distinct()
         .persist()
     )
-    _materialize(nodes)  # nodes' pass also populates e's cache
+    (n_nodes,) = _materialize(nodes)  # nodes' pass also populates e's cache
+    small = n_nodes <= ITER_BCAST_MAX_ROWS
     hubs = nodes.select("id", F.lit(1.0).alias("hub"))
     auths = None
     # per half-round the raw score frame feeds BOTH the L1 total and the
@@ -1173,9 +1192,12 @@ def hits(edges: DataFrame, n_iter: int = HITS_ITER) -> DataFrame:
     for _ in range(n_iter):
         a_raw = _fckpt(
             nodes.join(
-                e.join(hubs.withColumnRenamed("id", "src"), "src")
-                .groupBy(F.col("dst").alias("id"))
-                .agg(F.sum("hub").alias("s")),
+                _bc_if(
+                    small,
+                    e.join(_bc_if(small, hubs.withColumnRenamed("id", "src")), "src")
+                    .groupBy(F.col("dst").alias("id"))
+                    .agg(F.sum("hub").alias("s")),
+                ),
                 "id",
                 "left",
             )
@@ -1191,9 +1213,12 @@ def hits(edges: DataFrame, n_iter: int = HITS_ITER) -> DataFrame:
         )
         h_raw = _fckpt(
             nodes.join(
-                e.join(auths.withColumnRenamed("id", "dst"), "dst")
-                .groupBy(F.col("src").alias("id"))
-                .agg(F.sum("auth").alias("s")),
+                _bc_if(
+                    small,
+                    e.join(_bc_if(small, auths.withColumnRenamed("id", "dst")), "dst")
+                    .groupBy(F.col("src").alias("id"))
+                    .agg(F.sum("auth").alias("s")),
+                ),
                 "id",
                 "left",
             )
@@ -1310,7 +1335,8 @@ def label_propagation(pairs: DataFrame, rounds: int = LPA_ROUNDS) -> DataFrame:
         parts, "u"
     ).persist()
     nodes = sym.select(F.col("v").alias("id")).distinct().persist()
-    _materialize(nodes)  # nodes' pass also populates sym's cache
+    (n_nodes,) = _materialize(nodes)  # nodes' pass also populates sym's cache
+    small = n_nodes <= ITER_BCAST_MAX_ROWS
     labels = nodes.select("id", F.col("id").alias("label"))
     from pyspark.sql import Window
 
@@ -1323,7 +1349,7 @@ def label_propagation(pairs: DataFrame, rounds: int = LPA_ROUNDS) -> DataFrame:
     prev: DataFrame | None = None
     for _ in range(rounds):
         counts = (
-            sym.join(labels.withColumnRenamed("id", "u"), "u")
+            sym.join(_bc_if(small, labels.withColumnRenamed("id", "u")), "u")
             .groupBy("v", "label")
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
@@ -1674,18 +1700,19 @@ def shortest_paths(
         1, min(spark.sparkContext.defaultParallelism, n_edges // 50_000 + 1)
     )
     e = e.repartition(parts, "src").persist()
-    _materialize(e)
+    (n_e,) = _materialize(e)
+    small = n_e <= ITER_BCAST_MAX_ROWS
     dist = seeds.select(
         F.col("seed"), F.col("seed").alias("id"), F.lit(0.0).alias("dist")
     )
     # each round references the previous dist TWICE (relax + carry), so
     # every level gets a lazy persist — deduped by the cache manager
     # inside the single final job (round-6: was one eager checkpoint job
-    # per round)
+    # per round); the frontier side broadcasts when the graph is small
     levels: list[DataFrame] = []
     for _ in range(rounds):
         relaxed = (
-            dist.join(e.withColumnRenamed("src", "id"), "id")
+            _bc_if(small, dist).join(e.withColumnRenamed("src", "id"), "id")
             .select(
                 "seed",
                 F.col("dst").alias("id"),
@@ -1810,18 +1837,21 @@ def personalized_pagerank(
         "id",
         F.when(F.col("_s"), F.lit(base_mass)).otherwise(F.lit(0.0)).alias("b"),
     ).persist()
-    _materialize(nodes, outdeg, base)  # nodes' pass also populates e's cache
+    n_nodes, _, _ = _materialize(nodes, outdeg, base)  # also fills e's cache
+    small = n_nodes <= ITER_BCAST_MAX_ROWS
     ranks = base.select("id", F.col("b").alias("rank"))
     for _ in range(n_iter):
         contribs = (
-            e.join(ranks.withColumnRenamed("id", "src"), "src")
-            .join(outdeg, "src")
+            e.join(_bc_if(small, ranks.withColumnRenamed("id", "src")), "src")
+            .join(_bc_if(small, outdeg), "src")
             .select("dst", (F.col("rank") * F.col("w") / F.col("outw")).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
         ranks = (
-            base.join(contribs.withColumnRenamed("dst", "id"), "id", "left")
+            base.join(
+                _bc_if(small, contribs.withColumnRenamed("dst", "id")), "id", "left"
+            )
             .select(
                 "id",
                 F.round(
