@@ -271,7 +271,17 @@ def kmeans_refine(
     one groupBy(vec_id) argbest, one posexplode + groupBy(cell, dim) with
     map-side partial aggregation — no collect, no Python. At 100 TB you
     would refine on a sampled training slice; the operator takes whatever
-    ``vecs`` you hand it."""
+    ``vecs`` you hand it.
+
+    Round-6: each iteration's centroid table is materialized via a
+    stats-reset checkpoint and the superseded one released — each level
+    references its predecessor twice (assignment score + empty-cell
+    coalesce), so a lazy chain would re-execute the whole refinement
+    per reference, doubling per iteration, and every downstream consumer
+    (corpus assignment, query probes) would pay it again."""
+    from ..session import fresh_checkpoint, release_checkpoint
+
+    prev: DataFrame | None = None
     for _ in range(iters):
         assign = assign_cells(vecs, cents, n_probe=1, metric=metric)
         comp = (
@@ -294,10 +304,13 @@ def kmeans_refine(
                 ).alias("r_emb")
             )
         )
-        cents = (
+        cents = fresh_checkpoint(
             cents.join(refined, "cell", "left")
             .select("cell", F.coalesce("r_emb", "c_emb").alias("c_emb"))
         )
+        if prev is not None:
+            release_checkpoint(prev)
+        prev = cents
     return cents
 
 
@@ -364,8 +377,15 @@ def ann_ivf(
     (n_probe nearest cells), and the probed top-k all use the same
     (round(score,6), id ASC) ordering on both engines — descending for
     cosine/dot similarity, ascending for euclid distance.
+
+    Round-6: the vector table is persisted + materialized once — it
+    feeds centroid training, the corpus assignment (twice), and the
+    query side, and left lazy each consumer re-read and re-cast the
+    parquet; centroid training checkpoints per Lloyd round (see
+    :func:`kmeans_refine`).
     """
-    vecs = _vecs(embeddings)
+    vecs = _vecs(embeddings).persist()
+    vecs.count()
     cents = centroids_df(embeddings, n_cells)
     if kmeans_iters:
         cents = kmeans_refine(vecs, cents, iters=kmeans_iters, metric=metric)
@@ -587,7 +607,8 @@ def pq_topk(
     FIXED expression order (d0^2+d1^2+...+sqrt+round), so the DuckDB
     oracle reproduces the ranking bit-for-bit. Approximate by design —
     recall vs :func:`knn_bruteforce` is measured in tests."""
-    vecs = _vecs(embeddings)
+    vecs = _vecs(embeddings).persist()
+    vecs.count()  # m subspaces re-slice this table; read cache, not parquet
     dims = vecs.select(F.size("emb").alias("d")).first()["d"]
     if dims % m != 0:
         raise ValueError(f"dim {dims} not divisible by m={m}")
@@ -668,7 +689,8 @@ def ivfpq_topk(
     rounded float64, fixed summation order): the DuckDB oracle
     reproduces the exact ranking.
     """
-    vecs = _vecs(embeddings)
+    vecs = _vecs(embeddings).persist()
+    vecs.count()  # coarse + m fine stages re-read this; cache it once
     dims = vecs.select(F.size("emb").alias("d")).first()["d"]
     if dims % m != 0:
         raise ValueError(f"dim {dims} not divisible by m={m}")

@@ -250,12 +250,11 @@ def _run_group(
     _prof(f"group {group} stage extracted", tp)
 
     good, _quarantine = split_quarantine(ext)
-    # the triple set feeds BOTH the surface/link chain and the final
-    # canonical join — persist + materialize it once so the Python
-    # (Arrow) triple-extraction pass over the staged text runs exactly
-    # once per group (round-6: it ran once per consumer, and the two
-    # broadcast map builds below raced to fill the lazy cache and
-    # re-derived the whole chain each)
+    # the triple set feeds the surface chain TWICE (subj ∪ obj), the
+    # linked-mention maps, and the final canonical join — persist +
+    # materialize it once so the Python (Arrow) triple-extraction pass
+    # over the staged text runs exactly once per group (round-6: every
+    # consumer raced the lazy cache and re-ran the whole chain)
     tp = time.time()
     tri = extract_triples_df(good).persist()
     tri.count()
