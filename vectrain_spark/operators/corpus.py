@@ -879,13 +879,17 @@ def chunk_documents(
     never float), so the DuckDB replay matches bit-for-bit.
     """
     w = F.split(F.col(text_col), " ")
-    over = F.greatest(F.size(w) - F.lit(size), F.lit(0))
-    # ceil(over / stride) in exact integer arithmetic
-    k_max = ((over.cast("long") + stride - 1) / stride).cast("long")
+    # ceil(over / stride) in exact integer arithmetic (`div`, never the
+    # DOUBLE `/` — exact at any magnitude, honoring the contract above)
+    k_max = F.expr(
+        f"(greatest(size(w) - {int(size)}, 0) + {int(stride) - 1})"
+        f" div {int(stride)}"
+    )
     start = F.lit(1) + F.col("k") * stride
     length = F.least(F.lit(size), F.size(F.col("w")) - start + 1)
     return (
-        docs.select(F.col(key_col).alias("doc_id"), w.alias("w"), k_max.alias("km"))
+        docs.select(F.col(key_col).alias("doc_id"), w.alias("w"))
+        .select("doc_id", "w", k_max.alias("km"))
         .select(
             "doc_id",
             "w",

@@ -41,10 +41,20 @@ _PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, lang string"
 
 
 def _assemble_html_factory(junk_blocks: int = 0):
-    def _assemble_html(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+    # raw Arrow batches (round-6, guide §4.2): url/warc_ts/lang pass
+    # through as the input arrays, zero-copy — only doc_id/para text
+    # cross into Python and only the html bytes come back
+    def _assemble_html(batches):
+        import pyarrow as pa
+
+        for rb in batches:
+            idx = {n: i for i, n in enumerate(rb.schema.names)}
             htmls: list[bytes] = []
-            for doc_id, para1, para2 in zip(pdf["doc_id"], pdf["para1"], pdf["para2"]):
+            for doc_id, para1, para2 in zip(
+                rb.column(idx["doc_id"]).to_pylist(),
+                rb.column(idx["para1"]).to_pylist(),
+                rb.column(idx["para2"]).to_pylist(),
+            ):
                 if int(doc_id) % 97 == 3:
                     htmls.append(b"\xff\xfe corrupt page bytes")
                 else:
@@ -57,13 +67,14 @@ def _assemble_html_factory(junk_blocks: int = 0):
                             junk_blocks=junk_blocks,
                         )
                     )
-            yield pd.DataFrame(
-                {
-                    "url": pdf["url"],
-                    "warc_ts": pdf["warc_ts"],
-                    "html": htmls,
-                    "lang": pdf["lang"],
-                }
+            yield pa.record_batch(
+                [
+                    rb.column(idx["url"]),
+                    rb.column(idx["warc_ts"]),
+                    pa.array(htmls, pa.binary()),
+                    rb.column(idx["lang"]),
+                ],
+                names=["url", "warc_ts", "html", "lang"],
             )
 
     return _assemble_html
@@ -100,7 +111,7 @@ def pages_from_documents(
         F.col("text").alias("para2"),
         "lang",
     )
-    return base.mapInPandas(
+    return base.mapInArrow(
         _assemble_html_factory(junk_blocks), schema=_PAGES_SCHEMA
     )
 
