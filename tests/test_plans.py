@@ -301,6 +301,7 @@ def test_link_graph_aggregation_is_jvm(spark):
         plan.count("ArrowEvalPython")
         + plan.count("BatchEvalPython")
         + plan.count("MapInPandas")
+        + plan.count("MapInArrow")
     )
     assert n_python == 1, plan  # only the fixture html assembly
     assert "partial_count" in plan, plan

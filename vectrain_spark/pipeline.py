@@ -334,9 +334,6 @@ def finalize(spark: SparkSession, cat: Catalog) -> dict:
     quarantine = extracted.filter(F.col("error").isNotNull()).select(
         "url", "warc_ts", "lang", "error", "group_id"
     )
-    cat.write("quarantine", quarantine.repartition(1), mode="replace")
-    _prof("finalize quarantine", t0)
-    t0 = time.time()
 
     # per-partition lineage (Z2): pages/errors/bytes/extract wall time per
     # (group, input partition), joined with sink triple counts
@@ -354,15 +351,35 @@ def finalize(spark: SparkSession, cat: Catalog) -> dict:
         .withColumn("triples", F.coalesce("triples", F.lit(0)))
         .withColumn("committed_at", F.lit(time.time()))
     )
-    cat.write("lineage", lineage.coalesce(1), mode="replace")
-    _prof("finalize lineage", t0)
-    t0 = time.time()
 
-    # one shuffle produces the canonical table; edges and adjacency derive
-    # from the persisted result without re-reading parquet
-    canonical = dedup_triples(triples).persist()
-    n_canonical = canonical.count()
-    _prof("finalize dedup", t0)
+    # quarantine + lineage read `extracted`; the canonical dedup reads
+    # `triples` — independent jobs, so the two extracted-side rebuilds
+    # are submitted from driver threads and back-fill executors while
+    # the dedup shuffle's tail drains (guide §2.6; FAIR scheduler is on,
+    # catalog commits serialize internally). Per-stage _prof walls
+    # overlap the dedup wall by construction.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _write_quarantine() -> None:
+        tq = time.time()
+        cat.write("quarantine", quarantine.repartition(1), mode="replace")
+        _prof("finalize quarantine", tq)
+
+    def _write_lineage() -> None:
+        tl = time.time()
+        cat.write("lineage", lineage.coalesce(1), mode="replace")
+        _prof("finalize lineage", tl)
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        futs = [ex.submit(_write_quarantine), ex.submit(_write_lineage)]
+        # one shuffle produces the canonical table; edges and adjacency
+        # derive from the persisted result without re-reading parquet
+        t0 = time.time()
+        canonical = dedup_triples(triples).persist()
+        n_canonical = canonical.count()
+        _prof("finalize dedup", t0)
+        for f in futs:
+            f.result()  # re-raise derived-table write failures
     t0 = time.time()
     cat.write("canonical_triples", canonical, mode="replace")
     edges = canonical.select(
