@@ -198,7 +198,23 @@ def minhash_pairs(
         .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
         .distinct()
     )
-    return _verify_jaccard(cand, hashed, hashed, threshold)
+    return _finalize_cached(
+        _verify_jaccard(cand, hashed, hashed, threshold), [hashed, sigs]
+    )
+
+
+def _finalize_cached(out: DataFrame, persisted: list[DataFrame]) -> DataFrame:
+    """Materialize a pair operator's result once (stats-reset checkpoint)
+    and unpersist its internal working-set caches — in a long shared
+    session (the 87-query bench) leaked per-query persists otherwise
+    accumulate into memory pressure that taxes every later query
+    (round-6; the result frame itself is pair-list-sized)."""
+    from ..session import fresh_checkpoint
+
+    res = fresh_checkpoint(out)
+    for df in persisted:
+        df.unpersist()
+    return res
 
 
 def _hashed_shingles(corpus: DataFrame, persist: bool = True) -> DataFrame:
@@ -435,11 +451,12 @@ def ngram_jaccard_pairs(
     na = F.size("sha").cast("double")
     nb = F.size("shb").cast("double")
     jac = inter / (na + nb - inter)
-    return (
+    return _finalize_cached(
         cand.join(sa, "a")
         .join(sb, "b")
         .select("a", "b", F.round(jac, 6).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+        .filter(F.col("jaccard") >= threshold),
+        [hashed],
     )
 
 
@@ -506,11 +523,12 @@ def containment_pairs(
     containment = F.size(F.array_intersect("sha", "shb")).cast("double") / F.size(
         "sha"
     ).cast("double")
-    return (
+    return _finalize_cached(
         cand.join(sa, "a")
         .join(sb, "b")
         .select("a", "b", F.round(containment, 6).alias("containment"))
-        .filter(F.col("containment") >= threshold)
+        .filter(F.col("containment") >= threshold),
+        [hashed],
     )
 
 
@@ -621,7 +639,7 @@ def simhash_pairs(corpus: DataFrame, max_hamming: int = MAX_HAMMING) -> DataFram
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
-    return pairs
+    return _finalize_cached(pairs, [sim])
 
 
 def sentence_dup_profile(docs: DataFrame, min_chars: int = 20) -> DataFrame:

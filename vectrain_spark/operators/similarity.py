@@ -414,11 +414,19 @@ def ann_ivf(
     )
     order = F.asc("score") if _is_distance(metric) else F.desc("score")
     w = Window.partitionBy("q_id").orderBy(order, F.asc("n_id"))
-    return (
+    out = (
         cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", "score", "rank")
     )
+    # materialize the (query-sized) result once and release the working
+    # set, so nothing stays cached behind the answer in a shared session
+    from ..session import fresh_checkpoint, release_checkpoint
+
+    res = fresh_checkpoint(out)
+    vecs.unpersist()
+    release_checkpoint(cents)
+    return res
 
 
 def maxsim_topk(
@@ -615,6 +623,7 @@ def pq_topk(
     dsub = dims // m
     codes = None
     luts = []
+    books: list[DataFrame] = []
     q_ids = vecs.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id")
     )
@@ -626,6 +635,7 @@ def pq_topk(
             F.col("vec_id").cast("int").alias("cell"), F.col("emb").alias("c_emb")
         )
         cents = kmeans_refine(sub, seed, iters=kmeans_iters, metric="euclid")
+        books.append(cents)
         enc = assign_cells(sub, cents, metric="euclid").select(
             "vec_id", F.col("cell").alias(f"c{s}")
         )
@@ -653,12 +663,19 @@ def pq_topk(
     )
     score = F.round(F.sqrt(d2), 6)
     w = Window.partitionBy("q_id").orderBy(F.asc("score"), F.asc("n_id"))
-    return (
+    out = (
         cand.select("q_id", F.col("vec_id").alias("n_id"), score.alias("score"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", "score", "rank")
     )
+    from ..session import fresh_checkpoint, release_checkpoint
+
+    res = fresh_checkpoint(out)
+    vecs.unpersist()
+    for c in books:
+        release_checkpoint(c)
+    return res
 
 
 def ivfpq_topk(
@@ -709,6 +726,7 @@ def ivfpq_topk(
     # PQ codes + per-query LUTs, per subspace
     codes = None
     luts = []
+    books = [coarse]
     for s in range(m):
         sub = vecs.select(
             "vec_id", F.slice("emb", s * dsub + 1, dsub).alias("emb")
@@ -717,6 +735,7 @@ def ivfpq_topk(
             F.col("vec_id").cast("int").alias("cell"), F.col("emb").alias("c_emb")
         )
         cents = kmeans_refine(sub, seed, iters=kmeans_iters, metric="euclid")
+        books.append(cents)
         enc = assign_cells(sub, cents, metric="euclid").select(
             "vec_id", F.col("cell").alias(f"c{s}")
         )
@@ -747,12 +766,19 @@ def ivfpq_topk(
     )
     score = F.round(F.sqrt(d2), 6)
     w = Window.partitionBy("q_id").orderBy(F.asc("score"), F.asc("n_id"))
-    return (
+    out = (
         cand.select("q_id", F.col("vec_id").alias("n_id"), score.alias("score"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", "score", "rank")
     )
+    from ..session import fresh_checkpoint, release_checkpoint
+
+    res = fresh_checkpoint(out)
+    vecs.unpersist()
+    for c in books:
+        release_checkpoint(c)
+    return res
 
 
 def mmr_rerank(
