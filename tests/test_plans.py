@@ -345,7 +345,9 @@ def test_pq_topk_jvm_only_with_broadcast_luts(spark):
     from vectrain_spark.operators.similarity import pq_topk
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    plan = _plan(pq_topk(spark, emb))
+    # materialize=False: inspect the LAZY dataflow (the public path
+    # checkpoints the result and releases its caches, round-6)
+    plan = _plan(pq_topk(spark, emb, materialize=False))
     assert "EvalPython" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
 

@@ -595,6 +595,7 @@ def pq_topk(
     kmeans_iters: int = 1,
     n_queries: int = 10,
     k: int = 5,
+    materialize: bool = True,
 ) -> DataFrame:
     """Product-quantization ANN with asymmetric distance computation —
     the billion-scale memory-compression path (Jégou et al., PQ): split
@@ -669,6 +670,10 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", "score", "rank")
     )
+    if not materialize:
+        # plan-inspection path (tests): hand back the LAZY dataflow so the
+        # broadcast-LUT/JVM-only plan shape stays assertable
+        return out
     from ..session import fresh_checkpoint, release_checkpoint
 
     res = fresh_checkpoint(out)
